@@ -1,0 +1,31 @@
+"""PySpark-native rebuild of sadikovi/parquet-metadata-explorer.
+
+Public surface:
+- ``read_metadata(spark, path, source=..., level=..., ...)`` — function API.
+- ``register(spark)`` — registers the ``"metadata"`` format for
+  ``spark.read.format("metadata").load(path)`` (Spark 4.x Python
+  Data Source API).
+- ``schemas`` — the five fixed per-level StructTypes.
+- ``operators`` / ``streaming`` — the 100 TB-scale extension operators
+  (dedup, similarity search, text analysis, multimodal, streaming).
+"""
+
+from .options import (  # noqa: F401
+    LEVEL_COLUMN,
+    LEVEL_FILE,
+    LEVEL_PAGE,
+    LEVEL_ROWGROUP,
+    SOURCE_FILE,
+    SOURCE_PARQUET,
+)
+from .sources.api import read_metadata  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def register(spark):
+    """Register the ``metadata`` Python data source with this session."""
+    from .sources.datasource import MetadataDataSource
+
+    spark.dataSource.register(MetadataDataSource)
+    return spark

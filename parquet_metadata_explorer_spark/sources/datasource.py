@@ -1,0 +1,73 @@
+"""``spark.read.format("metadata")`` via the Spark 4.x Python Data Source API.
+
+Direct analog of the reference's DataSource V1 ``RelationProvider``
+registration under short name "metadata" (``DefaultSource.scala:12-23`` +
+META-INF service file). Partition planning mirrors
+``MetadataFileFormat.scala:50-58``: files are listed once at plan time and
+chunked into ≤ ``maxparts`` input partitions; each partition parses its
+files' footers/pages executor-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..listing import list_files
+from ..options import LEVEL_FILE, SOURCE_FILE, parse_options
+from ..schemas import SCHEMAS_BY_LEVEL
+from .api import _infer_source
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, files):
+        self.files = files
+
+
+class MetadataReader(DataSourceReader):
+    def __init__(self, options):
+        self.opts = parse_options(dict(options))
+        # plan-time listing + source inference (one driver-side magic sniff,
+        # reference DefaultSource.scala:56-96)
+        self.files = list_files(self.opts.path)
+        self.source = self.opts.source or _infer_source(self.files)
+        from ..options import validate_source_level
+
+        validate_source_level(self.source, self.opts.level)
+
+    def partitions(self):
+        n = max(1, min(len(self.files), self.opts.maxparts))
+        chunks = [self.files[i::n] for i in range(n)]
+        return [_FilesPartition(c) for c in chunks if c]
+
+    def read(self, partition):
+        from . import rows as R
+
+        opts, source = self.opts, self.source
+        for f in partition.files:
+            if source == SOURCE_FILE:
+                yield from R.file_rows(f)
+            elif opts.level == LEVEL_FILE:
+                yield from R.parquet_file_rows(f)
+            elif opts.level == "rowgroup":
+                yield from R.rowgroup_rows(f)
+            elif opts.level == "column":
+                yield from R.column_rows(f)
+            else:
+                yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
+
+
+class MetadataDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "metadata"
+
+    def schema(self):
+        opts = parse_options(dict(self.options))
+        source = opts.source
+        if source is None:
+            files = list_files(opts.path)
+            source = _infer_source(files)
+        return SCHEMAS_BY_LEVEL[(source, opts.level)]
+
+    def reader(self, schema):
+        return MetadataReader(self.options)
