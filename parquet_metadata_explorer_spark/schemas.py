@@ -37,10 +37,10 @@ STATISTICS_TYPE = StructType(
 # FileLevel (MetadataLevel.scala:15-23)
 FILE_LEVEL = StructType(
     [
-        StructField("filepath", StringType(), nullable=False),
-        StructField("filename", StringType(), nullable=False),
-        StructField("size", LongType(), nullable=False),
-        StructField("mtime", LongType(), nullable=False),
+        StructField("filepath", StringType()),
+        StructField("filename", StringType()),
+        StructField("size", LongType()),
+        StructField("mtime", LongType()),
         StructField("partition", MapType(StringType(), StringType())),
     ]
 )

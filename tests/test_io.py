@@ -1,0 +1,72 @@
+"""ForwardSeekableStream unit tests (reference RemoteInputStreamSuite semantics)."""
+
+import io
+
+import pytest
+
+from parquet_metadata_explorer_spark.parquet.io import ForwardSeekableStream
+
+DATA = bytes(range(256)) * 64  # 16 KiB
+
+
+def make(buf_size):
+    return ForwardSeekableStream(io.BytesIO(DATA), buf_size)
+
+
+def test_invalid_buffer_size():
+    with pytest.raises(ValueError, match="Invalid buffer size"):
+        ForwardSeekableStream(io.BytesIO(b""), 0)
+
+
+@pytest.mark.parametrize("bufsize", [1, 4, 17, 128, 1024, 16384, 65536])
+def test_full_read_across_buffer_sizes(bufsize):
+    s = make(bufsize)
+    assert s.read(len(DATA)) == DATA
+    assert s.read(10) == b""  # EOF
+
+
+def test_read_fully_eof():
+    s = make(64)
+    with pytest.raises(EOFError):
+        s.read_fully(len(DATA) + 1)
+
+
+def test_backward_seek_rejected():
+    s = make(64)
+    s.read(100)
+    with pytest.raises(ValueError, match="Backward seek"):
+        s.seek(10)
+
+
+def test_in_buffer_seek_no_remote_io():
+    s = make(1024)
+    s.read(1)  # triggers one fill
+    reads_before = s.remote_reads
+    s.seek(1000)  # within the 1024-byte buffer
+    assert s.remote_seeks == 0
+    assert s.remote_reads == reads_before
+    assert s.read(24) == DATA[1000:1024]
+
+
+def test_far_seek_uses_remote_seek():
+    s = make(64)
+    s.read(1)
+    s.seek(8192)
+    assert s.remote_seeks == 1
+    assert s.read(4) == DATA[8192:8196]
+
+
+def test_tell_tracks_position():
+    s = make(100)
+    assert s.tell() == 0
+    s.read(37)
+    assert s.tell() == 37
+    s.seek(73)
+    assert s.tell() == 73
+
+
+def test_use_after_close():
+    s = make(64)
+    s.close()
+    with pytest.raises(ValueError, match="closed"):
+        s.read(1)
