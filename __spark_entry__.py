@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+north-star extension operators) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the equivalent DuckDB SQL. Column names and types
+are aligned pairwise (everything integer is bigint, every float rounded the
+same way on both sides) so the driver's order-insensitive value hash
+matches.
+
+Only ``meta_page`` has no oracle: DuckDB exposes no page-level parquet
+metadata function; its invariants are covered in tests/test_levels.py.
 """
 
 from __future__ import annotations
@@ -12,27 +16,752 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import parquet_metadata_explorer_spark as pqx
+from parquet_metadata_explorer_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+from parquet_metadata_explorer_spark.streaming import events as ev
+
+SF01 = "/root/testdata/sf0.01"  # oracle scale factor (fixed by the driver)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (shared so every oracle uses identical normalization)
+# ---------------------------------------------------------------------------
+
+D_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+D_TOKS = f"list_filter(str_split({D_NORM}, ' '), x -> x <> '')"
+# distinct 3-word shingles over tokens list t
+D_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(t)-2, 0)+1),"
+    " i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+
+def _d_hash60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def _d_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+def _d_plane_weight(p: int, d: str) -> str:
+    h = _d_hash60(f"'{p}:' || {d}::varchar")
+    return f"(({h} % 1000) / 1000.0 - 0.5)"
+
+
+# ---------------------------------------------------------------------------
+# metadata-level queries (the reference surface, S1-S19)
+# ---------------------------------------------------------------------------
+
+
+def q_meta_file_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pqx.read_metadata(spark, sf_dir, source="file", level="file")
+    return df.select("filename")
+
+
+def q_meta_parquet_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pqx.read_metadata(spark, sf_dir, source="parquet", level="file")
+    return df.select(
+        "filename",
+        F.col("num_rows").cast("long").alias("num_rows"),
+        F.col("num_row_groups").cast("long").alias("num_row_groups"),
+        "created_by",
+    )
+
+
+def q_meta_rowgroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pqx.read_metadata(spark, sf_dir, source="parquet", level="rowgroup")
+    return df.select(
+        F.element_at(F.split("filepath", "/"), -1).alias("filename"),
+        F.col("row_group_id").cast("long").alias("row_group_id"),
+        F.col("num_rows").cast("long").alias("num_rows"),
+        F.col("num_columns").cast("long").alias("num_columns"),
+        "total_compressed_size",
+        "total_uncompressed_size",
+    )
+
+
+def q_meta_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pqx.read_metadata(spark, sf_dir, source="parquet", level="column")
+    return df.select(
+        F.element_at(F.split("filepath", "/"), -1).alias("filename"),
+        F.col("row_group_id").cast("long").alias("row_group_id"),
+        F.col("column_id").cast("long").alias("column_id"),
+        "path",
+        "type",
+        F.array_join("encodings", ", ").alias("encodings"),
+        "compression",
+        "num_values",
+        "file_offset",
+        "data_page_offset",
+        "dictionary_page_offset",
+        "total_compressed_size",
+        "total_uncompressed_size",
+        F.col("statistics.null_count").alias("null_count"),
+    )
+
+
+def q_meta_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no DuckDB oracle exists for page-level metadata (rows-only check);
+    # invariants asserted in tests/test_levels.py::test_page_level_invariants
+    df = pqx.read_metadata(spark, sf_dir, source="parquet", level="page")
+    return df.select(
+        F.element_at(F.split("filepath", "/"), -1).alias("filename"),
+        F.col("row_group_id").cast("long").alias("row_group_id"),
+        F.col("column_id").cast("long").alias("column_id"),
+        F.col("page_id").cast("long").alias("page_id"),
+        "page_type",
+        "page_header_offset",
+        F.col("page_header_size").cast("long").alias("page_header_size"),
+        F.col("page_compressed_size").cast("long").alias("page_compressed_size"),
+        F.col("num_values").cast("long").alias("num_values"),
+        "encoding",
+    )
+
+
+O_META_FILE_LIST = f"""
+SELECT regexp_extract(file, '[^/]+$') AS filename
+FROM glob('{SF01}/*.parquet')
+"""
+
+O_META_PARQUET_FILE = f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+       num_rows::bigint AS num_rows,
+       num_row_groups::bigint AS num_row_groups,
+       created_by
+FROM parquet_file_metadata('{SF01}/*.parquet')
+"""
+
+O_META_ROWGROUP = f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+       row_group_id::bigint AS row_group_id,
+       any_value(row_group_num_rows)::bigint AS num_rows,
+       any_value(row_group_num_columns)::bigint AS num_columns,
+       sum(total_compressed_size)::bigint AS total_compressed_size,
+       any_value(row_group_bytes)::bigint AS total_uncompressed_size
+FROM parquet_metadata('{SF01}/*.parquet')
+GROUP BY 1, 2
+"""
+
+# file_offset: replicate the dictionary/data-page fallback the engine applies
+# (reference ParquetUtils.scala:165-175) because the raw thrift file_offset
+# is unreliable for files with dictionary pages
+O_META_COLUMN = f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+       row_group_id::bigint AS row_group_id,
+       column_id::bigint AS column_id,
+       replace(path_in_schema, ', ', '.') AS path,
+       replace(type, 'BYTE_ARRAY', 'BINARY') AS type,
+       encodings,
+       compression,
+       num_values::bigint AS num_values,
+       coalesce(dictionary_page_offset, data_page_offset, file_offset)::bigint AS file_offset,
+       data_page_offset::bigint AS data_page_offset,
+       dictionary_page_offset::bigint AS dictionary_page_offset,
+       total_compressed_size::bigint AS total_compressed_size,
+       total_uncompressed_size::bigint AS total_uncompressed_size,
+       stats_null_count::bigint AS null_count
+FROM parquet_metadata('{SF01}/*.parquet')
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_table(spark, sf_dir, "documents")).select(
+        "fingerprint", "n_docs", "keep_doc_id"
+    )
+
+
+O_DEDUP_EXACT = f"""
+WITH fp AS (SELECT doc_id, md5({D_NORM}) AS fingerprint FROM documents)
+SELECT fingerprint, count(*)::bigint AS n_docs, min(doc_id) AS keep_doc_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def _oracle_minhash() -> str:
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    rpb = k // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(s, x -> md5(x || '#{i}')))" for i in range(k)
+    )
+    band_items = ", ".join(
+        f"{{'band_id': {b}, 'band_sig': md5(array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], '|'))}}"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
+sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+sigs AS (SELECT doc_id, s, [{sig_items}] AS sig FROM sh2),
+bands AS (
+  SELECT doc_id, b.band_id, b.band_sig
+  FROM sigs, unnest([{band_items}]) AS u(b)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(length(list_intersect(a.s, b.s))::double /
+               (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))), 4) AS jaccard
+  FROM cands c JOIN sigs a ON c.doc_a = a.doc_id JOIN sigs b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_candidate_pairs(_table(spark, sf_dir, "documents"))
+
+
+def _oracle_simhash() -> str:
+    bits, bands = dedup.SIMHASH_BITS, dedup.SIMHASH_BANDS
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    band_items = ", ".join(
+        f"{{'band_id': {b}, 'band_value': ((simhash >> {b * bpb}) & {mask})::bigint}}"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({D_TOKS})) AS tok FROM documents
+),
+th AS (SELECT doc_id, {_d_hash60("tok")} AS h FROM toks),
+votes AS (
+  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, {bits})) AS j) bits_t
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.band_id, b.band_value
+  FROM fp, unnest([{band_items}]) AS u(b)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS simhash_a, r.simhash AS simhash_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_value = r.band_value AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+       bit_count(xor(simhash_a, simhash_b))::bigint AS hamming
+FROM pairs
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+O_DEDUP_NGRAM = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
+sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+sizes AS (SELECT doc_id, length(s)::bigint AS n_sh FROM sh2),
+inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
+rare AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 100),
+inv AS (SELECT i.doc_id, i.shingle FROM inv0 i JOIN rare USING (shingle)),
+common AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::bigint AS n_common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+       round(c.n_common::double / (a.n_sh + b.n_sh - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes a ON c.doc_a = a.doc_id
+JOIN sizes b ON c.doc_b = b.doc_id
+WHERE round(c.n_common::double / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.1
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_duplicates(
+        _table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+O_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_d_cos("a.embedding", "b.embedding")}, 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_d_cos("a.embedding", "b.embedding")}, 4) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+O_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_d_cos("q.q_emb", "e.embedding")}, 6) AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _oracle_ann_lsh() -> str:
+    planes = similarity.LSH_PLANES
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"list_transform(range(0, length(embedding)), d -> {_d_plane_weight(p, 'd')})) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bit_terms})::bigint AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM bucketed WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+cands AS (
+  SELECT q.query_id, q.q_emb, e.vec_id AS neighbor_id, e.embedding
+  FROM q JOIN bucketed e ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round({_d_cos("q_emb", "embedding")}, 6) AS cos
+  FROM cands
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_table(spark, sf_dir, "documents"))
+
+
+_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+
+O_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {D_TOKS} AS t,
+         length(text)::bigint AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint AS n_punct,
+         length(regexp_replace(text, '[^A-Z]', '', 'g'))::bigint AS n_upper,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint AS n_alpha
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars,
+         length(t)::bigint AS n_tokens,
+         round(n_punct::double / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(n_upper::double / greatest(n_alpha, 1), 4) AS upper_ratio,
+         round(length(list_filter(t, x -> list_contains([{_EN}], x)))::double
+               / greatest(length(t), 1), 4) AS stop_ratio,
+         round(n_alpha::double / greatest(length(t), 1), 4) AS mean_word_len
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, upper_ratio, stop_ratio, mean_word_len,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio >= 0.05 THEN 0.4 ELSE 0.0 END))::double, 4) AS quality_score
+FROM feat
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_table(spark, sf_dir, "documents"))
+
+
+def _oracle_langid() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_items = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        score_items.append(
+            f"round(length(list_filter(t, x -> list_contains([{words}], x)))::double"
+            f" / greatest(length(t), 1), 4) AS score_{lang}"
+        )
+    case_items = "\n".join(
+        f"        WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+scores AS (SELECT doc_id, {", ".join(score_items)} FROM toks),
+best_t AS (
+  SELECT *, greatest({", ".join("score_" + lang for lang in langs)}) AS best FROM scores
+)
+SELECT doc_id, {", ".join("score_" + lang for lang in langs)},
+       CASE WHEN best <= 0 THEN 'unknown'
+{case_items}
+       END AS pred_lang
+FROM best_t
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_TOKENS = f"""
+SELECT doc_id,
+       length({D_TOKS})::bigint AS ws_tokens,
+       length(regexp_extract_all(text, '{text.BPE_REGEX}'))::bigint AS bpe_tokens,
+       length(text)::bigint AS n_chars
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_table(spark, sf_dir, "documents")).select(
+        "doc_id", "exact_fp", "n_shingles", "n_winnow"
+    )
+
+
+O_TEXT_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, text, {D_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, text,
+         list_transform(range(1, greatest(length(t)-2, 0)+1),
+                        i -> {_d_hash60("array_to_string(t[i:i+2], ' ')")}) AS shs
+  FROM toks
+),
+win AS (
+  SELECT doc_id, text, shs,
+         list_distinct(list_transform(range(1, greatest(length(shs)-3, 0)+1),
+                        i -> list_min(shs[i:i+3]))) AS winnow
+  FROM sh
+)
+SELECT doc_id, md5({D_NORM}) AS exact_fp,
+       length(list_distinct(shs))::bigint AS n_shingles,
+       length(winnow)::bigint AS n_winnow
+FROM win
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_features(_table(spark, sf_dir, "documents"))
+
+
+O_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::bigint AS n_bytes,
+       (octet_length(encode(text)) % 64 + 1)::bigint AS width,
+       (octet_length(encode(text)) // 64 % 64 + 1)::bigint AS height,
+       3::bigint AS channels,
+       ((octet_length(encode(text))::bigint * 2654435761) % 2147483648)::bigint AS checksum
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (streaming surface, batch-verified)
+# ---------------------------------------------------------------------------
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.windowed_counts(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)::bigint AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.sessionize(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq::bigint AS session_seq,
+       count(*)::bigint AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.asof_join_purchases(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_ASOF = """
+WITH tagged AS (
+  SELECT user_id, ts, 'p' AS side, event_id AS eid FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 'c' AS side, event_id AS eid FROM events WHERE event_type = 'click'
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN side = 'c' THEN eid END IGNORE NULLS) OVER win AS click_id,
+    last_value(CASE WHEN side = 'c' THEN ts END IGNORE NULLS) OVER win AS click_ts
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id
+                 ORDER BY ts, CASE WHEN side = 'c' THEN 0 ELSE 1 END, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, eid AS purchase_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM w WHERE side = 'p'
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational surface (delegated to Spark SQL in the reference, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.pricing_summary(_table(spark, sf_dir, "lineitem"))
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::bigint AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.regional_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+O_TPCH_Q5 = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::bigint AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_segment(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
+    )
+
+
+O_WINDOW_TOP_ORDERS = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_orderkey AS orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT segment, orderkey, round(o_totalprice, 2) AS totalprice,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY o_totalprice DESC, orderkey) AS rank
+  FROM j
+)
+SELECT segment, orderkey, totalprice, rank::bigint AS rank FROM r WHERE rank <= 5
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rollup_order_stats(_table(spark, sf_dir, "orders"))
+
+
+O_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::bigint AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_part_join(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+O_SUPPLIER_PART = """
+WITH rich AS (
+  SELECT * FROM supplier WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+)
+SELECT p_brand AS brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::bigint AS n_items
+FROM lineitem
+JOIN rich ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: column-level parquet metadata over the sf0.001 corpus —
+    the reference's core capability, end-to-end through the engine."""
+    return q_meta_column(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "window_top_orders": q_window_top_orders,
+        "rollup_orders": q_rollup_orders,
+        "supplier_part_revenue": q_supplier_part_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "meta_file_list": O_META_FILE_LIST,
+        "meta_parquet_file": O_META_PARQUET_FILE,
+        "meta_rowgroup": O_META_ROWGROUP,
+        "meta_column": O_META_COLUMN,
+        # meta_page: no DuckDB page-level function — rows-only check
+        "dedup_exact": O_DEDUP_EXACT,
+        "dedup_minhash": _oracle_minhash(),
+        "dedup_simhash": _oracle_simhash(),
+        "dedup_ngram_jaccard": O_DEDUP_NGRAM,
+        "dedup_embedding": O_DEDUP_EMBEDDING,
+        "ann_topk": O_ANN_TOPK,
+        "ann_lsh": _oracle_ann_lsh(),
+        "text_stats": O_TEXT_STATS,
+        "text_langid": _oracle_langid(),
+        "text_tokens": O_TEXT_TOKENS,
+        "text_fingerprint": O_TEXT_FINGERPRINT,
+        "multimodal_decode": O_MULTIMODAL,
+        "events_windowed": O_EVENTS_WINDOWED,
+        "events_sessionize": O_EVENTS_SESSIONIZE,
+        "events_asof": O_EVENTS_ASOF,
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q5": O_TPCH_Q5,
+        "window_top_orders": O_WINDOW_TOP_ORDERS,
+        "rollup_orders": O_ROLLUP_ORDERS,
+        "supplier_part_revenue": O_SUPPLIER_PART,
+    }

@@ -1,0 +1,131 @@
+"""Relational demo queries over the TPC-H-ish tables.
+
+The reference delegates its entire relational surface to Spark SQL
+(SURVEY §2.2) — these queries exercise that delegated surface end-to-end
+(scan → filter pushdown → joins → aggregation → window → rollup) with
+plans tuned the way a 100 TB deployment needs:
+
+- dimension tables (region, nation, supplier, customer at low SF ratios)
+  are broadcast — no shuffle on the fact table for those joins;
+- aggregations are expressed so Catalyst plans partial (map-side) HashAgg
+  before the exchange;
+- sums of doubles are rounded in the output (not in the aggregation) so
+  results are stable to fp reordering across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: full-scan partial+final hash aggregation."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def regional_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension broadcast, single
+    shuffle for the final group-by on region/nation name."""
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def top_orders_per_segment(
+    orders: DataFrame, customer: DataFrame, k: int = 5
+) -> DataFrame:
+    """Window top-k: rank orders by totalprice within customer market
+    segment. Broadcast the customer dim; single window shuffle on segment."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "rank",
+        )
+        .orderBy("segment", "rank")
+    )
+
+
+def rollup_order_stats(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (orderstatus × orderpriority hierarchy) —
+    grouping-set semantics, partial-aggregatable."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def supplier_part_join(
+    lineitem: DataFrame, supplier: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Two broadcast joins + semi/anti composition: revenue by part brand
+    for suppliers with above-average balance."""
+    # scalar subquery as a broadcast cross join — stays lazy, no driver action
+    avg_bal = supplier.agg(F.avg("s_acctbal").alias("avg_bal"))
+    rich = (
+        supplier.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
+    return (
+        lineitem.join(F.broadcast(rich), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("brand")
+    )

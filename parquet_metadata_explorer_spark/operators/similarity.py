@@ -1,0 +1,101 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+- ``cosine_topk`` — brute-force exact top-k. The query set is broadcast
+  (it is small by definition); each executor scans only its partitions of
+  the corpus and emits k rows per (partition, query); the final top-k per
+  query is a tiny shuffle. This is the right plan even at 100 TB *when k
+  and |queries| are small* — one corpus scan, no quadratic blowup.
+- ``lsh_buckets`` / ``lsh_ann_topk`` — random-hyperplane sign LSH: each
+  vector maps to a bucket of sign bits; candidates = corpus vectors in
+  the query's bucket, ranked exactly. Trades recall for a corpus-scan →
+  bucket-lookup reduction; hyperplanes are generated deterministically
+  from md5 so the oracle engine can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine
+
+LSH_PLANES = 8
+
+
+def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
+    """Exact top-k neighbors (by cosine) for each query vector, excluding
+    self. Deterministic ranking: round to 6 decimals, tie-break on vec_id."""
+    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding"))
+    )
+    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _plane_weight(plane: int, dim_col):
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5).
+
+    w(p, d) = (hash60(md5('p:d')) % 1000)/1000 - 0.5 — reproducible in
+    DuckDB as (('0x'||substr(md5(p||':'||d),1,15))::bigint % 1000)/1000.0 - 0.5.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{plane}:"), dim_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % 1000) / F.lit(1000.0) - F.lit(0.5)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit p = sign(dot(plane_p, v))."""
+    sign_bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda v, i: v.cast("double") * _plane_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+    bucket = sign_bits[0]
+    for b in sign_bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame, query_ids, k: int = 10, n_planes: int = LSH_PLANES
+) -> DataFrame:
+    """ANN top-k: exact ranking within the query's LSH bucket only."""
+    bucketed = lsh_buckets(embeddings, n_planes).select("vec_id", "embedding", "bucket")
+    queries = bucketed.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = F.broadcast(queries).join(
+        bucketed.withColumnRenamed("vec_id", "neighbor_id"),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

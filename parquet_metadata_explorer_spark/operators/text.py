@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM-side expressions (regex + array functions, no Python UDFs),
+so they run at full whole-stage-codegen speed over a 100 TB corpus — these
+are embarrassingly parallel map-only transforms: zero shuffles.
+
+Every operator has an exact DuckDB translation (see __spark_entry__.py),
+which is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hash60, normalize_text, tokens
+
+# tiny built-in stopword lexicons for language ID (top function words)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por", "con", "para"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: lengths, token counts, ratios, score.
+
+    quality_score is a simple bounded combination of the classic heuristics
+    (length band, punctuation density, stopword presence) — the shape of
+    Gopher/C4-style rules, deterministic and oracle-checkable.
+    """
+    text = F.col("text")
+    toks = tokens(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("long")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("long")
+
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    upper_ratio = F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    mean_word_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
+
+    quality = F.round(
+        F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0)),
+        4,
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: score = fraction of tokens that are in
+    each language's function-word list; argmax with deterministic
+    alphabetical tie-break ('unknown' when no list scores > 0)."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+
+    def stop_filter(words):
+        # factory, not a default-arg lambda: a 2-param lambda would make
+        # Spark's higher-order filter pass (element, index)
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.round(F.size(F.filter(toks, stop_filter(words))) / n_tokens, 4)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # argmax: greatest(...) then a CASE chain in alphabetical order, so the
+    # alphabetically-first language wins ties — same CASE is written in the
+    # DuckDB oracle verbatim
+    langs = sorted(scores)  # alphabetical
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / single punctuation)."""
+    text = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.size(tokens(text)).cast("long").alias("ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_REGEX)).cast("long").alias("bpe_tokens"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact) plus a
+    winnowing-style selection over rolling token-window hashes.
+
+    The winnow set is the distinct minima of each sliding window of
+    ``window`` consecutive 3-token shingle hashes — the standard local
+    fingerprinting scheme (Schleimer et al., SIGMOD'03), built entirely
+    from array expressions.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # clamp sequence stops to 1 (sequence counts down past 0 otherwise) and
+    # blank results for too-short docs
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    empty_sh = F.array_except(raw_sh, raw_sh)
+    shingle_hashes = F.when(n >= 3, raw_sh).otherwise(empty_sh)
+    n_sh = F.size(shingle_hashes)
+    raw_win = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(shingle_hashes, i, window)),
+    )
+    winnow = F.array_distinct(
+        F.when(n_sh >= window, raw_win).otherwise(empty_sh)
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("exact_fp"),
+        F.size(F.array_distinct(shingle_hashes)).cast("long").alias("n_shingles"),
+        F.size(winnow).cast("long").alias("n_winnow"),
+        F.sort_array(winnow).alias("winnow_fps"),
+    )

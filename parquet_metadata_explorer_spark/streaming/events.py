@@ -1,0 +1,177 @@
+"""Event-stream operators: windowed aggregation, sessionization, as-of join.
+
+Batch and streaming share the same transformation bodies — the batch
+variants are what the DuckDB oracle verifies; the streaming variants wrap
+them in Structured Streaming (readStream + watermark) and are exercised
+with an availableNow trigger in tests.
+
+Scale notes: tumbling-window aggregation is partial-aggregatable (one
+shuffle on (window, event_type)); sessionization shuffles once on user_id
+then runs an ordered window per user; the as-of join is expressed as a
+union + last_value window — one shuffle on user_id, no range-explosion,
+which is the composition Spark lacks as a native operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, handling TIMESTAMP(NANOS) parquet.
+
+    Spark has no nanosecond timestamp type; read the raw int64 nanos
+    (``nanosAsLong``) and truncate to microseconds — exact integer math,
+    no double-precision loss at 10^18-scale epochs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value stats."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than the gap. Classic lag + cumulative-sum-over-window — one
+    shuffle on user_id, then ordered scans within each user partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    # fractional-second epochs (cast to double), matching DuckDB's epoch()
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(
+            F.col("ts").cast("double") - gap.cast("double") > gap_minutes * 60, 1
+        )
+        .otherwise(0)
+    )
+    w_acc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ids = events.withColumn("session_seq", F.sum(new_session).over(w_acc))
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def asof_join_purchases(events: DataFrame) -> DataFrame:
+    """As-of join: for every 'purchase' event, the most recent prior
+    'click' event of the same user (event-time ordered).
+
+    Spark has no native ASOF JOIN; the scalable composition is
+    union-tag → window last_value over the per-user timeline — a single
+    shuffle on user_id, no O(n·m) range join. Verified against DuckDB's
+    native ``ASOF JOIN``.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    tagged = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit("p").alias("side"),
+        F.col("purchase_id").alias("eid"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("c_ts").alias("ts"),
+            F.lit("c").alias("side"),
+            F.col("click_id").alias("eid"),
+        )
+    )
+    # order clicks strictly before same-timestamp purchases so "most recent
+    # prior click" includes ties (matches ASOF JOIN's <= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.when(F.col("side") == "c", 0).otherwise(1), F.col("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("side") == "c", F.col("eid")), ignorenulls=True
+    ).over(w)
+    last_click_ts = F.last(
+        F.when(F.col("side") == "c", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_id", last_click)
+        .withColumn("click_ts", last_click_ts)
+        .filter(F.col("side") == "p")
+        .select(
+            "user_id",
+            F.col("eid").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# structured-streaming variants
+# ---------------------------------------------------------------------------
+
+
+def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming twin of ``windowed_counts``: parquet file stream +
+    10-minute watermark for late data; aggregation state is bounded by the
+    watermark. Run with ``trigger(availableNow=True)`` for batch-replay."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", "4")
+        .load(events_path)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,127 @@
+"""Extension-operator tests on synthetic corpora with known duplicates —
+the sf tables contain no near-dups, so positive cases are constructed here."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_metadata_explorer_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "to find some food for the long cold winter that is coming soon"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE + " with a tiny extra suffix here"),  # near-dup of 1
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "Der Hund und die Katze sind nicht mit der Maus in das Haus gegangen"),
+        (6, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 2 and g.keep_doc_id == 1 and g.doc_ids == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup: jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near-dup caught
+    assert (1, 4) not in pairs  # unrelated not caught
+
+
+def test_simhash_near_dups(spark, docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_candidate_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 16  # near-dup: small hamming distance
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, 0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    # vec 0 and 1 identical, 2 close, 3 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [1.0, 0.0, 0.5, 0.2]),
+        (2, [0.9, 0.1, 0.5, 0.2]),
+        (3, [0.0, 1.0, -0.5, 0.1]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_duplicates(spark, embs):
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in dedup.embedding_near_duplicates(embs, 0.95).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_cosine_topk_ranks_identical_first(spark, embs):
+    out = similarity.cosine_topk(embs, [0], k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].cos == 1.0
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lsh_ann_topk_subset_of_bucket(spark, embs):
+    out = similarity.lsh_ann_topk(embs, [0], k=3).collect()
+    # identical vector must share the bucket and rank first
+    assert out and out[0].neighbor_id == 1 and out[0].cos == 1.0
+
+
+def test_language_id(spark, docs):
+    preds = {r.doc_id: r.pred_lang for r in text.language_id(docs).collect()}
+    assert preds[1] == "en"
+    assert preds[5] == "de"
+    assert preds[6] == "unknown"
+
+
+def test_text_stats_bounds(spark, docs):
+    for r in text.text_stats(docs).collect():
+        assert 0 <= r.quality_score <= 1
+        assert r.n_tokens >= 0
+        if r.doc_id == 1:
+            assert r.stop_ratio > 0.1  # plenty of English stopwords
+
+
+def test_token_counts(spark, docs):
+    rows = {r.doc_id: r for r in text.token_counts(docs).collect()}
+    assert rows[6].ws_tokens == 0
+    assert rows[1].ws_tokens == len(BASE.split())
+    assert rows[1].bpe_tokens >= rows[1].ws_tokens
+
+
+def test_fingerprints(spark, docs):
+    rows = {r.doc_id: r for r in text.fingerprints(docs).collect()}
+    assert rows[1].exact_fp == rows[2].exact_fp
+    assert rows[1].n_winnow <= rows[1].n_shingles
+    assert rows[6].n_shingles == 0 and rows[6].n_winnow == 0
+    assert sorted(rows[1].winnow_fps) == list(rows[1].winnow_fps)
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    out = {r.doc_id: r for r in multimodal.decode_features(docs).collect()}
+    assert len(out) == 6
+    r = out[1]
+    assert r.n_bytes == len(BASE.encode())
+    assert r.width == r.n_bytes % 64 + 1
+    assert r.channels == 3
+    assert out[6].n_bytes == 0
