@@ -209,18 +209,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_minhash() -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    p = dedup.MERSENNE31
     rpb = k // bands
     sig_items = ", ".join(
-        f"list_min(list_transform(s, x -> md5(x || '#{i}')))" for i in range(k)
+        "list_min(list_transform(base, h -> (h * {a} + {b}) % {p}))".format(
+            a=dedup._mh_params(i)[0], b=dedup._mh_params(i)[1], p=p
+        )
+        for i in range(k)
     )
     band_items = ", ".join(
         f"{{'band_id': {b}, 'band_sig': md5(array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], '|'))}}"
         for b in range(bands)
     )
+    base = f"list_transform(s, x -> {_d_hash60('x')} % {p})"
     return f"""
 WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
-sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+sh2 AS (SELECT doc_id, s, {base} AS base FROM sh WHERE length(s) > 0),
 sigs AS (SELECT doc_id, s, [{sig_items}] AS sig FROM sh2),
 bands AS (
   SELECT doc_id, b.band_id, b.band_sig

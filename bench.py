@@ -74,6 +74,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # operators persist reusable intermediates; drop them between
+        # queries so measurements are independent
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

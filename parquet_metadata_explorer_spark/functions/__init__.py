@@ -56,18 +56,38 @@ def word_shingles(toks: Column, k: int) -> Column:
     return F.array_distinct(F.when(n >= k, shingles).otherwise(empty))
 
 
+def dot(x: Column, y: Column) -> Column:
+    """Left-to-right double dot product of two array columns — matches
+    DuckDB's ``list_dot_product(x::DOUBLE[], y::DOUBLE[])`` exactly."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<float/double> columns, computed
-    left-to-right in double — matches the DuckDB formula
-    ``list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) *
-    sqrt(list_dot_product(b,b)))`` to rounding tolerance.
+    """Cosine similarity between two array<float/double> columns.
+
+    For pairwise scans prefer precomputing ``sqrt(dot(v, v))`` per side
+    once (see similarity.py) — this convenience form recomputes both norms
+    per pair.
     """
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ensure_parallelism(df, min_factor: int = 1):
+    """Repartition up to the cluster's default parallelism when the input
+    has fewer partitions.
+
+    CPU-bound operators (minhash, pairwise cosine, pandas decode) are
+    otherwise serialized by small file counts: a single 100 MB parquet file
+    arrives as ONE partition and pins one core while 31 idle. At real
+    scale inputs already exceed ``defaultParallelism`` and this is a no-op
+    — the guard never down-partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

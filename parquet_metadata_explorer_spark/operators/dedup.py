@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import cosine, hash60, normalize_text, tokens, word_shingles
+from ..functions import dot, ensure_parallelism, hash60, normalize_text, tokens, word_shingles
 
 MINHASH_K = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
@@ -41,6 +41,8 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     Returns one row per duplicate group: fingerprint, group size, kept id
     (min), and the dropped ids — the classic first-pass dedup at any scale.
     """
+    # no repartition: a single md5 per row is cheaper than a shuffle; the
+    # groupBy provides the parallel stage
     fp = documents.select(
         F.col("doc_id"), F.md5(normalize_text(F.col("text"))).alias("fingerprint")
     )
@@ -55,22 +57,50 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+MERSENNE31 = 2147483647  # 2^31 - 1; products of two 31-bit values fit in int64
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    """Deterministic affine-hash coefficients for minhash function i."""
+    a = (1103515245 * (i + 1) + 12345) % MERSENNE31
+    b = (22695477 * (i + 1) + 1) % MERSENNE31
+    return a or 1, b
+
+
 def _minhash_signature(shingles):
-    """k minhash values as md5-hex strings (string-min ≡ uniform-hash min;
-    portable to DuckDB's list_min(list_transform(...))."""
-    return F.array(
+    """k minhash values: one md5-derived 31-bit base hash per shingle, then
+    k affine mixes (a_i*h + b_i) mod (2^31-1) — 1 md5 per shingle instead
+    of k, and every operation is exact int64 arithmetic reproducible in the
+    DuckDB oracle (no overflow: 31-bit × 31-bit < 2^62)."""
+    # Catalyst does no common-subexpression elimination across array
+    # expressions, so "k × array_min(transform(base, ...))" would inline —
+    # and recompute — the md5 base k times. A single aggregate fold
+    # evaluates base once and updates all k minima per element: the lambda
+    # variable h is bound, not re-derived.
+    base = F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
+    ab = F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+            F.struct(
+                F.lit(_mh_params(i)[0]).cast("long").alias("a"),
+                F.lit(_mh_params(i)[1]).cast("long").alias("b"),
             )
             for i in range(MINHASH_K)
         ]
+    )
+    init = F.array(*[F.lit(MERSENNE31).cast("long") for _ in range(MINHASH_K)])
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MERSENNE31)
+        ),
     )
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     shingles = word_shingles(toks, SHINGLE_WORDS)
+    documents = ensure_parallelism(documents)
     return documents.select(
         "doc_id",
         shingles.alias("shingles"),
@@ -88,7 +118,10 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     pairs. At 100 TB the verify side stays proportional to candidate count.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    sigs = minhash_signatures(documents)
+    # sigs feeds the band explode AND both sides of the verify join: persist
+    # so the shingle+signature expressions evaluate once per document, not
+    # once per plan reference
+    sigs = minhash_signatures(documents).persist()
 
     bands = sigs.select(
         "doc_id",
@@ -98,7 +131,12 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
                     F.md5(
                         F.concat_ws(
                             "|",
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
                         )
                     )
                     for b in range(MINHASH_BANDS)
@@ -146,7 +184,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     60× row growth, so instead the bit loop stays inside an array
     expression (JVM-side, no shuffle beyond the final groupBy on doc_id).
     """
-    toks = documents.select(
+    toks = ensure_parallelism(documents).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).withColumn("h", hash60(F.col("tok")))
     votes = toks.select(
@@ -191,7 +229,8 @@ def simhash_bands(documents: DataFrame) -> DataFrame:
 
 
 def simhash_candidate_pairs(documents: DataFrame) -> DataFrame:
-    bands = simhash_bands(documents)
+    # persist: the banded fingerprints feed both sides of the self-join
+    bands = simhash_bands(documents).persist()
     l, r = bands.alias("l"), bands.alias("r")
     pairs = (
         l.join(
@@ -227,16 +266,22 @@ def ngram_jaccard_pairs(
     trade-off at corpus scale.
     """
     sh = (
-        documents.select("doc_id", word_shingles(tokens(F.col("text")), SHINGLE_WORDS).alias("sh"))
+        ensure_parallelism(documents)
+        .select("doc_id", word_shingles(tokens(F.col("text")), SHINGLE_WORDS).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # carry n_sh through the explode (no join back to a sizes table) and
+    # persist: the inverted index feeds the frequency count AND both sides
+    # of the self-join — without persist the shingle expression would be
+    # re-evaluated once per plan reference
+    inv = sh.select(
+        "doc_id", F.size("sh").cast("long").alias("n_sh"), F.explode("sh").alias("shingle")
+    ).persist()
     rare = inv.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_doc_freq
     )
-    inv = inv.join(rare.select("shingle"), "shingle")
-    l, r = inv.alias("l"), inv.alias("r")
+    inv_r = inv.join(rare.select("shingle"), "shingle")
+    l, r = inv_r.alias("l"), inv_r.alias("r")
     common = (
         l.join(
             r,
@@ -244,12 +289,14 @@ def ngram_jaccard_pairs(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("n_common"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.first(F.col("l.n_sh")).alias("n_a"),
+            F.first(F.col("r.n_sh")).alias("n_b"),
+        )
     )
     out = (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
@@ -260,18 +307,62 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs.
+    """Embedding-cosine near-dup pairs via block-wise matrix multiply.
 
-    Exact pair scan (self-join on id inequality). At 100 TB use
-    ``similarity.lsh_buckets`` to restrict the pair space first; this exact
-    variant is the verification kernel both paths share.
+    Each partition's block of vectors multiplies (numpy GEMM, float64)
+    against the broadcast corpus matrix — the pair space is never
+    materialized as rows, and BLAS does the inner loops. A pure-expression
+    self-join costs ~ms per pair in Spark's interpreted higher-order
+    functions; GEMM does 10^6 pairs per core-millisecond.
+
+    Scale note: the broadcast side must fit in executor memory (1 M × 256-d
+    float32 ≈ 1 GB). Beyond that, pre-bucket with
+    ``similarity.lsh_buckets`` and run this kernel per bucket — this exact
+    scan is the verification kernel both paths share.
+
+    Rounding matches the DuckDB oracle: half-away-from-zero to 4 decimals.
     """
-    e = embeddings.select("vec_id", "embedding")
-    l = e.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("embedding", "emb_a")
-    r = e.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("embedding", "emb_b")
-    pairs = l.join(r, F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.withColumn("cos", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4))
-        .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", "cos")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    e = ensure_parallelism(embeddings.select("vec_id", "embedding"))
+    spark = embeddings.sparkSession
+
+    corpus = e.toPandas()
+    if corpus.empty:
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos double")
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
+
+    def block(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            a_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ c_mat.T
+            # round half-away-from-zero (DuckDB/Java semantics, not
+            # numpy's banker's rounding)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            keep = (sims >= threshold) & (a_ids[:, None] < c_ids[None, :])
+            ai, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": c_ids[cj],
+                    "cos": sims[ai, cj],
+                }
+            )
+
+    return e.mapInPandas(block, out_schema)

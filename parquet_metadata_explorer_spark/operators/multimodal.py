@@ -43,7 +43,9 @@ DECODED_SCHEMA = StructType(
 def to_binary_payloads(documents: DataFrame) -> DataFrame:
     """Model the documents table as a multimodal table: the utf-8 bytes of
     ``text`` stand in for an opaque media payload."""
-    return documents.select(
+    from ..functions import ensure_parallelism
+
+    return ensure_parallelism(documents).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("payload"),
         F.lit("application/octet-stream").alias("content_type"),

@@ -19,23 +19,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine
+from ..functions import cosine, dot, ensure_parallelism
 
 LSH_PLANES = 8
 
 
 def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     """Exact top-k neighbors (by cosine) for each query vector, excluding
-    self. Deterministic ranking: round to 6 decimals, tie-break on vec_id."""
-    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    self. Deterministic ranking: round to 6 decimals, tie-break on vec_id.
+
+    Scoring runs as numpy GEMM per corpus partition against the broadcast
+    query matrix (queries are small by definition); only |corpus|×|queries|
+    scored rows reach the final per-query top-k window — one corpus scan,
+    one small shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = embeddings.sparkSession
+    embeddings = ensure_parallelism(embeddings)
+    qpdf = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        "vec_id", "embedding"
+    ).toPandas()
+    scored_empty_schema = "query_id long, neighbor_id long, cos double, rank long"
+    if qpdf.empty:
+        return spark.createDataFrame([], scored_empty_schema)
+    q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    scored_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
     )
-    pairs = F.broadcast(queries).crossJoin(
-        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding"))
-    )
-    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
-    )
+
+    def score(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            n_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            n_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n_mat /= np.linalg.norm(n_mat, axis=1, keepdims=True)
+            sims = n_mat @ mat_q.T  # (block, n_queries)
+            # half-away-from-zero rounding, matching DuckDB/Spark round()
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            ni, qi = np.nonzero(n_ids[:, None] != ids_q[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[qi],
+                    "neighbor_id": n_ids[ni],
+                    "cos": sims[ni, qi],
+                }
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(score, scored_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -60,9 +101,10 @@ def _plane_weight(plane: int, dim_col):
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
     """Sign-LSH bucket id per vector: bit p = sign(dot(plane_p, v))."""
+    embeddings = ensure_parallelism(embeddings)
     sign_bits = []
     for p in range(n_planes):
-        dot = F.aggregate(
+        plane_dot = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
                 F.sequence(F.lit(0), F.size("embedding") - 1),
@@ -71,7 +113,9 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sign_bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long"))
+        sign_bits.append(
+            F.when(plane_dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
     bucket = sign_bits[0]
     for b in sign_bits[1:]:
         bucket = bucket + b

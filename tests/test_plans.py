@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the physical plans must be the scale-correct
+ones — broadcast joins on dims, pushdown into parquet scans, bounded
+shuffle counts."""
+
+import pyspark.sql.functions as F
+
+from parquet_metadata_explorer_spark.operators import relational
+from parquet_metadata_explorer_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    simple_plan,
+)
+
+
+def load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = relational.regional_revenue(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"expected pushdown, got: {pf or simple_plan(df)}"
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    # ReadSchema must contain only the projected column
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines
+    assert "l_extendedprice" not in read_schema_lines[0]
+
+
+def test_window_top_orders_single_window_shuffle(spark, sf_dir):
+    df = relational.top_orders_per_segment(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+    assert has_broadcast_join(df)
+    # one shuffle for the window partition + the final sort exchange at most
+    assert count_exchanges(df) <= 3
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    df = relational.pricing_summary(load(spark, sf_dir, "lineitem"))
+    plan = simple_plan(df)
+    # partial (map-side) + final hash aggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) <= 2
