@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from ..listing import list_files
-from ..options import LEVEL_FILE, SOURCE_FILE, parse_options
+from ..options import LEVEL_FILE, SOURCE_FILE, parse_options, validate_source_level
 from ..schemas import SCHEMAS_BY_LEVEL
 from .api import _infer_source
 
@@ -24,20 +24,15 @@ class _FilesPartition(InputPartition):
 
 
 class MetadataReader(DataSourceReader):
-    def __init__(self, options):
-        self.opts = parse_options(dict(options))
-        # plan-time listing + source inference (one driver-side magic sniff,
-        # reference DefaultSource.scala:56-96)
-        self.files = list_files(self.opts.path)
-        self.source = self.opts.source or _infer_source(self.files)
-        from ..options import validate_source_level
-
-        validate_source_level(self.source, self.opts.level)
+    def __init__(self, opts, files, source):
+        self.opts = opts
+        self.files = files
+        self.source = source
 
     def partitions(self):
         n = max(1, min(len(self.files), self.opts.maxparts))
         chunks = [self.files[i::n] for i in range(n)]
-        return [_FilesPartition(c) for c in chunks if c]
+        return [_FilesPartition(c) for c in chunks if c] or [_FilesPartition([])]
 
     def read(self, partition):
         from . import rows as R
@@ -57,17 +52,26 @@ class MetadataReader(DataSourceReader):
 
 
 class MetadataDataSource(DataSource):
+    """Plan-time state (file listing, source inference) is computed once
+    and shared between ``schema()`` and ``reader()`` — the listing of a
+    10^5-file root should not run twice per load."""
+
     @classmethod
     def name(cls):
         return "metadata"
 
-    def schema(self):
-        opts = parse_options(dict(self.options))
-        source = opts.source
-        if source is None:
+    def _plan(self):
+        if not hasattr(self, "_planned"):
+            opts = parse_options(dict(self.options))
             files = list_files(opts.path)
-            source = _infer_source(files)
+            source = opts.source or _infer_source(files)
+            validate_source_level(source, opts.level)
+            self._planned = (opts, files, source)
+        return self._planned
+
+    def schema(self):
+        opts, _files, source = self._plan()
         return SCHEMAS_BY_LEVEL[(source, opts.level)]
 
     def reader(self, schema):
-        return MetadataReader(self.options)
+        return MetadataReader(*self._plan())

@@ -1,0 +1,50 @@
+"""applyInPandasWithState operator: final state matches a batch groupBy."""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+
+from parquet_metadata_explorer_spark.streaming import events as ev
+from parquet_metadata_explorer_spark.streaming.stateful import streaming_user_profiles
+
+
+def test_user_profiles_match_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = streaming_user_profiles(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per user is the final profile
+    streamed = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("profiles").collect()
+    }
+
+    batch = ev.load_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    expected = {r.user_id: (r.n, r.s) for r in batch.collect()}
+
+    assert len(streamed) == len(expected)
+    mismatches = {
+        u: (streamed[u], expected[u]) for u in expected if streamed[u] != expected[u]
+    }
+    assert not mismatches, f"first mismatches: {list(mismatches.items())[:3]}"
