@@ -679,6 +679,74 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
+    )
+
+
+O_SEMI_JOIN = """
+SELECT c_mktsegment AS segment, count(*)::bigint AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
+    )
+
+
+O_ANTI_JOIN = """
+SELECT c_mktsegment AS segment, count(*)::bigint AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.nation_set_ops(
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+    )
+
+
+O_SET_OPS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+tagged AS (
+  SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+  UNION ALL
+  SELECT nk, 'cust_only' AS tag FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+)
+SELECT n_name AS nation_name, tag
+FROM tagged JOIN nation ON nk = n_nationkey
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.scalar_function_showcase(_table(spark, sf_dir, "lineitem"))
+
+
+O_SCALAR_FUNCTIONS = """
+SELECT year(l_shipdate)::bigint AS ship_year,
+       month(l_shipdate)::bigint AS ship_month,
+       upper(l_returnflag) AS flag,
+       l_returnflag || '/' || l_linestatus AS flag_status,
+       count(*)::bigint AS n,
+       round(sum(abs(l_discount - 0.05)), 3) AS sum_abs_disc_dev,
+       round(sum(ceil(l_quantity)), 1) AS sum_ceil_qty,
+       max(length(l_returnflag))::bigint AS max_flag_len
+FROM lineitem
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.supplier_part_join(
         _table(spark, sf_dir, "lineitem"),
@@ -739,6 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "rollup_orders": q_rollup_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
     }
 
 
@@ -769,4 +841,8 @@ def oracle_sql() -> dict[str, str]:
         "window_top_orders": O_WINDOW_TOP_ORDERS,
         "rollup_orders": O_ROLLUP_ORDERS,
         "supplier_part_revenue": O_SUPPLIER_PART,
+        "semi_join": O_SEMI_JOIN,
+        "anti_join": O_ANTI_JOIN,
+        "set_ops": O_SET_OPS,
+        "scalar_functions": O_SCALAR_FUNCTIONS,
     }

@@ -105,6 +105,71 @@ def rollup_order_stats(orders: DataFrame) -> DataFrame:
     )
 
 
+def customers_with_orders(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """LEFT SEMI join: customers having ≥1 order, counted per segment."""
+    have = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    )
+    return (
+        have.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def customers_without_orders(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """LEFT ANTI join: customers with no orders, counted per segment."""
+    none = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        none.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def nation_set_ops(nation: DataFrame, customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set operations: nations that have customers, have suppliers, both
+    (INTERSECT) and customers-only (EXCEPT), labeled and unioned."""
+    cust_nations = (
+        customer.select(F.col("c_nationkey").alias("nk")).distinct()
+    )
+    supp_nations = (
+        supplier.select(F.col("s_nationkey").alias("nk")).distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("cust_only"))
+    tagged = both.unionByName(cust_only)
+    return (
+        tagged.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation_name"), "tag")
+        .orderBy("nation_name", "tag")
+    )
+
+
+def scalar_function_showcase(lineitem: DataFrame) -> DataFrame:
+    """String/date/math scalar functions over the fact table, aggregated by
+    ship year-month — exercises the delegated expression surface."""
+    return (
+        lineitem.groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+            F.upper(F.col("l_returnflag")).alias("flag"),
+            F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+                "flag_status"
+            ),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 3).alias("sum_abs_disc_dev"),
+            F.round(F.sum(F.ceil(F.col("l_quantity"))), 1).alias("sum_ceil_qty"),
+            F.max(F.length("l_returnflag")).cast("long").alias("max_flag_len"),
+        )
+        .orderBy("ship_year", "ship_month", "flag", "flag_status")
+    )
+
+
 def supplier_part_join(
     lineitem: DataFrame, supplier: DataFrame, part: DataFrame
 ) -> DataFrame:
