@@ -358,6 +358,13 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: the IVF coarse quantizer is an iterative (k-means)
+    # algorithm, not SQL-expressible; determinism + recall covered in
+    # tests/test_ivf.py
+    return similarity.ivf_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -794,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,

@@ -122,6 +122,137 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
     return embeddings.withColumn("bucket", bucket)
 
 
+def ivf_index(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 3
+) -> tuple:
+    """IVF coarse quantizer: deterministic Lloyd iterations.
+
+    Init: the ``n_centroids`` vectors with smallest md5(vec_id) — a
+    deterministic pseudo-random sample. Each iteration: one map-only GEMM
+    assign (no shuffle) + one (cluster, dim) aggregation shuffle; the
+    K×dim centroid matrix returns to the driver (tiny). The heavy side —
+    the corpus — is touched only by scans; this is the standard
+    distributed k-means shape and survives any corpus size.
+
+    Returns (centroids ndarray, assignments DataFrame[vec_id, cluster]).
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    e = ensure_parallelism(embeddings.select("vec_id", "embedding")).persist()
+
+    seed_ids = [
+        r.vec_id
+        for r in e.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_centroids)
+        .collect()
+    ]
+    seeds = e.filter(F.col("vec_id").isin(seed_ids)).toPandas()
+    centroids = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cluster", LongType())]
+    )
+
+    def make_assign(cents):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # squared euclidean via ||x||^2 - 2xc + ||c||^2
+                d = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2 * (mat @ c.T)
+                    + (c * c).sum(1)[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.asarray(pdf["vec_id"], dtype=np.int64),
+                        "cluster": d.argmin(1).astype(np.int64),
+                    }
+                )
+
+        return assign
+
+    assignments = None
+    for _ in range(iters):
+        assignments = e.mapInPandas(make_assign(centroids), assign_schema)
+        # centroid update: explode dims, one shuffle on (cluster, dim)
+        means = (
+            assignments.join(e, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r.cluster][r.dim] = r.m
+
+    return centroids, assignments
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF: exact ranking within the ``n_probe`` clusters
+    nearest to each query. Complements the LSH path — IVF adapts to the
+    data distribution; LSH needs no training."""
+    import numpy as np
+
+    centroids, assignments = ivf_index(embeddings, n_centroids)
+    e = embeddings.select("vec_id", "embedding").join(assignments, "vec_id")
+
+    qpdf = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    if qpdf.empty:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank long"
+        )
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    d = (
+        (q_mat * q_mat).sum(1)[:, None]
+        - 2 * (q_mat @ centroids.T)
+        + (centroids * centroids).sum(1)[None, :]
+    )
+    probe_rows = []
+    for qi, qid in enumerate(qpdf["vec_id"]):
+        for c in np.argsort(d[qi])[:n_probe]:
+            probe_rows.append((int(qid), int(c)))
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cluster long"
+    )
+
+    queries = embeddings.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = (
+        F.broadcast(probes.join(queries, "query_id"))
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame, query_ids, k: int = 10, n_planes: int = LSH_PLANES
 ) -> DataFrame:

@@ -1,0 +1,55 @@
+"""Listing unit tests: partition parsing, hidden-file filtering, and the
+distributed-listing path (exercised by lowering the width threshold)."""
+
+import os
+
+from parquet_metadata_explorer_spark.listing import (
+    list_files,
+    parse_partition_values,
+)
+
+
+def test_parse_partition_values():
+    assert parse_partition_values("/r", "/r/a=1/b=x%20y/f.parquet") == (
+        ("a", "1"),
+        ("b", "x y"),
+    )
+    assert parse_partition_values("/r", "/r/f.parquet") == ()
+    assert parse_partition_values("/r", "/r/p=__HIVE_DEFAULT_PARTITION__/f.parquet") == (
+        ("p", None),
+    )
+
+
+def _mktree(root):
+    for d in range(4):
+        sub = os.path.join(root, f"k={d}")
+        os.makedirs(sub)
+        for i in range(3):
+            with open(os.path.join(sub, f"f{i}.bin"), "wb") as f:
+                f.write(b"x" * (d * 10 + i + 1))
+        with open(os.path.join(sub, "_hidden"), "w") as f:
+            f.write("skip me")
+    with open(os.path.join(root, ".dotfile"), "w") as f:
+        f.write("skip me too")
+
+
+def test_driver_side_listing(tmp_path):
+    root = str(tmp_path / "tree")
+    os.makedirs(root)
+    _mktree(root)
+    files = list_files(root)
+    assert len(files) == 12
+    assert all(not f.name.startswith(("_", ".")) for f in files)
+    assert {f.partition_map()["k"] for f in files} == {"0", "1", "2", "3"}
+    assert files == sorted(files, key=lambda f: f.path)
+
+
+def test_distributed_listing_matches_driver_side(spark, tmp_path):
+    root = str(tmp_path / "tree2")
+    os.makedirs(root)
+    _mktree(root)
+    serial = list_files(root)
+    distributed = list_files(root, spark=spark, distributed_threshold=2)
+    assert [(f.path, f.size, f.partition) for f in distributed] == [
+        (f.path, f.size, f.partition) for f in serial
+    ]
