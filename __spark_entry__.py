@@ -13,10 +13,17 @@ metadata function; its invariants are covered in tests/test_levels.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the package importable regardless of the caller's CWD
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 import parquet_metadata_explorer_spark as pqx
 from parquet_metadata_explorer_spark.operators import (
