@@ -76,6 +76,13 @@ def _d_plane_weight(p: int, d: str) -> str:
     return f"(({h} % 1000) / 1000.0 - 0.5)"
 
 
+def _d_ssum(expr: str) -> str:
+    """DuckDB twin of relational._stable_sum: per-row cast to
+    decimal(30,10), exact decimal sum, emitted as double — invariant to
+    addition order on both engines."""
+    return f"sum(({expr})::DECIMAL(30,10))::double"
+
+
 # ---------------------------------------------------------------------------
 # metadata-level queries (the reference surface, S1-S19)
 # ---------------------------------------------------------------------------
@@ -178,7 +185,7 @@ SELECT regexp_extract(file_name, '[^/]+$') AS filename,
        row_group_id::bigint AS row_group_id,
        column_id::bigint AS column_id,
        replace(path_in_schema, ', ', '.') AS path,
-       replace(type, 'BYTE_ARRAY', 'BINARY') AS type,
+       CASE WHEN type = 'BYTE_ARRAY' THEN 'BINARY' ELSE type END AS type,
        encodings,
        compression,
        num_values::bigint AS num_values,
@@ -546,12 +553,12 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.windowed_counts(ev.load_events(spark, sf_dir))
 
 
-O_EVENTS_WINDOWED = """
+O_EVENTS_WINDOWED = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)::bigint AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value
+       round({_d_ssum("value")}, 2) AS sum_value,
+       round({_d_ssum("value")} / count(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -561,9 +568,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
 
-O_EVENTS_SESSIONIZE = """
+O_EVENTS_SESSIONIZE = f"""
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
               ELSE 0 END AS ns
@@ -571,7 +578,7 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM g
 )
@@ -579,7 +586,7 @@ SELECT user_id, session_seq::bigint AS session_seq,
        count(*)::bigint AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       round(sum(value), 2) AS sum_value
+       round({_d_ssum("value")}, 2) AS sum_value
 FROM s GROUP BY user_id, session_seq
 """
 
@@ -622,13 +629,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(_table(spark, sf_dir, "lineitem"))
 
 
-O_TPCH_Q1 = """
+O_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round({_d_ssum("l_quantity")}, 2) AS sum_qty,
+       round({_d_ssum("l_extendedprice")}, 2) AS sum_base_price,
+       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
+       round({_d_ssum("l_quantity")} / count(*), 4) AS avg_qty,
+       round({_d_ssum("l_discount")} / count(*), 4) AS avg_disc,
        count(*)::bigint AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -646,9 +653,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_TPCH_Q5 = """
+O_TPCH_Q5 = f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
        count(*)::bigint AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -684,10 +691,10 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.rollup_order_stats(_table(spark, sf_dir, "orders"))
 
 
-O_ROLLUP_ORDERS = """
+O_ROLLUP_ORDERS = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*)::bigint AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_totalprice
+       round({_d_ssum("o_totalprice")}, 2) AS sum_totalprice
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -747,13 +754,13 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scalar_function_showcase(_table(spark, sf_dir, "lineitem"))
 
 
-O_SCALAR_FUNCTIONS = """
+O_SCALAR_FUNCTIONS = f"""
 SELECT year(l_shipdate)::bigint AS ship_year,
        month(l_shipdate)::bigint AS ship_month,
        upper(l_returnflag) AS flag,
        l_returnflag || '/' || l_linestatus AS flag_status,
        count(*)::bigint AS n,
-       round(sum(abs(l_discount - 0.05)), 3) AS sum_abs_disc_dev,
+       round({_d_ssum("abs(l_discount - 0.05)")}, 3) AS sum_abs_disc_dev,
        round(sum(ceil(l_quantity)), 1) AS sum_ceil_qty,
        max(length(l_returnflag))::bigint AS max_flag_len
 FROM lineitem
@@ -769,12 +776,13 @@ def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_SUPPLIER_PART = """
+O_SUPPLIER_PART = f"""
 WITH rich AS (
-  SELECT * FROM supplier WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+  SELECT * FROM supplier
+  WHERE s_acctbal > (SELECT {_d_ssum("s_acctbal")} / count(*) FROM supplier)
 )
 SELECT p_brand AS brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
        count(*)::bigint AS n_items
 FROM lineitem
 JOIN rich ON l_suppkey = s_suppkey

@@ -9,14 +9,32 @@ plans tuned the way a 100 TB deployment needs:
   are broadcast — no shuffle on the fact table for those joins;
 - aggregations are expressed so Catalyst plans partial (map-side) HashAgg
   before the exchange;
-- sums of doubles are rounded in the output (not in the aggregation) so
-  results are stable to fp reordering across partitions.
+- every cross-row sum of a double column goes through ``_stable_sum``:
+  per-row cast to decimal(30,10) (deterministic nearest rounding of the
+  same IEEE double on any engine), then an EXACT decimal sum — so the
+  result is invariant to partition count and fp addition order. Plain
+  ``sum(double)`` is not: at 1000 executors the combine order changes
+  every run, and round(x, 2) still straddles half-ulp boundaries
+  (round 1 hash-mismatch on supplier_part_revenue / scalar_functions).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# scale 10 keeps ~8 guard digits below the 2-decimal money values; precision
+# 30 leaves 10^20 of integer headroom before the sum widens to decimal(38,10)
+DEC = "decimal(30,10)"
+
+
+def _stable_sum(col: Column) -> Column:
+    """Exact, order-independent sum of a double expression.
+
+    Cast each row to decimal(30,10) (ties impossible: inputs are within one
+    ulp of 2-decimal values), sum exactly in decimal, emit double.
+    """
+    return F.sum(col.cast(DEC)).cast("double")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,13 +47,13 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(_stable_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_stable_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(_stable_sum(F.col("l_quantity")) / F.count("*"), 4).alias("avg_qty"),
+            F.round(_stable_sum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -59,7 +77,7 @@ def regional_revenue(
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").cast("long").alias("n_lineitems"),
         )
@@ -96,7 +114,7 @@ def rollup_order_stats(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+            F.round(_stable_sum(F.col("o_totalprice")), 2).alias("sum_totalprice"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -162,7 +180,9 @@ def scalar_function_showcase(lineitem: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 3).alias("sum_abs_disc_dev"),
+            F.round(
+                _stable_sum(F.abs(F.col("l_discount") - 0.05)), 3
+            ).alias("sum_abs_disc_dev"),
             F.round(F.sum(F.ceil(F.col("l_quantity"))), 1).alias("sum_ceil_qty"),
             F.max(F.length("l_returnflag")).cast("long").alias("max_flag_len"),
         )
@@ -175,8 +195,12 @@ def supplier_part_join(
 ) -> DataFrame:
     """Two broadcast joins + semi/anti composition: revenue by part brand
     for suppliers with above-average balance."""
-    # scalar subquery as a broadcast cross join — stays lazy, no driver action
-    avg_bal = supplier.agg(F.avg("s_acctbal").alias("avg_bal"))
+    # scalar subquery as a broadcast cross join — stays lazy, no driver action;
+    # average built from the exact decimal sum so the > threshold can't flip
+    # for a borderline supplier when partial-sum order changes
+    avg_bal = supplier.agg(
+        (_stable_sum(F.col("s_acctbal")) / F.count("*")).alias("avg_bal")
+    )
     rich = (
         supplier.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("s_acctbal") > F.col("avg_bal"))
@@ -187,9 +211,9 @@ def supplier_part_join(
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
             F.count("*").cast("long").alias("n_items"),
         )
         .orderBy("brand")

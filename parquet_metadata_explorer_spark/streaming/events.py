@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_metadata_explorer_spark.operators.relational import _stable_sum
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table, handling TIMESTAMP(NANOS) parquet.
@@ -40,8 +42,8 @@ def windowed_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+            F.round(_stable_sum(F.col("value")) / F.count("*"), 4).alias("avg_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -80,7 +82,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
         )
         .withColumn("session_seq", F.col("session_seq").cast("long"))
         .orderBy("user_id", "session_seq")
@@ -166,7 +168,7 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
