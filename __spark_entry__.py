@@ -335,10 +335,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_DEDUP_EMBEDDING = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_d_cos("a.embedding", "b.embedding")}, 4) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+def _oracle_dedup_embedding() -> str:
+    """Replicates the multi-band sign-LSH blocking bit-for-bit (same
+    deterministic plane weights as similarity._plane_matrix), then the
+    exact-cosine verify at the same threshold."""
+    n_bands, rpb = dedup.EMB_BANDS, dedup.EMB_PLANES_PER_BAND
+    band_exprs = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"list_transform(range(0, length(embedding)), d -> {_d_plane_weight(p, 'd')})) > 0 "
+            f"THEN {1 << (p - b * rpb)} ELSE 0 END)"
+            for p in range(b * rpb, (b + 1) * rpb)
+        )
+        band_exprs.append(f"({bits})::bigint AS band_{b}")
+    band_items = ", ".join(
+        f"{{'band_id': {b}, 'band_value': band_{b}}}" for b in range(n_bands)
+    )
+    return f"""
+WITH signs AS (
+  SELECT vec_id, embedding, {", ".join(band_exprs)} FROM embeddings
+),
+bands AS (
+  SELECT vec_id, b.band_id AS band_id, b.band_value AS band_value
+  FROM signs, unnest([{band_items}]) AS u(b)
+),
+cands AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_value = r.band_value AND l.vec_id < r.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({_d_cos("a.embedding", "b.embedding")}, 4) AS cos
+FROM cands c
+JOIN embeddings a ON c.vec_a = a.vec_id
+JOIN embeddings b ON c.vec_b = b.vec_id
 WHERE round({_d_cos("a.embedding", "b.embedding")}, 4) >= 0.45
 """
 
@@ -848,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_ngram_jaccard": O_DEDUP_NGRAM,
-        "dedup_embedding": O_DEDUP_EMBEDDING,
+        "dedup_embedding": _oracle_dedup_embedding(),
         "ann_topk": O_ANN_TOPK,
         "ann_lsh": _oracle_ann_lsh(),
         "text_stats": O_TEXT_STATS,

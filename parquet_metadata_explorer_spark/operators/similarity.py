@@ -67,12 +67,27 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
             sims = n_mat @ mat_q.T  # (block, n_queries)
             # half-away-from-zero rounding, matching DuckDB/Spark round()
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
-            ni, qi = np.nonzero(n_ids[:, None] != ids_q[None, :])
+            # local top-k per (batch, query): only ≤ k rows per query leave
+            # each batch, so the final window's input is bounded by
+            # n_partitions × k × |queries| instead of |corpus| × |queries|
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                col = sims[:, qi]
+                idx = np.nonzero(n_ids != ids_q[qi])[0]
+                if len(idx) > k:
+                    # exact top-k under (cos desc, neighbor_id asc): keep
+                    # everything tied with the k-th cos, then lexsort
+                    kth = np.partition(col[idx], len(idx) - k)[len(idx) - k]
+                    idx = idx[col[idx] >= kth]
+                    idx = idx[np.lexsort((n_ids[idx], -col[idx]))[:k]]
+                out_q.append(np.full(len(idx), ids_q[qi], dtype=np.int64))
+                out_n.append(n_ids[idx])
+                out_c.append(col[idx])
             yield pd.DataFrame(
                 {
-                    "query_id": ids_q[qi],
-                    "neighbor_id": n_ids[ni],
-                    "cos": sims[ni, qi],
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos": np.concatenate(out_c),
                 }
             )
 
@@ -120,6 +135,87 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
     for b in sign_bits[1:]:
         bucket = bucket + b
     return embeddings.withColumn("bucket", bucket)
+
+
+def _plane_matrix(n_planes: int, dim: int):
+    """numpy twin of ``_plane_weight``: the (n_planes × dim) hyperplane
+    matrix with w[p,d] = (int(md5(f"{p}:{d}")[:15], 16) % 1000)/1000 - 0.5.
+
+    Bit-identical to the Spark expression and the DuckDB oracle — the
+    hyperplanes are pure constants of (plane, dim), so every engine (and
+    every executor) can regenerate them without any data movement.
+    """
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            w[p, d] = (h % 1000) / 1000.0 - 0.5
+    return w
+
+
+def multiband_lsh_buckets(
+    embeddings: DataFrame, n_bands: int = 4, planes_per_band: int = 8
+) -> DataFrame:
+    """Multi-band sign-LSH: one row per (vector, band) with the band's
+    sign-bit bucket value. Two vectors are near-dup *candidates* if they
+    share a bucket in ANY band (minhash-style banding for cosine space).
+
+    Recall for a pair at angle θ with p = 1 - θ/π:
+    1 - (1 - p^planes_per_band)^n_bands — raise ``planes_per_band`` to
+    shrink buckets (precision) and ``n_bands`` to recover recall. The sign
+    bits come from one numpy GEMM per Arrow batch against the deterministic
+    plane matrix (vs ``lsh_buckets``'s per-plane interpreted HOF fold —
+    same math, ~100× cheaper per row), so this is the scale path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("band_id", LongType()),
+            StructField("band_value", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    n_planes = n_bands * planes_per_band
+
+    def bucketize(batches):
+        w = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if w is None:
+                w = _plane_matrix(n_planes, mat.shape[1])
+            bits = (mat @ w.T) > 0  # (n, n_planes)
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            emb = [row.tolist() for row in mat]
+            weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+            for b in range(n_bands):
+                band_bits = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "band_id": np.full(len(ids), b, dtype=np.int64),
+                        "band_value": band_bits @ weights,
+                        "embedding": emb,
+                    }
+                )
+
+    e = ensure_parallelism(embeddings.select("vec_id", "embedding"))
+    return e.mapInPandas(bucketize, out_schema)
 
 
 def ivf_index(
