@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import dot, ensure_parallelism, hash60, normalize_text, tokens, word_shingles
+from ..functions import ensure_parallelism, hash60, normalize_text, tokens
 
 MINHASH_K = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
@@ -69,46 +69,82 @@ def _mh_params(i: int) -> tuple[int, int]:
     return a or 1, b
 
 
-def _minhash_signature(shingles):
-    """k minhash values: one md5-derived 31-bit base hash per shingle, then
-    k affine mixes (a_i*h + b_i) mod (2^31-1) — 1 md5 per shingle instead
-    of k, and every operation is exact int64 arithmetic reproducible in the
-    DuckDB oracle (no overflow: 31-bit × 31-bit < 2^62)."""
-    # Catalyst does no common-subexpression elimination across array
-    # expressions, so "k × array_min(transform(base, ...))" would inline —
-    # and recompute — the md5 base k times. A single aggregate fold
-    # evaluates base once and updates all k minima per element: the lambda
-    # variable h is bound, not re-derived.
-    base = F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
-    ab = F.array(
-        *[
-            F.struct(
-                F.lit(_mh_params(i)[0]).cast("long").alias("a"),
-                F.lit(_mh_params(i)[1]).cast("long").alias("b"),
+def shingle_signature_kernel(
+    documents: DataFrame, k: int = SHINGLE_WORDS, n_hashes: int = MINHASH_K
+) -> DataFrame:
+    """Arrow kernel: distinct k-word shingles (and optionally the minhash
+    signature) per document, via ``mapInPandas``.
+
+    The round-1 pure-expression versions (``word_shingles`` +
+    ``_minhash_signature``'s aggregate/zip_with fold) cost ~ms/doc because
+    Catalyst interprets higher-order array lambdas. This kernel computes
+    the identical values — Python ``lower``/``re.sub('[^a-z0-9]+')``/
+    ``split`` match Spark's ``lower``/``regexp_replace``/``split`` on the
+    corpus (ASCII; asserted by tests/test_oracle_parity.py against the
+    DuckDB oracle), the base hash is the same md5-prefix ``hash60 %
+    (2^31-1)``, and the k affine mixes run as one numpy broadcast per doc
+    — at C/BLAS speed, ~10-100× cheaper per document.
+
+    Emits (doc_id, shingles, signature); docs with < k tokens emit an
+    empty shingle array (filtered by callers). With ``n_hashes=0`` the
+    signature column is an empty array (shingle-only mode for the n-gram
+    path). Map-only: no shuffle, scales linearly with corpus size.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pat = re.compile(r"[^a-z0-9]+")
+    a_co = np.array([_mh_params(i)[0] for i in range(n_hashes)], dtype=np.int64)
+    b_co = np.array([_mh_params(i)[1] for i in range(n_hashes)], dtype=np.int64)
+
+    def kern(batches):
+        for pdf in batches:
+            shingles_out, sigs_out = [], []
+            for text in pdf["text"]:
+                norm = pat.sub(" ", (text or "").lower()).strip()
+                toks = norm.split(" ") if norm else []
+                if len(toks) >= k:
+                    shs = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                        )
+                    )
+                else:
+                    shs = []
+                shingles_out.append(shs)
+                if n_hashes and shs:
+                    base = np.fromiter(
+                        (
+                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                            % MERSENNE31
+                            for s in shs
+                        ),
+                        dtype=np.int64,
+                        count=len(shs),
+                    )
+                    sigs_out.append(
+                        ((base[:, None] * a_co + b_co) % MERSENNE31).min(0).tolist()
+                    )
+                else:
+                    sigs_out.append([])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "shingles": shingles_out,
+                    "signature": sigs_out,
+                }
             )
-            for i in range(MINHASH_K)
-        ]
-    )
-    init = F.array(*[F.lit(MERSENNE31).cast("long") for _ in range(MINHASH_K)])
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MERSENNE31)
-        ),
+
+    return ensure_parallelism(documents.select("doc_id", "text")).mapInPandas(
+        kern, "doc_id long, shingles array<string>, signature array<long>"
     )
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    toks = tokens(F.col("text"))
-    shingles = word_shingles(toks, SHINGLE_WORDS)
-    documents = ensure_parallelism(documents)
-    return documents.select(
-        "doc_id",
-        shingles.alias("shingles"),
-    ).filter(F.size("shingles") > 0).withColumn(
-        "signature", _minhash_signature(F.col("shingles"))
-    )
+    return shingle_signature_kernel(documents).filter(F.size("shingles") > 0)
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -268,8 +304,8 @@ def ngram_jaccard_pairs(
     trade-off at corpus scale.
     """
     sh = (
-        ensure_parallelism(documents)
-        .select("doc_id", word_shingles(tokens(F.col("text")), SHINGLE_WORDS).alias("sh"))
+        shingle_signature_kernel(documents, n_hashes=0)
+        .select("doc_id", F.col("shingles").alias("sh"))
         .filter(F.size("sh") > 0)
     )
     # carry n_sh through the explode (no join back to a sizes table) and
