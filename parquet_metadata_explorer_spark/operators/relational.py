@@ -183,7 +183,11 @@ def scalar_function_showcase(lineitem: DataFrame) -> DataFrame:
             F.round(
                 _stable_sum(F.abs(F.col("l_discount") - 0.05)), 3
             ).alias("sum_abs_disc_dev"),
-            F.round(F.sum(F.ceil(F.col("l_quantity"))), 1).alias("sum_ceil_qty"),
+            # cast to double: Spark ceil(double) -> LONG while ANSI engines keep
+            # double, and the driver's value hash is type-sensitive (220 vs 220.0)
+            F.round(F.sum(F.ceil(F.col("l_quantity"))), 1)
+            .cast("double")
+            .alias("sum_ceil_qty"),
             F.max(F.length("l_returnflag")).cast("long").alias("max_flag_len"),
         )
         .orderBy("ship_year", "ship_month", "flag", "flag_status")
