@@ -10,15 +10,22 @@ runs as a Spark job (one task per directory) and only the resulting
 FileInfo seeds come back to the driver. Either way the scan itself
 parallelizes over files with ``numSlices = min(n_files, maxparts)``.
 
-Deviation recorded (SURVEY §7 risk 5): partition values are kept as the
-URL-decoded path strings verbatim (e.g. ``ts=2020-02-02 01:02:03``) instead
-of round-tripping through typed parsing + Java ``Timestamp.toString``
-(which would yield ``2020-02-02 01:02:03.0``). Lossless and deterministic.
+Partition values round-trip through the same typed inference Spark's
+partition discovery applies (int -> long -> decimal -> double -> date ->
+timestamp -> string, ``PartitioningUtils.inferPartitionColumnValue``) and
+are rendered with Java ``toString`` semantics, matching the reference
+golden (``DefaultSourceSuite.scala:84-91``): ``date=2020-01-01`` stays
+``2020-01-01`` while ``ts=2020-02-02 01:02:03`` becomes
+``2020-02-02 01:02:03.0`` (``java.sql.Timestamp.toString``).
 """
 
 from __future__ import annotations
 
+import math
+import re
 from dataclasses import dataclass
+from datetime import date as _date
+from decimal import Decimal
 from typing import Optional
 from urllib.parse import unquote
 
@@ -48,6 +55,87 @@ def _is_hidden(name: str) -> bool:
     return name.startswith("_") or name.startswith(".")
 
 
+# Anchored forms accepted by Spark's partition-value inference
+# (PartitioningUtils.inferPartitionColumnValue). Boolean is deliberately
+# absent: Spark keeps 'true'/'false' as strings, which render identically.
+_INT_RE = re.compile(r"[+-]?\d+\Z")
+_DOUBLE_RE = re.compile(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?\Z")
+_DATE_RE = re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2})\Z")
+_TS_RE = re.compile(
+    r"(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?\Z"
+)
+
+
+def _java_double_str(d: float) -> str:
+    """Render a double the way ``java.lang.Double.toString`` does: plain
+    decimal with at least one digit on each side of the point for
+    1e-3 <= |d| < 1e7, computerized scientific notation (``1.0E7``)
+    outside that range. Digit selection uses the shortest round-trip
+    representation (Python ``repr``), which agrees with Java on all
+    values that occur in practice."""
+    if math.isnan(d) or math.isinf(d):
+        raise ValueError("non-finite")
+    sign = "-" if math.copysign(1.0, d) < 0 else ""
+    m = abs(d)
+    if m == 0.0:
+        return sign + "0.0"
+    dec = Decimal(repr(m)).normalize()  # strip trailing zeros from repr
+    digits = "".join(str(x) for x in dec.as_tuple().digits)
+    adj = dec.adjusted()  # power-of-ten exponent of the leading digit
+    if 1e-3 <= m < 1e7:
+        if adj >= 0:
+            int_len = adj + 1
+            if len(digits) <= int_len:
+                return f"{sign}{digits.ljust(int_len, '0')}.0"
+            return f"{sign}{digits[:int_len]}.{digits[int_len:]}"
+        return f"{sign}0.{'0' * (-adj - 1)}{digits}"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{adj}"
+
+
+def render_partition_value(v: Optional[str]) -> Optional[str]:
+    """Spark-typed parse + Java ``toString`` render of one raw Hive
+    partition-path value (reference ``MetadataFileFormat.scala:86-95``
+    stringifies the typed ``InternalRow``; golden values in
+    ``DefaultSourceSuite.scala:84-91``)."""
+    if v is None or v == "":
+        return v
+    if _INT_RE.match(v):
+        try:
+            return str(int(v))  # int/long/decimal all render as plain digits
+        except ValueError:  # pragma: no cover
+            return v
+    if _DOUBLE_RE.match(v):
+        try:
+            return _java_double_str(float(v))
+        except (ValueError, OverflowError):
+            return v
+    m = _DATE_RE.match(v)
+    if m:
+        try:
+            y, mo, dy = (int(g) for g in m.groups())
+            _date(y, mo, dy)
+            return f"{y:04d}-{mo:02d}-{dy:02d}"
+        except ValueError:
+            return v
+    m = _TS_RE.match(v)
+    if m:
+        try:
+            y, mo, dy, hh, mi, ss = (int(g) for g in m.groups()[:6])
+            _date(y, mo, dy)
+            if hh > 23 or mi > 59 or ss > 59:
+                return v
+            frac = (m.group(7) or "").ljust(9, "0")
+            if int(frac or "0") == 0:
+                nanos = "0"
+            else:
+                nanos = frac.rstrip("0")
+            return f"{y:04d}-{mo:02d}-{dy:02d} {hh:02d}:{mi:02d}:{ss:02d}.{nanos}"
+        except ValueError:
+            return v
+    return v
+
+
 def parse_partition_values(root: str, file_path: str) -> tuple:
     """Extract Hive ``k=v`` path segments between root and the file."""
     rel = file_path[len(root) :].lstrip("/")
@@ -57,7 +145,14 @@ def parse_partition_values(root: str, file_path: str) -> tuple:
         if "=" in seg:
             k, _, v = seg.partition("=")
             v = unquote(v)
-            out.append((unquote(k), None if v == HIVE_DEFAULT_PARTITION else v))
+            out.append(
+                (
+                    unquote(k),
+                    None
+                    if v == HIVE_DEFAULT_PARTITION
+                    else render_partition_value(v),
+                )
+            )
     return tuple(out)
 
 
@@ -68,6 +163,29 @@ def _mtime_millis(info) -> int:
     return int(mt.timestamp() * 1000)
 
 
+def _make_list_dir(uri_prefix: str):
+    """Per-directory recursive lister, picklable for Spark tasks and
+    reusable from driver threads."""
+    import pyarrow.fs as pafs
+
+    def list_dir(d: str) -> list:
+        dfs, dp = resolve_filesystem(uri_prefix + d if uri_prefix else d)
+        out = []
+        stack = [dp]
+        while stack:
+            cur = stack.pop()
+            for i in dfs.get_file_info(pafs.FileSelector(cur, recursive=False)):
+                if _is_hidden(i.base_name):
+                    continue
+                if i.type == pafs.FileType.Directory:
+                    stack.append(i.path)
+                elif i.type == pafs.FileType.File:
+                    out.append((i.path, i.base_name, i.size, _mtime_millis(i)))
+        return out
+
+    return list_dir
+
+
 def list_files(
     path: str,
     spark=None,
@@ -76,9 +194,13 @@ def list_files(
     """List all data files under ``path`` (or the single file itself),
     discovering Hive partition columns from directory names.
 
-    When ``spark`` is given and the root has ≥ ``distributed_threshold``
-    first-level subdirectories, per-directory listing fans out as a Spark
-    job so the driver never serially walks millions of files.
+    Wide roots (≥ ``distributed_threshold`` first-level subdirectories)
+    never get a serial driver walk: per-directory listing fans out as a
+    Spark job when ``spark`` is given, else over a driver thread pool
+    (listing is IO-latency bound, so threads recover most of the win —
+    this is what the ``format("metadata")`` path uses, since the Python
+    DataSource plan runs in a worker process without a SparkSession;
+    the reference's single entry point is ``DefaultSource.scala:157-163``).
     """
     fs, p = resolve_filesystem(path)
     p = p.rstrip("/") or "/"
@@ -93,51 +215,37 @@ def list_files(
         return [FileInfo(p, info.base_name, info.size, _mtime_millis(info), ())]
 
     root = p
-    any_partition = False
 
     def finfo(i) -> FileInfo:
         pv = parse_partition_values(root, i.path)
         return FileInfo(i.path, i.base_name, i.size, _mtime_millis(i), pv)
 
-    if spark is not None:
-        sel = pafs.FileSelector(root, recursive=False)
-        top = [i for i in fs.get_file_info(sel) if not _is_hidden(i.base_name)]
-        dirs = [i.path for i in top if i.type == pafs.FileType.Directory]
-        if len(dirs) >= distributed_threshold:
-            files = [
-                finfo(i)
-                for i in top
-                if i.type == pafs.FileType.File and not _is_hidden(i.base_name)
-            ]
+    sel = pafs.FileSelector(root, recursive=False)
+    top = [i for i in fs.get_file_info(sel) if not _is_hidden(i.base_name)]
+    dirs = [i.path for i in top if i.type == pafs.FileType.Directory]
+    if len(dirs) >= distributed_threshold:
+        files = [finfo(i) for i in top if i.type == pafs.FileType.File]
+        uri_prefix = path.split("://")[0] + "://" if "://" in path else ""
+        list_dir = _make_list_dir(uri_prefix)
+
+        if spark is not None:
             sc = spark.sparkContext
-            uri_prefix = path.split("://")[0] + "://" if "://" in path else ""
-
-            def list_dir(d: str) -> list:
-                dfs, dp = resolve_filesystem(uri_prefix + d if uri_prefix else d)
-                out = []
-                stack = [dp]
-                while stack:
-                    cur = stack.pop()
-                    for i in dfs.get_file_info(pafs.FileSelector(cur, recursive=False)):
-                        if _is_hidden(i.base_name):
-                            continue
-                        if i.type == pafs.FileType.Directory:
-                            stack.append(i.path)
-                        elif i.type == pafs.FileType.File:
-                            out.append((i.path, i.base_name, i.size, _mtime_millis(i)))
-                return out
-
             listed = (
                 sc.parallelize(dirs, min(len(dirs), 256))
                 .flatMap(list_dir)
                 .collect()
             )
-            files += [
-                FileInfo(pp, nn, ss, mm, parse_partition_values(root, pp))
-                for (pp, nn, ss, mm) in listed
-            ]
-            files.sort(key=lambda f: f.path)
-            return files
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(dirs))) as pool:
+                listed = [t for chunk in pool.map(list_dir, dirs) for t in chunk]
+        files += [
+            FileInfo(pp, nn, ss, mm, parse_partition_values(root, pp))
+            for (pp, nn, ss, mm) in listed
+        ]
+        files.sort(key=lambda f: f.path)
+        return files
 
     sel = pafs.FileSelector(root, recursive=True)
     files = []

@@ -63,7 +63,18 @@ class MetadataDataSource(DataSource):
     def _plan(self):
         if not hasattr(self, "_planned"):
             opts = parse_options(dict(self.options))
-            files = list_files(opts.path)
+            # The DataSource plan usually runs in a Python worker process
+            # with no SparkSession; list_files then falls back to a driver
+            # thread pool for wide roots so this path behaves like
+            # read_metadata() (reference DefaultSource.scala:157-163 has a
+            # single listing behavior for its one entry point).
+            try:
+                from pyspark.sql import SparkSession
+
+                session = SparkSession.getActiveSession()
+            except Exception:
+                session = None
+            files = list_files(opts.path, spark=session)
             source = opts.source or _infer_source(files)
             validate_source_level(source, opts.level)
             self._planned = (opts, files, source)

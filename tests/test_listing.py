@@ -53,3 +53,47 @@ def test_distributed_listing_matches_driver_side(spark, tmp_path):
     assert [(f.path, f.size, f.partition) for f in distributed] == [
         (f.path, f.size, f.partition) for f in serial
     ]
+
+
+def test_threadpool_listing_matches_driver_side(tmp_path):
+    # the no-SparkSession wide-root path (what format("metadata") hits)
+    root = str(tmp_path / "tree3")
+    os.makedirs(root)
+    _mktree(root)
+    serial = list_files(root)
+    pooled = list_files(root, spark=None, distributed_threshold=2)
+    assert [(f.path, f.size, f.partition) for f in pooled] == [
+        (f.path, f.size, f.partition) for f in serial
+    ]
+
+
+def test_format_path_wide_root_equivalence(spark, tmp_path):
+    """format("metadata") and read_metadata() agree on a root wide enough
+    to trip the parallel-listing branch (>=64 first-level dirs)."""
+    import parquet_metadata_explorer_spark as pqx
+
+    pqx.register(spark)
+    root = str(tmp_path / "wide")
+    os.makedirs(root)
+    for d in range(70):
+        sub = os.path.join(root, f"k={d}")
+        os.makedirs(sub)
+        with open(os.path.join(sub, "f0.bin"), "wb") as f:
+            f.write(b"x" * (d + 1))
+    via_format = (
+        spark.read.format("metadata")
+        .option("source", "file")
+        .option("level", "file")
+        .load(root)
+        .orderBy("filepath")
+        .collect()
+    )
+    via_func = (
+        pqx.read_metadata(spark, root, source="file", level="file")
+        .orderBy("filepath")
+        .collect()
+    )
+    assert len(via_format) == 70
+    assert [(r.filepath, r.size, r.partition) for r in via_format] == [
+        (r.filepath, r.size, r.partition) for r in via_func
+    ]
