@@ -329,9 +329,20 @@ WHERE round(c.n_common::double / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.1
 """
 
 
+# Band config matched to the registered threshold: at cos=0.45
+# (p = 1-θ/π ≈ 0.649) 16 bands × 4 planes give recall
+# 1-(1-p^4)^16 ≈ 96%; the operator's 8×6 default targets cos=0.95.
+EMB_Q_THRESHOLD = 0.45
+EMB_Q_BANDS = 16
+EMB_Q_PLANES = 4
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_duplicates(
-        _table(spark, sf_dir, "embeddings"), threshold=0.45
+        _table(spark, sf_dir, "embeddings"),
+        threshold=EMB_Q_THRESHOLD,
+        n_bands=EMB_Q_BANDS,
+        planes_per_band=EMB_Q_PLANES,
     )
 
 
@@ -339,7 +350,7 @@ def _oracle_dedup_embedding() -> str:
     """Replicates the multi-band sign-LSH blocking bit-for-bit (same
     deterministic plane weights as similarity._plane_matrix), then the
     exact-cosine verify at the same threshold."""
-    n_bands, rpb = dedup.EMB_BANDS, dedup.EMB_PLANES_PER_BAND
+    n_bands, rpb = EMB_Q_BANDS, EMB_Q_PLANES
     band_exprs = []
     for b in range(n_bands):
         bits = " + ".join(
@@ -369,7 +380,7 @@ SELECT c.vec_a, c.vec_b, round({_d_cos("a.embedding", "b.embedding")}, 4) AS cos
 FROM cands c
 JOIN embeddings a ON c.vec_a = a.vec_id
 JOIN embeddings b ON c.vec_b = b.vec_id
-WHERE round({_d_cos("a.embedding", "b.embedding")}, 4) >= 0.45
+WHERE round({_d_cos("a.embedding", "b.embedding")}, 4) >= {EMB_Q_THRESHOLD}
 """
 
 

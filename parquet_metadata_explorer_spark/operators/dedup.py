@@ -33,8 +33,15 @@ MINHASH_BANDS = 8  # 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
 SHINGLE_WORDS = 3
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
-EMB_BANDS = 4  # sign-LSH bands for embedding near-dup blocking
-EMB_PLANES_PER_BAND = 8
+# sign-LSH bands for embedding near-dup blocking. Defaults target the
+# 0.95 near-dup threshold: recall 1-(1-p^planes)^bands with p = 1-θ/π is
+# 99.7% at cos=0.95 for 8 bands x 6 planes. Lower thresholds need MORE
+# bands of FEWER planes (e.g. 16x4 gives ~96% at cos=0.45) — match the
+# config to the threshold you register, the blocking is part of the
+# semantics.
+EMB_BANDS = 8
+EMB_PLANES_PER_BAND = 6
+EMB_BUCKET_CAP = 4096  # max vectors one GEMM tile side may hold
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -349,9 +356,10 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_bands: int = EMB_BANDS,
     planes_per_band: int = EMB_PLANES_PER_BAND,
+    bucket_cap: int = EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-band LSH blocking + a
-    per-bucket GEMM verify kernel.
+    tiled per-bucket GEMM verify kernel.
 
     Fully distributed — nothing is ever collected to the driver:
 
@@ -359,22 +367,34 @@ def embedding_near_duplicates(
        ``n_bands`` sign-LSH buckets (one numpy GEMM per Arrow batch against
        the deterministic plane matrix — a constant of (plane, dim), so no
        broadcast of data is needed).
-    2. ``applyInPandas`` per (band_id, band_value) bucket runs the all-pairs
-       cosine GEMM *within the bucket only* and emits pairs ≥ threshold.
-    3. ``dropDuplicates`` merges pairs caught by more than one band (the
+    2. Buckets larger than ``bucket_cap`` are split into
+       ``ceil(size/cap)`` chunks on ``vec_id % n_chunks`` and every chunk
+       *pair* (ci ≤ cj) becomes its own GEMM tile task: a vector in chunk c
+       is replicated to the ``n_chunks`` tiles touching c. This bounds one
+       task at 2×``bucket_cap`` vectors and spreads an oversized bucket's
+       O(size²) pair scan over ~n_chunks²/2 tasks — a 10M-identical-vector
+       cluster (which lands in ONE bucket in EVERY band, since identical
+       sign bits can never split) no longer pins a single task or its
+       memory. Replication cost is √(compute): n_chunks copies for an
+       n_chunks²-tile workload.
+    3. ``applyInPandas`` per tile runs the cross-chunk (or within-chunk on
+       diagonal tiles) cosine GEMM and emits pairs ≥ threshold.
+    4. ``dropDuplicates`` merges pairs caught by more than one band (the
        cosine is identical in every band, so any survivor is correct).
 
     Pair semantics are LSH-blocked: a pair is reported iff the two vectors
     share a bucket in ≥1 band AND exact cosine ≥ threshold — the DuckDB
-    oracle replicates the banding bit-for-bit. Recall for a true pair at
-    angle θ (p = 1-θ/π) is 1-(1-p^planes_per_band)^n_bands; raise
-    ``planes_per_band`` at larger corpora to keep buckets bounded (each
-    bucket must fit one task's memory) and ``n_bands`` to buy recall back.
+    oracle replicates the banding bit-for-bit (tiling does not change the
+    pair set: every within-bucket pair lands in exactly one tile). Recall
+    for a true pair at angle θ (p = 1-θ/π) is 1-(1-p^planes_per_band)^n_bands;
+    match the config to the threshold — more bands of fewer planes for low
+    thresholds (16×4 ≈ 96% at cos=0.45), fewer bands of more planes for
+    high ones (the 8×6 default ≈ 99.7% at cos=0.95).
 
     The corpus shuffles once, replicated ``n_bands``× on near-uniform
-    (band, bucket) keys — no driver collect, no all-pairs scan, no
-    full-corpus broadcast; this survives a 10^9-vector corpus where the
-    round-1 broadcast kernel died at driver memory.
+    (band, bucket) keys (plus the tile fan-out on the rare oversized
+    buckets) — no driver collect, no all-pairs scan, no full-corpus
+    broadcast.
 
     Rounding matches the DuckDB oracle: half-away-from-zero to 4 decimals.
     """
@@ -385,25 +405,76 @@ def embedding_near_duplicates(
 
     bands = multiband_lsh_buckets(embeddings, n_bands, planes_per_band)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Bucket-size census: map-side-combined count, then joined back. The
+    # census is tiny (≤ distinct buckets) so AQE turns the join into a
+    # broadcast at runtime; the fat embedding-carrying rows shuffle only
+    # once, for the tile groupBy below. (A window count would instead
+    # sort-shuffle the fat rows a second time.) The census recomputes the
+    # bucketize pass, but that is map-only numpy — cheaper than caching
+    # n_bands× the corpus.
+    census = (
+        bands.groupBy("band_id", "band_value")
+        .agg(
+            F.ceil(F.count("*") / F.lit(bucket_cap)).cast("long").alias("n_chunks")
+        )
+    )
+    bands = bands.join(census, ["band_id", "band_value"]).withColumn(
+        "chunk", F.pmod(F.col("vec_id"), F.col("n_chunks"))
+    )
+    # Tile fan-out: vector in chunk c joins every tile (min(c,k), max(c,k)).
+    # n_chunks == 1 (the common case) reduces to one (0, 0) tile per bucket
+    # with zero replication.
+    tiles = bands.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+    ).select(
+        "band_id",
+        "band_value",
+        F.least("chunk", "k").alias("tile_i"),
+        F.greatest("chunk", "k").alias("tile_j"),
+        "chunk",
+        "vec_id",
+        "embedding",
+    )
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+            {"vec_a": np.int64, "vec_b": np.int64, "cos": np.float64}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
-                {"vec_a": np.int64, "vec_b": np.int64, "cos": np.float64}
-            )
+            return empty
         pdf = pdf.sort_values("vec_id")
         ids = np.asarray(pdf["vec_id"], dtype=np.int64)
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        # round half-away-from-zero (DuckDB/Java semantics, not numpy's
-        # banker's rounding)
-        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
-        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+
+        def rnd(s):
+            # round half-away-from-zero (DuckDB/Java semantics, not
+            # numpy's banker's rounding)
+            return np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+
+        ti, tj = int(pdf["tile_i"].iat[0]), int(pdf["tile_j"].iat[0])
+        if ti == tj:
+            sims = rnd(mat @ mat.T)
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            return pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": ids[bj], "cos": sims[ai, bj]}
+            )
+        left = np.asarray(pdf["chunk"], dtype=np.int64) == ti
+        la, lb = ids[left], ids[~left]
+        if not len(la) or not len(lb):
+            return empty
+        sims = rnd(mat[left] @ mat[~left].T)
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b = la[ai], lb[bj]
         return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bj], "cos": sims[ai, bj]}
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos": sims[ai, bj],
+            }
         )
 
-    pairs = bands.groupBy("band_id", "band_value").applyInPandas(
-        bucket_pairs, "vec_a long, vec_b long, cos double"
+    pairs = tiles.groupBy("band_id", "band_value", "tile_i", "tile_j").applyInPandas(
+        tile_pairs, "vec_a long, vec_b long, cos double"
     )
     return pairs.dropDuplicates(["vec_a", "vec_b"]).select("vec_a", "vec_b", "cos")

@@ -141,9 +141,14 @@ def _plane_matrix(n_planes: int, dim: int):
     """numpy twin of ``_plane_weight``: the (n_planes × dim) hyperplane
     matrix with w[p,d] = (int(md5(f"{p}:{d}")[:15], 16) % 1000)/1000 - 0.5.
 
-    Bit-identical to the Spark expression and the DuckDB oracle — the
-    hyperplanes are pure constants of (plane, dim), so every engine (and
-    every executor) can regenerate them without any data movement.
+    The weights themselves are bit-identical to the Spark expression and
+    the DuckDB oracle — pure constants of (plane, dim), so every engine
+    (and every executor) regenerates them without any data movement. The
+    resulting sign *bits* agree up to accumulation order: BLAS GEMM and a
+    sequential list_dot_product can round differently, so a plane dot
+    within ~1 ulp of 0 could in principle flip a bit between engines. If a
+    flaky bucket mismatch ever appears, margin-test |dot| > eps or force
+    identical left-to-right accumulation on both sides.
     """
     import hashlib
 

@@ -125,3 +125,33 @@ def test_multimodal_decode_plumbing(spark, docs):
     assert r.width == r.n_bytes % 64 + 1
     assert r.channels == 3
     assert out[6].n_bytes == 0
+
+def test_embedding_dedup_tiled_skewed_bucket(spark):
+    """A duplicate cluster far larger than bucket_cap — identical vectors
+    collide in the SAME bucket in EVERY band, the worst-case skew the
+    tiling exists for. With cap=8 the 40-vector cluster splits into 5
+    chunks / 15 tiles per band; the pair set must equal untiled output."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [1.0, 0.2, -0.3, 0.7, 0.1]) for i in range(40)]  # one giant cluster
+    rows += [(100 + i, rng.randn(5).tolist()) for i in range(20)]  # background
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tiled = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup.embedding_near_duplicates(
+            embs, threshold=0.9, bucket_cap=8
+        ).collect()
+    }
+    untiled = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup.embedding_near_duplicates(
+            embs, threshold=0.9, bucket_cap=10**9
+        ).collect()
+    }
+    assert tiled == untiled
+    # every pair within the 40-vector cluster must be present with cos 1.0
+    for a in range(40):
+        for b in range(a + 1, 40):
+            assert tiled[(a, b)] == 1.0
