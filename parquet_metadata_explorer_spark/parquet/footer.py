@@ -36,12 +36,26 @@ def is_parquet_file(path: str) -> bool:
         return False
 
 
+def _java_bytes_str(b: bytes) -> str:
+    """Render bytes the way Java ``Arrays.toString(byte[])`` does:
+    signed values, ``[80, 65, 82, 49]``."""
+    return "[" + ", ".join(str(x - 256 if x > 127 else x) for x in b) + "]"
+
+
 def read_footer(path: str, size: Optional[int] = None) -> tuple[FileMetaData, int]:
     """Returns (FileMetaData, metadata_size).
 
     ``metadata_size`` is the Thrift footer length from the little-endian
     int in the tail-8 (reference ``ParquetUtils.scala:61-65``; invariant
     FIXTURES.md #2). Pass ``size`` from the listing to skip a stat call.
+
+    Error parity with ``ParquetUtils.scala:50-67``: the head-4 magic is
+    validated first ("<path> is invalid Parquet file, magic: [..]",
+    Java signed-byte rendering), then the footer length against the file
+    size ("EOF when reading Parquet metadata ..."). Like the reference
+    this costs one extra 4-byte head read per file (3 reads total); the
+    tail-magic guard is an additional check the reference leaves to the
+    Thrift parser.
     """
     fs, p = resolve_filesystem(path)
     with fs.open_input_file(p) as f:
@@ -49,14 +63,20 @@ def read_footer(path: str, size: Optional[int] = None) -> tuple[FileMetaData, in
             size = f.size()
         if size < 12:
             raise ValueError(f"File {path} is too small to be a parquet file: {size} bytes")
+        head = f.read(4)
+        if head != MAGIC:
+            raise ValueError(
+                f"{path} is invalid Parquet file, magic: {_java_bytes_str(head)}"
+            )
         f.seek(size - 8)
         tail = f.read(8)
         if tail[4:] != MAGIC:
             raise ValueError(f"File {path} is not a parquet file: invalid magic in tail")
         meta_len = struct.unpack("<i", tail[:4])[0]
-        if meta_len <= 0 or meta_len + 8 > size:
+        if meta_len <= 0 or size < meta_len + 8:
             raise ValueError(
-                f"File {path} has corrupt footer length {meta_len} (file size {size})"
+                f"EOF when reading Parquet metadata for {path}, "
+                f"file {size}, metadata {meta_len}"
             )
         f.seek(size - 8 - meta_len)
         blob = f.read(meta_len)

@@ -76,3 +76,23 @@ def test_leaf_columns_match_chunk_count():
     path = ALL_TABLES[0]
     meta, _ = read_footer(path)
     assert len(leaf_columns(meta)) == len(meta.row_groups[0].columns)
+
+
+def test_head_magic_error_parity(tmp_path):
+    """Reference ParquetUtils.scala:50-57: head-4 magic validated first,
+    message renders the bytes Java Arrays.toString-style (signed)."""
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"\xffARX" + b"\x00" * 20)
+    with pytest.raises(ValueError, match=r"is invalid Parquet file, magic: \[-1, 65, 82, 88\]"):
+        read_footer(str(bad))
+
+
+def test_footer_eof_error_parity(tmp_path):
+    """Reference ParquetUtils.scala:64-67: footer length > file size."""
+    import struct as _struct
+
+    bad = tmp_path / "eof.parquet"
+    # valid head+tail magic, but the footer length claims 1000 bytes
+    bad.write_bytes(b"PAR1" + b"\x00" * 4 + _struct.pack("<i", 1000) + b"PAR1")
+    with pytest.raises(ValueError, match=r"EOF when reading Parquet metadata for .*file 16, metadata 1000"):
+        read_footer(str(bad))
