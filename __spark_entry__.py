@@ -95,11 +95,25 @@ def q_meta_file_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_meta_parquet_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = pqx.read_metadata(spark, sf_dir, source="parquet", level="file")
+    # kv map rendered canonically (sorted k=v lines) so the hash compare is
+    # order-insensitive on both engines
+    kv_canon = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries("key_value_metadata"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "\n",
+    )
     return df.select(
         "filename",
         F.col("num_rows").cast("long").alias("num_rows"),
         F.col("num_row_groups").cast("long").alias("num_row_groups"),
         "created_by",
+        F.col("metadata_size").cast("long").alias("metadata_size"),
+        "schema",
+        kv_canon.alias("kv"),
     )
 
 
@@ -158,12 +172,85 @@ SELECT regexp_extract(file, '[^/]+$') AS filename
 FROM glob('{SF01}/*.parquet')
 """
 
+# schema: the message-type printer re-implemented as a recursive CTE over
+# parquet_schema()'s DFS-ordered rows (stack of remaining-children counts;
+# one recursion step per element or closing brace). metadata_size: the
+# little-endian int in the tail-8, read via hex(read_blob). kv: sorted
+# 'k=v' lines — all independent twins of the engine's Thrift-side values.
 O_META_PARQUET_FILE = f"""
-SELECT regexp_extract(file_name, '[^/]+$') AS filename,
-       num_rows::bigint AS num_rows,
-       num_row_groups::bigint AS num_row_groups,
-       created_by
-FROM parquet_file_metadata('{SF01}/*.parquet')
+WITH RECURSIVE els AS (
+  SELECT file_name,
+         list(struct_pack(nm := name, typ := type, tl := type_length,
+                          rep := repetition_type, nc := num_children,
+                          ct := converted_type, sc := scale, pr := precision,
+                          fid := field_id)) AS l
+  FROM parquet_schema('{SF01}/*.parquet')
+  GROUP BY file_name
+),
+walk(file_name, l, n, idx, stack, acc) AS (
+  SELECT file_name, l, len(l), 1,
+         [coalesce(l[1].nc, 0)::BIGINT],
+         'message ' || l[1].nm || ' {{'
+  FROM els
+  UNION ALL
+  SELECT file_name, l, n,
+         CASE WHEN closing THEN idx ELSE idx + 1 END,
+         CASE WHEN closing THEN list_slice(stack, 1, len(stack) - 1)
+              WHEN is_group THEN list_append(dec, el.nc::BIGINT)
+              ELSE dec END,
+         acc || chr(10) ||
+         CASE WHEN closing THEN repeat('  ', len(stack) - 1) || '}}'
+              WHEN is_group THEN repeat('  ', len(stack)) || lower(el.rep) || ' group ' || el.nm || ann || ' {{'
+              ELSE repeat('  ', len(stack)) || lower(el.rep) || ' ' ||
+                   CASE el.typ
+                     WHEN 'BOOLEAN' THEN 'boolean' WHEN 'INT32' THEN 'int32'
+                     WHEN 'INT64' THEN 'int64' WHEN 'INT96' THEN 'int96'
+                     WHEN 'FLOAT' THEN 'float' WHEN 'DOUBLE' THEN 'double'
+                     WHEN 'BYTE_ARRAY' THEN 'binary'
+                     WHEN 'FIXED_LEN_BYTE_ARRAY' THEN 'fixed_len_byte_array(' || el.tl || ')'
+                     ELSE lower(el.typ) END || ' ' || el.nm || ann ||
+                   CASE WHEN el.fid IS NULL THEN '' ELSE ' = ' || el.fid END || ';'
+         END
+  FROM (
+    SELECT *,
+           (len(stack) > 0 AND stack[len(stack)] = 0) AS closing,
+           l[idx + 1] AS el,
+           (coalesce(l[idx + 1].nc, 0) > 0) AS is_group,
+           list_append(list_slice(stack, 1, len(stack) - 1), stack[len(stack)] - 1) AS dec,
+           CASE WHEN l[idx + 1].ct IS NULL THEN ''
+                WHEN l[idx + 1].ct = 'DECIMAL' THEN ' (DECIMAL(' || l[idx + 1].pr || ',' || l[idx + 1].sc || '))'
+                ELSE ' (' || l[idx + 1].ct || ')' END AS ann
+    FROM walk
+  )
+  WHERE closing OR idx < n
+),
+schemas AS (SELECT file_name, acc AS schema FROM walk WHERE len(stack) = 0),
+msize AS (
+  SELECT filename AS file_name,
+         ('0x' || substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2))::bigint AS metadata_size
+  FROM (
+    SELECT filename, substr(hex(content), octet_length(content) * 2 - 15, 8) AS h
+    FROM read_blob('{SF01}/*.parquet')
+  )
+),
+kvs AS (
+  SELECT file_name,
+         string_agg(decode(key) || '=' || decode(value), chr(10)
+                    ORDER BY decode(key) || '=' || decode(value)) AS kv
+  FROM parquet_kv_metadata('{SF01}/*.parquet')
+  GROUP BY file_name
+)
+SELECT regexp_extract(m.file_name, '[^/]+$') AS filename,
+       m.num_rows::bigint AS num_rows,
+       m.num_row_groups::bigint AS num_row_groups,
+       m.created_by,
+       ms.metadata_size,
+       s.schema,
+       k.kv
+FROM parquet_file_metadata('{SF01}/*.parquet') m
+JOIN schemas s ON m.file_name = s.file_name
+JOIN msize ms ON m.file_name = ms.file_name
+LEFT JOIN kvs k ON m.file_name = k.file_name
 """
 
 O_META_ROWGROUP = f"""
