@@ -686,7 +686,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)::bigint AS n_events,
        round({_d_ssum("value")}, 2) AS sum_value,
-       round({_d_ssum("value")} / count(*), 4) AS avg_value
+       round({_d_ssum("value")} / count(value), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -762,8 +762,8 @@ SELECT l_returnflag, l_linestatus,
        round({_d_ssum("l_quantity")}, 2) AS sum_qty,
        round({_d_ssum("l_extendedprice")}, 2) AS sum_base_price,
        round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
-       round({_d_ssum("l_quantity")} / count(*), 4) AS avg_qty,
-       round({_d_ssum("l_discount")} / count(*), 4) AS avg_disc,
+       round({_d_ssum("l_quantity")} / count(l_quantity), 4) AS avg_qty,
+       round({_d_ssum("l_discount")} / count(l_discount), 4) AS avg_disc,
        count(*)::bigint AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -907,7 +907,7 @@ def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SUPPLIER_PART = f"""
 WITH rich AS (
   SELECT * FROM supplier
-  WHERE s_acctbal > (SELECT {_d_ssum("s_acctbal")} / count(*) FROM supplier)
+  WHERE s_acctbal > (SELECT {_d_ssum("s_acctbal")} / count(s_acctbal) FROM supplier)
 )
 SELECT p_brand AS brand,
        round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..functions import ensure_parallelism, hash60, normalize_text, tokens
 
 MINHASH_K = 32  # signature length
@@ -44,23 +45,39 @@ EMB_PLANES_PER_BAND = 6
 EMB_BUCKET_CAP = 4096  # max vectors one GEMM tile side may hold
 
 
-def exact_duplicates(documents: DataFrame) -> DataFrame:
+def exact_duplicates(documents: DataFrame, doc_ids_cap: int = 1000) -> DataFrame:
     """Groups of byte-identical (after normalization) documents.
 
     Returns one row per duplicate group: fingerprint, group size, kept id
-    (min), and the dropped ids — the classic first-pass dedup at any scale.
+    (min), and up to ``doc_ids_cap`` member ids (smallest first) — the
+    classic first-pass dedup at any scale.
+
+    The member list is bounded BEFORE aggregation: a row_number window on
+    the same fingerprint key feeds ``collect_list`` only the first
+    ``doc_ids_cap`` ids per group, so a pathological 10^7-copy document
+    costs a spillable sort, never a 10^7-element aggregation buffer or
+    output row. The window exchange already partitions by fingerprint, so
+    the groupBy adds no second shuffle.
     """
+    from pyspark.sql import Window
+
     # no repartition: a single md5 per row is cheaper than a shuffle; the
-    # groupBy provides the parallel stage
+    # window/groupBy provides the parallel stage
     fp = documents.select(
         F.col("doc_id"), F.md5(normalize_text(F.col("text"))).alias("fingerprint")
     )
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
     return (
-        fp.groupBy("fingerprint")
+        fp.withColumn("rn", rn)
+        .groupBy("fingerprint")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= doc_ids_cap, F.col("doc_id")))
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -166,7 +183,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     # sigs feeds the band explode AND both sides of the verify join: persist
     # so the shingle+signature expressions evaluate once per document, not
     # once per plan reference
-    sigs = minhash_signatures(documents).persist()
+    sigs = track_persist(minhash_signatures(documents))
 
     bands = sigs.select(
         "doc_id",
@@ -275,7 +292,7 @@ def simhash_bands(documents: DataFrame) -> DataFrame:
 
 def simhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     # persist: the banded fingerprints feed both sides of the self-join
-    bands = simhash_bands(documents).persist()
+    bands = track_persist(simhash_bands(documents))
     l, r = bands.alias("l"), bands.alias("r")
     pairs = (
         l.join(
@@ -319,9 +336,13 @@ def ngram_jaccard_pairs(
     # persist: the inverted index feeds the frequency count AND both sides
     # of the self-join — without persist the shingle expression would be
     # re-evaluated once per plan reference
-    inv = sh.select(
-        "doc_id", F.size("sh").cast("long").alias("n_sh"), F.explode("sh").alias("shingle")
-    ).persist()
+    inv = track_persist(
+        sh.select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_sh"),
+            F.explode("sh").alias("shingle"),
+        )
+    )
     rare = inv.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_doc_freq
     )

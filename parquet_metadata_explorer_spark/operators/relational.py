@@ -52,8 +52,8 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
             F.round(
                 _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(_stable_sum(F.col("l_quantity")) / F.count("*"), 4).alias("avg_qty"),
-            F.round(_stable_sum(F.col("l_discount")) / F.count("*"), 4).alias("avg_disc"),
+            F.round(_stable_sum(F.col("l_quantity")) / F.count(F.col("l_quantity")), 4).alias("avg_qty"),
+            F.round(_stable_sum(F.col("l_discount")) / F.count(F.col("l_discount")), 4).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -203,7 +203,7 @@ def supplier_part_join(
     # average built from the exact decimal sum so the > threshold can't flip
     # for a borderline supplier when partial-sum order changes
     avg_bal = supplier.agg(
-        (_stable_sum(F.col("s_acctbal")) / F.count("*")).alias("avg_bal")
+        (_stable_sum(F.col("s_acctbal")) / F.count(F.col("s_acctbal"))).alias("avg_bal")
     )
     rich = (
         supplier.crossJoin(F.broadcast(avg_bal))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..functions import cosine, dot, ensure_parallelism
 
 LSH_PLANES = 8
@@ -240,7 +241,7 @@ def ivf_index(
     import numpy as np
 
     spark = embeddings.sparkSession
-    e = ensure_parallelism(embeddings.select("vec_id", "embedding")).persist()
+    e = track_persist(ensure_parallelism(embeddings.select("vec_id", "embedding")))
 
     seed_ids = [
         r.vec_id

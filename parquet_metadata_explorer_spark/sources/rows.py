@@ -61,17 +61,20 @@ def column_rows(f: FileInfo) -> Iterator[tuple]:
     for rg_id, rg in enumerate(meta.row_groups):
         for col_id, col in enumerate(rg.columns):
             stats = col.statistics.as_row() if col.statistics else None
+            # sizes/counts default to 0 when ColumnMetaData is absent
+            # (reference ParquetUtils.scala:193-207 getOrElse(0)); offsets
+            # and path stay NULL like the reference's Option fields
             yield (
                 rg_id,
                 col_id,
                 col.start_offset,
-                col.total_compressed_size,
-                col.total_uncompressed_size,
+                col.total_compressed_size or 0,
+                col.total_uncompressed_size or 0,
                 ".".join(p for p in col.path_in_schema if p is not None),
                 PHYSICAL_TYPES[col.type] if col.type is not None else None,
                 [ENCODINGS.get(e, str(e)) for e in col.encodings],
                 COMPRESSION_CODECS.get(col.codec) if col.codec is not None else None,
-                col.num_values,
+                col.num_values or 0,
                 stats,
                 col.data_page_offset,
                 col.dictionary_page_offset,

@@ -43,7 +43,11 @@ def windowed_counts(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
-            F.round(_stable_sum(F.col("value")) / F.count("*"), 4).alias("avg_value"),
+            # divide by count(value), not count(*): preserves SQL avg()
+            # semantics when value is NULL (excluded from both sides)
+            F.round(_stable_sum(F.col("value")) / F.count(F.col("value")), 4).alias(
+                "avg_value"
+            ),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

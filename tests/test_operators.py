@@ -155,3 +155,21 @@ def test_embedding_dedup_tiled_skewed_bucket(spark):
     for a in range(40):
         for b in range(a + 1, 40):
             assert tiled[(a, b)] == 1.0
+
+
+def test_exact_duplicates_doc_ids_cap(spark):
+    rows = [(i, "same text") for i in range(10)] + [(100, "other")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = dedup.exact_duplicates(docs, doc_ids_cap=3).collect()[0]
+    assert g.n_docs == 10  # true group size unaffected by the cap
+    assert g.keep_doc_id == 0
+    assert g.doc_ids == [0, 1, 2]  # bounded, smallest-first
+
+
+def test_unpersist_all_releases_operator_caches(spark, docs):
+    import parquet_metadata_explorer_spark as pqx
+
+    dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    assert pqx.unpersist_all() >= 1
+    # idempotent: second call has nothing left to release
+    assert pqx.unpersist_all() == 0
