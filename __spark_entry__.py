@@ -919,6 +919,30 @@ GROUP BY 1
 """
 
 
+def q_page_plain_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-page bytes decoded back into values: distinct decoded
+    values must equal SELECT DISTINCT on the data itself — an
+    independent end-to-end check of the page scan + PLAIN decoder."""
+    from parquet_metadata_explorer_spark.operators.page_decode import (
+        dictionary_values,
+    )
+
+    return (
+        dictionary_values(
+            spark, f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        )
+        .select("col_path", "value")
+        .distinct()
+    )
+
+
+O_PAGE_PLAIN_DECODE = """
+SELECT 'lang' AS col_path, lang AS value FROM (SELECT DISTINCT lang FROM documents)
+UNION ALL
+SELECT 'source' AS col_path, source AS value FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -937,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_rowgroup": q_meta_rowgroup,
         "meta_column": q_meta_column,
         "meta_page": q_meta_page,
+        "page_plain_decode": q_page_plain_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -972,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_rowgroup": O_META_ROWGROUP,
         "meta_column": O_META_COLUMN,
         # meta_page: no DuckDB page-level function — rows-only check
+        "page_plain_decode": O_PAGE_PLAIN_DECODE,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),

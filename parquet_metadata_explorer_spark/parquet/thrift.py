@@ -317,6 +317,12 @@ class ColumnChunk:
     offset_index_length: Optional[int] = None
     column_index_offset: Optional[int] = None
     column_index_length: Optional[int] = None
+    # parquet-format ColumnMetaData ids 14-16 (post-reference extension)
+    bloom_filter_offset: Optional[int] = None
+    bloom_filter_length: Optional[int] = None
+    unencoded_byte_array_data_bytes: Optional[int] = None
+    repetition_level_histogram: Optional[list] = None
+    definition_level_histogram: Optional[list] = None
 
     @property
     def start_offset(self) -> int:
@@ -412,6 +418,9 @@ def parse_schema_element(f: dict) -> SchemaElement:
 def parse_column_chunk(f: dict) -> ColumnChunk:
     md = f.get(3) or {}
     stats = Statistics.from_fields(md[12]) if 12 in md else None
+    # SizeStatistics (id 16): 1=unencoded_byte_array_data_bytes,
+    # 2=repetition_level_histogram, 3=definition_level_histogram
+    size_stats = md.get(16) or {}
     return ColumnChunk(
         file_offset=f.get(2) or 0,
         offset_index_offset=f.get(4),
@@ -429,6 +438,11 @@ def parse_column_chunk(f: dict) -> ColumnChunk:
         index_page_offset=md.get(10),
         dictionary_page_offset=md.get(11),
         statistics=stats,
+        bloom_filter_offset=md.get(14),
+        bloom_filter_length=md.get(15),
+        unencoded_byte_array_data_bytes=size_stats.get(1),
+        repetition_level_histogram=size_stats.get(2),
+        definition_level_histogram=size_stats.get(3),
     )
 
 

@@ -72,7 +72,11 @@ PARQUET_ROWGROUP_LEVEL = StructType(
     ]
 )
 
-# ParquetColumnLevel (MetadataLevel.scala:48-77)
+# ParquetColumnLevel (MetadataLevel.scala:48-77). The reference's columns
+# are an exact prefix; the fields after ``filepath`` are a recorded
+# extension (parquet-format ColumnMetaData ids 14-16: bloom-filter
+# location and SizeStatistics) the reference predates — always NULL for
+# files whose writer didn't emit them.
 PARQUET_COLUMN_LEVEL = StructType(
     [
         StructField("row_group_id", IntegerType()),
@@ -94,6 +98,11 @@ PARQUET_COLUMN_LEVEL = StructType(
         StructField("column_index_offset", LongType()),
         StructField("column_index_length", IntegerType()),
         StructField("filepath", StringType()),
+        StructField("bloom_filter_offset", LongType()),
+        StructField("bloom_filter_length", IntegerType()),
+        StructField("unencoded_byte_array_data_bytes", LongType()),
+        StructField("repetition_level_histogram", ArrayType(LongType())),
+        StructField("definition_level_histogram", ArrayType(LongType())),
     ]
 )
 

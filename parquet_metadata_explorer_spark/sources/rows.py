@@ -84,6 +84,11 @@ def column_rows(f: FileInfo) -> Iterator[tuple]:
                 col.column_index_offset,
                 col.column_index_length,
                 f.path,
+                col.bloom_filter_offset,
+                col.bloom_filter_length,
+                col.unencoded_byte_array_data_bytes,
+                col.repetition_level_histogram,
+                col.definition_level_histogram,
             )
 
 

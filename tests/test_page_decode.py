@@ -1,0 +1,83 @@
+"""PLAIN decoder + dictionary-page decode operator.
+
+The dictionary page of a column is PLAIN-encoded by construction, so its
+decoded values must equal the column's distinct values — checked here
+against pyarrow reading the same data."""
+
+import struct
+
+import pytest
+
+from parquet_metadata_explorer_spark.parquet.decode import (
+    decode_plain,
+    decompress_page,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_plain_fixed_width():
+    data = struct.pack("<3i", 1, -2, 3)
+    assert decode_plain(data, "INT32") == [1, -2, 3]
+    data = struct.pack("<2q", 2**40, -5)
+    assert decode_plain(data, "INT64") == [2**40, -5]
+    data = struct.pack("<2d", 1.5, -0.25)
+    assert decode_plain(data, "DOUBLE") == [1.5, -0.25]
+    assert decode_plain(struct.pack("<2f", 1.0, 2.0), "FLOAT") == [1.0, 2.0]
+
+
+def test_decode_plain_boolean_bitpacked():
+    # 10 values: 1,0,1,1,0,0,0,1 | 1,0 -> bytes 0b10001101, 0b00000001
+    data = bytes([0b10001101, 0b00000001])
+    vals = decode_plain(data, "BOOLEAN", count=10)
+    assert vals == [True, False, True, True, False, False, False, True, True, False]
+
+
+def test_decode_plain_binary_and_flba():
+    data = struct.pack("<I", 2) + b"ab" + struct.pack("<I", 0) + struct.pack("<I", 3) + b"xyz"
+    assert decode_plain(data, "BINARY") == [b"ab", b"", b"xyz"]
+    assert decode_plain(b"aabbcc", "FIXED_LEN_BYTE_ARRAY", type_length=2) == [
+        b"aa", b"bb", b"cc"
+    ]
+    with pytest.raises(ValueError, match="type_length"):
+        decode_plain(b"aa", "FIXED_LEN_BYTE_ARRAY")
+
+
+def test_decompress_passthrough_and_snappy():
+    assert decompress_page(b"abc", "UNCOMPRESSED") == b"abc"
+    assert decompress_page(b"abc", None) == b"abc"
+    import pyarrow as pa
+
+    raw = b"hello world" * 10
+    comp = pa.Codec("snappy").compress(raw).to_pybytes()
+    assert decompress_page(comp, "SNAPPY", len(raw)) == raw
+
+
+def test_dictionary_values_match_distinct(spark):
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import (
+        dictionary_values,
+    )
+
+    df = dictionary_values(spark, f"{SF}/documents.parquet", columns=["lang", "source"])
+    got = sorted((r.col_path, r.value) for r in df.select("col_path", "value").distinct().collect())
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source"])
+    exp = sorted(
+        [("lang", v) for v in set(t.column("lang").to_pylist())]
+        + [("source", v) for v in set(t.column("source").to_pylist())]
+    )
+    assert got == exp
+
+
+def test_dictionary_values_numeric(spark):
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import (
+        dictionary_values,
+    )
+
+    df = dictionary_values(spark, f"{SF}/lineitem.parquet", columns=["l_quantity"])
+    got = sorted(float(r.value) for r in df.collect())
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity"])
+    assert got == sorted(set(t.column("l_quantity").to_pylist()))

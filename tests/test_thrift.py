@@ -96,3 +96,63 @@ def test_footer_eof_error_parity(tmp_path):
     bad.write_bytes(b"PAR1" + b"\x00" * 4 + _struct.pack("<i", 1000) + b"PAR1")
     with pytest.raises(ValueError, match=r"EOF when reading Parquet metadata for .*file 16, metadata 1000"):
         read_footer(str(bad))
+
+
+def _zz(v):
+    """zigzag varint encode"""
+    n = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def test_bloom_and_size_statistics_fields():
+    """Wire-level decode of ColumnMetaData ids 14-16 (bloom filter
+    location + SizeStatistics), crafted as compact-protocol bytes."""
+    from parquet_metadata_explorer_spark.parquet.thrift import (
+        BytesReadable,
+        CompactReader,
+        parse_column_chunk,
+    )
+
+    md = (
+        bytes([0x15]) + _zz(1)          # 1: type INT32
+        + bytes([0x46]) + _zz(100)      # 5: num_values
+        + bytes([0x96]) + _zz(4096)     # 14: bloom_filter_offset
+        + bytes([0x16]) + _zz(512)      # 15: bloom_filter_length
+        + bytes([0x1C])                 # 16: SizeStatistics struct
+        + bytes([0x16]) + _zz(7777)     #   1: unencoded_byte_array_data_bytes
+        + bytes([0x19, 0x26]) + _zz(0) + _zz(100)   # 2: rep-level histogram [0, 100]
+        + bytes([0x19, 0x26]) + _zz(5) + _zz(95)    # 3: def-level histogram [5, 95]
+        + bytes([0x00])                 # stop SizeStatistics
+        + bytes([0x00])                 # stop ColumnMetaData
+    )
+    chunk = bytes([0x26]) + _zz(1234) + bytes([0x1C]) + md + bytes([0x00])
+    f = CompactReader(BytesReadable(chunk)).read_struct_generic()
+    col = parse_column_chunk(f)
+    assert col.file_offset == 1234
+    assert col.num_values == 100
+    assert col.bloom_filter_offset == 4096
+    assert col.bloom_filter_length == 512
+    assert col.unencoded_byte_array_data_bytes == 7777
+    assert col.repetition_level_histogram == [0, 100]
+    assert col.definition_level_histogram == [5, 95]
+
+
+def test_column_level_extension_fields_null_on_plain_files(spark):
+    """Files written without blooms/size-stats surface NULL extension
+    fields end-to-end through the public column level."""
+    import parquet_metadata_explorer_spark as pqx
+
+    df = pqx.read_metadata(spark, ALL_TABLES[0], source="parquet", level="column")
+    r = df.select(
+        "bloom_filter_offset", "bloom_filter_length",
+        "unencoded_byte_array_data_bytes",
+        "repetition_level_histogram", "definition_level_histogram",
+    ).first()
+    assert all(v is None for v in r)
