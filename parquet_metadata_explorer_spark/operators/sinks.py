@@ -1,0 +1,64 @@
+"""Write-path endpoints for the training-data pipeline.
+
+The reference is a read-only source (SURVEY §2.2: no write path in its
+tree); these sinks complete the loop the way a 100 TB pipeline actually
+ends: a deduplicated corpus written back out, and a metadata report
+materialized for fleet-wide scans. Everything is ``df.write`` — Spark's
+committer handles atomicity, partitioned layout and parallel output, so
+there is nothing hand-rolled to break at scale. See also
+``bucketing.write_bucketed`` for the bucketed-table sink used by the
+zero-Exchange join demo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.api import read_metadata
+from .dedup import exact_duplicates
+
+
+def write_deduplicated(
+    documents: DataFrame,
+    out_path: str,
+    partition_by: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Write ``documents`` with exact duplicates removed (keeping the
+    smallest doc_id of each group).
+
+    Plan shape: the duplicate set is (n_groups ≤ n_docs) fingerprints —
+    usually a small fraction of the corpus — joined back as a LEFT ANTI
+    on doc_id. Both sides shuffle on doc_id once; at 100 TB the anti
+    join's right side is only the *dropped* ids, which AQE broadcasts
+    when small. The writer then streams partitions straight to files —
+    no collect, no coalesce bottleneck.
+    """
+    drops = (
+        exact_duplicates(documents)
+        .select(F.explode("doc_ids").alias("doc_id"), F.col("keep_doc_id"))
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    kept = documents.join(drops, "doc_id", "left_anti")
+    writer = kept.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(out_path)
+
+
+def write_metadata_report(
+    spark: SparkSession,
+    data_path: str,
+    out_path: str,
+    levels: tuple = ("file", "rowgroup", "column"),
+    mode: str = "error",
+) -> None:
+    """Materialize parquet metadata levels of ``data_path`` as parquet
+    datasets under ``out_path/<level>`` — the fleet-scan pattern: run the
+    (cheap, footer-only) metadata scan once, then query the report with
+    plain SQL instead of re-touching 10^6 files."""
+    for level in levels:
+        df = read_metadata(spark, data_path, source="parquet", level=level)
+        df.write.mode(mode).parquet(f"{out_path}/{level}")
