@@ -43,6 +43,7 @@ def main() -> None:
         "meta_rowgroup",
         "meta_column",
         "meta_page",
+        "page_plain_decode",
         "dedup_exact",
         "dedup_minhash",
         "dedup_ngram_jaccard",
@@ -63,8 +64,23 @@ def main() -> None:
         "supplier_part_revenue",
     ]
 
-    # warm-up: JVM + Python worker pool
+    # warm-up: JVM codegen AND the Python worker pool — a mapInPandas pass
+    # forks one worker per core and pays the numpy/pandas import there, so
+    # per-query timings measure query cost, not interpreter startup
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame({"id": b["id"]})
+
+    (
+        spark.range(0, int(cpus) * 4, 1, int(cpus))
+        .mapInPandas(_warm, "id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -434,7 +434,10 @@ def embedding_near_duplicates(
     # bucketize pass, but that is map-only numpy — cheaper than caching
     # n_bands× the corpus.
     census = (
-        bands.groupBy("band_id", "band_value")
+        multiband_lsh_buckets(
+            embeddings, n_bands, planes_per_band, with_embedding=False
+        )
+        .groupBy("band_id", "band_value")
         .agg(
             F.ceil(F.count("*") / F.lit(bucket_cap)).cast("long").alias("n_chunks")
         )

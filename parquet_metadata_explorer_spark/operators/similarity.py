@@ -164,7 +164,10 @@ def _plane_matrix(n_planes: int, dim: int):
 
 
 def multiband_lsh_buckets(
-    embeddings: DataFrame, n_bands: int = 4, planes_per_band: int = 8
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    with_embedding: bool = True,
 ) -> DataFrame:
     """Multi-band sign-LSH: one row per (vector, band) with the band's
     sign-bit bucket value. Two vectors are near-dup *candidates* if they
@@ -176,6 +179,11 @@ def multiband_lsh_buckets(
     bits come from one numpy GEMM per Arrow batch against the deterministic
     plane matrix (vs ``lsh_buckets``'s per-plane interpreted HOF fold —
     same math, ~100× cheaper per row), so this is the scale path.
+
+    ``with_embedding=False`` drops the vector from the output — the ids
+    branch skips the n_bands× list materialization entirely, which is most
+    of the kernel's cost for callers that only need bucket membership
+    (e.g. the dedup bucket-size census).
     """
     import numpy as np
     import pandas as pd
@@ -187,14 +195,14 @@ def multiband_lsh_buckets(
         StructType,
     )
 
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("band_id", LongType()),
-            StructField("band_value", LongType()),
-            StructField("embedding", ArrayType(DoubleType())),
-        ]
-    )
+    fields = [
+        StructField("vec_id", LongType()),
+        StructField("band_id", LongType()),
+        StructField("band_value", LongType()),
+    ]
+    if with_embedding:
+        fields.append(StructField("embedding", ArrayType(DoubleType())))
+    out_schema = StructType(fields)
     n_planes = n_bands * planes_per_band
 
     def bucketize(batches):
@@ -207,18 +215,18 @@ def multiband_lsh_buckets(
                 w = _plane_matrix(n_planes, mat.shape[1])
             bits = (mat @ w.T) > 0  # (n, n_planes)
             ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            emb = [row.tolist() for row in mat]
+            emb = [row.tolist() for row in mat] if with_embedding else None
             weights = 1 << np.arange(planes_per_band, dtype=np.int64)
             for b in range(n_bands):
                 band_bits = bits[:, b * planes_per_band : (b + 1) * planes_per_band]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": ids,
-                        "band_id": np.full(len(ids), b, dtype=np.int64),
-                        "band_value": band_bits @ weights,
-                        "embedding": emb,
-                    }
-                )
+                cols = {
+                    "vec_id": ids,
+                    "band_id": np.full(len(ids), b, dtype=np.int64),
+                    "band_value": band_bits @ weights,
+                }
+                if with_embedding:
+                    cols["embedding"] = emb
+                yield pd.DataFrame(cols)
 
     e = ensure_parallelism(embeddings.select("vec_id", "embedding"))
     return e.mapInPandas(bucketize, out_schema)
