@@ -544,12 +544,73 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / splitting
+# ---------------------------------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_metadata_explorer_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(_table(spark, sf_dir, "documents"), "doc_id", 100)
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+O_HASH_SPLIT = f"""
+SELECT CASE WHEN {_d_hash60("doc_id::varchar")} % 1000 < 100 THEN 'val' ELSE 'train' END AS split,
+       count(*)::bigint AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_metadata_explorer_spark.operators.sampling import sample_per_group
+
+    return sample_per_group(
+        _table(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    ).select("lang", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+O_SAMPLE_PER_GROUP = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_d_hash60("doc_id::varchar")}, doc_id) AS sample_rank
+  FROM documents
+)
+SELECT lang, doc_id, sample_rank::bigint AS sample_rank FROM ranked WHERE sample_rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_frequencies(_table(spark, sf_dir, "documents"), n=2, top_k=50)
+
+
+# boundary ties broken by (freq desc, ngram asc) on both engines, so the
+# LIMIT cut is deterministic
+O_NGRAM_FREQ = f"""
+WITH toks AS (SELECT {D_TOKS} AS t FROM documents),
+grams AS (
+  SELECT unnest(CASE WHEN length(t) >= 2
+      THEN list_transform(range(1, greatest(length(t)-1, 1)+1),
+                          i -> array_to_string(t[i:i+1], ' '))
+      ELSE []::varchar[] END) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*)::bigint AS freq FROM grams GROUP BY 1
+ORDER BY freq DESC, ngram LIMIT 50
+"""
 
 
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
@@ -970,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "ngram_freq": q_ngram_freq,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -1005,6 +1069,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _oracle_dedup_embedding(),
         "ann_topk": O_ANN_TOPK,
         "ann_lsh": _oracle_ann_lsh(),
+        "hash_split": O_HASH_SPLIT,
+        "sample_per_group": O_SAMPLE_PER_GROUP,
+        "ngram_freq": O_NGRAM_FREQ,
         "text_stats": O_TEXT_STATS,
         "text_langid": _oracle_langid(),
         "text_tokens": O_TEXT_TOKENS,

@@ -145,3 +145,34 @@ def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
         F.size(winnow).cast("long").alias("n_winnow"),
         F.sort_array(winnow).alias("winnow_fps"),
     )
+
+
+def ngram_frequencies(
+    documents: DataFrame, n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table: the ``top_k`` most frequent
+    word n-grams (every occurrence counts, unlike the dedup shingles'
+    per-document distinct) with deterministic count-desc, ngram-asc order.
+
+    The vocabulary-building workhorse of a text pipeline. Plan shape:
+    map-only explode (rows × ~tokens), partial count before the single
+    (ngram) shuffle — map-side combine collapses the heavy tail early —
+    then a tiny top-k sort. Survives 100 TB because nothing ever holds
+    more than (distinct n-grams in a partition) in memory.
+    """
+    toks = tokens(F.col("text"))
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(top_k)
+    )
