@@ -63,3 +63,51 @@ def test_pricing_summary_partial_agg(spark, sf_dir):
     # partial (map-side) + final hash aggregate around a single exchange
     assert plan.count("HashAggregate") >= 2
     assert count_exchanges(df) <= 2
+
+
+def test_hash_split_adds_no_shuffle(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.sampling import hash_split
+
+    df = hash_split(load(spark, sf_dir, "documents"), "doc_id", 100)
+    assert count_exchanges(df) == 0  # pure projection: map-only at any scale
+
+
+def test_sample_per_group_single_shuffle(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.sampling import sample_per_group
+
+    df = sample_per_group(load(spark, sf_dir, "documents"), "lang", "doc_id", 5)
+    assert count_exchanges(df) == 1  # the group-key window exchange only
+
+
+def test_ngram_freq_partial_agg_before_shuffle(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators import text
+
+    df = text.ngram_frequencies(load(spark, sf_dir, "documents"), 2, 50)
+    plan = simple_plan(df)
+    # partial count must appear below the single ngram exchange
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) <= 2  # ngram agg + top-k sort
+
+
+def test_exact_duplicates_single_shuffle(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.dedup import exact_duplicates
+
+    df = exact_duplicates(load(spark, sf_dir, "documents"))
+    # the row_number window and the groupBy share the fingerprint
+    # partitioning: one exchange total
+    assert count_exchanges(df) == 1
+
+
+def test_embedding_dedup_census_broadcasts(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    df = embedding_near_duplicates(load(spark, sf_dir, "embeddings"), 0.9)
+    plan = simple_plan(df)
+    # the bucket-size census joins back as a broadcast: the fat
+    # embedding-carrying rows must shuffle exactly once (tile groupBy),
+    # plus the census's own small aggregation exchange and the final
+    # pair dedup
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 4
