@@ -36,18 +36,19 @@ def _canon(v, physical_type: str) -> str:
     return str(v)
 
 
-def dictionary_values(
+def _decoded_pages(
     spark: SparkSession,
     path: str,
+    page_predicate,
     columns: Optional[list] = None,
 ) -> DataFrame:
-    """Decoded dictionary-page values, one row per (file, column path,
-    value). ``columns`` optionally restricts to the named column paths
-    (pushed into both metadata scans' filters)."""
+    """Shared scan→join→decode pipeline: page rows passing
+    ``page_predicate`` are joined to broadcast column context and their
+    content PLAIN-decoded inside ``mapInPandas``."""
     import pandas as pd
 
     pages = read_metadata(spark, path, source="parquet", level="page", pagecontent=True)
-    pages = pages.filter(F.col("page_type") == "DICTIONARY_PAGE").select(
+    pages = pages.filter(page_predicate).select(
         "filepath",
         "row_group_id",
         "column_id",
@@ -100,3 +101,33 @@ def dictionary_values(
         decode_batches, "filepath string, col_path string, value string"
     )
     return out
+
+
+def dictionary_values(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[list] = None,
+) -> DataFrame:
+    """Decoded dictionary-page values, one row per (file, column path,
+    value). ``columns`` optionally restricts to the named column paths
+    (pushed into both metadata scans' filters)."""
+    return _decoded_pages(
+        spark, path, F.col("page_type") == "DICTIONARY_PAGE", columns
+    )
+
+
+def plain_data_values(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[list] = None,
+) -> DataFrame:
+    """Decoded values of PLAIN-encoded DATA pages.
+
+    Valid for *required, flat* columns only: with max definition and
+    repetition level 0 a v1 data page carries no level blocks, so its
+    decompressed bytes are pure PLAIN values (the caller picks columns —
+    the page scan cannot see repetition types). Optional columns'
+    level-block handling is deliberately out of scope (see
+    ``parquet/decode.py``)."""
+    pred = (F.col("page_type") == "DATA_PAGE") & (F.col("encoding") == "PLAIN")
+    return _decoded_pages(spark, path, pred, columns)

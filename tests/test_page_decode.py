@@ -81,3 +81,24 @@ def test_dictionary_values_numeric(spark):
     got = sorted(float(r.value) for r in df.collect())
     t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity"])
     assert got == sorted(set(t.column("l_quantity").to_pylist()))
+
+
+def test_plain_data_page_values_required_column(spark, tmp_path):
+    """A required no-dictionary column's DATA pages are pure PLAIN: the
+    decoded values must reproduce the column exactly, in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import (
+        plain_data_values,
+    )
+
+    vals = list(range(100))
+    t = pa.table({"v": pa.array(vals, type=pa.int64())}).cast(
+        pa.schema([pa.field("v", pa.int64(), nullable=False)])
+    )
+    f = str(tmp_path / "plain.parquet")
+    pq.write_table(t, f, use_dictionary=False, compression="snappy")
+
+    got = sorted(int(r.value) for r in plain_data_values(spark, f, columns=["v"]).collect())
+    assert got == vals
