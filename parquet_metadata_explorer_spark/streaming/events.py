@@ -181,3 +181,31 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming exact dedup: emit each distinct document fingerprint the
+    first time it arrives, drop every later copy.
+
+    ``dropDuplicates`` on a stream keeps per-key state; here the key is
+    the md5 fingerprint so state is one row per *distinct* document —
+    bounded by corpus diversity, not stream length. (With an event-time
+    column a ``withWatermark`` before the dropDuplicates would expire
+    state for time-bounded dedup windows; the documents table has no
+    timestamp, so this variant keeps full history.)
+    """
+    from ..functions import normalize_text
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(docs_path).schema)
+        .option("maxFilesPerTrigger", "4")
+        .load(docs_path)
+    )
+    return (
+        stream.select(
+            F.col("doc_id"),
+            F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        )
+        .dropDuplicates(["fingerprint"])
+    )

@@ -36,3 +36,36 @@ def test_stream_matches_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     assert b == s
     assert len(b) > 0
+
+
+def test_stream_exact_dedup_matches_batch(spark, sf_dir):
+    """The streamed first-seen set must cover exactly the batch-side
+    distinct fingerprints (one representative per group)."""
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.functions import normalize_text
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/documents.parquet", stage + "/documents.parquet")
+    out = ev.stream_exact_dedup(spark, stage)
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("dedup_stream").collect()
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
+        .distinct()
+        .collect()
+    )
+    assert len(streamed) == len(batch)  # one survivor per distinct doc
+    assert {r.fingerprint for r in streamed} == {r.fingerprint for r in batch}
