@@ -10,9 +10,14 @@ files' footers/pages executor-side.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
-from ..listing import list_files
+from ..listing import FileInfo, list_files, parse_partition_values
 from ..options import LEVEL_FILE, SOURCE_FILE, parse_options, validate_source_level
 from ..schemas import SCHEMAS_BY_LEVEL
 from .api import _infer_source
@@ -51,6 +56,84 @@ class MetadataReader(DataSourceReader):
                 yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
 
 
+def _emit_rows(files, opts, source):
+    """Shared per-file row dispatch (batch partitions and stream batches)."""
+    from . import rows as R
+
+    for f in files:
+        if source == SOURCE_FILE:
+            yield from R.file_rows(f)
+        elif opts.level == LEVEL_FILE:
+            yield from R.parquet_file_rows(f)
+        elif opts.level == "rowgroup":
+            yield from R.rowgroup_rows(f)
+        elif opts.level == "column":
+            yield from R.column_rows(f)
+        else:
+            yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
+
+
+class MetadataStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("metadata")`` — emit metadata rows for
+    files as they appear under the root (the fleet-monitoring pattern:
+    a continuously-updated inventory of a landing zone's parquet files).
+
+    Offsets record ``{path: "size:mtime"}`` for every file already
+    emitted; a microbatch is the set of files whose token is new or
+    changed. Replay (``readBetweenOffsets``) rebuilds each ``FileInfo``
+    from the offset delta — sizes/mtimes come from the offset itself, so
+    a replayed batch is identical even if the directory changed since,
+    as long as replayed files still exist for footer-reading levels
+    (parquet files in a landing zone are immutable in practice).
+
+    The simple stream reader runs on the driver — appropriate for a
+    control-plane stream whose row volume is metadata-sized, and it
+    keeps the offset bookkeeping trivial. Page-level streams with
+    ``pagecontent=true`` move data bytes through the driver; use the
+    batch path for bulk page extraction.
+    """
+
+    def __init__(self, opts, source):
+        self.opts = opts
+        self.source = source
+        self.root = opts.path.rstrip("/") or "/"
+
+    @staticmethod
+    def _token(f) -> str:
+        return f"{f.size}:{f.mtime}"
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def read(self, start: dict):
+        seen = dict(start.get("seen", {}))
+        new = [
+            f
+            for f in list_files(self.opts.path)
+            if seen.get(f.path) != self._token(f)
+        ]
+        for f in new:
+            seen[f.path] = self._token(f)
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator, which only list-like iterators allow;
+        # a microbatch is metadata-sized so this is cheap
+        return iter(list(_emit_rows(new, self.opts, self.source))), {"seen": seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        sseen = start.get("seen", {})
+        delta = sorted(
+            (p, tok)
+            for p, tok in end.get("seen", {}).items()
+            if sseen.get(p) != tok
+        )
+        files = []
+        for p, tok in delta:
+            size, mtime = (int(x) for x in tok.split(":"))
+            part = parse_partition_values(self.root, p) if p != self.root else ()
+            files.append(FileInfo(p, p.rsplit("/", 1)[-1], size, mtime, part))
+        return _emit_rows(files, self.opts, self.source)
+
+
 class MetadataDataSource(DataSource):
     """Plan-time state (file listing, source inference) is computed once
     and shared between ``schema()`` and ``reader()`` — the listing of a
@@ -86,3 +169,7 @@ class MetadataDataSource(DataSource):
 
     def reader(self, schema):
         return MetadataReader(*self._plan())
+
+    def simpleStreamReader(self, schema):
+        opts, _files, source = self._plan()
+        return MetadataStreamReader(opts, source)
