@@ -1,0 +1,59 @@
+"""Edge-case files through every level: zero rows, many row groups,
+uncompressed pages."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import parquet_metadata_explorer_spark as pqx
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge")
+    # zero-row file with a real schema
+    empty = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.string())})
+    pq.write_table(empty, str(d / "empty.parquet"))
+    # many small row groups
+    t = pa.table({"v": pa.array(range(1000), type=pa.int64())})
+    pq.write_table(t, str(d / "many_rg.parquet"), row_group_size=100)
+    # uncompressed
+    pq.write_table(t, str(d / "uncomp.parquet"), compression="NONE")
+    return str(d)
+
+
+def test_zero_row_file_all_levels(spark, edge_dir):
+    # pyarrow writes an empty table as ONE row group with 0 rows and
+    # empty (but present) pages per column — the scan must mirror that
+    f = f"{edge_dir}/empty.parquet"
+    meta = pqx.read_metadata(spark, f, source="parquet", level="file").collect()[0]
+    assert meta.num_rows == 0 and meta.num_row_groups == 1
+    rgs = pqx.read_metadata(spark, f, level="rowgroup").collect()
+    assert len(rgs) == 1 and rgs[0].num_rows == 0
+    cols = pqx.read_metadata(spark, f, level="column").collect()
+    assert len(cols) == 2 and all(c.num_values == 0 for c in cols)
+    assert pqx.read_metadata(spark, f, level="page").count() == 2
+
+
+def test_many_row_groups(spark, edge_dir):
+    f = f"{edge_dir}/many_rg.parquet"
+    rgs = pqx.read_metadata(spark, f, level="rowgroup").collect()
+    assert len(rgs) == 10
+    assert sum(r.num_rows for r in rgs) == 1000
+    assert sorted(r.row_group_id for r in rgs) == list(range(10))
+    pages = pqx.read_metadata(spark, f, level="page").collect()
+    # every row group contributes at least one page for the single column
+    assert len({p.row_group_id for p in pages}) == 10
+
+
+def test_uncompressed_page_content(spark, edge_dir):
+    f = f"{edge_dir}/uncomp.parquet"
+    rows = (
+        pqx.read_metadata(spark, f, level="page", pagecontent=True)
+        .filter("page_type = 'DATA_PAGE'")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert len(r.page_content) == r.page_compressed_size
+        assert r.page_compressed_size == r.page_uncompressed_size  # NONE codec
