@@ -173,3 +173,22 @@ def test_unpersist_all_releases_operator_caches(spark, docs):
     assert pqx.unpersist_all() >= 1
     # idempotent: second call has nothing left to release
     assert pqx.unpersist_all() == 0
+
+
+def test_multimodal_resize_shapes(spark, docs):
+    out = {r.doc_id: r for r in multimodal.resize_payloads(docs, 4, 3).collect()}
+    for doc_id, r in out.items():
+        assert r.out_width == 4 and r.out_height == 3
+        # empty payload -> empty output; else exactly w*h bytes
+        assert len(r.resized) in (0, 12)
+    assert len(out[6].resized) == 0  # the empty doc
+
+
+def test_multimodal_frame_sampling_exact_bytes(spark):
+    text = "x" * 1000  # 1000 utf-8 bytes -> 10 frames of 100
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = multimodal.sample_frames(docs, frame_size=100, every_n=3).collect()
+    assert [r.frame_id for r in sorted(rows, key=lambda r: r.frame_id)] == [0, 3, 6, 9]
+    payload = text.encode()
+    for r in rows:
+        assert bytes(r.frame) == payload[r.frame_id * 100 : (r.frame_id + 1) * 100]
