@@ -65,6 +65,84 @@ def build_metadata_df(spark: SparkSession, opts: MetadataOptions) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+def read_page_index(
+    spark: SparkSession,
+    path: str,
+    maxparts: Optional[int] = None,
+) -> DataFrame:
+    """Decoded parquet page-index entries (ColumnIndex ⋈ OffsetIndex):
+    one row per data page per column chunk, with its location, first row
+    index, min/max bytes and null statistics — the page-skipping metadata
+    beyond the reference's index *offsets* (extension surface; empty for
+    files written without ``write_page_index``).
+
+    Same execution shape as the metadata levels: one footer read + two
+    positioned index reads per file, parallelized over files, no shuffle.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("row_group_id", IntegerType()),
+            StructField("column_id", IntegerType()),
+            StructField("page_idx", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("compressed_page_size", IntegerType()),
+            StructField("first_row_index", LongType()),
+            StructField("null_page", BooleanType()),
+            StructField("min_value", BinaryType()),
+            StructField("max_value", BinaryType()),
+            StructField("null_count", LongType()),
+            StructField("boundary_order", IntegerType()),
+            StructField("filepath", StringType()),
+        ]
+    )
+    files = list_files(path, spark=spark)
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    def index_rows(f):
+        from ..parquet.footer import read_footer
+        from ..parquet.pageindex import read_page_index as _rpi
+
+        meta, _ = read_footer(f.path, f.size)
+        for rg_id, rg in enumerate(meta.row_groups):
+            for col_id, col in enumerate(rg.columns):
+                ci, oi = _rpi(f.path, col)
+                if oi is None:
+                    continue
+                for i, loc in enumerate(oi.page_locations):
+                    has_ci = ci is not None and i < len(ci.min_values)
+                    yield (
+                        rg_id,
+                        col_id,
+                        i,
+                        loc.offset,
+                        loc.compressed_page_size,
+                        loc.first_row_index,
+                        bool(ci.null_pages[i]) if has_ci else None,
+                        bytes(ci.min_values[i]) if has_ci else None,
+                        bytes(ci.max_values[i]) if has_ci else None,
+                        ci.null_counts[i]
+                        if ci is not None and ci.null_counts is not None
+                        else None,
+                        ci.boundary_order if ci is not None else None,
+                        f.path,
+                    )
+
+    num_slices = max(1, min(len(files), maxparts or 200))
+    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(index_rows)
+    return spark.createDataFrame(rdd, schema)
+
+
 def read_metadata(
     spark: SparkSession,
     path: str,
