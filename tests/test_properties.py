@@ -96,3 +96,38 @@ def test_render_partition_value_idempotent_and_total(v):
     assert out is not None
     # rendering is canonicalizing: applying it twice changes nothing
     assert render_partition_value(out) == out
+
+
+def _field(fid_delta: int, wtype: int) -> bytes:
+    return bytes([(fid_delta << 4) | wtype])
+
+
+@given(
+    st.lists(
+        st.sampled_from(["i64", "bin", "struct", "list", "double", "bool"]),
+        max_size=8,
+    )
+)
+def test_unknown_fields_are_skipped(kinds):
+    """A struct with arbitrary unknown fields (ids 20+) must parse:
+    forward compatibility of the hand-rolled compact reader."""
+    payload = bytes([0x16]) + _zigzag(42)  # field 1: i64 = 42
+    fid = 1
+    for kind in kinds:
+        delta = 20 if fid == 1 else 1  # jump to high unknown ids
+        fid += delta
+        if kind == "i64":
+            payload += _field(min(delta, 15), 6) + _zigzag(7)
+        elif kind == "bin":
+            payload += _field(min(delta, 15), 8) + _varint(3) + b"abc"
+        elif kind == "double":
+            payload += _field(min(delta, 15), 7) + struct.pack("<d", 1.5)
+        elif kind == "bool":
+            payload += _field(min(delta, 15), 1)
+        elif kind == "struct":
+            payload += _field(min(delta, 15), 12) + bytes([0x16]) + _zigzag(1) + b"\x00"
+        elif kind == "list":
+            payload += _field(min(delta, 15), 9) + bytes([0x26]) + _zigzag(1) + _zigzag(2)
+    payload += b"\x00"
+    f = CompactReader(BytesReadable(payload)).read_struct_generic()
+    assert f[1] == 42
