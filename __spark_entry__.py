@@ -501,10 +501,108 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: the IVF coarse quantizer is an iterative (k-means)
-    # algorithm, not SQL-expressible; determinism + recall covered in
-    # tests/test_ivf.py
     return similarity.ivf_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _d_dist2(e: str, c: str) -> str:
+    """Squared euclidean via the same ||x||²-2xc+||c||² expansion the
+    numpy kernel uses."""
+    return (
+        f"(list_dot_product({e}::DOUBLE[], {e}::DOUBLE[])"
+        f" - 2 * list_dot_product({e}::DOUBLE[], {c})"
+        f" + list_dot_product({c}, {c}))"
+    )
+
+
+def _oracle_ann_ivf(n_centroids: int = 16, iters: int = 3, n_probe: int = 4, k: int = 10) -> str:
+    """The deterministic Lloyd iterations unrolled as CTE layers.
+
+    Mirrors similarity.ivf_index exactly: seeds are the ``n_centroids``
+    vectors with smallest md5(vec_id) (cluster index = vec_id rank, the
+    file order numpy stacks them in); each iteration assigns by minimum
+    squared euclidean (ties to the lowest cluster index, matching
+    argmin) and re-averages per dimension, with empty clusters keeping
+    their previous centroid; candidate membership uses the LAST
+    assignment (computed against the pre-final-update centroids) while
+    probe selection uses the final centroids — the exact loop structure
+    of the Spark implementation. Float caveat: double accumulation order
+    differs between numpy GEMM and list_dot_product, so an exact
+    distance tie between distinct centroids could in principle assign
+    differently; margins in real embeddings make this vanishingly rare
+    (same tolerance note as the sign-LSH bits).
+    """
+    q_ids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    # a cluster left empty in iteration i keeps its iteration-(i-1)
+    # centroid (Spark mutates the array in place), hence the coalesce
+    # against the PREVIOUS layer, not c0
+    parts_fixed = [
+        f"""seeds AS (
+  SELECT vec_id FROM embeddings ORDER BY md5(vec_id::varchar) LIMIT {n_centroids}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cluster,
+         e.embedding::DOUBLE[] AS c
+  FROM embeddings e JOIN seeds s USING (vec_id)
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts_fixed.append(
+            f"""a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_d_dist2("e.embedding", "c.c")}, c.cluster) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{it} AS (
+  -- (dim, v) explode via select-list struct unnest (no ORDINALITY in 1.0)
+  SELECT cluster, list(m ORDER BY dim) AS c FROM (
+    SELECT cluster, u.dim AS dim, avg(u.v) AS m FROM (
+      SELECT a.cluster AS cluster,
+             unnest(list_transform(range(1, length(e.embedding)+1),
+                    i -> {{'dim': i-1, 'v': e.embedding[i]::DOUBLE}})) AS u
+      FROM a{it} a JOIN embeddings e USING (vec_id)
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+c{it} AS (
+  SELECT p.cluster, coalesce(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN m{it} m USING (cluster)
+)"""
+        )
+    final_c = f"c{iters}"
+    final_a = f"a{iters}"
+    return f"""
+WITH {", ".join(parts_fixed)},
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_d_dist2("q.embedding", "c.c")}, c.cluster) AS rn
+    FROM embeddings q CROSS JOIN {final_c} c
+    WHERE q.vec_id IN ({q_ids})
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN {final_a} a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_d_cos("q.embedding", "n.embedding")}, 6) AS cos
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _oracle_dedup_embedding(),
         "ann_topk": O_ANN_TOPK,
         "ann_lsh": _oracle_ann_lsh(),
+        "ann_ivf": _oracle_ann_ivf(),
         "hash_split": O_HASH_SPLIT,
         "sample_per_group": O_SAMPLE_PER_GROUP,
         "ngram_freq": O_NGRAM_FREQ,
