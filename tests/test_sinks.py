@@ -41,3 +41,31 @@ def test_write_metadata_report(spark, sf_dir, tmp_path):
         .collect()
     )
     assert all(r.bytes > 0 for r in agg)
+
+
+def test_clean_corpus_pipeline(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.pipelines import clean_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the woods to find some food for the long cold winter that is coming"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate -> dropped
+        (3, base + " soon now"),  # near-dup of 1 -> dropped
+        (4, "a completely different document about spark query engines that "
+            "is long enough and has the stopwords to pass the quality filter"),
+        (5, "xx"),  # too short -> quality-filtered
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = str(tmp_path / "clean")
+    stats = clean_corpus(docs, out, min_quality=0.4, near_dup_threshold=0.5)
+    assert stats == {
+        "input": 5,
+        "after_quality": 4,
+        "after_exact": 3,
+        "after_near_dup": 2,
+    }
+    back = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in back.collect()) == [1, 4]
