@@ -460,45 +460,60 @@ def embedding_near_duplicates(
         "embedding",
     )
 
-    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
-            {"vec_a": np.int64, "vec_b": np.int64, "cos": np.float64}
-        )
-        if len(pdf) < 2:
-            return empty
-        pdf = pdf.sort_values("vec_id")
-        ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    KEY = ["band_id", "band_value", "tile_i", "tile_j"]
+    PAIR_CHUNK = 1_000_000  # max pair rows per emitted Arrow batch
+
+    def rnd(s):
+        # round half-away-from-zero (DuckDB/Java semantics, not numpy's
+        # banker's rounding)
+        return np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+
+    def emit_tile(rows):
+        """One tile's qualifying pairs, yielded in ≤PAIR_CHUNK slices: a
+        degenerate tile (all-identical vectors at a low threshold) emits
+        O(cap²) pairs, which must never become one giant Arrow batch."""
+        if len(rows) < 2:
+            return
+        rows.sort(key=lambda r: r[1])
+        ti = rows[0][2]
+        tj = rows[0][3]
+        ids = np.array([r[1] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[4], dtype=np.float64) for r in rows])
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-
-        def rnd(s):
-            # round half-away-from-zero (DuckDB/Java semantics, not
-            # numpy's banker's rounding)
-            return np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
-
-        ti, tj = int(pdf["tile_i"].iat[0]), int(pdf["tile_j"].iat[0])
         if ti == tj:
             sims = rnd(mat @ mat.T)
             ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-            return pd.DataFrame(
-                {"vec_a": ids[ai], "vec_b": ids[bj], "cos": sims[ai, bj]}
-            )
-        left = np.asarray(pdf["chunk"], dtype=np.int64) == ti
-        la, lb = ids[left], ids[~left]
-        if not len(la) or not len(lb):
-            return empty
-        sims = rnd(mat[left] @ mat[~left].T)
-        ai, bj = np.nonzero(sims >= threshold)
-        a, b = la[ai], lb[bj]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(a, b),
-                "vec_b": np.maximum(a, b),
-                "cos": sims[ai, bj],
-            }
-        )
+            a, b, c = ids[ai], ids[bj], sims[ai, bj]
+        else:
+            left = np.array([r[0] for r in rows], dtype=np.int64) == ti
+            la, lb = ids[left], ids[~left]
+            if not len(la) or not len(lb):
+                return
+            sims = rnd(mat[left] @ mat[~left].T)
+            ai, bj = np.nonzero(sims >= threshold)
+            a0, b0 = la[ai], lb[bj]
+            a, b, c = np.minimum(a0, b0), np.maximum(a0, b0), sims[ai, bj]
+        for s in range(0, len(a), PAIR_CHUNK):
+            e = s + PAIR_CHUNK
+            yield pd.DataFrame({"vec_a": a[s:e], "vec_b": b[s:e], "cos": c[s:e]})
 
-    pairs = tiles.groupBy("band_id", "band_value", "tile_i", "tile_j").applyInPandas(
-        tile_pairs, "vec_a long, vec_b long, cos double"
-    )
+    def tile_pairs_stream(batches):
+        """Streaming group iterator over key-sorted partitions: buffers at
+        most one tile (≤ 2×bucket_cap rows) and never returns more than
+        PAIR_CHUNK pairs per Arrow batch — bounded worker AND JVM memory
+        regardless of how degenerate the tile is. (applyInPandas would
+        return each tile's pairs as a single DataFrame ⇒ a single Arrow
+        batch, which overflows direct memory on quadratic outputs.)"""
+        cur_key, rows = None, []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                key = (r.band_id, r.band_value, r.tile_i, r.tile_j)
+                if key != cur_key:
+                    yield from emit_tile(rows)
+                    cur_key, rows = key, []
+                rows.append((r.chunk, r.vec_id, r.tile_i, r.tile_j, r.embedding))
+        yield from emit_tile(rows)
+
+    keyed = tiles.repartition(*KEY).sortWithinPartitions(*KEY, "vec_id")
+    pairs = keyed.mapInPandas(tile_pairs_stream, "vec_a long, vec_b long, cos double")
     return pairs.dropDuplicates(["vec_a", "vec_b"]).select("vec_a", "vec_b", "cos")

@@ -192,3 +192,15 @@ def test_multimodal_frame_sampling_exact_bytes(spark):
     payload = text.encode()
     for r in rows:
         assert bytes(r.frame) == payload[r.frame_id * 100 : (r.frame_id + 1) * 100]
+
+
+def test_embedding_dedup_quadratic_output_bounded(spark):
+    """An all-identical cluster at a low threshold emits O(n²) pairs; the
+    streaming tile emitter must chunk them into bounded Arrow batches
+    (the single-DataFrame applyInPandas shape overflowed direct memory)."""
+    rows = [(i, [1.0, 0.5, -0.5, 0.25]) for i in range(2000)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = dedup.embedding_near_duplicates(
+        embs, threshold=0.99, bucket_cap=256, n_bands=2, planes_per_band=4
+    ).count()
+    assert n == 2000 * 1999 // 2
