@@ -131,3 +131,124 @@ def plain_data_values(
     ``parquet/decode.py``)."""
     pred = (F.col("page_type") == "DATA_PAGE") & (F.col("encoding") == "PLAIN")
     return _decoded_pages(spark, path, pred, columns)
+
+
+def column_values(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[list] = None,
+    maxparts: int = 200,
+) -> DataFrame:
+    """Full column reconstruction from raw page bytes: dictionary pages +
+    RLE/bit-packed-hybrid data pages (def levels included) decode back
+    into every row's value, NULLs preserved — the strongest possible
+    fidelity check of the page scan, verified against the data itself.
+
+    Scope: FLAT columns, v1 data pages, PLAIN or RLE_DICTIONARY
+    encodings (what pyarrow/parquet-mr write for flat data); nested
+    columns are skipped. Execution shape: one task per file slice, one
+    streaming page walk per chunk — memory is one dictionary + one page.
+
+    Output: (row_group_id, pos, col_path, value) with value as canonical
+    string, NULL for null rows; ``pos`` is the row index within the row
+    group, so ordering by (filepath, row_group_id, pos) reproduces the
+    column.
+    """
+    from ..listing import list_files
+    from ..parquet.decode import decode_data_page_v1, decode_dictionary_page
+    from ..parquet.footer import leaf_columns, read_footer
+    from ..parquet.pages import iter_pages
+    from ..parquet.thrift import COMPRESSION_CODECS, PHYSICAL_TYPES
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("row_group_id", IntegerType()),
+            StructField("pos", LongType()),
+            StructField("col_path", StringType()),
+            StructField("value", StringType()),
+            StructField("filepath", StringType()),
+        ]
+    )
+    files = list_files(path, spark=spark)
+    if not files:
+        return spark.createDataFrame([], schema)
+    wanted = set(columns) if columns else None
+
+    def reconstruct(f):
+        from ..parquet.decode import decompress_page
+
+        meta, _ = read_footer(f.path, f.size)
+        leaves = leaf_columns(meta)
+        # single streaming walk: iter_pages yields in (row group, column)
+        # order, so chunk state (dictionary, row position) resets at each
+        # boundary — one sequential pass over the file, O(1 page) memory
+        cur = None
+        skip = True
+        cpath = ptype = codec = None
+        optional = False
+        type_length = None
+        dictionary = None
+        pos = 0
+        for page in iter_pages(f.path, size=f.size, page_content=True, meta=meta):
+            rg_id, col_id, page_kind, content = page[0], page[1], page[3], page[14]
+            if (rg_id, col_id) != cur:
+                cur = (rg_id, col_id)
+                el = leaves[col_id]
+                col = meta.row_groups[rg_id].columns[col_id]
+                cpath = ".".join(p for p in col.path_in_schema if p is not None)
+                skip = (
+                    (wanted is not None and cpath not in wanted)
+                    or el.repetition_type == 2
+                    or "." in cpath  # nested: documented out of scope
+                )
+                codec = (
+                    COMPRESSION_CODECS.get(col.codec)
+                    if col.codec is not None
+                    else None
+                )
+                ptype = PHYSICAL_TYPES[col.type] if col.type is not None else None
+                optional = el.repetition_type == 1
+                type_length = el.type_length
+                dictionary = None
+                pos = 0
+            if skip:
+                continue
+            if page_kind == "DICTIONARY_PAGE":
+                dictionary = decode_dictionary_page(
+                    bytes(content), ptype, codec,
+                    num_values=page[9], uncompressed_size=page[7],
+                    type_length=type_length,
+                )
+                continue
+            if page_kind != "DATA_PAGE":
+                continue
+            enc = page[10]
+            use_dict = (
+                dictionary if enc in ("RLE_DICTIONARY", "PLAIN_DICTIONARY") else None
+            )
+            if use_dict is None and enc != "PLAIN":
+                continue  # other encodings: out of scope
+            raw = decompress_page(bytes(content), codec, page[7])
+            vals = decode_data_page_v1(
+                raw, page[9], use_dict, optional, ptype, type_length=type_length
+            )
+            for v in vals:
+                yield (
+                    rg_id,
+                    pos,
+                    cpath,
+                    None if v is None else _canon(v, ptype),
+                    f.path,
+                )
+                pos += 1
+
+    num_slices = max(1, min(len(files), maxparts))
+    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(reconstruct)
+    return spark.createDataFrame(rdd, schema)

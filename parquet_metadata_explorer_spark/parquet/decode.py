@@ -101,3 +101,79 @@ def decode_dictionary_page(
     """Decompress + PLAIN-decode one DICTIONARY page."""
     raw = decompress_page(content, codec, uncompressed_size)
     return decode_plain(raw, physical_type, count=num_values, type_length=type_length)
+
+
+def decode_rle_hybrid(data: bytes, bit_width: int, count: int, pos: int = 0) -> tuple:
+    """Decode ``count`` values from a parquet RLE/bit-packed hybrid run
+    stream starting at ``pos``; returns (values, next_pos).
+
+    Format (public parquet-format Encodings.md): varint header h —
+    even h: RLE run of h>>1 copies of a ceil(bit_width/8)-byte LE value;
+    odd h: h>>1 groups of 8 bit-packed values, LSB first.
+    """
+    out: list = []
+    byte_w = (bit_width + 7) // 8
+    while len(out) < count and pos < len(data):
+        # varint header
+        h = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            h |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if h & 1:  # bit-packed: (h >> 1) groups of 8 values
+            n_vals = (h >> 1) * 8
+            n_bytes = n_vals * bit_width // 8
+            chunk = data[pos : pos + n_bytes]
+            pos += n_bytes
+            acc = int.from_bytes(chunk, "little")
+            mask = (1 << bit_width) - 1
+            for i in range(n_vals):
+                if len(out) >= count:
+                    break
+                out.append((acc >> (i * bit_width)) & mask)
+        else:  # RLE run
+            v = int.from_bytes(data[pos : pos + byte_w], "little") if byte_w else 0
+            pos += byte_w
+            out.extend([v] * min(h >> 1, count - len(out)))
+    return out, pos
+
+
+def decode_data_page_v1(
+    data: bytes,
+    num_values: int,
+    dictionary: Optional[list],
+    optional: bool,
+    physical_type: str,
+    type_length: Optional[int] = None,
+) -> list:
+    """Decode one decompressed v1 DATA page of a FLAT column into Python
+    values (``None`` for nulls).
+
+    Flat optional columns carry one def-level block (4-byte LE length +
+    RLE hybrid at bit width 1: 1 = present, 0 = null); required columns
+    have none. With ``dictionary`` the remainder is RLE_DICTIONARY
+    indices (1-byte bit width prefix); without, PLAIN values. Nested
+    columns (max rep/def > 1) are out of scope, as documented.
+    """
+    pos = 0
+    if optional:
+        lvl_len = struct.unpack_from("<I", data, 0)[0]
+        levels, _ = decode_rle_hybrid(data[4 : 4 + lvl_len], 1, num_values)
+        pos = 4 + lvl_len
+    else:
+        levels = [1] * num_values
+    n_present = sum(levels)
+    if dictionary is not None:
+        bit_width = data[pos]
+        idx, _ = decode_rle_hybrid(data, bit_width, n_present, pos + 1)
+        present = [dictionary[i] for i in idx]
+    else:
+        present = decode_plain(
+            data[pos:], physical_type, count=n_present, type_length=type_length
+        )
+    it = iter(present)
+    return [next(it) if lv == 1 else None for lv in levels]

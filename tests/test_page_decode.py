@@ -102,3 +102,40 @@ def test_plain_data_page_values_required_column(spark, tmp_path):
 
     got = sorted(int(r.value) for r in plain_data_values(spark, f, columns=["v"]).collect())
     assert got == vals
+
+
+def test_column_values_full_reconstruction(spark):
+    """Every row of several flat columns rebuilt purely from page bytes
+    must equal the data as pyarrow reads it — dictionary + RLE hybrid +
+    def levels end to end."""
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    f = f"{SF}/documents.parquet"
+    out = column_values(spark, f, columns=["lang", "doc_id", "n_chars"]).collect()
+    t = pq.read_table(f, columns=["lang", "doc_id", "n_chars"])
+    by_col = {}
+    for r in sorted(out, key=lambda r: (r.row_group_id, r.pos)):
+        by_col.setdefault(r.col_path, []).append(r.value)
+    assert by_col["lang"] == t.column("lang").to_pylist()
+    assert [int(v) for v in by_col["doc_id"]] == t.column("doc_id").to_pylist()
+    assert [int(v) for v in by_col["n_chars"]] == t.column("n_chars").to_pylist()
+
+
+def test_column_values_nulls_and_multi_row_groups(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    vals = [None if i % 3 == 0 else i for i in range(1000)]
+    t = pa.table({"n": pa.array(vals, type=pa.int64())})
+    f = str(tmp_path / "n.parquet")
+    pq.write_table(t, f, row_group_size=250)
+    out = sorted(
+        column_values(spark, f, columns=["n"]).collect(),
+        key=lambda r: (r.row_group_id, r.pos),
+    )
+    got = [None if r.value is None else int(r.value) for r in out]
+    assert got == vals
