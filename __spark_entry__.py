@@ -1102,6 +1102,30 @@ SELECT 'source' AS col_path, source AS value FROM (SELECT DISTINCT source FROM d
 """
 
 
+def q_page_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full column values rebuilt from raw page bytes (dictionary +
+    RLE-hybrid data pages + def levels) — compared as a multiset against
+    the engine-read data itself."""
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    return (
+        column_values(
+            spark, f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        )
+        .groupBy("col_path", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+O_PAGE_RECONSTRUCT = """
+SELECT 'lang' AS col_path, lang AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'n_chars' AS col_path, n_chars::varchar AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1121,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_column": q_meta_column,
         "meta_page": q_meta_page,
         "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1160,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_column": O_META_COLUMN,
         # meta_page: no DuckDB page-level function — rows-only check
         "page_plain_decode": O_PAGE_PLAIN_DECODE,
+        "page_reconstruct": O_PAGE_RECONSTRUCT,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),
