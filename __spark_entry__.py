@@ -347,6 +347,52 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs → transitive duplicate *clusters* via
+    distributed connected components (large-star/small-star); one row per
+    clustered doc with its canonical representative and cluster size."""
+    from pyspark.sql import Window
+
+    from parquet_metadata_explorer_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup.minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.1
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("cluster_size"),
+    )
+
+
+def _oracle_clusters() -> str:
+    """Reachability closure over the same MinHash pair set: component =
+    min reachable doc_id. O(n·|component|) rows — fine at oracle scale."""
+    pairs = _oracle_minhash().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size
+FROM comp
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(_table(spark, sf_dir, "documents"))
 
@@ -1148,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct": q_page_reconstruct,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1188,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "page_reconstruct": O_PAGE_RECONSTRUCT,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
+        "dedup_clusters": _oracle_clusters(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_ngram_jaccard": O_DEDUP_NGRAM,
         "dedup_embedding": _oracle_dedup_embedding(),

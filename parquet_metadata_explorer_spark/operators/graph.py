@@ -1,0 +1,114 @@
+"""Distributed connected components over a pair/edge DataFrame.
+
+The alternating large-star / small-star algorithm (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+Beyond", SoCC'14): each round contracts every node's neighborhood toward
+its minimum, and the edge set provably converges to one star per
+component in O(log n) rounds. This is the operator that turns near-dup
+*pairs* (MinHash / SimHash / embedding LSH output) into duplicate
+*clusters* — the semantics a corpus-dedup pass actually needs, since
+pair-wise greedy dropping is not transitive.
+
+Scale shape (per round): two groupBy-min shuffles + two shuffle joins on
+the node id, all with map-side partial aggregation; no ``collect_list``
+(neighborhood minima come from ``groupBy().min()`` + a re-join, so a
+10^7-degree hub node never materializes its neighbor list in one task),
+no driver-side data. Each round's edge count is bounded by the input
+edge count, and rounds are O(log n) — the 100 TB story is the paper's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _dedup_edges(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, distinct."""
+    return (
+        df.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least("a", "mn").alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient u=max, v=min; connect u and all its smaller neighbors to
+    the minimum of those neighbors."""
+    o = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return _dedup_edges(
+        o.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    """(count, order-independent hash) of a distinct edge set — one cheap
+    action used as the convergence test between rounds."""
+    # bit_xor is order-independent and cannot overflow under ANSI mode
+    # (sum(xxhash64) can); the edge set is distinct, so pairs never cancel
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, component)`` for every node that appears in
+    ``edges``, where ``component`` is the minimum node id reachable from
+    it (the deterministic canonical representative).
+
+    Node ids may be any orderable type (the testdata uses int64 doc_ids).
+    Isolated nodes never enter an edge list, so callers wanting them keep
+    the convention ``component = node`` via a left join.
+    """
+    # localCheckpoint (not persist) each round: it truncates the logical
+    # plan, without which Catalyst's DeduplicateRelations recursion blows
+    # the stack on the self-referential lineage after a few iterations
+    e = _dedup_edges(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint()
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(nxt)
+        e = nxt
+        if nfp == fp:  # star-edge fixpoint: every edge is (node, root)
+            break
+        fp = nfp
+    # the loop always runs ≥1 round, so e is _small_star output in the
+    # canonical a < b orientation: a is the component root, b the member
+    roots = e.select(F.col("a").alias("node")).distinct()
+    return (
+        e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+        .distinct()
+    )

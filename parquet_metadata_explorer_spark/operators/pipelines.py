@@ -1,12 +1,14 @@
 """End-to-end corpus-preparation pipeline: the composition a training-data
 run actually executes, built entirely from the operators in this package.
 
-quality filter → exact dedup → near-dup (MinHash) removal → write.
+quality filter → exact dedup → near-dup (MinHash → connected
+components) removal → write.
 
 Every stage is the already-verified operator; this module only wires
 them. Shuffle budget for the whole pipeline: one md5-fingerprint
 shuffle (exact), one (band, signature) shuffle + candidate verify
-(minhash), one doc_id anti-join apiece — nothing quadratic, nothing
+(minhash), O(log n) small-shuffle rounds to contract pair-clusters
+(components), one doc_id anti-join apiece — nothing quadratic, nothing
 driver-side, so the composition inherits each stage's 100 TB story.
 """
 
@@ -16,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import exact_duplicates, minhash_lsh_pairs
+from .graph import connected_components
 from .text import text_stats
 
 
@@ -28,10 +31,13 @@ def clean_corpus(
 ) -> dict:
     """Run the standard cleaning pass and (optionally) write the result.
 
-    Near-dup removal is greedy by document id: for every qualifying
-    MinHash pair the larger doc_id drops, so one representative of each
-    connected pair-cluster survives (the same keep-smallest convention
-    as exact dedup).
+    Near-dup removal is transitive: MinHash pairs feed connected
+    components (large-star/small-star, O(log n) rounds), and exactly
+    the minimum doc_id of each duplicate cluster survives — the same
+    keep-smallest convention as exact dedup, now applied to whole
+    clusters rather than greedily per pair (greedy pair-dropping
+    over-keeps: with pairs (A,C),(B,C) it keeps both A and B even
+    though all three are one cluster).
 
     Returns per-stage counts — ``input``, ``after_quality``,
     ``after_exact``, ``after_near_dup`` — each a separate action;
@@ -57,11 +63,11 @@ def clean_corpus(
     kept_e = kept_q.join(exact_drops, "doc_id", "left_anti")
     n_exact = kept_e.count()
 
-    near_drops = (
-        minhash_lsh_pairs(kept_e, threshold=near_dup_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    pairs = minhash_lsh_pairs(kept_e, threshold=near_dup_threshold)
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    near_drops = clusters.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
     kept_n = kept_e.join(near_drops, "doc_id", "left_anti")
     n_near = kept_n.count()
 
