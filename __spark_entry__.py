@@ -728,6 +728,34 @@ SELECT lang, doc_id, sample_rank::bigint AS sample_rank FROM ranked WHERE sample
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing onto 2048-token windows via a
+    two-phase distributed prefix sum (driver sees n_partitions rows)."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_table(spark, sf_dir, "documents"), 2048)
+
+
+O_PACK_SEQUENCES = f"""
+WITH tc AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '{text.BPE_REGEX}'))::bigint AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+           AS pack_start
+  FROM tc
+)
+SELECT doc_id, n_tokens, pack_start, (pack_start // 2048)::bigint AS pack_id
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1203,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
         "ngram_freq": q_ngram_freq,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1244,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _oracle_ann_ivf(),
         "hash_split": O_HASH_SPLIT,
         "sample_per_group": O_SAMPLE_PER_GROUP,
+        "pack_sequences": O_PACK_SEQUENCES,
         "ngram_freq": O_NGRAM_FREQ,
         "text_stats": O_TEXT_STATS,
         "text_langid": _oracle_langid(),

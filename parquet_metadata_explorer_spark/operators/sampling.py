@@ -55,3 +55,70 @@ def sample_per_group(
     return df.withColumn("sample_rank", rn).filter(
         F.col("sample_rank") <= n
     )
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = 2048
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay every document out on one
+    global token tape (deterministic ``doc_id`` order), then cut the tape
+    into fixed ``budget_tokens`` context windows. Returns ``(doc_id,
+    n_tokens, pack_start, pack_id)`` where ``pack_start`` is the doc's
+    global token offset and ``pack_id = pack_start // budget_tokens`` —
+    the standard packing approximation LLM training pipelines use (a doc
+    may straddle two adjacent packs; no pack stays under-filled).
+
+    The global running sum is a two-phase distributed prefix sum, NOT a
+    single-partition window: range-partition by doc_id, per-partition
+    cumulative sums (window keyed on the partition id), then one
+    exclusive-prefix pass over the per-partition totals — the driver only
+    ever sees ``n_partitions`` rows, so the shape survives 100 TB.
+    """
+    from .text import BPE_REGEX
+
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    sized = documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    parted = (
+        sized.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # range partitions hold contiguous doc_id spans in pid order, so the
+    # global prefix sum decomposes exactly; partition bounds themselves
+    # (sampled by the range partitioner) cannot change the output
+    local = parted.withColumn(
+        "local_end",
+        F.sum("n_tokens").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = (
+        parted.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    sums = {r["pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "pack_start", F.col("offset") + F.col("local_end") - F.col("n_tokens")
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("pack_start") / F.lit(budget_tokens))
+        )
+        .select("doc_id", "n_tokens", "pack_start", "pack_id")
+    )

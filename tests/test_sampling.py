@@ -62,3 +62,32 @@ def test_ngram_frequencies_counts_every_occurrence(spark):
     assert out["b a"] == 1
     assert out["b c"] == 1
     assert "x" not in out  # single-token doc contributes nothing
+
+
+def test_pack_sequences_matches_sequential_reference(spark):
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 11 + 1)) for i in range(500)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, budget_tokens=32).orderBy("doc_id").collect()
+    acc = 0
+    for r in rows:
+        n = r["doc_id"] % 11 + 1
+        assert r["n_tokens"] == n
+        assert r["pack_start"] == acc
+        assert r["pack_id"] == acc // 32
+        acc += n
+    assert len(rows) == 500
+
+
+def test_pack_sequences_empty(spark):
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(docs).count() == 0
