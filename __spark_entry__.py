@@ -952,6 +952,19 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.value_percentiles(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_PERCENTILES = """
+SELECT event_type, count(value)::bigint AS n_values,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     return ev.asof_join_purchases(ev.load_events(spark, sf_dir))
@@ -1241,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_percentiles": q_events_percentiles,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "window_top_orders": q_window_top_orders,
@@ -1283,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": O_EVENTS_WINDOWED,
         "events_sessionize": O_EVENTS_SESSIONIZE,
         "events_asof": O_EVENTS_ASOF,
+        "events_percentiles": O_EVENTS_PERCENTILES,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "window_top_orders": O_WINDOW_TOP_ORDERS,

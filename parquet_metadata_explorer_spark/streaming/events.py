@@ -60,6 +60,24 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of ``value`` per event_type (linear
+    interpolation — the ANSI ``percentile_cont`` definition both Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement).
+
+    Exact percentiles buffer each group's values; at 100 TB the same
+    query shape runs with ``F.approx_percentile`` (t-digest, bounded
+    memory, mergeable partials) — exact here because the oracle gate
+    needs a deterministic cross-engine answer.
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.col("value")).alias("n_values"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than the gap. Classic lag + cumulative-sum-over-window — one
