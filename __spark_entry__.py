@@ -1040,6 +1040,63 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.unshipped_orders_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+    )
+
+
+O_TPCH_Q3 = f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM agg
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.forecast_revenue(_table(spark, sf_dir, "lineitem"))
+
+
+O_TPCH_Q6 = f"""
+SELECT round({_d_ssum("l_extendedprice * l_discount")}, 2) AS revenue,
+       count(*)::bigint AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_stats_cube(_table(spark, sf_dir, "orders"))
+
+
+O_CUBE_ORDERS = f"""
+SELECT o_orderstatus, o_orderpriority, count(*)::bigint AS n_orders,
+       round({_d_ssum("o_totalprice")}, 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_orders_per_segment(
         _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
@@ -1257,6 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "cube_orders": q_cube_orders,
         "window_top_orders": q_window_top_orders,
         "rollup_orders": q_rollup_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
@@ -1300,6 +1360,9 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": O_EVENTS_PERCENTILES,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
+        "tpch_q3": O_TPCH_Q3,
+        "tpch_q6": O_TPCH_Q6,
+        "cube_orders": O_CUBE_ORDERS,
         "window_top_orders": O_WINDOW_TOP_ORDERS,
         "rollup_orders": O_ROLLUP_ORDERS,
         "supplier_part_revenue": O_SUPPLIER_PART,

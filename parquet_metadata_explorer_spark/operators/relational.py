@@ -222,3 +222,73 @@ def supplier_part_join(
         )
         .orderBy("brand")
     )
+
+
+def unshipped_orders_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered broadcast dimension, date-range
+    fact filters (both pushed to the scans), top-10 by revenue.
+
+    The testdata's orders table has ``o_orderpriority`` where TPC-H has
+    ``o_shippriority``; the query shape is unchanged. Ties break on
+    (revenue desc, o_orderdate, l_orderkey) so the LIMIT cut is
+    deterministic on both engines.
+    """
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1995-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: single-pass selective scan, every predicate pushed
+    down, one global aggregate (partial sums merge map-side)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def order_stats_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one partial-aggregating pass (Spark expands grouping sets before the
+    exchange, so the shuffle carries pre-aggregated rows)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(_stable_sum(F.col("o_totalprice")), 2).alias("total_price"),
+        )
+    )

@@ -111,3 +111,32 @@ def test_embedding_dedup_census_broadcasts(spark, sf_dir):
     # pair dedup
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 4
+
+
+def test_q3_pushdown_and_broadcast_dim(spark, sf_dir):
+    df = relational.unshipped_orders_revenue(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+    )
+    assert has_broadcast_join(df)  # BUILDING customers are broadcast
+    pf = pushed_filters(df)
+    # the date-range predicates must reach the parquet scans
+    assert "l_shipdate" in pf and "o_orderdate" in pf, pf
+
+
+def test_q6_all_predicates_pushed_single_scan(spark, sf_dir):
+    df = relational.forecast_revenue(load(spark, sf_dir, "lineitem"))
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cube_partial_agg_before_exchange(spark, sf_dir):
+    df = relational.order_stats_cube(load(spark, sf_dir, "orders"))
+    plan = simple_plan(df)
+    # grouping-set expansion and partial HashAggregate precede the shuffle
+    assert "Expand" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
