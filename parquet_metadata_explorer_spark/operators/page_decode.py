@@ -26,6 +26,16 @@ from pyspark.sql import functions as F
 from ..sources.api import read_metadata
 
 
+_DECODABLE = {
+    "PLAIN",
+    "RLE_DICTIONARY",
+    "PLAIN_DICTIONARY",
+    "DELTA_BINARY_PACKED",
+    "DELTA_LENGTH_BYTE_ARRAY",
+    "DELTA_BYTE_ARRAY",
+}
+
+
 def _canon(v, physical_type: str) -> str:
     if physical_type == "BINARY":
         return v.decode("utf-8", errors="replace")
@@ -144,10 +154,12 @@ def column_values(
     into every row's value, NULLs preserved — the strongest possible
     fidelity check of the page scan, verified against the data itself.
 
-    Scope: FLAT columns, v1 data pages, PLAIN or RLE_DICTIONARY
-    encodings (what pyarrow/parquet-mr write for flat data); nested
-    columns are skipped. Execution shape: one task per file slice, one
-    streaming page walk per chunk — memory is one dictionary + one page.
+    Scope: FLAT columns, v1 AND v2 data pages, PLAIN / RLE_DICTIONARY /
+    DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
+    encodings (everything pyarrow/parquet-mr write for flat data except
+    BYTE_STREAM_SPLIT); nested columns are skipped. Execution shape: one
+    task per file slice, one streaming page walk per chunk — memory is
+    one dictionary + one page.
 
     Output: (row_group_id, pos, col_path, value) with value as canonical
     string, NULL for null rows; ``pos`` is the row index within the row
@@ -182,7 +194,7 @@ def column_values(
     wanted = set(columns) if columns else None
 
     def reconstruct(f):
-        from ..parquet.decode import decompress_page
+        from ..parquet.decode import decode_data_page_v2, decompress_page
 
         meta, _ = read_footer(f.path, f.size)
         leaves = leaf_columns(meta)
@@ -196,8 +208,11 @@ def column_values(
         type_length = None
         dictionary = None
         pos = 0
-        for page in iter_pages(f.path, size=f.size, page_content=True, meta=meta):
+        for page in iter_pages(
+            f.path, size=f.size, page_content=True, meta=meta, yield_header=True
+        ):
             rg_id, col_id, page_kind, content = page[0], page[1], page[3], page[14]
+            ph = page[15]
             if (rg_id, col_id) != cur:
                 cur = (rg_id, col_id)
                 el = leaves[col_id]
@@ -227,18 +242,35 @@ def column_values(
                     type_length=type_length,
                 )
                 continue
-            if page_kind != "DATA_PAGE":
+            if page_kind not in ("DATA_PAGE", "DATA_PAGE_V2"):
                 continue
             enc = page[10]
+            if enc not in _DECODABLE:
+                continue  # e.g. BYTE_STREAM_SPLIT: out of scope
             use_dict = (
                 dictionary if enc in ("RLE_DICTIONARY", "PLAIN_DICTIONARY") else None
             )
-            if use_dict is None and enc != "PLAIN":
-                continue  # other encodings: out of scope
-            raw = decompress_page(bytes(content), codec, page[7])
-            vals = decode_data_page_v1(
-                raw, page[9], use_dict, optional, ptype, type_length=type_length
-            )
+            if page_kind == "DATA_PAGE_V2":
+                vals = decode_data_page_v2(
+                    bytes(content),
+                    page[9],
+                    ph.def_levels_byte_length or 0,
+                    ph.rep_levels_byte_length or 0,
+                    ph.is_compressed,
+                    enc,
+                    use_dict,
+                    optional,
+                    ptype,
+                    codec=codec,
+                    uncompressed_size=page[7],
+                    type_length=type_length,
+                )
+            else:
+                raw = decompress_page(bytes(content), codec, page[7])
+                vals = decode_data_page_v1(
+                    raw, page[9], use_dict, optional, ptype,
+                    type_length=type_length, encoding=enc,
+                )
             for v in vals:
                 yield (
                     rg_id,

@@ -149,9 +149,12 @@ def decode_data_page_v1(
     optional: bool,
     physical_type: str,
     type_length: Optional[int] = None,
+    encoding: Optional[str] = None,
 ) -> list:
     """Decode one decompressed v1 DATA page of a FLAT column into Python
-    values (``None`` for nulls).
+    values (``None`` for nulls). ``encoding`` defaults to the classic
+    inference (dictionary present → RLE_DICTIONARY, else PLAIN); pass it
+    explicitly for DELTA-encoded pages.
 
     Flat optional columns carry one def-level block (4-byte LE length +
     RLE hybrid at bit width 1: 1 = present, 0 = null); required columns
@@ -167,13 +170,173 @@ def decode_data_page_v1(
     else:
         levels = [1] * num_values
     n_present = sum(levels)
-    if dictionary is not None:
+    if encoding is None:
+        encoding = "RLE_DICTIONARY" if dictionary is not None else "PLAIN"
+    present = _decode_values(
+        data, pos, encoding, n_present, dictionary,
+        physical_type, type_length=type_length,
+    )
+    it = iter(present)
+    return [next(it) if lv == 1 else None for lv in levels]
+
+
+# ---------------------------------------------------------------------------
+# DELTA encodings (parquet-format Encodings.md: DELTA_BINARY_PACKED,
+# DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY)
+# ---------------------------------------------------------------------------
+
+
+def _read_uleb(data: bytes, pos: int) -> tuple:
+    v = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _read_zigzag(data: bytes, pos: int) -> tuple:
+    u, pos = _read_uleb(data, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def decode_delta_binary_packed(data: bytes, pos: int = 0) -> tuple:
+    """Decode one DELTA_BINARY_PACKED run → (values, next_pos).
+
+    Layout: <block_size> <miniblocks_per_block> <total_count>
+    <first_value zigzag>, then per block: <min_delta zigzag>, one
+    bit-width byte per miniblock, then each *used* miniblock's
+    ``values_per_mini × width`` bits packed LSB-first (trailing unused
+    miniblocks of the last block are omitted, but their width bytes are
+    present)."""
+    block_size, pos = _read_uleb(data, pos)
+    minis_per_block, pos = _read_uleb(data, pos)
+    total, pos = _read_uleb(data, pos)
+    if total == 0:
+        return [], pos
+    first, pos = _read_zigzag(data, pos)
+    out = [first]
+    values_per_mini = block_size // minis_per_block
+    remaining = total - 1
+    prev = first
+    while remaining > 0:
+        min_delta, pos = _read_zigzag(data, pos)
+        widths = data[pos : pos + minis_per_block]
+        pos += minis_per_block
+        used = -(-remaining // values_per_mini)  # ceil
+        for m in range(min(used, minis_per_block)):
+            w = widths[m]
+            n_bytes = values_per_mini * w // 8
+            acc = int.from_bytes(data[pos : pos + n_bytes], "little")
+            pos += n_bytes
+            mask = (1 << w) - 1
+            take = min(values_per_mini, remaining)
+            for i in range(take):
+                delta = (acc >> (i * w)) & mask if w else 0
+                prev = prev + min_delta + delta
+                out.append(prev)
+            remaining -= take
+            if remaining == 0:
+                break
+    return out, pos
+
+
+def decode_delta_length_byte_array(data: bytes, pos: int = 0) -> tuple:
+    """DELTA_LENGTH_BYTE_ARRAY → (list of bytes values, next_pos): a
+    DELTA_BINARY_PACKED run of lengths, then the concatenated bytes."""
+    lengths, pos = decode_delta_binary_packed(data, pos)
+    out = []
+    for n in lengths:
+        out.append(data[pos : pos + n])
+        pos += n
+    return out, pos
+
+
+def decode_delta_byte_array(data: bytes, pos: int = 0) -> tuple:
+    """DELTA_BYTE_ARRAY (front-coded) → (list of bytes values, next_pos):
+    prefix lengths (DELTA_BINARY_PACKED) + suffixes
+    (DELTA_LENGTH_BYTE_ARRAY); value_i = value_{i-1}[:prefix_i] + suffix_i."""
+    prefixes, pos = decode_delta_binary_packed(data, pos)
+    suffixes, pos = decode_delta_length_byte_array(data, pos)
+    out = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out, pos
+
+
+def _decode_values(
+    data: bytes,
+    pos: int,
+    encoding: str,
+    n_present: int,
+    dictionary,
+    physical_type: str,
+    type_length=None,
+) -> list:
+    """Decode ``n_present`` non-null values starting at ``pos`` under any
+    supported data-page encoding (shared by the v1 and v2 paths)."""
+    if encoding in ("RLE_DICTIONARY", "PLAIN_DICTIONARY"):
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before dictionary page")
         bit_width = data[pos]
         idx, _ = decode_rle_hybrid(data, bit_width, n_present, pos + 1)
-        present = [dictionary[i] for i in idx]
-    else:
-        present = decode_plain(
+        return [dictionary[i] for i in idx]
+    if encoding == "PLAIN":
+        return decode_plain(
             data[pos:], physical_type, count=n_present, type_length=type_length
         )
+    if encoding == "DELTA_BINARY_PACKED":
+        vals, _ = decode_delta_binary_packed(data, pos)
+        return vals[:n_present]
+    if encoding == "DELTA_LENGTH_BYTE_ARRAY":
+        vals, _ = decode_delta_length_byte_array(data, pos)
+        return vals[:n_present]
+    if encoding == "DELTA_BYTE_ARRAY":
+        vals, _ = decode_delta_byte_array(data, pos)
+        return vals[:n_present]
+    raise ValueError(f"unsupported data-page encoding: {encoding}")
+
+
+def decode_data_page_v2(
+    content: bytes,
+    num_values: int,
+    def_levels_byte_length: int,
+    rep_levels_byte_length: int,
+    is_compressed: bool,
+    encoding: str,
+    dictionary,
+    optional: bool,
+    physical_type: str,
+    codec=None,
+    uncompressed_size=None,
+    type_length=None,
+) -> list:
+    """Decode one v2 DATA page of a flat column into Python values.
+
+    v2 layout differs from v1 in exactly the ways that matter here: the
+    rep/def level blocks sit *before* the compressed region, uncompressed,
+    as bare RLE runs (no 4-byte length prefix — the byte lengths come
+    from the page header), and ``is_compressed`` can mark the value bytes
+    as stored raw even when the column chunk has a codec."""
+    lvl_end = rep_levels_byte_length + def_levels_byte_length
+    if optional and def_levels_byte_length:
+        levels, _ = decode_rle_hybrid(
+            content[rep_levels_byte_length:lvl_end], 1, num_values
+        )
+    else:
+        levels = [1] * num_values
+    values_bytes = content[lvl_end:]
+    if is_compressed:
+        inflated = None if uncompressed_size is None else uncompressed_size - lvl_end
+        values_bytes = decompress_page(values_bytes, codec, inflated)
+    n_present = sum(levels)
+    present = _decode_values(
+        values_bytes, 0, encoding, n_present, dictionary,
+        physical_type, type_length=type_length,
+    )
     it = iter(present)
     return [next(it) if lv == 1 else None for lv in levels]

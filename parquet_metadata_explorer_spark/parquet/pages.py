@@ -27,9 +27,13 @@ def iter_pages(
     buffer_size: int = DEFAULT_BUFFER_SIZE,
     page_content: bool = False,
     meta: Optional[FileMetaData] = None,
+    yield_header: bool = False,
 ) -> Iterator[tuple]:
     """Yield one tuple per page, matching schemas.PARQUET_PAGE_LEVEL order
-    (minus filepath, appended by the caller)."""
+    (minus filepath, appended by the caller). With ``yield_header`` the
+    decoded ``PageHeader`` is appended as one extra trailing element —
+    the v2 decode path needs its level byte lengths and is_compressed
+    flag, which the fixed page schema deliberately doesn't carry."""
     if meta is None:
         meta, _ = read_footer(path, size)
     fs, p = resolve_filesystem(path)
@@ -50,6 +54,7 @@ def iter_pages(
                     if page_content:
                         content = stream.read_fully(ph.compressed_page_size)
                     stats = ph.statistics.as_row() if ph.statistics else None
+                    extra = (ph,) if yield_header else ()
                     yield (
                         rg_id,
                         col_id,
@@ -70,6 +75,7 @@ def iter_pages(
                         else None,
                         stats,
                         content,
+                        *extra,
                     )
                     consumed += ph.header_size + ph.compressed_page_size
                     page_id += 1

@@ -384,6 +384,12 @@ class PageHeader:
     definition_level_encoding: Optional[int] = None
     repetition_level_encoding: Optional[int] = None
     statistics: Optional[Statistics] = None
+    # DataPageHeaderV2 extras (level blocks live outside the compressed
+    # region, so decoding needs their exact byte lengths)
+    num_nulls: Optional[int] = None
+    def_levels_byte_length: Optional[int] = None
+    rep_levels_byte_length: Optional[int] = None
+    is_compressed: bool = True
 
     @property
     def page_type_name(self) -> str:
@@ -509,6 +515,11 @@ def read_page_header(readable) -> PageHeader:
         # ParquetUtils.scala:285-293)
         ph.definition_level_encoding = 3
         ph.repetition_level_encoding = 3
+        ph.num_nulls = d.get(2)
+        ph.def_levels_byte_length = d.get(5) or 0
+        ph.rep_levels_byte_length = d.get(6) or 0
+        # compact-protocol booleans arrive as True/False; field default true
+        ph.is_compressed = d.get(7, True) is not False
         if 8 in d:
             ph.statistics = Statistics.from_fields(d[8])
     return ph

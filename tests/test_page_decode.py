@@ -139,3 +139,151 @@ def test_column_values_nulls_and_multi_row_groups(spark, tmp_path):
     )
     got = [None if r.value is None else int(r.value) for r in out]
     assert got == vals
+
+
+def _reconstruct_matches(spark, tbl, path, cols):
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    rows = column_values(spark, path).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.col_path, []).append((r.row_group_id, r.pos, r.value))
+    for col in cols:
+        want = [
+            None if v is None else str(v) for v in tbl[col].to_pylist()
+        ]
+        got = [v for _, _, v in sorted(by_col.get(col, []))]
+        assert got == want, f"{col}: {len(got)} vs {len(want)} rows"
+
+
+def _delta_table():
+    import pyarrow as pa
+    import random
+
+    rng = random.Random(11)
+    n = 2000
+    return pa.table(
+        {
+            "i32": pa.array(
+                [rng.randrange(-(10**6), 10**6) for _ in range(n)], pa.int32()
+            ),
+            "i64": pa.array(
+                [
+                    rng.randrange(-(10**12), 10**12)
+                    if rng.random() > 0.1
+                    else None
+                    for _ in range(n)
+                ],
+                pa.int64(),
+            ),
+            "s": pa.array(
+                [
+                    f"prefix_{i % 40}_{rng.randrange(999)}"
+                    if rng.random() > 0.15
+                    else None
+                    for i in range(n)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def test_v2_pages_with_delta_encodings(spark, tmp_path):
+    """DATA_PAGE_V2 layout: uncompressed bare-RLE level blocks before the
+    compressed value region, DELTA_BINARY_PACKED ints and front-coded
+    DELTA_BYTE_ARRAY strings, zstd codec."""
+    import pyarrow.parquet as pq
+
+    t = _delta_table()
+    f = str(tmp_path / "v2delta.parquet")
+    pq.write_table(
+        t, f, data_page_version="2.0", use_dictionary=False,
+        compression="zstd",
+        column_encoding={
+            "i32": "DELTA_BINARY_PACKED",
+            "i64": "DELTA_BINARY_PACKED",
+            "s": "DELTA_BYTE_ARRAY",
+        },
+    )
+    _reconstruct_matches(spark, t, f, ["i32", "i64", "s"])
+
+
+def test_v1_pages_with_delta_encodings(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = _delta_table()
+    f = str(tmp_path / "v1delta.parquet")
+    pq.write_table(
+        t, f, data_page_version="1.0", use_dictionary=False,
+        compression="snappy",
+        column_encoding={
+            "i32": "DELTA_BINARY_PACKED",
+            "i64": "DELTA_BINARY_PACKED",
+            "s": "DELTA_LENGTH_BYTE_ARRAY",
+        },
+    )
+    _reconstruct_matches(spark, t, f, ["i32", "i64", "s"])
+
+
+def test_v2_pages_dictionary_multi_row_group(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = _delta_table()
+    f = str(tmp_path / "v2dict.parquet")
+    pq.write_table(
+        t, f, data_page_version="2.0", compression="snappy",
+        row_group_size=500,
+    )
+    _reconstruct_matches(spark, t, f, ["i32", "i64", "s"])
+
+
+def test_delta_binary_packed_unit():
+    """Round-trip the raw decoder against pyarrow's writer output for
+    hostile inputs: single value, exact miniblock multiples, negatives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io
+
+    from parquet_metadata_explorer_spark.parquet.decode import (
+        decode_data_page_v1,
+    )
+    from parquet_metadata_explorer_spark.parquet.pages import iter_pages
+
+    for vals in (
+        [42],
+        list(range(128)),          # exactly one block of zero deltas
+        [0, -(10**9), 10**9, -1, 1] * 100,
+        list(range(0, 129 * 7, 7)),  # crosses a block boundary
+    ):
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}), buf,
+            use_dictionary=False, compression="none",
+            column_encoding={"v": "DELTA_BINARY_PACKED"},
+        )
+        data = buf.getvalue()
+        import tempfile, os
+
+        with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as fh:
+            fh.write(data)
+            fpath = fh.name
+        try:
+            pages = [
+                p for p in iter_pages(fpath, size=len(data), page_content=True)
+                if p[3] == "DATA_PAGE"
+            ]
+            assert pages
+            got = []
+            for p in pages:
+                # pyarrow columns are nullable → v1 pages carry a def-level
+                # block before the DELTA run; decode_data_page_v1 skips it
+                got.extend(
+                    decode_data_page_v1(
+                        bytes(p[14]), p[9], None, True, "INT64",
+                        encoding=p[10],
+                    )
+                )
+            assert got == vals
+        finally:
+            os.unlink(fpath)
