@@ -33,6 +33,7 @@ _DECODABLE = {
     "DELTA_BINARY_PACKED",
     "DELTA_LENGTH_BYTE_ARRAY",
     "DELTA_BYTE_ARRAY",
+    "BYTE_STREAM_SPLIT",
 }
 
 

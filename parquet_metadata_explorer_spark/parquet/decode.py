@@ -298,6 +298,10 @@ def _decode_values(
     if encoding == "DELTA_BYTE_ARRAY":
         vals, _ = decode_delta_byte_array(data, pos)
         return vals[:n_present]
+    if encoding == "BYTE_STREAM_SPLIT":
+        return decode_byte_stream_split(
+            data[pos:], n_present, physical_type, type_length=type_length
+        )
     raise ValueError(f"unsupported data-page encoding: {encoding}")
 
 
@@ -340,3 +344,27 @@ def decode_data_page_v2(
     )
     it = iter(present)
     return [next(it) if lv == 1 else None for lv in levels]
+
+
+_BSS_WIDTHS = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8}
+
+
+def decode_byte_stream_split(
+    data: bytes,
+    count: int,
+    physical_type: str,
+    type_length: Optional[int] = None,
+) -> list:
+    """BYTE_STREAM_SPLIT: the page stores byte-plane streams (all first
+    bytes, then all second bytes, …) to help compressors; de-interleave
+    with one numpy transpose and decode as PLAIN."""
+    import numpy as np
+
+    w = _BSS_WIDTHS.get(physical_type) or type_length
+    if not w:
+        raise ValueError(f"BYTE_STREAM_SPLIT unsupported for {physical_type}")
+    planes = np.frombuffer(data[: count * w], dtype=np.uint8)
+    recombined = planes.reshape(w, count).T.tobytes()
+    return decode_plain(
+        recombined, physical_type, count=count, type_length=type_length
+    )

@@ -287,3 +287,30 @@ def test_delta_binary_packed_unit():
             assert got == vals
         finally:
             os.unlink(fpath)
+
+
+def test_byte_stream_split_floats(spark, tmp_path):
+    """BYTE_STREAM_SPLIT byte-plane de-interleaving for float/double
+    columns, both page versions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    rng = random.Random(5)
+    t = pa.table(
+        {
+            "f": pa.array([rng.random() for _ in range(1500)], pa.float32()),
+            "d": pa.array(
+                [rng.random() * 1e6 if rng.random() > 0.2 else None for _ in range(1500)],
+                pa.float64(),
+            ),
+        }
+    )
+    for ver in ("1.0", "2.0"):
+        f = str(tmp_path / f"bss_{ver}.parquet")
+        pq.write_table(
+            t, f, data_page_version=ver, use_dictionary=False,
+            compression="zstd",
+            column_encoding={"f": "BYTE_STREAM_SPLIT", "d": "BYTE_STREAM_SPLIT"},
+        )
+        _reconstruct_matches(spark, t, f, ["f", "d"])
