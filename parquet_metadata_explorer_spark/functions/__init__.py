@@ -86,6 +86,8 @@ def ensure_parallelism(df, min_factor: int = 1):
     scale inputs already exceed ``defaultParallelism`` and this is a no-op
     — the guard never down-partitions.
     """
+    if df.isStreaming:  # micro-batch partitioning is the trigger's job
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
     if df.rdd.getNumPartitions() < target:

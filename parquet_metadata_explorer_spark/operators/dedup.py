@@ -171,21 +171,12 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return shingle_signature_kernel(documents).filter(F.size("shingles") > 0)
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
-
-    Scale path: the band explode multiplies rows by MINHASH_BANDS only;
-    the bucket groupBy shuffles on (band, signature) — uniform keys. The
-    verify join re-joins shingle sets per *candidate pair only*, never all
-    pairs. At 100 TB the verify side stays proportional to candidate count.
-    """
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_id, band_sig) LSH band rows
+    — shared by the batch self-join and the streaming stateful-bucket
+    variants (identical banding ⇒ identical candidate sets)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    # sigs feeds the band explode AND both sides of the verify join: persist
-    # so the shingle+signature expressions evaluate once per document, not
-    # once per plan reference
-    sigs = track_persist(minhash_signatures(documents))
-
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -206,6 +197,22 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
             )
         ).alias("band_id", "band_sig"),
     )
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Scale path: the band explode multiplies rows by MINHASH_BANDS only;
+    the bucket groupBy shuffles on (band, signature) — uniform keys. The
+    verify join re-joins shingle sets per *candidate pair only*, never all
+    pairs. At 100 TB the verify side stays proportional to candidate count.
+    """
+    # sigs feeds the band explode AND both sides of the verify join: persist
+    # so the shingle+signature expressions evaluate once per document, not
+    # once per plan reference
+    sigs = track_persist(minhash_signatures(documents))
+
+    bands = band_rows(sigs)
     # candidate pairs: docs sharing any band bucket
     left = bands.alias("l")
     right = bands.alias("r")

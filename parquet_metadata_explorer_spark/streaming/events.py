@@ -227,3 +227,76 @@ def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
         )
         .dropDuplicates(["fingerprint"])
     )
+
+
+def stream_near_dedup_candidates(
+    spark: SparkSession,
+    docs_path: str,
+    bucket_cap: int = 64,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming MinHash near-duplicate *candidate* pairs: as documents
+    arrive, each is signed (same Arrow kernel as the batch operator),
+    banded (same ``band_rows`` banding), and checked against the running
+    membership of its LSH buckets via ``applyInPandasWithState``.
+
+    Emits ``(doc_a, doc_b)`` with ``doc_a < doc_b`` the first micro-batch
+    in which both endpoints have been seen; a pair sharing several bands
+    can be emitted once per band (consumers ``distinct()`` or feed
+    ``connected_components``, which deduplicates by construction).
+    Candidates-only by design: exact-Jaccard verification needs both
+    documents' shingle sets — a batch join against the corpus — so the
+    streaming stage emits the (tiny) candidate stream and verification
+    runs downstream, exactly like the batch operator's verify stage.
+
+    State is one array of doc_ids per *occupied* (band, bucket), capped
+    at ``bucket_cap`` entries — beyond the cap new members still pair
+    against the stored prefix but are not stored, bounding both state
+    size and per-bucket output at the cost of missing
+    cap-th-order duplicates (a 10M-copy document cluster stores 64 ids,
+    not 10M). Shuffle shape matches batch LSH: one exchange on the
+    uniform (band_id, band_sig) key per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import band_rows, minhash_signatures
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(docs_path).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+    bands = band_rows(minhash_signatures(stream))
+
+    def update(key, pdf_iter, state: GroupState):
+        # GroupState.get is a property returning the state tuple
+        (stored,) = state.get if state.exists else ([],)
+        seen = list(stored)
+        out_a, out_b = [], []
+        for pdf in pdf_iter:
+            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+                for other in seen:
+                    if other != doc_id:
+                        a, b = sorted((other, doc_id))
+                        out_a.append(a)
+                        out_b.append(b)
+                if len(seen) < bucket_cap and doc_id not in seen:
+                    seen.append(doc_id)
+        state.update((seen,))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
+        update,
+        outputStructType=StructType(
+            [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+        ),
+        stateStructType=StructType(
+            [StructField("doc_ids", ArrayType(LongType()))]
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

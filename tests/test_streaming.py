@@ -69,3 +69,59 @@ def test_stream_exact_dedup_matches_batch(spark, sf_dir):
     )
     assert len(streamed) == len(batch)  # one survivor per distinct doc
     assert {r.fingerprint for r in streamed} == {r.fingerprint for r in batch}
+
+
+def test_stream_near_dedup_candidates_match_batch(spark, sf_dir):
+    """Streaming stateful-bucket LSH must surface exactly the batch
+    banding's candidate pair set, independent of micro-batch arrival
+    order (pairs may repeat across bands; compare as sets)."""
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+
+    # stage the corpus as several files so availableNow replays multiple
+    # micro-batches (maxFilesPerTrigger=2 -> at least 2 triggers)
+    stage = tempfile.mkdtemp()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    out = ev.stream_near_dedup_candidates(
+        spark, stage, max_files_per_trigger=2
+    )
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.doc_a, r.doc_b) for r in spark.table("neardup_stream").collect()
+    }
+
+    bands = band_rows(minhash_signatures(docs))
+    l, r = bands.alias("l"), bands.alias("r")
+    batch = {
+        (row.doc_a, row.doc_b)
+        for row in l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert batch, "expected at least one candidate pair in the corpus"
+    assert streamed == batch
+    shutil.rmtree(stage)
