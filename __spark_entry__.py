@@ -1097,6 +1097,33 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation: identical answer to the direct
+    groupBy, but a hot key spreads over 32 reducers in stage 1."""
+    from parquet_metadata_explorer_spark.operators.skew import (
+        salted_group_stats,
+    )
+
+    return salted_group_stats(
+        _table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        n_salts=32,
+    )
+
+
+O_SALTED_STATS = f"""
+SELECT l_returnflag,
+       {_d_ssum("l_extendedprice")} AS sum_value,
+       count(l_extendedprice)::bigint AS n_values,
+       min(l_extendedprice) AS min_value,
+       max(l_extendedprice) AS max_value,
+       round({_d_ssum("l_extendedprice")} / count(l_extendedprice), 6) AS avg_value
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_orders_per_segment(
         _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
@@ -1317,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "cube_orders": q_cube_orders,
+        "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "rollup_orders": q_rollup_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
@@ -1363,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q6": O_TPCH_Q6,
         "cube_orders": O_CUBE_ORDERS,
+        "salted_stats": O_SALTED_STATS,
         "window_top_orders": O_WINDOW_TOP_ORDERS,
         "rollup_orders": O_ROLLUP_ORDERS,
         "supplier_part_revenue": O_SUPPLIER_PART,

@@ -140,3 +140,51 @@ def test_cube_partial_agg_before_exchange(spark, sf_dir):
     # grouping-set expansion and partial HashAggregate precede the shuffle
     assert "Expand" in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_salted_agg_two_stage_shape(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.skew import (
+        salted_group_stats,
+    )
+
+    df = salted_group_stats(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_orderkey", n_salts=8,
+    )
+    plan = simple_plan(df)
+    # two aggregation exchanges: (key, salt) shards then the key merge
+    assert count_exchanges(df) == 2
+    # Catalyst folds the salt alias into _groupingexpression; the xxhash64
+    # salt must partition the FIRST exchange (deepest in the plan) and be
+    # absent from the final key-only merge exchange
+    assert "xxhash64(l_orderkey" in plan
+    merge_exchange = plan[: plan.index("Exchange")]
+    assert "xxhash64" not in merge_exchange
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from parquet_metadata_explorer_spark.operators.skew import (
+        salted_group_stats,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: (r.sum_value, r.n_values, r.min_value, r.max_value)
+        for r in salted_group_stats(
+            li, "l_returnflag", "l_extendedprice", "l_orderkey"
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (
+            float(r.s), r.c, r.mn, r.mx
+        )
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("s"),
+            F.count("l_extendedprice").alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
