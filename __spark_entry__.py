@@ -308,7 +308,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_table(spark, sf_dir, "documents"), threshold=0.1)
 
 
-def _oracle_minhash() -> str:
+def _oracle_minhash(threshold: float = 0.1, table: str = "documents") -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
     p = dedup.MERSENNE31
     rpb = k // bands
@@ -324,7 +324,7 @@ def _oracle_minhash() -> str:
     )
     base = f"list_transform(s, x -> {_d_hash60('x')} % {p})"
     return f"""
-WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM {table}),
 sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
 sh2 AS (SELECT doc_id, s, {base} AS base FROM sh WHERE length(s) > 0),
 sigs AS (SELECT doc_id, s, [{sig_items}] AS sig FROM sh2),
@@ -343,7 +343,7 @@ verified AS (
                (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))), 4) AS jaccard
   FROM cands c JOIN sigs a ON c.doc_a = a.doc_id JOIN sigs b ON c.doc_b = b.doc_id
 )
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
@@ -390,6 +390,56 @@ comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
 SELECT doc_id, cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::bigint AS cluster_size
 FROM comp
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-cleaning pipeline as one auditable row: quality
+    filter → exact dedup → MinHash LSH → connected components — every
+    stage re-derived independently in the DuckDB twin below."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        clean_corpus_stats,
+    )
+
+    return clean_corpus_stats(
+        _table(spark, sf_dir, "documents"),
+        min_quality=0.4,
+        near_dup_threshold=0.1,
+    )
+
+
+def _oracle_clean_corpus() -> str:
+    pairs = _oracle_minhash(threshold=0.1, table="kept_e_docs").strip()
+    stats = O_TEXT_STATS.strip()
+    return f"""
+WITH RECURSIVE
+kept_q AS (
+  SELECT * FROM documents WHERE doc_id IN (
+    SELECT doc_id FROM ({stats}) WHERE quality_score >= 0.4)
+),
+fp AS (SELECT doc_id, md5({D_NORM}) AS f FROM kept_q),
+keepm AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+kept_e_docs AS (
+  SELECT * FROM kept_q WHERE doc_id IN (SELECT keep_id FROM keepm)
+),
+pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cid FROM reach GROUP BY src),
+near_drops AS (SELECT doc_id FROM comp WHERE doc_id <> cid)
+SELECT (SELECT count(*) FROM documents)::bigint AS n_input,
+       (SELECT count(*) FROM kept_q)::bigint AS n_after_quality,
+       (SELECT count(*) FROM kept_e_docs)::bigint AS n_after_exact,
+       ((SELECT count(*) FROM kept_e_docs)
+        - (SELECT count(*) FROM near_drops))::bigint AS n_after_near_dup
 """
 
 
@@ -1320,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1367,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_clusters(),
+        "clean_corpus": _oracle_clean_corpus(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_ngram_jaccard": O_DEDUP_NGRAM,
         "dedup_embedding": _oracle_dedup_embedding(),

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_duplicates, minhash_lsh_pairs
+from ..functions import normalize_text
+from .dedup import minhash_lsh_pairs
 from .graph import connected_components
 from .text import text_stats
 
@@ -44,31 +45,12 @@ def clean_corpus(
     callers that don't need the audit trail can compose the stages lazily
     themselves.
     """
+    kept_q, kept_e, kept_n = corpus_stage_frames(
+        documents, min_quality, near_dup_threshold
+    )
     n_input = documents.count()
-
-    quality = (
-        text_stats(documents)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
-    )
-    kept_q = documents.join(quality, "doc_id", "left_semi")
     n_quality = kept_q.count()
-
-    exact_drops = (
-        exact_duplicates(kept_q)
-        .select(F.explode("doc_ids").alias("doc_id"), "keep_doc_id")
-        .filter(F.col("doc_id") != F.col("keep_doc_id"))
-        .select("doc_id")
-    )
-    kept_e = kept_q.join(exact_drops, "doc_id", "left_anti")
     n_exact = kept_e.count()
-
-    pairs = minhash_lsh_pairs(kept_e, threshold=near_dup_threshold)
-    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
-    near_drops = clusters.filter(
-        F.col("node") != F.col("component")
-    ).select(F.col("node").alias("doc_id"))
-    kept_n = kept_e.join(near_drops, "doc_id", "left_anti")
     n_near = kept_n.count()
 
     if out_path is not None:
@@ -80,3 +62,65 @@ def clean_corpus(
         "after_exact": n_exact,
         "after_near_dup": n_near,
     }
+
+
+def corpus_stage_frames(
+    documents: DataFrame,
+    min_quality: float = 0.4,
+    near_dup_threshold: float = 0.8,
+) -> tuple:
+    """The pipeline's three intermediate corpora as lazy DataFrames:
+    (kept_quality, kept_exact, kept_near_dup). Shared by the eager
+    ``clean_corpus`` runner and the ``clean_corpus_stats`` audit query."""
+    quality = (
+        text_stats(documents)
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    kept_q = documents.join(quality, "doc_id", "left_semi")
+
+    # derive drops from the fingerprint itself, not exact_duplicates'
+    # capped doc_ids audit column: a 10^7-copy cluster must drop all but
+    # one member, not just the first doc_ids_cap of them
+    fp = kept_q.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_drops = (
+        fp.join(keep, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept_e = kept_q.join(exact_drops, "doc_id", "left_anti")
+
+    pairs = minhash_lsh_pairs(kept_e, threshold=near_dup_threshold)
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    near_drops = clusters.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
+    kept_n = kept_e.join(near_drops, "doc_id", "left_anti")
+    return kept_q, kept_e, kept_n
+
+
+def clean_corpus_stats(
+    documents: DataFrame,
+    min_quality: float = 0.4,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """One-row audit of the whole cleaning pipeline: input size and
+    survivor count after each stage — the end-to-end composition
+    (quality → exact dedup → MinHash + connected components) verified
+    cross-engine as a single query."""
+    kept_q, kept_e, kept_n = corpus_stage_frames(
+        documents, min_quality, near_dup_threshold
+    )
+
+    def n(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        n(documents, "n_input")
+        .crossJoin(n(kept_q, "n_after_quality"))
+        .crossJoin(n(kept_e, "n_after_exact"))
+        .crossJoin(n(kept_n, "n_after_near_dup"))
+    )
