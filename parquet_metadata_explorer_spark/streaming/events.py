@@ -21,16 +21,28 @@ from parquet_metadata_explorer_spark.operators.relational import _stable_sum
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, handling TIMESTAMP(NANOS) parquet.
+    """Load the events table, normalizing ``ts`` to TIMESTAMP (LTZ).
 
-    Spark has no nanosecond timestamp type; read the raw int64 nanos
-    (``nanosAsLong``) and truncate to microseconds — exact integer math,
-    no double-precision loss at 10^18-scale epochs.
+    Handles both testdata vintages: TIMESTAMP(NANOS) parquet is read as
+    raw int64 nanos (``nanosAsLong``) and truncated to microseconds —
+    exact integer math, no double-precision loss at 10^18-scale epochs —
+    while plain ``timestamp[us]`` with no timezone (Spark 4 reads it as
+    TIMESTAMP_NTZ, which rejects numeric casts) is cast to TIMESTAMP.
+    Sessions here run with ``spark.sql.session.timeZone=UTC``, so the
+    NTZ→LTZ cast is the identity on wall-clock values and matches how
+    DuckDB reads the same column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -183,8 +195,7 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
         .option("maxFilesPerTrigger", "4")
         .load(events_path)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
