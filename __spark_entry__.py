@@ -979,8 +979,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(ev.load_events(spark, sf_dir))
 
 
-O_EVENTS_SESSIONIZE = f"""
-WITH g AS (
+# shared by the sessionize and range-join oracles: per-event session ids
+D_SESSION_CTE = """
+g AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
               WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
@@ -993,6 +994,10 @@ s AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM g
 )
+"""
+
+O_EVENTS_SESSIONIZE = f"""
+WITH {D_SESSION_CTE}
 SELECT user_id, session_seq::bigint AS session_seq,
        count(*)::bigint AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -1040,6 +1045,64 @@ SELECT user_id, eid AS purchase_id,
        click_id,
        strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
 FROM w WHERE side = 'p'
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.json_props_stats(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_JSON = """
+SELECT event_type,
+       count(*)::bigint AS n_events,
+       count(k)::bigint AS n_with_k,
+       sum(k)::bigint AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(DISTINCT k)::bigint AS n_distinct_k
+FROM (SELECT event_type, json_extract(props, '$.k')::bigint AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every purchase event joined to the
+    containing session interval of the same user, as a binned equi-join
+    (operators/rangejoin.py) — never a nested-loop."""
+    from parquet_metadata_explorer_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    _utc(spark)
+    events = ev.load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = binned_interval_join(
+        purchases, ev.session_intervals(events), keys=("user_id",)
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "session_seq",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+O_EVENTS_RANGE_JOIN = f"""
+WITH {D_SESSION_CTE},
+iv AS (
+  SELECT user_id, session_seq::bigint AS session_seq,
+         min(ts) AS start_ts, max(ts) AS end_ts
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT p.user_id, p.event_id AS purchase_id, iv.session_seq,
+       strftime(iv.start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(iv.end_ts, '%Y-%m-%d %H:%M:%S') AS session_end
+FROM events p JOIN iv
+  ON p.user_id = iv.user_id AND p.ts BETWEEN iv.start_ts AND iv.end_ts
+WHERE p.event_type = 'purchase'
 """
 
 
@@ -1390,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
+        "events_json": q_events_json,
+        "events_range_join": q_events_range_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
@@ -1438,6 +1503,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": O_EVENTS_SESSIONIZE,
         "events_asof": O_EVENTS_ASOF,
         "events_percentiles": O_EVENTS_PERCENTILES,
+        "events_json": O_EVENTS_JSON,
+        "events_range_join": O_EVENTS_RANGE_JOIN,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,

@@ -90,10 +90,11 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is idle
-    longer than the gap. Classic lag + cumulative-sum-over-window — one
-    shuffle on user_id, then ordered scans within each user partition."""
+def _session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Events with a per-user ``session_seq`` column: lag to detect gaps,
+    cumulative sum over the per-user timeline to number sessions. One
+    shuffle on user_id; both windows share the same partitioning/order so
+    Catalyst plans a single exchange + sort."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lag("ts").over(w)
     # fractional-second epochs (cast to double), matching DuckDB's epoch()
@@ -109,9 +110,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_ids = events.withColumn("session_seq", F.sum(new_session).over(w_acc))
+    return events.withColumn("session_seq", F.sum(new_session).over(w_acc))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than the gap. Classic lag + cumulative-sum-over-window — one
+    shuffle on user_id, then ordered scans within each user partition."""
     return (
-        with_ids.groupBy("user_id", "session_seq")
+        _session_ids(events, gap_minutes).groupBy("user_id", "session_seq")
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -120,6 +127,38 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .withColumn("session_seq", F.col("session_seq").cast("long"))
         .orderBy("user_id", "session_seq")
+    )
+
+
+def session_intervals(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session time intervals ``(user_id, session_seq, start_ts,
+    end_ts)`` with raw timestamp bounds — the interval side of a range
+    join (see ``operators.rangejoin.binned_interval_join``)."""
+    return (
+        _session_ids(events, gap_minutes)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type stats over the JSON ``props`` payload column.
+
+    ``get_json_object`` is a JVM-side expression (Jackson inside codegen,
+    no Python), so JSON extraction over 100 TB of event payloads is a
+    map-only pass feeding one partial-aggregated shuffle on event_type.
+    Exact integer aggregates only, so the DuckDB ``json_extract`` twin is
+    a bit-exact oracle.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.withColumn("k", k).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").cast("long").alias("n_distinct_k"),
     )
 
 

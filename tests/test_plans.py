@@ -188,3 +188,28 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as an equi-join (SMJ or BHJ) —
+    a plain BETWEEN theta join would be a BroadcastNestedLoopJoin, which
+    is O(points x intervals) and unusable at scale."""
+    from parquet_metadata_explorer_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+    from parquet_metadata_explorer_spark.streaming import events as ev
+
+    events = ev.load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = binned_interval_join(
+        purchases, ev.session_intervals(events), keys=("user_id",)
+    )
+    plan = simple_plan(joined)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan
+
+    # every purchase falls inside exactly one of its user's sessions
+    assert joined.count() == purchases.count()
+    assert joined.groupBy("purchase_id").count().filter("count > 1").count() == 0
