@@ -20,13 +20,17 @@ from .options import (  # noqa: F401
 )
 from .cache import unpersist_all  # noqa: F401
 from .sources.api import read_metadata, read_page_index  # noqa: F401
+from .sources.udtfs import register_udtfs  # noqa: F401
 
 __version__ = "0.1.0"
 
 
 def register(spark):
-    """Register the ``metadata`` Python data source with this session."""
+    """Register the ``metadata`` Python data source (enables
+    ``spark.read.format("metadata")``) and the per-level SQL table
+    functions (``SELECT * FROM metadata_columns(path)``)."""
     from .sources.datasource import MetadataDataSource
 
     spark.dataSource.register(MetadataDataSource)
+    register_udtfs(spark)
     return spark

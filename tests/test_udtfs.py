@@ -1,0 +1,47 @@
+"""SQL table functions (Python UDTFs) must agree row-for-row with the
+function API — three entry points, one row contract."""
+
+import pytest
+
+import parquet_metadata_explorer_spark as pqx
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    pqx.register_udtfs(spark)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=repr)
+
+
+@pytest.mark.parametrize(
+    "fn,source,level",
+    [
+        ("metadata_files", "file", "file"),
+        ("metadata_parquet_file", "parquet", "file"),
+        ("metadata_rowgroups", "parquet", "rowgroup"),
+        ("metadata_columns", "parquet", "column"),
+        ("metadata_pages", "parquet", "page"),
+    ],
+)
+def test_udtf_matches_function_api(spark, sf_dir, fn, source, level):
+    path = f"{sf_dir}/lineitem.parquet"
+    via_sql = spark.sql(f"SELECT * FROM {fn}('{path}')")
+    via_api = pqx.read_metadata(spark, path, source=source, level=level)
+    assert via_sql.schema == via_api.schema
+    assert _rows(via_sql) == _rows(via_api)
+
+
+def test_lateral_over_listing(spark, sf_dir):
+    """The scale form: per-file footer parses run inside the task owning
+    each listing row."""
+    files = pqx.read_metadata(spark, sf_dir, source="file", level="file")
+    files.createOrReplaceTempView("t_files")
+    out = spark.sql(
+        "SELECT f.filepath, c.path, c.num_values "
+        "FROM t_files f, LATERAL metadata_columns(f.filepath) c"
+    )
+    expected = pqx.read_metadata(spark, sf_dir, source="parquet", level="column")
+    assert out.count() == expected.count()
+    assert out.filter("num_values <= 0").count() == 0
