@@ -19,6 +19,7 @@ from .options import (  # noqa: F401
     SOURCE_PARQUET,
 )
 from .cache import unpersist_all  # noqa: F401
+from .metrics import ScanMetrics  # noqa: F401
 from .sources.api import read_metadata, read_page_index  # noqa: F401
 from .sources.udtfs import register_udtfs  # noqa: F401
 

@@ -28,12 +28,15 @@ def iter_pages(
     page_content: bool = False,
     meta: Optional[FileMetaData] = None,
     yield_header: bool = False,
+    on_close=None,
 ) -> Iterator[tuple]:
     """Yield one tuple per page, matching schemas.PARQUET_PAGE_LEVEL order
     (minus filepath, appended by the caller). With ``yield_header`` the
     decoded ``PageHeader`` is appended as one extra trailing element —
     the v2 decode path needs its level byte lengths and is_compressed
-    flag, which the fixed page schema deliberately doesn't carry."""
+    flag, which the fixed page schema deliberately doesn't carry.
+    ``on_close(remote_reads, remote_seeks)`` fires as the stream closes —
+    the metrics hook (see ``metrics.ScanMetrics``)."""
     if meta is None:
         meta, _ = read_footer(path, size)
     fs, p = resolve_filesystem(path)
@@ -81,3 +84,5 @@ def iter_pages(
                     page_id += 1
     finally:
         stream.close()
+        if on_close is not None:
+            on_close(stream.remote_reads, stream.remote_seeks)

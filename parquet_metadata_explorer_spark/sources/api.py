@@ -38,7 +38,9 @@ def _infer_source(files) -> str:
     return SOURCE_PARQUET if is_parquet_file(files[0].path) else SOURCE_FILE
 
 
-def build_metadata_df(spark: SparkSession, opts: MetadataOptions) -> DataFrame:
+def build_metadata_df(
+    spark: SparkSession, opts: MetadataOptions, io_metrics=None
+) -> DataFrame:
     files = list_files(opts.path, spark=spark)
     source = opts.source or _infer_source(files)
     validate_source_level(source, opts.level)
@@ -59,8 +61,8 @@ def build_metadata_df(spark: SparkSession, opts: MetadataOptions) -> DataFrame:
     elif opts.level == "column":
         out = rdd.flatMap(R.column_rows)
     else:  # page
-        bufsize, content = opts.buffersize, opts.pagecontent
-        out = rdd.flatMap(lambda f: R.page_rows(f, bufsize, content))
+        bufsize, content, m = opts.buffersize, opts.pagecontent, io_metrics
+        out = rdd.flatMap(lambda f: R.page_rows(f, bufsize, content, m))
 
     return spark.createDataFrame(out, schema)
 
@@ -151,6 +153,7 @@ def read_metadata(
     maxparts: Optional[int] = None,
     buffersize: Optional[int] = None,
     pagecontent: Optional[bool] = None,
+    io_metrics=None,
 ) -> DataFrame:
     """Load file / parquet metadata as a DataFrame.
 
@@ -159,7 +162,8 @@ def read_metadata(
     from magic bytes when omitted), ``level`` in
     {file, rowgroup, column, page}, ``maxparts`` caps scan parallelism,
     ``buffersize`` sizes the page-scan read buffer, ``pagecontent``
-    materializes raw page bytes.
+    materializes raw page bytes. ``io_metrics`` (a ``metrics.ScanMetrics``)
+    aggregates page-scan remote read/seek counts across all tasks.
     """
     params: dict = {"path": path, "level": level}
     if source is not None:
@@ -170,4 +174,4 @@ def read_metadata(
         params["buffersize"] = str(buffersize)
     if pagecontent is not None:
         params["pagecontent"] = str(pagecontent)
-    return build_metadata_df(spark, parse_options(params))
+    return build_metadata_df(spark, parse_options(params), io_metrics=io_metrics)

@@ -92,8 +92,14 @@ def column_rows(f: FileInfo) -> Iterator[tuple]:
             )
 
 
-def page_rows(f: FileInfo, buffer_size: int, page_content: bool) -> Iterator[tuple]:
+def page_rows(
+    f: FileInfo, buffer_size: int, page_content: bool, metrics=None
+) -> Iterator[tuple]:
     for page in iter_pages(
-        f.path, size=f.size, buffer_size=buffer_size, page_content=page_content
+        f.path,
+        size=f.size,
+        buffer_size=buffer_size,
+        page_content=page_content,
+        on_close=metrics.add if metrics is not None else None,
     ):
         yield page + (f.path,)

@@ -70,3 +70,28 @@ def test_use_after_close():
     s.close()
     with pytest.raises(ValueError, match="closed"):
         s.read(1)
+
+
+def test_scan_metrics_accumulate_to_driver(spark, sf_dir):
+    """Distributed page-scan I/O counters must aggregate across tasks via
+    accumulators, and a big buffer must need no more remote reads than a
+    tiny one on the same files (that is the whole point of the buffer)."""
+    import parquet_metadata_explorer_spark as pqx
+
+    big = pqx.ScanMetrics(spark)
+    pqx.read_metadata(
+        spark, sf_dir, source="parquet", level="page", io_metrics=big
+    ).count()
+    assert big.remote_reads > 0
+    # at 128 MiB each file costs exactly its initial seek to the first
+    # chunk; every later chunk lands inside the buffered whole file
+    n_files = 10
+    assert big.remote_seeks == n_files
+
+    small = pqx.ScanMetrics(spark)
+    pqx.read_metadata(
+        spark, sf_dir, source="parquet", level="page",
+        buffersize=256, io_metrics=small,
+    ).count()
+    assert small.remote_reads > big.remote_reads
+    assert small.remote_seeks >= 0
