@@ -835,6 +835,34 @@ ORDER BY freq DESC, ngram LIMIT 50
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 20th document plays the benchmark/eval set; the rest is the
+    training corpus being screened for eval-set leakage."""
+    docs = _table(spark, sf_dir, "documents")
+    return text.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+O_TEXT_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
+sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh2 WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, length(s)::bigint AS n_sh, s FROM sh2 WHERE doc_id % 20 <> 0),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM corpus),
+hits AS (
+  SELECT i.doc_id, count(*)::bigint AS n_hit
+  FROM inv i JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT c.doc_id, c.n_sh, coalesce(h.n_hit, 0)::bigint AS n_hit,
+       round(coalesce(h.n_hit, 0)::double / c.n_sh, 4) AS contamination,
+       (coalesce(h.n_hit, 0)::double / c.n_sh) >= 0.5 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
 _EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
 
 O_TEXT_STATS = f"""
@@ -1444,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
         "ngram_freq": q_ngram_freq,
+        "text_decontaminate": q_text_decontaminate,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -1494,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_group": O_SAMPLE_PER_GROUP,
         "pack_sequences": O_PACK_SEQUENCES,
         "ngram_freq": O_NGRAM_FREQ,
+        "text_decontaminate": O_TEXT_DECONTAM,
         "text_stats": O_TEXT_STATS,
         "text_langid": _oracle_langid(),
         "text_tokens": O_TEXT_TOKENS,

@@ -147,6 +147,61 @@ def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
     )
 
 
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct 3-word shingles that appear anywhere in a benchmark
+    corpus — the standard guard against eval-set leakage into training
+    data.
+
+    Scale shape: both corpora run through the Arrow shingle kernel
+    (map-only); the benchmark's distinct shingle set — small by
+    definition (eval suites are MBs, training corpora are TBs) — is
+    ``broadcast`` so the containment check is a map-side semi-join over
+    the exploded postings, followed by ONE shuffle (groupBy doc_id, with
+    map-side partial counts). Drop the broadcast hint if a benchmark's
+    shingle set ever outgrows executor memory; the join key (shingle) is
+    near-uniform, so the fallback shuffle join has no skew.
+
+    ``contaminated`` compares the UNROUNDED ratio against ``threshold``
+    (the rounded ``contamination`` column is display/oracle precision).
+    """
+    from .dedup import shingle_signature_kernel
+    from ..cache import track_persist
+
+    doc_sh = track_persist(
+        shingle_signature_kernel(documents, n_hashes=0).filter(
+            F.size("shingles") > 0
+        )
+    )
+    bench_sh = (
+        shingle_signature_kernel(benchmark, n_hashes=0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    inv = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hits = (
+        inv.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    sizes = doc_sh.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(ratio, 4).alias("contamination"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def ngram_frequencies(
     documents: DataFrame, n: int = 2, top_k: int = 100
 ) -> DataFrame:

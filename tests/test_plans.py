@@ -213,3 +213,16 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     # every purchase falls inside exactly one of its user's sessions
     assert joined.count() == purchases.count()
     assert joined.groupBy("purchase_id").count().filter("count > 1").count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the corpus-side postings
+    never shuffle for the containment check, only for the per-doc count."""
+    from parquet_metadata_explorer_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    df = text.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+    assert has_broadcast_join(df)
