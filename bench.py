@@ -62,6 +62,8 @@ def main() -> None:
         "events_windowed",
         "events_sessionize",
         "events_asof",
+        "events_range_join",
+        "text_decontaminate",
         "tpch_q1",
         "tpch_q5",
         "window_top_orders",
