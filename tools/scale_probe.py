@@ -1,0 +1,155 @@
+"""Scaling probe: do the extension operators scale linearly with corpus size?
+
+Builds 1x/2x/4x replicas of the sf0.1 documents/embeddings tables and
+times the heavy operators at each size, printing one JSON line. Replicas
+are constructed so the WORKLOAD scales honestly instead of degenerating:
+
+- documents: replica i shifts doc_id by i*10^9 and deterministically
+  permutes each document's tokens (sort by md5(pos:i)), so per-replica
+  token/shingle volume is identical to the original but cross-replica
+  shingle sets are disjoint-ish — near-dup pair counts grow ~linearly
+  with replication instead of quadratically (naive copy-replication would
+  put every doc in an N-sized exact-dup group and explode LSH buckets,
+  benchmarking the workload change, not the engine).
+- embeddings: replica i shifts vec_id and cyclically rotates the vector
+  by i dims — norms and within-replica geometry preserved, cross-replica
+  cosines decorrelated.
+
+Usage: python tools/scale_probe.py [sf_dir] (default /root/testdata/sf0.1).
+Writes replicas under /tmp/pqx_scale_probe (removed and rebuilt each run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/pqx_scale_probe"
+FACTORS = [1, 2, 4]
+
+
+def build_replicas(spark, sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(embs.select("embedding").first()[0])
+
+    def doc_replica(i: int):
+        toks = F.split(F.col("text"), " ")
+        # deterministic per-replica permutation: order tokens by
+        # md5("<pos>:<replica>") — same multiset, different shingles
+        keyed = F.transform(
+            toks,
+            lambda t, p: F.struct(
+                F.md5(F.concat(p.cast("string"), F.lit(f":{i}"))).alias("k"),
+                t.alias("v"),
+            ),
+        )
+        permuted = F.array_join(
+            F.transform(F.array_sort(keyed), lambda s: s["v"]), " "
+        )
+        return docs.select(
+            (F.col("doc_id") + i * 10**9).alias("doc_id"),
+            (permuted if i else F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    def emb_replica(i: int):
+        rot = i % dim
+        emb = F.col("embedding")
+        rotated = (
+            F.concat(F.slice(emb, rot + 1, dim - rot), F.slice(emb, 1, rot))
+            if rot
+            else emb
+        )
+        return embs.select(
+            (F.col("vec_id") + i * 10**9).alias("vec_id"),
+            rotated.alias("embedding"),
+            "label",
+        )
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    for n in FACTORS:
+        d = f"{BASE}/x{n}"
+        docs_n = doc_replica(0)
+        embs_n = emb_replica(0)
+        for i in range(1, n):
+            docs_n = docs_n.unionByName(doc_replica(i))
+            embs_n = embs_n.unionByName(emb_replica(i))
+        docs_n.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        embs_n.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .appName("pqx-scale-probe")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_replicas(spark, sf_dir)
+
+    from parquet_metadata_explorer_spark.operators import dedup, text
+
+    OPS = {
+        "dedup_exact": lambda d, e: dedup.exact_duplicates(d),
+        "dedup_minhash": lambda d, e: dedup.minhash_lsh_pairs(d, threshold=0.5),
+        "dedup_ngram_jaccard": lambda d, e: dedup.ngram_jaccard_pairs(
+            d, threshold=0.3
+        ),
+        "dedup_embedding": lambda d, e: dedup.embedding_near_duplicates(
+            e, threshold=0.95
+        ),
+        "text_stats": lambda d, e: text.text_stats(d),
+        "ngram_freq": lambda d, e: text.ngram_frequencies(d, n=2, top_k=100),
+    }
+
+    # warm the JVM + Python worker pool once (bench.py rationale)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd
+
+    def _warm(bs):
+        import numpy  # noqa: F401
+
+        for b in bs:
+            yield pd.DataFrame({"id": b["id"]})
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(_warm, "id long").count()
+
+    results: dict[str, dict[str, float]] = {op: {} for op in OPS}
+    rows: dict[str, dict[str, int]] = {op: {} for op in OPS}
+    for n in FACTORS:
+        d = spark.read.parquet(f"{BASE}/x{n}/documents.parquet")
+        e = spark.read.parquet(f"{BASE}/x{n}/embeddings.parquet")
+        for op, fn in OPS.items():
+            t0 = time.monotonic()
+            cnt = fn(d, e).count()
+            results[op][f"x{n}"] = round(time.monotonic() - t0, 2)
+            rows[op][f"x{n}"] = cnt
+            spark.catalog.clearCache()
+            print(f"# x{n} {op}: {results[op][f'x{n}']}s ({cnt} rows)", file=sys.stderr)
+
+    print(json.dumps({"sf_base": sf_dir, "times_sec": results, "out_rows": rows}))
+    spark.stop()
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
