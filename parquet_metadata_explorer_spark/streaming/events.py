@@ -251,6 +251,39 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
+def stream_range_join(
+    spark: SparkSession,
+    events_path: str,
+    intervals: DataFrame,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-static range join: point events arriving on a stream land in
+    their containing (static) interval — the same binned equi-join rewrite
+    as the batch operator (``operators.rangejoin``), which is what makes
+    it streamable at all: Structured Streaming supports stream-static
+    *equi*-joins per micro-batch, while a raw BETWEEN theta join would
+    plan a per-batch nested loop over the whole interval table. The
+    static side (with its bin explode) is planned once and reused every
+    micro-batch; no streaming state is kept — each point joins within the
+    batch it arrives in.
+    """
+    from ..operators.rangejoin import binned_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", "4")
+        .load(events_path)
+    )
+    stream = _normalize_ts(stream).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    return binned_interval_join(
+        stream, intervals, keys=("user_id",), bin_seconds=bin_seconds
+    )
+
+
 def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
     """Streaming exact dedup: emit each distinct document fingerprint the
     first time it arrives, drop every later copy.

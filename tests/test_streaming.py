@@ -125,3 +125,47 @@ def test_stream_near_dedup_candidates_match_batch(spark, sf_dir):
     assert batch, "expected at least one candidate pair in the corpus"
     assert streamed == batch
     shutil.rmtree(stage)
+
+
+def test_stream_range_join_matches_batch(spark, sf_dir):
+    """Streamed point-in-interval assignments must equal the batch range
+    join row-for-row (no state: purchases join static intervals per
+    micro-batch)."""
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = ev.load_events(spark, sf_dir)
+    intervals = ev.session_intervals(events).cache()
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    batch = binned_interval_join(purchases, intervals, keys=("user_id",)).select(
+        "purchase_id", "session_seq"
+    )
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+    out = ev.stream_range_join(spark, stage, intervals).select(
+        "purchase_id", "session_seq"
+    )
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("range_join_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("range_join_stream")
+
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0
+    intervals.unpersist()
