@@ -323,6 +323,8 @@ class ColumnChunk:
     unencoded_byte_array_data_bytes: Optional[int] = None
     repetition_level_histogram: Optional[list] = None
     definition_level_histogram: Optional[list] = None
+    # ColumnMetaData id 13: list[(page_type_id, encoding_id, count)]
+    encoding_stats: Optional[list] = None
 
     @property
     def start_offset(self) -> int:
@@ -346,6 +348,8 @@ class RowGroup:
     total_byte_size: int = 0
     num_rows: int = 0
     file_offset: Optional[int] = None
+    # RowGroup id 4: list[(column_idx, descending, nulls_first)]
+    sorting_columns: Optional[list] = None
 
     @property
     def start_offset(self) -> int:
@@ -449,6 +453,12 @@ def parse_column_chunk(f: dict) -> ColumnChunk:
         unencoded_byte_array_data_bytes=size_stats.get(1),
         repetition_level_histogram=size_stats.get(2),
         definition_level_histogram=size_stats.get(3),
+        # PageEncodingStats: 1=page_type, 2=encoding, 3=count
+        encoding_stats=[
+            (s.get(1), s.get(2), s.get(3)) for s in md[13]
+        ]
+        if 13 in md
+        else None,
     )
 
 
@@ -458,6 +468,12 @@ def parse_row_group(f: dict) -> RowGroup:
         total_byte_size=f.get(2) or 0,
         num_rows=f.get(3) or 0,
         file_offset=f.get(5),
+        # SortingColumn: 1=column_idx, 2=descending, 3=nulls_first
+        sorting_columns=[
+            (s.get(1), bool(s.get(2)), bool(s.get(3))) for s in f[4]
+        ]
+        if 4 in f
+        else None,
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     MapType,
@@ -69,6 +70,19 @@ PARQUET_ROWGROUP_LEVEL = StructType(
         StructField("num_rows", LongType()),
         StructField("num_columns", IntegerType()),
         StructField("filepath", StringType()),
+        # extension (parquet-format RowGroup id 4): declared sort order
+        StructField(
+            "sorting_columns",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("column_idx", IntegerType()),
+                        StructField("descending", BooleanType()),
+                        StructField("nulls_first", BooleanType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -103,6 +117,20 @@ PARQUET_COLUMN_LEVEL = StructType(
         StructField("unencoded_byte_array_data_bytes", LongType()),
         StructField("repetition_level_histogram", ArrayType(LongType())),
         StructField("definition_level_histogram", ArrayType(LongType())),
+        # extension (ColumnMetaData id 13): per-page-type encoding counts —
+        # the "is this chunk fully dict-encoded?" signal
+        StructField(
+            "encoding_stats",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("page_type", StringType()),
+                        StructField("encoding", StringType()),
+                        StructField("count", IntegerType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 

@@ -17,7 +17,12 @@ from typing import Iterator
 from ..listing import FileInfo
 from ..parquet.footer import read_footer, schema_to_string
 from ..parquet.pages import iter_pages
-from ..parquet.thrift import COMPRESSION_CODECS, ENCODINGS, PHYSICAL_TYPES
+from ..parquet.thrift import (
+    COMPRESSION_CODECS,
+    ENCODINGS,
+    PAGE_TYPES,
+    PHYSICAL_TYPES,
+)
 
 
 def file_rows(f: FileInfo) -> Iterator[tuple]:
@@ -53,6 +58,7 @@ def rowgroup_rows(f: FileInfo) -> Iterator[tuple]:
             rg.num_rows,
             len(rg.columns),
             f.path,
+            rg.sorting_columns,
         )
 
 
@@ -89,6 +95,12 @@ def column_rows(f: FileInfo) -> Iterator[tuple]:
                 col.unencoded_byte_array_data_bytes,
                 col.repetition_level_histogram,
                 col.definition_level_histogram,
+                [
+                    (PAGE_TYPES.get(pt, str(pt)), ENCODINGS.get(e, str(e)), n)
+                    for pt, e, n in col.encoding_stats
+                ]
+                if col.encoding_stats is not None
+                else None,
             )
 
 

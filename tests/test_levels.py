@@ -169,3 +169,66 @@ def test_projection_and_filter_compose(spark, part_dir):
     cached = df.cache()
     assert cached.count() == cached.count() == 4
     df.unpersist()
+
+
+def test_encoding_stats_match_page_scan(spark, sf_dir):
+    """encoding_stats (ColumnMetaData id 13) must agree with the pages
+    the page-level scan actually walks: per (file, rowgroup, column),
+    the stats' total page count equals the number of scanned pages."""
+    import pyspark.sql.functions as F
+
+    import parquet_metadata_explorer_spark as pqx
+
+    cols = pqx.read_metadata(spark, sf_dir, source="parquet", level="column")
+    stats = (
+        cols.filter(F.col("encoding_stats").isNotNull())
+        .select(
+            "filepath",
+            "row_group_id",
+            "column_id",
+            F.aggregate(
+                F.col("encoding_stats"), F.lit(0), lambda a, s: a + s["count"]
+            ).alias("n_from_stats"),
+        )
+    )
+    assert stats.count() > 0  # arrow-written testdata carries the field
+    pages = (
+        pqx.read_metadata(spark, sf_dir, source="parquet", level="page")
+        .groupBy("filepath", "row_group_id", "column_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    joined = stats.join(pages, ["filepath", "row_group_id", "column_id"])
+    assert joined.count() == stats.count()
+    assert joined.filter("n_from_stats <> n_pages").count() == 0
+
+
+def test_sorting_columns_roundtrip(spark, tmp_path):
+    """A file written with declared sort order surfaces it at rowgroup
+    level; files without it yield NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import parquet_metadata_explorer_spark as pqx
+
+    t = pa.table({"a": [3, 1, 2], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "sorted.parquet")
+    pq.write_table(
+        t.sort_by("a"), p,
+        sorting_columns=[pq.SortingColumn(0, descending=False, nulls_first=True)],
+    )
+    row = (
+        pqx.read_metadata(spark, p, source="parquet", level="rowgroup")
+        .select("sorting_columns")
+        .first()
+    )
+    assert row.sorting_columns == [(0, False, True)]
+
+    # unsorted control
+    p2 = str(tmp_path / "plain.parquet")
+    pq.write_table(t, p2)
+    row2 = (
+        pqx.read_metadata(spark, p2, source="parquet", level="rowgroup")
+        .select("sorting_columns")
+        .first()
+    )
+    assert row2.sorting_columns is None
