@@ -167,6 +167,17 @@ def q_meta_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: DuckDB's parquet_metadata() exposes chunk-level encodings
+    # but not per-page encoding_stats (footer id 13), so no SQL twin —
+    # invariants in tests/test_reports.py (incl. a forced-overflow file)
+    from parquet_metadata_explorer_spark.operators.reports import (
+        dict_encoding_report,
+    )
+
+    return dict_encoding_report(spark, sf_dir).drop("overflow_examples")
+
+
 O_META_FILE_LIST = f"""
 SELECT regexp_extract(file, '[^/]+$') AS filename
 FROM glob('{SF01}/*.parquet')
@@ -1456,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_rowgroup": q_meta_rowgroup,
         "meta_column": q_meta_column,
         "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
         "dedup_exact": q_dedup_exact,
