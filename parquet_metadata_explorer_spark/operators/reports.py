@@ -16,6 +16,81 @@ from ..sources.api import read_metadata
 _DICT_ENCODINGS = ("RLE_DICTIONARY", "PLAIN_DICTIONARY")
 
 
+def rowgroup_overlap_report(spark: SparkSession, data_path: str) -> DataFrame:
+    """Per (file, column): do the row groups' [min, max] statistic ranges
+    overlap, or is the file effectively sorted on that column?
+
+    Disjoint ranges mean a predicate prunes row groups (readers skip by
+    footer stats alone); heavy overlap means every row group must be
+    scanned — the layout signal behind sort/Z-order decisions. Reported
+    per column: row-group count, count of overlapping adjacent range
+    pairs after sorting by min (0 ⇔ disjoint ⇔ range-prunable), and the
+    declared-sorted flag from ``sorting_columns`` so "declared but not
+    actually disjoint" files stand out.
+
+    Executes as ``applyInPandas`` over (filepath, path) groups of the
+    footer-level metadata — tiny rows (one per row group × column), so
+    even a 10^6-file fleet is a small shuffle; no data pages are read.
+    """
+    import pandas as pd
+
+    from ..parquet.decode import decode_stat_value
+
+    cols = read_metadata(spark, data_path, source="parquet", level="column")
+    rgs = read_metadata(spark, data_path, source="parquet", level="rowgroup")
+    # column_id -> declared-sort flag via the rowgroup's sorting_columns
+    declared = rgs.select(
+        "filepath",
+        "row_group_id",
+        F.coalesce(
+            F.transform(F.col("sorting_columns"), lambda s: s["column_idx"]),
+            F.array().cast("array<int>"),
+        ).alias("sorted_cols"),
+    )
+    stats = cols.join(declared, ["filepath", "row_group_id"]).select(
+        "filepath",
+        "path",
+        "type",
+        "row_group_id",
+        F.col("statistics.min_value").alias("mn"),
+        F.col("statistics.max_value").alias("mx"),
+        F.array_contains(F.col("sorted_cols"), F.col("column_id")).alias(
+            "declared_sorted"
+        ),
+    )
+
+    def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        fp, path = pdf["filepath"].iloc[0], pdf["path"].iloc[0]
+        typ = pdf["type"].iloc[0]
+        ranges = [
+            (decode_stat_value(r.mn, typ), decode_stat_value(r.mx, typ))
+            for r in pdf.itertuples(index=False)
+        ]
+        have = [r for r in ranges if r[0] is not None and r[1] is not None]
+        overlaps = None
+        if len(have) == len(ranges):
+            have.sort()
+            overlaps = sum(
+                1 for a, b in zip(have, have[1:]) if b[0] <= a[1] and len(have) > 1
+            )
+        return pd.DataFrame(
+            {
+                "filepath": [fp],
+                "path": [path],
+                "n_rowgroups": [len(ranges)],
+                "n_overlaps": [overlaps],
+                "range_prunable": [None if overlaps is None else overlaps == 0],
+                "declared_sorted": [bool(pdf["declared_sorted"].any())],
+            }
+        )
+
+    out_schema = (
+        "filepath string, path string, n_rowgroups long, n_overlaps long, "
+        "range_prunable boolean, declared_sorted boolean"
+    )
+    return stats.groupBy("filepath", "path").applyInPandas(analyze, out_schema)
+
+
 def dict_encoding_report(spark: SparkSession, data_path: str) -> DataFrame:
     """Per-column dictionary-encoding health across a dataset.
 

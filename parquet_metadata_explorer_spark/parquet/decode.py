@@ -47,6 +47,25 @@ def decompress_page(
     )
 
 
+def decode_stat_value(raw: Optional[bytes], physical_type: str):
+    """Decode one PLAIN-encoded statistics value (footer/page-index
+    min/max bytes) to a comparable Python value. BYTE_ARRAY stats carry
+    no length prefix (the value IS the bytes); returned as UTF-8 text
+    when decodable so lexicographic comparison matches the writer's
+    UNSIGNED/string sort order on ASCII data."""
+    if raw is None:
+        return None
+    if physical_type in _FIXED:
+        fmt, w = _FIXED[physical_type]
+        return struct.unpack(fmt, raw[:w])[0]
+    if physical_type == "BOOLEAN":
+        return bool(raw[0])
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw
+
+
 def decode_plain(
     data: bytes,
     physical_type: str,
