@@ -48,6 +48,67 @@ def write_deduplicated(
     writer.parquet(out_path)
 
 
+def write_zordered(
+    df: DataFrame,
+    out_path: str,
+    cols: list,
+    bits: int = 8,
+    num_files: int = 16,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` interleaved on a Z-order (Morton) curve over ``cols``
+    so range predicates on ANY of the columns prune files/row groups —
+    the multi-dimensional answer to single-column sorting (verify with
+    ``reports.rowgroup_overlap_report``: after z-ordering, every z column
+    shows shrunken per-file min/max ranges instead of one sorted column
+    pruning and the rest scanning everything).
+
+    Each column is quantized to ``2^bits`` uniform buckets between its
+    min and max (one tiny driver-side agg for the bounds — the only
+    non-distributed step, returning 2×len(cols) scalars), the bucket ids'
+    bits are interleaved into the z-value with pure codegen shift/or
+    expressions, and the rows are range-partitioned + sorted by z —
+    ``repartitionByRange`` samples z to build balanced file splits, so
+    skew in the original columns becomes at worst bucket-granularity
+    imbalance. Uniform (not quantile) buckets keep the transform
+    stateless; heavily skewed columns want a rank transform first.
+    """
+    if not cols or len(cols) < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        bucket = (
+            F.when(F.lit(mx) == F.lit(mn), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(c) - F.lit(mn))
+                        / ((F.lit(mx) - F.lit(mn)) / F.lit(n_buckets))
+                    ),
+                )
+            )
+            .cast("long")
+        )
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+
+
 def write_metadata_report(
     spark: SparkSession,
     data_path: str,

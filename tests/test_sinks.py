@@ -69,3 +69,47 @@ def test_clean_corpus_pipeline(spark, tmp_path):
     }
     back = spark.read.parquet(out)
     assert sorted(r.doc_id for r in back.collect()) == [1, 4]
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """After z-ordering on (x, y), per-file value ranges shrink on BOTH
+    columns; a plain x-sort leaves every file spanning y's full range.
+    Measured through our own column-level metadata scan."""
+    import pyspark.sql.functions as F
+
+    import parquet_metadata_explorer_spark as pqx
+    from parquet_metadata_explorer_spark.operators.sinks import write_zordered
+    from parquet_metadata_explorer_spark.parquet.decode import decode_stat_value
+
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            (F.col("id") % 200).alias("x"),
+            ((F.col("id") * 48271) % 200).alias("y"),
+        )
+    )
+    z_dir = str(tmp_path / "zorder")
+    s_dir = str(tmp_path / "xsort")
+    write_zordered(df, z_dir, ["x", "y"], num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(s_dir)
+
+    def mean_file_range(path, column):
+        rows = (
+            pqx.read_metadata(spark, path, source="parquet", level="column")
+            .filter(F.col("path") == column)
+            .select("type", "statistics.min_value", "statistics.max_value")
+            .collect()
+        )
+        spans = [
+            decode_stat_value(r.max_value, r.type)
+            - decode_stat_value(r.min_value, r.type)
+            for r in rows
+        ]
+        return sum(spans) / len(spans)
+
+    # x-sorted layout: x prunes hard, y spans ~everything in every file
+    assert mean_file_range(s_dir, "x") < 40
+    assert mean_file_range(s_dir, "y") > 150
+    # z-ordered: BOTH dimensions shrink well below the full range of ~200
+    assert mean_file_range(z_dir, "x") < 120
+    assert mean_file_range(z_dir, "y") < 120
