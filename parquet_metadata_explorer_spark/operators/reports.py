@@ -16,6 +16,49 @@ from ..sources.api import read_metadata
 _DICT_ENCODINGS = ("RLE_DICTIONARY", "PLAIN_DICTIONARY")
 
 
+def bloom_probe(
+    spark: SparkSession, data_path: str, column: str, values: list
+) -> DataFrame:
+    """Which files/row groups can possibly contain each value? Probes the
+    column's split-block bloom filters (``parquet/bloom.py``) — ~1 MiB of
+    filter per chunk instead of the data pages, the file-skipping
+    primitive for point lookups over a 10^6-file fleet.
+
+    One task per slice of files (same ``parallelize`` shape as the
+    metadata scans); each task reads footer + filter once and probes all
+    ``values`` against it. Rows with ``might_contain`` NULL mean the
+    chunk has no bloom filter (written without one) — it must be scanned.
+    A False is definitive (blooms have no false negatives); a True means
+    "scan this one".
+    """
+    from ..listing import list_files
+    from ..parquet.bloom import read_bloom_filter
+    from ..parquet.footer import read_footer
+
+    files = list_files(data_path, spark=spark)
+    vals = list(values)
+
+    def probe(f):
+        meta, _ = read_footer(f.path, f.size)
+        for rg_id, rg in enumerate(meta.row_groups):
+            for col in rg.columns:
+                if ".".join(p for p in col.path_in_schema if p) != column:
+                    continue
+                from ..parquet.thrift import PHYSICAL_TYPES
+
+                typ = PHYSICAL_TYPES[col.type] if col.type is not None else None
+                bf = read_bloom_filter(f.path, col)
+                for v in vals:
+                    hit = bf.might_contain(v, typ) if bf is not None else None
+                    yield (f.path, rg_id, str(v), hit)
+
+    rdd = spark.sparkContext.parallelize(files, max(1, min(len(files), 200)))
+    return spark.createDataFrame(
+        rdd.flatMap(probe),
+        "filepath string, row_group_id int, value string, might_contain boolean",
+    )
+
+
 def rowgroup_overlap_report(spark: SparkSession, data_path: str) -> DataFrame:
     """Per (file, column): do the row groups' [min, max] statistic ranges
     overlap, or is the file effectively sorted on that column?

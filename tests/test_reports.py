@@ -60,3 +60,40 @@ def test_rowgroup_overlap_report(spark, tmp_path):
 
     rep2 = {r.path: r for r in rowgroup_overlap_report(spark, str(d2)).collect()}
     assert rep2["k"].n_overlaps > 0 and not rep2["k"].range_prunable
+
+
+def test_bloom_probe_roundtrip(spark, tmp_path):
+    """Against Spark-written bloom filters: every present key must probe
+    True (blooms have no false negatives — this also pins the xxhash64
+    and split-block math end-to-end), absent keys are ~all False, and a
+    bloom-less file yields NULL."""
+    from parquet_metadata_explorer_spark.operators.reports import bloom_probe
+
+    out = str(tmp_path / "bloomed")
+    (
+        spark.range(0, 4000)
+        .selectExpr("concat('key-', id) AS s", "id AS k")
+        .coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#s", "true")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .parquet(out)
+    )
+
+    present = [f"key-{i}" for i in range(0, 4000, 100)]
+    absent = [f"nope-{i}" for i in range(200)]
+    rep = bloom_probe(spark, out, "s", present + absent).collect()
+    hits = {r.value: r.might_contain for r in rep}
+    assert all(hits[v] is True for v in present)  # no false negatives
+    fp = sum(1 for v in absent if hits[v])
+    assert fp <= 2, f"false-positive rate implausibly high: {fp}/200"
+
+    # INT64 column probes with typed encoding
+    rep_k = {r.value: r.might_contain for r in bloom_probe(spark, out, "k", [5, 4001]).collect()}
+    assert rep_k["5"] is True  # present int64 key, typed little-endian hash
+    assert rep_k["4001"] is False  # absent (tiny FP chance accepted as flake)
+
+    # file without blooms -> NULL (must-scan)
+    out2 = str(tmp_path / "plain")
+    spark.range(10).selectExpr("concat('x', id) AS s").write.parquet(out2)
+    rep2 = bloom_probe(spark, out2, "s", ["x1"]).collect()
+    assert all(r.might_contain is None for r in rep2)
