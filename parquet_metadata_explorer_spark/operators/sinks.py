@@ -19,11 +19,21 @@ from ..sources.api import read_metadata
 from .dedup import exact_duplicates
 
 
+def _with_blooms(writer, bloom_columns):
+    """Enable parquet split-block bloom filters for the given columns —
+    readable back via ``operators.reports.bloom_probe`` (point-lookup
+    file skipping without data reads)."""
+    for c in bloom_columns or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    return writer
+
+
 def write_deduplicated(
     documents: DataFrame,
     out_path: str,
     partition_by: str | None = None,
     mode: str = "error",
+    bloom_columns: list | None = None,
 ) -> None:
     """Write ``documents`` with exact duplicates removed (keeping the
     smallest doc_id of each group).
@@ -42,7 +52,7 @@ def write_deduplicated(
         .select("doc_id")
     )
     kept = documents.join(drops, "doc_id", "left_anti")
-    writer = kept.write.mode(mode)
+    writer = _with_blooms(kept.write.mode(mode), bloom_columns)
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(out_path)
@@ -55,6 +65,7 @@ def write_zordered(
     bits: int = 8,
     num_files: int = 16,
     mode: str = "error",
+    bloom_columns: list | None = None,
 ) -> None:
     """Write ``df`` interleaved on a Z-order (Morton) curve over ``cols``
     so range predicates on ANY of the columns prune files/row groups —
@@ -99,14 +110,14 @@ def write_zordered(
         for b in range(bits):
             bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
-    (
+    _with_blooms(
         df.withColumn("__z", z)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode(mode)
-        .parquet(out_path)
-    )
+        .write.mode(mode),
+        bloom_columns,
+    ).parquet(out_path)
 
 
 def write_metadata_report(

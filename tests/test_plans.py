@@ -226,3 +226,40 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
         docs.filter(F.col("doc_id") % 20 == 0),
     )
     assert has_broadcast_join(df)
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """With AQE skew thresholds lowered to the fixture's scale, a join on
+    a 90%-hot key must show skew=true handling in the adaptive plan —
+    evidence that the engine's join shapes inherit AQE's skew splitting
+    on a real cluster (where one hot key otherwise pins one reducer)."""
+    import pyspark.sql.functions as F
+
+    cfg = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+    }
+    old = {k: spark.conf.get(k, None) for k in cfg}
+    try:
+        for k, v in cfg.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's queryExecution (count()
+        # would plan a separate aggregate), letting AQE finalize it
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -113,3 +113,25 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # z-ordered: BOTH dimensions shrink well below the full range of ~200
     assert mean_file_range(z_dir, "x") < 120
     assert mean_file_range(z_dir, "y") < 120
+
+
+def test_sink_bloom_columns_probe_back(spark, tmp_path):
+    """bloom_columns on a sink writes real filters our probe can read."""
+    import pyspark.sql.functions as F
+
+    from parquet_metadata_explorer_spark.operators.reports import bloom_probe
+    from parquet_metadata_explorer_spark.operators.sinks import write_zordered
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 7) % 100).alias("y"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("name"),
+    )
+    out = str(tmp_path / "zb")
+    write_zordered(df, out, ["x", "y"], num_files=4, bloom_columns=["name"])
+    hits = {
+        r.value: r.might_contain
+        for r in bloom_probe(spark, out, "name", ["doc-5", "doc-xyz"]).collect()
+        if r.might_contain
+    }
+    assert "doc-5" in hits and "doc-xyz" not in hits
