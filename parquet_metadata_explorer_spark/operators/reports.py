@@ -16,6 +16,67 @@ from ..sources.api import read_metadata
 _DICT_ENCODINGS = ("RLE_DICTIONARY", "PLAIN_DICTIONARY")
 
 
+def page_pruning_report(
+    spark: SparkSession,
+    data_path: str,
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """How many data pages would a ``column BETWEEN lo AND hi`` predicate
+    skip, per file? Answered from the page index alone (ColumnIndex
+    min/max per page, ``read_page_index``) — the finest pruning
+    granularity parquet offers, one positioned index read per chunk and
+    zero data pages touched.
+
+    A page is prunable when its [min, max] is disjoint from [lo, hi]
+    (null-only pages always prune). Files written without a page index
+    report ``n_pages = 0`` rows-absent — distinguish "nothing prunable"
+    from "no index to prune with".
+    """
+    import pandas as pd
+
+    from ..parquet.decode import decode_stat_value
+    from ..sources.api import read_page_index
+
+    idx = read_page_index(spark, data_path)
+    cols = read_metadata(spark, data_path, source="parquet", level="column").select(
+        "filepath", "row_group_id", "column_id", "path", "type"
+    )
+    rows = idx.join(cols, ["filepath", "row_group_id", "column_id"]).filter(
+        F.col("path") == column
+    )
+
+    def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        fp = pdf["filepath"].iloc[0]
+        typ = pdf["type"].iloc[0]
+        n = len(pdf)
+        prunable = 0
+        for r in pdf.itertuples(index=False):
+            if r.null_page:
+                prunable += 1
+                continue
+            mn = decode_stat_value(r.min_value, typ)
+            mx = decode_stat_value(r.max_value, typ)
+            if mn is None or mx is None:
+                continue
+            if mx < lo or mn > hi:
+                prunable += 1
+        return pd.DataFrame(
+            {
+                "filepath": [fp],
+                "n_pages": [n],
+                "n_prunable": [prunable],
+                "prunable_frac": [round(prunable / n, 4) if n else None],
+            }
+        )
+
+    return rows.groupBy("filepath").applyInPandas(
+        analyze,
+        "filepath string, n_pages long, n_prunable long, prunable_frac double",
+    )
+
+
 def bloom_probe(
     spark: SparkSession, data_path: str, column: str, values: list
 ) -> DataFrame:

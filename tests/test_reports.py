@@ -97,3 +97,37 @@ def test_bloom_probe_roundtrip(spark, tmp_path):
     spark.range(10).selectExpr("concat('x', id) AS s").write.parquet(out2)
     rep2 = bloom_probe(spark, out2, "s", ["x1"]).collect()
     assert all(r.might_contain is None for r in rep2)
+
+
+def test_page_pruning_report(spark, tmp_path):
+    """On a sorted multi-page column, a narrow BETWEEN must prune most
+    pages; the same predicate on shuffled data prunes ~none."""
+    import random
+
+    from parquet_metadata_explorer_spark.operators.reports import (
+        page_pruning_report,
+    )
+
+    vals = list(range(50_000))
+    rng = random.Random(3)
+    shuffled = vals[:]
+    rng.shuffle(shuffled)
+    for name, data in [("sorted", vals), ("shuffled", shuffled)]:
+        pq.write_table(
+            pa.table({"k": data}),
+            str(tmp_path / f"{name}.parquet"),
+            row_group_size=50_000,
+            data_page_size=4096,
+            write_page_index=True,
+        )
+    rep = {
+        r.filepath.rsplit("/", 1)[1]: r
+        for r in page_pruning_report(
+            spark, str(tmp_path), "k", 1000, 2000
+        ).collect()
+    }
+    s = rep["sorted.parquet"]
+    u = rep["shuffled.parquet"]
+    assert s.n_pages > 10  # small data pages -> many pages
+    assert s.prunable_frac > 0.9, s
+    assert u.prunable_frac < 0.1, u
