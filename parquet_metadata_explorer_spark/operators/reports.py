@@ -120,6 +120,32 @@ def bloom_probe(
     )
 
 
+def schema_drift_report(spark: SparkSession, data_path: str) -> DataFrame:
+    """Schema variants across a dataset's files — the fleet-health check
+    for datasets written by many jobs over time. Groups files by their
+    exact parquet schema string (the S19 ``message …`` printer, so two
+    files agree iff their physical schemas are byte-identical) and
+    reports each variant's file count, writer, and mtime span. One
+    footer-level scan; >1 output row means readers need merged-schema
+    handling (or the pipeline has a stray writer).
+    """
+    files = read_metadata(spark, data_path, source="parquet", level="file")
+    return (
+        files.groupBy(F.md5("schema").alias("schema_fp"))
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.first("schema").alias("schema"),
+            F.sort_array(F.collect_set("created_by")).alias("writers"),
+            F.min("mtime").alias("first_mtime"),
+            F.max("mtime").alias("last_mtime"),
+            F.slice(F.sort_array(F.collect_set("filename")), 1, 5).alias(
+                "example_files"
+            ),
+        )
+        .orderBy(F.desc("n_files"))
+    )
+
+
 def rowgroup_overlap_report(spark: SparkSession, data_path: str) -> DataFrame:
     """Per (file, column): do the row groups' [min, max] statistic ranges
     overlap, or is the file effectively sorted on that column?

@@ -120,6 +120,37 @@ def write_zordered(
     ).parquet(out_path)
 
 
+def compact_dataset(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    mode: str = "error",
+    bloom_columns: list | None = None,
+) -> int:
+    """Rewrite a small-files dataset into ~``target_file_bytes`` outputs.
+
+    The file count comes from the dataset's OWN metadata (one footer-level
+    scan sums real on-disk bytes — no data read to size the job), then a
+    single ``repartition(n)`` round-robins rows into n uniform files.
+    Returns n. The everyday fix for streaming sinks' small-files problem:
+    10^5 kilobyte-files → reader-friendly few-hundred-MB files, with
+    listing cost and per-file open overhead collapsing accordingly.
+    """
+    total = (
+        read_metadata(spark, in_path, source="file", level="file")
+        .agg(F.sum("size"))
+        .first()[0]
+        or 0
+    )
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    writer = _with_blooms(
+        spark.read.parquet(in_path).repartition(n).write.mode(mode), bloom_columns
+    )
+    writer.parquet(out_path)
+    return n
+
+
 def write_metadata_report(
     spark: SparkSession,
     data_path: str,

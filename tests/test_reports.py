@@ -131,3 +131,23 @@ def test_page_pruning_report(spark, tmp_path):
     assert s.n_pages > 10  # small data pages -> many pages
     assert s.prunable_frac > 0.9, s
     assert u.prunable_frac < 0.1, u
+
+
+def test_schema_drift_report(spark, tmp_path):
+    """Two writer-schema vintages in one directory -> two variants with
+    correct file counts; a homogeneous dataset -> one."""
+    from parquet_metadata_explorer_spark.operators.reports import (
+        schema_drift_report,
+    )
+
+    for i in range(3):
+        pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                       str(tmp_path / f"old_{i}.parquet"))
+    pq.write_table(pa.table({"a": [3, 4], "b": ["z", "w"], "c": [0.1, 0.2]}),
+                   str(tmp_path / "new_0.parquet"))
+
+    rep = schema_drift_report(spark, str(tmp_path)).collect()
+    assert len(rep) == 2
+    assert [r.n_files for r in rep] == [3, 1]
+    assert rep[0].example_files == [f"old_{i}.parquet" for i in range(3)]
+    assert "double c" in rep[1].schema or "c;" in rep[1].schema

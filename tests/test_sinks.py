@@ -135,3 +135,25 @@ def test_sink_bloom_columns_probe_back(spark, tmp_path):
         if r.might_contain
     }
     assert "doc-5" in hits and "doc-xyz" not in hits
+
+
+def test_compact_dataset(spark, tmp_path):
+    """Many tiny files compact into the byte-targeted count, content
+    preserved exactly."""
+    from parquet_metadata_explorer_spark.operators.sinks import compact_dataset
+
+    src = str(tmp_path / "small")
+    spark.range(0, 50_000).repartition(40).write.parquet(src)
+    import glob
+
+    n_small = len(glob.glob(src + "/*.parquet"))
+    assert n_small == 40
+    total = sum(__import__("os").path.getsize(p) for p in glob.glob(src + "/*.parquet"))
+
+    out = str(tmp_path / "big")
+    n = compact_dataset(spark, src, out, target_file_bytes=total // 4 + 1)
+    assert n == 4
+    assert len(glob.glob(out + "/*.parquet")) == 4
+    a = spark.read.parquet(src).groupBy().sum("id").first()[0]
+    b = spark.read.parquet(out).groupBy().sum("id").first()[0]
+    assert a == b and spark.read.parquet(out).count() == 50_000
