@@ -7,8 +7,10 @@ are aligned pairwise (everything integer is bigint, every float rounded the
 same way on both sides) so the driver's order-insensitive value hash
 matches.
 
-Only ``meta_page`` has no oracle: DuckDB exposes no page-level parquet
-metadata function; its invariants are covered in tests/test_levels.py.
+Only ``meta_page`` and ``meta_encoding_report`` have no oracle: DuckDB
+exposes neither page-level parquet metadata nor per-page encoding_stats;
+their invariants are covered in tests/test_levels.py and
+tests/test_reports.py.
 """
 
 from __future__ import annotations
