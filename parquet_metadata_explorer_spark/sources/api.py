@@ -67,20 +67,7 @@ def build_metadata_df(
     return spark.createDataFrame(out, schema)
 
 
-def read_page_index(
-    spark: SparkSession,
-    path: str,
-    maxparts: Optional[int] = None,
-) -> DataFrame:
-    """Decoded parquet page-index entries (ColumnIndex ⋈ OffsetIndex):
-    one row per data page per column chunk, with its location, first row
-    index, min/max bytes and null statistics — the page-skipping metadata
-    beyond the reference's index *offsets* (extension surface; empty for
-    files written without ``write_page_index``).
-
-    Same execution shape as the metadata levels: one footer read + two
-    positioned index reads per file, parallelized over files, no shuffle.
-    """
+def _page_index_schema():
     from pyspark.sql.types import (
         BinaryType,
         BooleanType,
@@ -91,7 +78,7 @@ def read_page_index(
         StructType,
     )
 
-    schema = StructType(
+    return StructType(
         [
             StructField("row_group_id", IntegerType()),
             StructField("column_id", IntegerType()),
@@ -107,41 +94,61 @@ def read_page_index(
             StructField("filepath", StringType()),
         ]
     )
+
+
+def page_index_rows(f):
+    """Per-file page-index emitter — shared by ``read_page_index`` and
+    the ``metadata_page_index`` SQL table function."""
+    from ..parquet.footer import read_footer
+    from ..parquet.pageindex import read_page_index as _rpi
+
+    meta, _ = read_footer(f.path, f.size)
+    for rg_id, rg in enumerate(meta.row_groups):
+        for col_id, col in enumerate(rg.columns):
+            ci, oi = _rpi(f.path, col)
+            if oi is None:
+                continue
+            for i, loc in enumerate(oi.page_locations):
+                has_ci = ci is not None and i < len(ci.min_values)
+                yield (
+                    rg_id,
+                    col_id,
+                    i,
+                    loc.offset,
+                    loc.compressed_page_size,
+                    loc.first_row_index,
+                    bool(ci.null_pages[i]) if has_ci else None,
+                    bytes(ci.min_values[i]) if has_ci else None,
+                    bytes(ci.max_values[i]) if has_ci else None,
+                    ci.null_counts[i]
+                    if ci is not None and ci.null_counts is not None
+                    else None,
+                    ci.boundary_order if ci is not None else None,
+                    f.path,
+                )
+
+
+def read_page_index(
+    spark: SparkSession,
+    path: str,
+    maxparts: Optional[int] = None,
+) -> DataFrame:
+    """Decoded parquet page-index entries (ColumnIndex ⋈ OffsetIndex):
+    one row per data page per column chunk, with its location, first row
+    index, min/max bytes and null statistics — the page-skipping metadata
+    beyond the reference's index *offsets* (extension surface; empty for
+    files written without ``write_page_index``).
+
+    Same execution shape as the metadata levels: one footer read + two
+    positioned index reads per file, parallelized over files, no shuffle.
+    """
+    schema = _page_index_schema()
     files = list_files(path, spark=spark)
     if not files:
         return spark.createDataFrame([], schema)
 
-    def index_rows(f):
-        from ..parquet.footer import read_footer
-        from ..parquet.pageindex import read_page_index as _rpi
-
-        meta, _ = read_footer(f.path, f.size)
-        for rg_id, rg in enumerate(meta.row_groups):
-            for col_id, col in enumerate(rg.columns):
-                ci, oi = _rpi(f.path, col)
-                if oi is None:
-                    continue
-                for i, loc in enumerate(oi.page_locations):
-                    has_ci = ci is not None and i < len(ci.min_values)
-                    yield (
-                        rg_id,
-                        col_id,
-                        i,
-                        loc.offset,
-                        loc.compressed_page_size,
-                        loc.first_row_index,
-                        bool(ci.null_pages[i]) if has_ci else None,
-                        bytes(ci.min_values[i]) if has_ci else None,
-                        bytes(ci.max_values[i]) if has_ci else None,
-                        ci.null_counts[i]
-                        if ci is not None and ci.null_counts is not None
-                        else None,
-                        ci.boundary_order if ci is not None else None,
-                        f.path,
-                    )
-
     num_slices = max(1, min(len(files), maxparts or 200))
-    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(index_rows)
+    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(page_index_rows)
     return spark.createDataFrame(rdd, schema)
 
 

@@ -62,4 +62,10 @@ def register_udtfs(spark: SparkSession) -> SparkSession:
         spark.udtf.register(
             name, udtf(_make_udtf_class(emit), returnType=SCHEMAS_BY_LEVEL[key])
         )
+    from .api import _page_index_schema, page_index_rows
+
+    spark.udtf.register(
+        "metadata_page_index",
+        udtf(_make_udtf_class(page_index_rows), returnType=_page_index_schema()),
+    )
     return spark

@@ -45,3 +45,23 @@ def test_lateral_over_listing(spark, sf_dir):
     expected = pqx.read_metadata(spark, sf_dir, source="parquet", level="column")
     assert out.count() == expected.count()
     assert out.filter("num_values <= 0").count() == 0
+
+
+def test_page_index_udtf(spark, tmp_path):
+    """metadata_page_index matches read_page_index row-for-row on a file
+    written with a page index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "idx.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(20000))}),
+        p,
+        data_page_size=4096,
+        write_page_index=True,
+    )
+    via_sql = spark.sql(f"SELECT * FROM metadata_page_index('{p}')")
+    via_api = pqx.read_page_index(spark, p)
+    assert via_sql.schema == via_api.schema
+    assert via_sql.count() == via_api.count() > 5
+    assert _rows(via_sql) == _rows(via_api)
