@@ -186,6 +186,47 @@ def _make_list_dir(uri_prefix: str):
     return list_dir
 
 
+_GLOB_CHARS = set("*?[")
+
+
+def _expand_glob(fs, pattern: str) -> list[str]:
+    """Expand a glob path into existing concrete paths, matching each
+    pattern segment against one directory level (``*`` never crosses
+    ``/`` — Hadoop glob semantics, which is what the reference gets from
+    ``InMemoryFileIndex``)."""
+    import fnmatch
+
+    import pyarrow.fs as pafs
+
+    parts = pattern.split("/")
+    idx = None
+    for i, seg in enumerate(parts):
+        if _GLOB_CHARS.intersection(seg):
+            idx = i
+            break
+    if idx is None:
+        return [pattern]
+    candidates = ["/".join(parts[:idx]) or "/"]
+    for seg in parts[idx:]:
+        nxt = []
+        for c in candidates:
+            if _GLOB_CHARS.intersection(seg):
+                try:
+                    infos = fs.get_file_info(pafs.FileSelector(c, recursive=False))
+                except OSError:  # missing dir / not-a-directory candidate
+                    continue
+                nxt.extend(
+                    i.path
+                    for i in infos
+                    if not _is_hidden(i.base_name)
+                    and fnmatch.fnmatchcase(i.base_name, seg)
+                )
+            else:
+                nxt.append(f"{c}/{seg}" if c != "/" else f"/{seg}")
+        candidates = nxt
+    return sorted(candidates)
+
+
 def list_files(
     path: str,
     spark=None,
@@ -193,6 +234,11 @@ def list_files(
 ) -> list[FileInfo]:
     """List all data files under ``path`` (or the single file itself),
     discovering Hive partition columns from directory names.
+
+    Glob patterns (``*``, ``?``, ``[...]`` — per segment, never crossing
+    ``/``) expand first; each match then lists as its own root, so
+    partition discovery applies beneath matched directories exactly as it
+    would for a direct load of that directory.
 
     Wide roots (≥ ``distributed_threshold`` first-level subdirectories)
     never get a serial driver walk: per-directory listing fans out as a
@@ -204,8 +250,21 @@ def list_files(
     """
     fs, p = resolve_filesystem(path)
     p = p.rstrip("/") or "/"
-    info = fs.get_file_info(p)
     import pyarrow.fs as pafs
+
+    if _GLOB_CHARS.intersection(p):
+        out: list[FileInfo] = []
+        for match in _expand_glob(fs, p):
+            try:
+                out.extend(list_files(match, spark, distributed_threshold))
+            except FileNotFoundError:
+                continue  # static tail segment appended past a miss
+        if not out:
+            raise FileNotFoundError(f"Path does not exist: {path}")
+        out.sort(key=lambda f: f.path)
+        return out
+
+    info = fs.get_file_info(p)
 
     if info.type == pafs.FileType.NotFound:
         raise FileNotFoundError(f"Path does not exist: {path}")

@@ -97,3 +97,37 @@ def test_format_path_wide_root_equivalence(spark, tmp_path):
     assert [(r.filepath, r.size, r.partition) for r in via_format] == [
         (r.filepath, r.size, r.partition) for r in via_func
     ]
+
+
+def test_glob_patterns(spark, sf_dir, tmp_path):
+    """Globs expand per segment (never crossing /): file patterns, dir
+    patterns with partition discovery beneath the match, and no-match
+    errors."""
+    import pytest
+
+    import parquet_metadata_explorer_spark as pqx
+    from parquet_metadata_explorer_spark.listing import list_files
+
+    # file-level glob over the testdata directory
+    files = list_files(f"{sf_dir}/l*.parquet")
+    assert [f.name for f in files] == ["lineitem.parquet"]
+
+    # glob selecting multiple files
+    names = {f.name for f in list_files(f"{sf_dir}/*a*.parquet")}
+    assert names == {"nation.parquet", "part.parquet"}
+
+    # dir glob + partition discovery under the matched root
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "v long, part string")
+    for sub in ("ds_one", "ds_two", "other"):
+        df.write.mode("overwrite").partitionBy("part").parquet(str(tmp_path / sub))
+    fis = list_files(str(tmp_path / "ds_*"))
+    assert len(fis) > 0
+    parts = {dict(f.partition).get("part") for f in fis}
+    assert parts == {"a", "b"}
+    assert not any("/other/" in f.path for f in fis)
+
+    # end-to-end through the reader API
+    assert pqx.read_metadata(spark, f"{sf_dir}/l*.parquet", level="rowgroup").count() == 1
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        list_files(f"{sf_dir}/zzz*.parquet")
