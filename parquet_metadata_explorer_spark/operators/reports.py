@@ -60,8 +60,11 @@ def page_pruning_report(
             mx = decode_stat_value(r.max_value, typ)
             if mn is None or mx is None:
                 continue
-            if mx < lo or mn > hi:
-                prunable += 1
+            try:
+                if mx < lo or mn > hi:
+                    prunable += 1
+            except TypeError:
+                continue  # bounds not comparable with this column's type
         return pd.DataFrame(
             {
                 "filepath": [fp],
@@ -199,10 +202,16 @@ def rowgroup_overlap_report(spark: SparkSession, data_path: str) -> DataFrame:
         have = [r for r in ranges if r[0] is not None and r[1] is not None]
         overlaps = None
         if len(have) == len(ranges):
-            have.sort()
-            overlaps = sum(
-                1 for a, b in zip(have, have[1:]) if b[0] <= a[1] and len(have) > 1
-            )
+            try:
+                have.sort()
+                overlaps = sum(
+                    1 for a, b in zip(have, have[1:]) if b[0] <= a[1] and len(have) > 1
+                )
+            except TypeError:
+                # mixed decodability (some BYTE_ARRAY stats utf-8, some
+                # raw bytes) -> not comparable; report unknown, not a
+                # task failure
+                overlaps = None
         return pd.DataFrame(
             {
                 "filepath": [fp],

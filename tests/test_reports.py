@@ -151,3 +151,23 @@ def test_schema_drift_report(spark, tmp_path):
     assert [r.n_files for r in rep] == [3, 1]
     assert rep[0].example_files == [f"old_{i}.parquet" for i in range(3)]
     assert "double c" in rep[1].schema or "c;" in rep[1].schema
+
+
+def test_reports_tolerate_incomparable_stats(spark, tmp_path):
+    """Binary (non-utf8) stats or type-mismatched bounds must degrade to
+    unknown/not-prunable — never a task failure."""
+    from parquet_metadata_explorer_spark.operators.reports import (
+        page_pruning_report,
+        rowgroup_overlap_report,
+    )
+
+    t = pa.table({"b": [bytes([0xFF, i % 256]) for i in range(1000)]})
+    p = str(tmp_path / "bin.parquet")
+    pq.write_table(t, p, row_group_size=100, write_page_index=True)
+
+    rep = rowgroup_overlap_report(spark, str(tmp_path)).collect()
+    assert len(rep) == 1 and rep[0].n_rowgroups == 10  # ran to completion
+
+    # numeric bounds against a binary column: nothing comparable -> 0 prunable
+    pp = page_pruning_report(spark, str(tmp_path), "b", 10, 20).collect()
+    assert len(pp) == 1 and pp[0].n_prunable == 0
