@@ -353,7 +353,11 @@ def ngram_jaccard_pairs(
     rare = inv.groupBy("shingle").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_doc_freq
     )
-    inv_r = inv.join(rare.select("shingle"), "shingle")
+    # persist the frequency-filtered postings too: both sides of the
+    # self-join reference inv_r, and Catalyst does not reuse the
+    # rare-join's exchanges across the two subtrees (measured: 0
+    # ReusedExchange, the join ran twice)
+    inv_r = track_persist(inv.join(rare.select("shingle"), "shingle"))
     l, r = inv_r.alias("l"), inv_r.alias("r")
     common = (
         l.join(
