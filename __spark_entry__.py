@@ -1089,6 +1089,22 @@ FROM w WHERE side = 'p'
 """
 
 
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregate derived from the hourly one (continuous-aggregate
+    reuse); the oracle aggregates raw events directly — equality proves
+    the partial fold is exact."""
+    _utc(spark)
+    return ev.multi_resolution_rollup(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_ROLLUP_MULTIRES = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*)::bigint AS n_events,
+       round({_d_ssum("value")}, 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.json_props_stats(ev.load_events(spark, sf_dir))
 
@@ -1498,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_json": q_events_json,
         "events_range_join": q_events_range_join,
+        "events_rollup_multires": q_events_rollup_multires,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
@@ -1549,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": O_EVENTS_PERCENTILES,
         "events_json": O_EVENTS_JSON,
         "events_range_join": O_EVENTS_RANGE_JOIN,
+        "events_rollup_multires": O_EVENTS_ROLLUP_MULTIRES,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,

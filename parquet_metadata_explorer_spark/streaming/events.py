@@ -72,6 +72,41 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def multi_resolution_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily stats computed FROM
+    the hourly aggregate, never re-touching raw events.
+
+    The pattern that makes time-series rollups affordable at 100 TB: the
+    raw table is aggregated once into the finest resolution (hour);
+    every coarser resolution (day here, week/month identically) folds
+    the next-finer one — 24 rows per day-group instead of millions.
+    Count and decimal-sum partials are exactly associative, so
+    daily-from-hourly is bit-equal to daily-from-raw — which is exactly
+    what the oracle checks (the DuckDB twin aggregates raw events
+    directly).
+    """
+    from parquet_metadata_explorer_spark.operators.relational import DEC
+
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        # keep the exact decimal partial — cast to double only at the end
+        F.sum(F.col("value").cast(DEC)).alias("s"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact p50/p90/p99 of ``value`` per event_type (linear
     interpolation — the ANSI ``percentile_cont`` definition both Spark's
