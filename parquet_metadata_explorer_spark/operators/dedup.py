@@ -323,8 +323,34 @@ def simhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def auto_doc_freq_cap(df_histogram, pair_budget: int) -> int:
+    """Pick the largest doc-frequency cap whose inverted-index self-join
+    stays under ``pair_budget`` candidate rows.
+
+    ``df_histogram`` is [(df, n_shingles), ...] in any order. A shingle
+    appearing in ``df`` documents contributes df*(df-1)/2 join rows, so the
+    fan-out of a cap ``c`` is the cumulative sum over df <= c. On a Zipfian
+    corpus the sum is dominated by the head and any generous cap passes; on
+    a dense/low-entropy corpus (the measured 4x scale-probe outlier: most
+    shingles just under a fixed cap of 100) the cap auto-shrinks so total
+    join work stays ~``pair_budget`` regardless of density. Floor is 2 —
+    df=1 shingles generate no pairs, so a cap below 2 returns nothing.
+    """
+    total = 0
+    cap = 2
+    for df, n_shingles in sorted(df_histogram):
+        total += (df * (df - 1) // 2) * n_shingles
+        if total > pair_budget and df > 2:
+            break
+        cap = max(cap, df)
+    return cap
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.3, max_doc_freq: int = 100
+    documents: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq=100,
+    pair_budget: int = 25_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index self-join.
 
@@ -333,6 +359,16 @@ def ngram_jaccard_pairs(
     produce 10^12 join rows. Dropping ubiquitous shingles only *lowers*
     recall for pairs that share nothing rare, which is the standard
     trade-off at corpus scale.
+
+    ``max_doc_freq="auto"`` derives the cap from the corpus itself: the
+    (tiny) doc-frequency histogram is aggregated, and the largest cap whose
+    total join fan-out fits ``pair_budget`` rows is chosen via
+    ``auto_doc_freq_cap``. A fixed cap is a *rate* knob that must shrink as
+    corpus density grows (measured in tools/scale_probe.py: a 4x-replicated
+    low-entropy corpus puts most shingles just under df=100 and the join
+    goes quadratic); auto mode makes it self-tuning. The histogram is
+    O(distinct df values) — a few hundred rows to the driver, same class of
+    tiny driver-side decision as IVF's centroid pull.
     """
     sh = (
         shingle_signature_kernel(documents, n_hashes=0)
@@ -350,9 +386,16 @@ def ngram_jaccard_pairs(
             F.explode("sh").alias("shingle"),
         )
     )
-    rare = inv.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= max_doc_freq
-    )
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    if max_doc_freq == "auto":
+        # persist: freq feeds the histogram action AND the rare filter
+        freq = track_persist(freq)
+        hist = [
+            (r["df"], r["n_shingles"])
+            for r in freq.groupBy("df").agg(F.count("*").alias("n_shingles")).collect()
+        ]
+        max_doc_freq = auto_doc_freq_cap(hist, pair_budget)
+    rare = freq.filter(F.col("df") <= F.lit(int(max_doc_freq)))
     # persist the frequency-filtered postings too: both sides of the
     # self-join reference inv_r, and Catalyst does not reuse the
     # rare-join's exchanges across the two subtrees (measured: 0

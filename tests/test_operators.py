@@ -55,6 +55,38 @@ def test_ngram_jaccard(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_auto_doc_freq_cap_histogram():
+    # Zipfian-ish head: generous cap passes untouched
+    hist = [(1, 10_000), (2, 1_000), (5, 100), (1000, 1)]
+    assert dedup.auto_doc_freq_cap(hist, pair_budget=10_000_000) == 1000
+    # dense corpus: df=90 shingles dominate; the cap must exclude them
+    dense = [(2, 1_000), (90, 10_000)]  # 90*89/2*10k = 40M pairs
+    assert dedup.auto_doc_freq_cap(dense, pair_budget=1_000_000) == 2
+    # floor is 2 even when everything is over budget
+    assert dedup.auto_doc_freq_cap([(50, 10_000)], pair_budget=10) == 2
+
+
+def test_ngram_jaccard_auto_cap(spark):
+    # dense corpus: 4 groups x 10 identical docs on disjoint vocabularies
+    # (every shingle df=10 — the fixed-cap quadratic-fan-out scenario),
+    # plus one rare pair of identical docs (every shingle df=2)
+    rows = [
+        (g * 10 + i, " ".join(f"w{g}{j}" for j in range(8)))
+        for g in range(4)
+        for i in range(10)
+    ]
+    rare_text = "unique rare words that appear nowhere else at all"
+    rows += [(100, rare_text), (101, rare_text)]
+    dense = spark.createDataFrame(rows, ["doc_id", "text"])
+    # histogram: df=2 shingles cost 6 pairs, df=10 shingles cost 1080 —
+    # budget 50 keeps the rare pair, auto-excludes the dense groups
+    auto = dedup.ngram_jaccard_pairs(dense, 0.3, max_doc_freq="auto", pair_budget=50)
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in auto.collect()] == [(100, 101, 1.0)]
+    # with room in the budget, auto admits df=10 and finds every dup pair
+    wide = dedup.ngram_jaccard_pairs(dense, 0.3, max_doc_freq="auto", pair_budget=10_000)
+    assert wide.count() == 4 * 45 + 1  # 4 groups x C(10,2) + the rare pair
+
+
 @pytest.fixture(scope="module")
 def embs(spark):
     # vec 0 and 1 identical, 2 close, 3 orthogonal-ish

@@ -17,7 +17,9 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("PQX_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [p.rsplit("/", 1)[1][:-8] for p in glob.glob(f"{SF}/*.parquet")]
 
 
