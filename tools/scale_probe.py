@@ -114,6 +114,9 @@ def main() -> None:
         "dedup_ngram_jaccard": lambda d, e: dedup.ngram_jaccard_pairs(
             d, threshold=0.3
         ),
+        "dedup_ngram_auto": lambda d, e: dedup.ngram_jaccard_pairs(
+            d, threshold=0.3, max_doc_freq="auto"
+        ),
         "dedup_embedding": lambda d, e: dedup.embedding_near_duplicates(
             e, threshold=0.95
         ),
