@@ -253,10 +253,16 @@ def list_files(
     import pyarrow.fs as pafs
 
     if _GLOB_CHARS.intersection(p):
+        # _expand_glob returns fs-local paths; re-prefix the original URI
+        # scheme so the recursive list_files resolves the SAME filesystem
+        # (scheme-less paths would silently fall back to LocalFileSystem)
+        uri_prefix = path.split("://")[0] + "://" if "://" in path else ""
         out: list[FileInfo] = []
         for match in _expand_glob(fs, p):
             try:
-                out.extend(list_files(match, spark, distributed_threshold))
+                out.extend(
+                    list_files(uri_prefix + match, spark, distributed_threshold)
+                )
             except FileNotFoundError:
                 continue  # static tail segment appended past a miss
         if not out:

@@ -31,8 +31,9 @@ def page_pruning_report(
 
     A page is prunable when its [min, max] is disjoint from [lo, hi]
     (null-only pages always prune). Files written without a page index
-    report ``n_pages = 0`` rows-absent — distinguish "nothing prunable"
-    from "no index to prune with".
+    (or without this column) report ``n_pages = 0`` — distinguishable
+    from "index present but nothing prunable" (n_pages > 0,
+    n_prunable = 0); the report always emits one row per file.
     """
     import pandas as pd
 
@@ -46,6 +47,7 @@ def page_pruning_report(
     rows = idx.join(cols, ["filepath", "row_group_id", "column_id"]).filter(
         F.col("path") == column
     )
+    all_files = cols.select("filepath").distinct()
 
     def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
         fp = pdf["filepath"].iloc[0]
@@ -74,9 +76,17 @@ def page_pruning_report(
             }
         )
 
-    return rows.groupBy("filepath").applyInPandas(
+    report = rows.groupBy("filepath").applyInPandas(
         analyze,
         "filepath string, n_pages long, n_prunable long, prunable_frac double",
+    )
+    # index-less (or column-less) files would otherwise vanish from the
+    # output; re-join the file universe so they surface as n_pages = 0
+    return all_files.join(report, "filepath", "left").select(
+        "filepath",
+        F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
+        F.coalesce("n_prunable", F.lit(0)).alias("n_prunable"),
+        "prunable_frac",
     )
 
 

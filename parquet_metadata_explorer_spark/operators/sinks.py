@@ -86,6 +86,17 @@ def write_zordered(
     """
     if not cols or len(cols) < 2:
         raise ValueError("z-ordering needs at least 2 columns")
+    # the interleaved z-value must fit a signed long: JVM shift counts wrap
+    # mod 64, so bits*len(cols) > 63 would silently fold high bits onto low
+    # ones and destroy the clustering. Clamp to the widest per-column width
+    # that fits (raise only when even 1 bit/column doesn't).
+    max_bits = 63 // len(cols)
+    if max_bits < 1:
+        raise ValueError(
+            f"z-ordering {len(cols)} columns cannot fit a 64-bit z-value; "
+            "use at most 31 columns"
+        )
+    bits = min(bits, max_bits)
     bounds = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],

@@ -33,6 +33,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reads the same column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→LTZ cast in _normalize_ts is only the identity under UTC;
+    # pin the session zone here so a non-UTC caller doesn't silently
+    # shift every wall-clock value away from the DuckDB twin
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return _normalize_ts(df)
 

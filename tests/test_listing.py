@@ -131,3 +131,30 @@ def test_glob_patterns(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="does not exist"):
         list_files(f"{sf_dir}/zzz*.parquet")
+
+
+def test_glob_recursion_keeps_uri_scheme(tmp_path, monkeypatch):
+    """Glob matches recurse with the original URI scheme re-prefixed —
+    scheme-less recursion would silently re-resolve s3://... globs
+    against the local filesystem (ADVICE r3)."""
+    import parquet_metadata_explorer_spark.listing as L
+
+    root = str(tmp_path / "g")
+    for d in ("d1", "d2"):
+        os.makedirs(os.path.join(root, d))
+        with open(os.path.join(root, d, "f.bin"), "wb") as f:
+            f.write(b"x")
+
+    seen = []
+    orig = L.resolve_filesystem
+
+    def spy(path):
+        seen.append(path)
+        return orig(path)
+
+    monkeypatch.setattr(L, "resolve_filesystem", spy)
+    files = L.list_files(f"file://{root}/d*")
+    assert len(files) == 2
+    # every resolve (the glob root AND each per-match recursion) must
+    # carry the scheme so the same filesystem is re-selected
+    assert seen and all(p.startswith("file://") for p in seen)

@@ -120,6 +120,12 @@ def test_page_pruning_report(spark, tmp_path):
             data_page_size=4096,
             write_page_index=True,
         )
+    # an index-less file must still surface (n_pages = 0), not vanish
+    pq.write_table(
+        pa.table({"k": vals[:100]}),
+        str(tmp_path / "noindex.parquet"),
+        write_page_index=False,
+    )
     rep = {
         r.filepath.rsplit("/", 1)[1]: r
         for r in page_pruning_report(
@@ -131,6 +137,8 @@ def test_page_pruning_report(spark, tmp_path):
     assert s.n_pages > 10  # small data pages -> many pages
     assert s.prunable_frac > 0.9, s
     assert u.prunable_frac < 0.1, u
+    n = rep["noindex.parquet"]
+    assert n.n_pages == 0 and n.n_prunable == 0 and n.prunable_frac is None
 
 
 def test_schema_drift_report(spark, tmp_path):

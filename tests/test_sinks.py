@@ -157,3 +157,29 @@ def test_compact_dataset(spark, tmp_path):
     a = spark.read.parquet(src).groupBy().sum("id").first()[0]
     b = spark.read.parquet(out).groupBy().sum("id").first()[0]
     assert a == b and spark.read.parquet(out).count() == 50_000
+
+
+def test_zorder_bits_clamped_to_long(spark, tmp_path):
+    """bits * len(cols) > 63 would wrap JVM shift counts mod 64 and
+    silently corrupt the z-value; the writer clamps per-column bits so
+    the interleave always fits a signed long (ADVICE r3)."""
+    import pyspark.sql.functions as F
+
+    from parquet_metadata_explorer_spark.operators.sinks import write_zordered
+
+    cols = [f"c{i}" for i in range(9)]  # default bits=8 -> 72 bits unclamped
+    df = spark.range(0, 1000).select(
+        *[((F.col("id") * (i + 3)) % 50).alias(c) for i, c in enumerate(cols)]
+    )
+    out = str(tmp_path / "z9")
+    write_zordered(df, out, cols, bits=8, num_files=2)
+    assert spark.read.parquet(out).count() == 1000
+
+    import pytest as _pytest
+
+    too_many = [f"d{i}" for i in range(64)]
+    wide = spark.range(0, 10).select(
+        *[(F.col("id") % 5).alias(c) for c in too_many]
+    )
+    with _pytest.raises(ValueError, match="64-bit"):
+        write_zordered(wide, str(tmp_path / "z64"), too_many)

@@ -169,3 +169,16 @@ def test_stream_range_join_matches_batch(spark, sf_dir):
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) > 0
     intervals.unpersist()
+
+
+def test_load_events_pins_utc_session(spark, sf_dir):
+    """load_events must pin the session timezone to UTC so the NTZ->LTZ
+    normalization never shifts wall-clock values in a non-UTC session
+    (ADVICE r3)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = ev.load_events(spark, sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert df.limit(1).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
