@@ -7,10 +7,12 @@ are aligned pairwise (everything integer is bigint, every float rounded the
 same way on both sides) so the driver's order-insensitive value hash
 matches.
 
-Only ``meta_page`` and ``meta_encoding_report`` have no oracle: DuckDB
-exposes neither page-level parquet metadata nor per-page encoding_stats;
-their invariants are covered in tests/test_levels.py and
-tests/test_reports.py.
+Every query has an oracle. DuckDB exposes no page-level metadata
+function, so ``meta_page`` / ``meta_encoding_report`` are checked against
+a second implementation written IN DuckDB SQL: a recursive-CTE Thrift
+compact-protocol parser over the raw file bytes
+(``tools/duckdb_page_oracle.py``), seeded only by ``parquet_metadata()``
+chunk boundaries — it shares zero code with the engine's Thrift layer.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
 import parquet_metadata_explorer_spark as pqx
+from tools import duckdb_page_oracle as _page_oracle
 from parquet_metadata_explorer_spark.operators import (
     dedup,
     multimodal,
@@ -152,8 +155,9 @@ def q_meta_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_meta_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no DuckDB oracle exists for page-level metadata (rows-only check);
-    # invariants asserted in tests/test_levels.py::test_page_level_invariants
+    # oracle: a DuckDB-SQL Thrift parser over the raw bytes
+    # (tools/duckdb_page_oracle.py); invariants additionally asserted in
+    # tests/test_levels.py::test_page_level_invariants
     df = pqx.read_metadata(spark, sf_dir, source="parquet", level="page")
     return df.select(
         F.element_at(F.split("filepath", "/"), -1).alias("filename"),
@@ -170,9 +174,11 @@ def q_meta_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_meta_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: DuckDB's parquet_metadata() exposes chunk-level encodings
-    # but not per-page encoding_stats (footer id 13), so no SQL twin —
-    # invariants in tests/test_reports.py (incl. a forced-overflow file)
+    # the engine classifies from footer encoding_stats (field id 13); the
+    # oracle re-derives the same classification from the ACTUAL decoded
+    # pages (tools/duckdb_page_oracle.py), so the two agree iff the
+    # writer's encoding_stats tell the truth — a genuinely independent
+    # check. Invariants also in tests/test_reports.py (forced overflow)
     from parquet_metadata_explorer_spark.operators.reports import (
         dict_encoding_report,
     )
@@ -1537,7 +1543,10 @@ def oracle_sql() -> dict[str, str]:
         "meta_parquet_file": O_META_PARQUET_FILE,
         "meta_rowgroup": O_META_ROWGROUP,
         "meta_column": O_META_COLUMN,
-        # meta_page: no DuckDB page-level function — rows-only check
+        "meta_page": _page_oracle.page_oracle_sql(f"{SF01}/*.parquet"),
+        "meta_encoding_report": _page_oracle.encoding_report_oracle_sql(
+            f"{SF01}/*.parquet"
+        ),
         "page_plain_decode": O_PAGE_PLAIN_DECODE,
         "page_reconstruct": O_PAGE_RECONSTRUCT,
         "dedup_exact": O_DEDUP_EXACT,

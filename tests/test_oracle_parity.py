@@ -68,11 +68,10 @@ def test_parity(spark, duck, name):
 
 
 def test_all_queries_have_entries():
-    # every query has an oracle except the explicitly rows-only ones
-    # ann_ivf gained an unrolled-CTE oracle in r3; encoding_stats (id 13)
-    # is invisible to DuckDB so the encoding report stays rows-only
-    rows_only = {"meta_page", "meta_encoding_report"}
-    assert set(QUERIES) - set(ORACLES) == rows_only
+    # every query has an oracle — the page level gained a DuckDB-SQL
+    # Thrift-parser oracle in r4 (tools/duckdb_page_oracle.py), closing
+    # the last two rows-only entries
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
