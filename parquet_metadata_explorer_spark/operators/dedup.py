@@ -43,6 +43,9 @@ SIMHASH_BANDS = 4
 EMB_BANDS = 8
 EMB_PLANES_PER_BAND = 6
 EMB_BUCKET_CAP = 4096  # max vectors one GEMM tile side may hold
+# embedding-dedup census: corpora up to this many vectors get an exact
+# bucket-size census; larger ones a sampled estimate of this many rows
+_CENSUS_SAMPLE_ROWS = 200_000
 
 
 def exact_duplicates(documents: DataFrame, doc_ids_cap: int = 1000) -> DataFrame:
@@ -466,10 +469,13 @@ def embedding_near_duplicates(
     thresholds (16×4 ≈ 96% at cos=0.45), fewer bands of more planes for
     high ones (the 8×6 default ≈ 99.7% at cos=0.95).
 
-    The corpus shuffles once, replicated ``n_bands``× on near-uniform
-    (band, bucket) keys (plus the tile fan-out on the rare oversized
-    buckets) — no driver collect, no all-pairs scan, no full-corpus
-    broadcast.
+    The full-corpus bucketize GEMM runs exactly once; the bucket-size
+    census that plans the tiling is free for corpora under ``bucket_cap``
+    (a metadata-only count proves no bucket can overflow) and
+    O(sample) — never a second full GEMM — above it. The corpus shuffles
+    once, replicated ``n_bands``× on near-uniform (band, bucket, tile)
+    keys (plus the tile fan-out on the rare oversized buckets) — no
+    driver collect, no all-pairs scan, no full-corpus broadcast.
 
     Rounding matches the DuckDB oracle: half-away-from-zero to 4 decimals.
     """
@@ -480,39 +486,68 @@ def embedding_near_duplicates(
 
     bands = multiband_lsh_buckets(embeddings, n_bands, planes_per_band)
 
-    # Bucket-size census: map-side-combined count, then joined back. The
-    # census is tiny (≤ distinct buckets) so AQE turns the join into a
-    # broadcast at runtime; the fat embedding-carrying rows shuffle only
-    # once, for the tile groupBy below. (A window count would instead
-    # sort-shuffle the fat rows a second time.) The census recomputes the
-    # bucketize pass, but that is map-only numpy — cheaper than caching
-    # n_bands× the corpus.
-    census = (
-        multiband_lsh_buckets(
-            embeddings, n_bands, planes_per_band, with_embedding=False
+    # Tile planning needs per-bucket sizes BEFORE the bucket shuffle. The
+    # full-GEMM census r3 ran here doubled the kernel cost (the r3 bench
+    # regression); n_chunks only bounds task memory — the pair set is
+    # identical for ANY n_chunks >= 1 (every within-bucket pair lands in
+    # exactly one tile) — so the census only has to be *generous*, not
+    # exact, and three regimes cover it:
+    #   - corpus <= bucket_cap (a metadata-only count on a parquet scan):
+    #     no bucket can overflow; skip the census entirely — the common
+    #     interactive case collapses to GEMM -> one shuffle -> verify.
+    #   - corpus <= _CENSUS_SAMPLE_ROWS: exact slim-GEMM census (cheap).
+    #   - larger: census over a ~_CENSUS_SAMPLE_ROWS sample of the
+    #     vectors, scaled by 1/fraction with a 1.25 safety margin —
+    #     census cost stays O(sample), not O(corpus), and a misestimated
+    #     bucket merely gets a tile slightly over/under cap.
+    n_vectors = embeddings.count()
+    if n_vectors <= bucket_cap:
+        tiles = bands.select(
+            "band_id",
+            "band_value",
+            F.lit(0).alias("tile_i"),
+            F.lit(0).alias("tile_j"),
+            F.lit(0).alias("chunk"),
+            "vec_id",
+            "embedding",
         )
-        .groupBy("band_id", "band_value")
-        .agg(
-            F.ceil(F.count("*") / F.lit(bucket_cap)).cast("long").alias("n_chunks")
+    else:
+        frac = min(1.0, _CENSUS_SAMPLE_ROWS / n_vectors)
+        margin = 1.0 if frac == 1.0 else 1.25
+        src = embeddings if frac == 1.0 else embeddings.sample(frac, seed=42)
+        census = (
+            multiband_lsh_buckets(src, n_bands, planes_per_band, with_embedding=False)
+            .groupBy("band_id", "band_value")
+            .agg(
+                F.ceil(F.count("*") * F.lit(margin / frac) / F.lit(bucket_cap))
+                .cast("long")
+                .alias("n_chunks")
+            )
+            .filter(F.col("n_chunks") > 1)  # broadcast only oversized buckets
         )
-    )
-    bands = bands.join(census, ["band_id", "band_value"]).withColumn(
-        "chunk", F.pmod(F.col("vec_id"), F.col("n_chunks"))
-    )
-    # Tile fan-out: vector in chunk c joins every tile (min(c,k), max(c,k)).
-    # n_chunks == 1 (the common case) reduces to one (0, 0) tile per bucket
-    # with zero replication.
-    tiles = bands.withColumn(
-        "k", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
-    ).select(
-        "band_id",
-        "band_value",
-        F.least("chunk", "k").alias("tile_i"),
-        F.greatest("chunk", "k").alias("tile_j"),
-        "chunk",
-        "vec_id",
-        "embedding",
-    )
+        assigned = bands.join(
+            F.broadcast(census), ["band_id", "band_value"], "left"
+        ).withColumn(
+            "chunk",
+            F.pmod(F.col("vec_id"), F.coalesce(F.col("n_chunks"), F.lit(1))),
+        )
+        # Tile fan-out: vector in chunk c joins every tile
+        # (min(c,k), max(c,k)). n_chunks == 1 (the common case) reduces to
+        # one (0, 0) tile per bucket with zero replication.
+        tiles = assigned.withColumn(
+            "k",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_chunks"), F.lit(1)) - 1)
+            ),
+        ).select(
+            "band_id",
+            "band_value",
+            F.least("chunk", "k").alias("tile_i"),
+            F.greatest("chunk", "k").alias("tile_j"),
+            "chunk",
+            "vec_id",
+            "embedding",
+        )
 
     KEY = ["band_id", "band_value", "tile_i", "tile_j"]
     PAIR_CHUNK = 1_000_000  # max pair rows per emitted Arrow batch

@@ -103,12 +103,19 @@ def test_embedding_dedup_census_broadcasts(spark, sf_dir):
         embedding_near_duplicates,
     )
 
-    df = embedding_near_duplicates(load(spark, sf_dir, "embeddings"), 0.9)
-    plan = simple_plan(df)
-    # the bucket-size census joins back as a broadcast: the fat
-    # embedding-carrying rows must shuffle exactly once (tile groupBy),
-    # plus the census's own small aggregation exchange and the final
-    # pair dedup
+    emb = load(spark, sf_dir, "embeddings")
+
+    # corpus <= bucket_cap: the census is skipped entirely (a count proves
+    # no bucket can overflow) — the fat rows shuffle exactly once for the
+    # tile grouping, plus the final pair dedup: two exchanges, no join
+    df = embedding_near_duplicates(emb, 0.9)
+    assert not has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+    # corpus > bucket_cap (forced via a tiny cap): the census joins back
+    # as a broadcast — the fat rows still shuffle exactly once, plus the
+    # census's own small aggregation exchange and the final pair dedup
+    df = embedding_near_duplicates(emb, 0.9, bucket_cap=4)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 4
 
