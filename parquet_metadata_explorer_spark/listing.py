@@ -186,6 +186,75 @@ def _make_list_dir(uri_prefix: str):
     return list_dir
 
 
+def parse_partition_filter(spec: str) -> dict:
+    """Parse the string form of a partition filter — a comma-separated
+    conjunction of ``col=value`` equalities (``value|value`` for IN), the
+    only form expressible through ``.option("partitionfilter", ...)``.
+    Values compare against the *rendered* typed partition value (the same
+    string the ``partition`` map column shows, e.g. ``date=2020-01-01``,
+    ``ts=2020-02-02 01:02:03.0``)."""
+    out: dict = {}
+    for clause in spec.split(","):
+        clause = clause.strip()
+        if not clause:
+            continue
+        if "=" not in clause:
+            raise ValueError(
+                f"Invalid partition filter clause: '{clause}' (expected col=value)"
+            )
+        k, v = clause.split("=", 1)
+        vals = [x for x in v.split("|")]
+        out[k.strip()] = vals if len(vals) > 1 else vals[0]
+    return out
+
+
+def prune_files_by_partition(files: list, partition_filter) -> list:
+    """Driver-side partition pruning: drop ``FileInfo`` seeds whose typed
+    partition values fail the filter BEFORE any footer is fetched — at
+    10^6 files an equality predicate turns a fleet-wide footer scan into
+    one partition's worth of reads (the reference's own operating
+    envelope, README.md:49, lists everything and filters after parsing).
+
+    ``partition_filter`` is one of:
+      - a dict ``{col: value}`` / ``{col: [v1, v2]}`` — equality / IN
+        conjunction against the rendered partition values (``None``
+        matches ``__HIVE_DEFAULT_PARTITION__``);
+      - a callable ``dict[str, str|None] -> bool`` for arbitrary logic;
+      - a string ``"col=value,col2=a|b"`` (the option form, parsed by
+        ``parse_partition_filter``).
+
+    Filtering a column that exists in NO file's partition map raises —
+    a typo'd column would otherwise silently prune everything.
+    """
+    if partition_filter is None:
+        return files
+    if callable(partition_filter):
+        return [f for f in files if partition_filter(dict(f.partition))]
+    if isinstance(partition_filter, str):
+        partition_filter = parse_partition_filter(partition_filter)
+    if not isinstance(partition_filter, dict):
+        raise ValueError(
+            "partition_filter must be a dict, callable, or 'col=value' string"
+        )
+    norm: dict = {}
+    for k, v in partition_filter.items():
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        norm[k] = {None if x is None else str(x) for x in vals}
+    known = {k for f in files for k, _ in f.partition}
+    unknown = set(norm) - known
+    if files and unknown:
+        raise ValueError(
+            f"Not a partition column: {sorted(unknown)} "
+            f"(discovered partition columns: {sorted(known) or 'none'})"
+        )
+
+    def keep(f: FileInfo) -> bool:
+        pm = dict(f.partition)
+        return all(k in pm and pm[k] in allowed for k, allowed in norm.items())
+
+    return [f for f in files if keep(f)]
+
+
 _GLOB_CHARS = set("*?[")
 
 

@@ -33,6 +33,9 @@ class MetadataOptions:
     maxparts: int = DEFAULT_MAX_PARTS
     buffersize: int = DEFAULT_BUFFER_SIZE
     pagecontent: bool = DEFAULT_PAGE_CONTENT
+    # "col=value,col2=a|b" conjunction pruning files BEFORE footer reads
+    # (extension beyond the reference, which lists + parses everything)
+    partitionfilter: str | None = None
 
 
 def validate_source_level(source: str, level: str) -> None:
@@ -78,4 +81,5 @@ def parse_options(parameters: dict) -> MetadataOptions:
         maxparts=maxparts,
         buffersize=buffersize,
         pagecontent=pagecontent,
+        partitionfilter=params.get("partitionfilter"),
     )

@@ -17,7 +17,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..listing import list_files
+from ..listing import list_files, prune_files_by_partition
 from ..options import (
     LEVEL_FILE,
     SOURCE_FILE,
@@ -39,9 +39,18 @@ def _infer_source(files) -> str:
 
 
 def build_metadata_df(
-    spark: SparkSession, opts: MetadataOptions, io_metrics=None
+    spark: SparkSession,
+    opts: MetadataOptions,
+    io_metrics=None,
+    partition_filter=None,
 ) -> DataFrame:
     files = list_files(opts.path, spark=spark)
+    # prune BEFORE source inference / parallelize: only surviving files
+    # ever get a footer fetch (the option string and the richer function
+    # argument share one implementation)
+    files = prune_files_by_partition(
+        files, partition_filter if partition_filter is not None else opts.partitionfilter
+    )
     source = opts.source or _infer_source(files)
     validate_source_level(source, opts.level)
     schema = SCHEMAS_BY_LEVEL[(source, opts.level)]
@@ -161,6 +170,7 @@ def read_metadata(
     buffersize: Optional[int] = None,
     pagecontent: Optional[bool] = None,
     io_metrics=None,
+    partition_filter=None,
 ) -> DataFrame:
     """Load file / parquet metadata as a DataFrame.
 
@@ -171,6 +181,9 @@ def read_metadata(
     ``buffersize`` sizes the page-scan read buffer, ``pagecontent``
     materializes raw page bytes. ``io_metrics`` (a ``metrics.ScanMetrics``)
     aggregates page-scan remote read/seek counts across all tasks.
+    ``partition_filter`` (dict / callable / ``"col=value"`` string — see
+    ``listing.prune_files_by_partition``) prunes files against their
+    typed Hive partition values BEFORE any footer is read.
     """
     params: dict = {"path": path, "level": level}
     if source is not None:
@@ -181,4 +194,9 @@ def read_metadata(
         params["buffersize"] = str(buffersize)
     if pagecontent is not None:
         params["pagecontent"] = str(pagecontent)
-    return build_metadata_df(spark, parse_options(params), io_metrics=io_metrics)
+    return build_metadata_df(
+        spark,
+        parse_options(params),
+        io_metrics=io_metrics,
+        partition_filter=partition_filter,
+    )

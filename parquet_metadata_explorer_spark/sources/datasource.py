@@ -17,7 +17,12 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from ..listing import FileInfo, list_files, parse_partition_values
+from ..listing import (
+    FileInfo,
+    list_files,
+    parse_partition_values,
+    prune_files_by_partition,
+)
 from ..options import LEVEL_FILE, SOURCE_FILE, parse_options, validate_source_level
 from ..schemas import SCHEMAS_BY_LEVEL
 from .api import _infer_source
@@ -56,6 +61,53 @@ class MetadataReader(DataSourceReader):
                 yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
 
 
+class PushdownMetadataReader(MetadataReader):
+    """``MetadataReader`` + Spark 4.1 Python-data-source filter pushdown.
+
+    A separate class because Spark REFUSES any reader that merely
+    *implements* ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — and the plan
+    runs in a worker process that cannot read the session conf. Users
+    opt in with ``.option("filterpushdown", "true")`` (plus the conf);
+    ``MetadataDataSource.reader`` then selects this class.
+    """
+
+    def pushFilters(self, filters):
+        """Plan-time file pruning from pushed-down predicates: an
+        equality/IN on ``filename``/``filepath``, or on a ``partition``
+        map key, shrinks the file list BEFORE any footer is fetched.
+        Every filter is returned as unsupported so Spark still applies it
+        post-scan — pruning only removes files that could never produce a
+        matching row, so results are identical with or without it."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            values = None
+            if isinstance(f, EqualTo):
+                values = [f.value]
+            elif isinstance(f, In):
+                values = list(f.values)
+            if values is None:
+                yield f
+                continue
+            attr = tuple(f.attribute)
+            if attr in (("filename",), ("filepath",)):
+                field = "name" if attr == ("filename",) else "path"
+                allowed = {str(v) for v in values}
+                self.files = [
+                    x for x in self.files if getattr(x, field) in allowed
+                ]
+            elif len(attr) == 2 and attr[0] == "partition":
+                allowed = {None if v is None else str(v) for v in values}
+                key = attr[1]
+                self.files = [
+                    x
+                    for x in self.files
+                    if dict(x.partition).get(key, object()) in allowed
+                ]
+            yield f
+
+
 def _emit_rows(files, opts, source):
     """Shared per-file row dispatch (batch partitions and stream batches)."""
     from . import rows as R
@@ -88,9 +140,9 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
 
     The simple stream reader runs on the driver — appropriate for a
     control-plane stream whose row volume is metadata-sized, and it
-    keeps the offset bookkeeping trivial. Page-level streams with
-    ``pagecontent=true`` move data bytes through the driver; use the
-    batch path for bulk page extraction.
+    keeps the offset bookkeeping trivial. ``pagecontent=true`` would
+    move data bytes through the driver, so ``simpleStreamReader``
+    rejects it up front (use the batch path for bulk page extraction).
     """
 
     def __init__(self, opts, source):
@@ -157,7 +209,9 @@ class MetadataDataSource(DataSource):
                 session = SparkSession.getActiveSession()
             except Exception:
                 session = None
-            files = list_files(opts.path, spark=session)
+            files = prune_files_by_partition(
+                list_files(opts.path, spark=session), opts.partitionfilter
+            )
             source = opts.source or _infer_source(files)
             validate_source_level(source, opts.level)
             self._planned = (opts, files, source)
@@ -168,8 +222,22 @@ class MetadataDataSource(DataSource):
         return SCHEMAS_BY_LEVEL[(source, opts.level)]
 
     def reader(self, schema):
-        return MetadataReader(*self._plan())
+        pushdown = str(self.options.get("filterpushdown", "")).lower() in (
+            "true",
+            "1",
+        )
+        cls = PushdownMetadataReader if pushdown else MetadataReader
+        return cls(*self._plan())
 
     def simpleStreamReader(self, schema):
         opts, _files, source = self._plan()
+        if opts.pagecontent:
+            # the simple stream reader emits rows ON THE DRIVER — fine for
+            # metadata-sized rows, but pagecontent=true would funnel every
+            # data byte through it. Refuse instead of silently bottlenecking.
+            raise ValueError(
+                "pagecontent=true is not supported on the streaming path "
+                "(rows are emitted on the driver); use the batch reader "
+                "for bulk page extraction"
+            )
         return MetadataStreamReader(opts, source)

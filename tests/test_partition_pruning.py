@@ -1,0 +1,164 @@
+"""Partition pruning before footer parse: files whose typed partition
+values fail the filter are dropped from the scan seed list, so their
+footers are NEVER fetched. Proved two ways — a corrupt parquet file in
+the pruned-away partition (any footer read of it would fail the query)
+and the S16 remote-I/O accumulators (pruned page scans open fewer
+streams). Extension beyond the reference, which always lists + parses
+everything (MetadataFileFormat.scala:65-67) and filters after."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import parquet_metadata_explorer_spark as pqx
+from parquet_metadata_explorer_spark.listing import (
+    list_files,
+    parse_partition_filter,
+    prune_files_by_partition,
+)
+from parquet_metadata_explorer_spark.metrics import ScanMetrics
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    pqx.register(spark)
+
+
+@pytest.fixture(scope="module")
+def part_root(tmp_path_factory):
+    """date=2020-01-01..03 / k=a,b tree; the 2020-01-03 partition holds a
+    CORRUPT .parquet file whose footer read raises — pruning is the only
+    way a parquet-level scan over the root can succeed while it's there."""
+    root = str(tmp_path_factory.mktemp("pruned"))
+    for d in ("2020-01-01", "2020-01-02"):
+        for k in ("a", "b"):
+            sub = f"{root}/date={d}/k={k}"
+            os.makedirs(sub)
+            pq.write_table(
+                pa.table({"x": [1, 2, 3], "tag": [f"{d}-{k}"] * 3}),
+                f"{sub}/part-0.parquet",
+            )
+    bad = f"{root}/date=2020-01-03/k=a"
+    os.makedirs(bad)
+    with open(f"{bad}/part-0.parquet", "wb") as f:
+        f.write(b"PAR1corrupt-not-a-footer")
+    return root
+
+
+def test_prune_helper_forms(part_root):
+    files = list_files(part_root)
+    assert len(files) == 5
+    eq = prune_files_by_partition(files, {"date": "2020-01-01"})
+    assert len(eq) == 2 and all(("date", "2020-01-01") in f.partition for f in eq)
+    isin = prune_files_by_partition(files, {"k": ["a", "b"], "date": "2020-01-02"})
+    assert len(isin) == 2
+    s = prune_files_by_partition(files, "date=2020-01-01|2020-01-02,k=a")
+    assert len(s) == 2
+    fn = prune_files_by_partition(files, lambda pm: pm["k"] == "b")
+    assert len(fn) == 2
+    assert parse_partition_filter("a=1,b=x|y") == {"a": "1", "b": ["x", "y"]}
+    with pytest.raises(ValueError, match="Not a partition column"):
+        prune_files_by_partition(files, {"zzz": "1"})
+
+
+def test_pruned_scan_never_touches_excluded_footers(spark, registered, part_root):
+    """The corrupt file sits in date=2020-01-03: a footer-parsing scan
+    over the whole root fails, the pruned scan succeeds — direct proof
+    the excluded partition's footer is never read."""
+    with pytest.raises(Exception):
+        pqx.read_metadata(
+            spark, part_root, source="parquet", level="file"
+        ).collect()
+
+    rows = pqx.read_metadata(
+        spark,
+        part_root,
+        source="parquet",
+        level="file",
+        partition_filter={"date": ["2020-01-01", "2020-01-02"]},
+    ).collect()
+    assert len(rows) == 4
+    assert all(r.partition["date"] != "2020-01-03" for r in rows)
+
+    # the option-string form through format("metadata")
+    n = (
+        spark.read.format("metadata")
+        .option("source", "parquet")
+        .option("level", "file")
+        .option("partitionfilter", "date=2020-01-01|2020-01-02")
+        .load(part_root)
+        .count()
+    )
+    assert n == 4
+
+
+def test_pruned_page_scan_opens_fewer_streams(spark, part_root):
+    """S16 metrics accumulators: the page scan opens one stream per file,
+    so a date-equality prune must cut remote opens/reads accordingly."""
+    full = ScanMetrics(spark)
+    pqx.read_metadata(
+        spark,
+        part_root,
+        source="parquet",
+        level="page",
+        io_metrics=full,
+        partition_filter={"date": ["2020-01-01", "2020-01-02"]},
+    ).count()
+    pruned = ScanMetrics(spark)
+    pqx.read_metadata(
+        spark,
+        part_root,
+        source="parquet",
+        level="page",
+        io_metrics=pruned,
+        partition_filter={"date": "2020-01-01"},
+    ).count()
+    assert 0 < pruned.remote_reads < full.remote_reads
+
+
+def test_datasource_pushfilters_prunes_files(spark, registered, part_root):
+    """With Python-data-source filter pushdown enabled (session conf +
+    reader option), a filepath equality in WHERE prunes the seed files at
+    plan time: the corrupt file never gets a footer read even with no
+    partitionfilter option. Catalyst does not push map-element predicates
+    (partition['date'] = ...) to Python sources, so those prune only via
+    the partitionfilter option. (With pushdown disabled the filter still
+    applies post-scan — pruning is only ever an optimization.)"""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    target = f"{part_root}/date=2020-01-01/k=a/part-0.parquet"
+    try:
+        df = (
+            spark.read.format("metadata")
+            .option("source", "parquet")
+            .option("level", "file")
+            .option("filterpushdown", "true")
+            .load(part_root)
+            .filter(f"filepath = '{target}'")
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0].partition["date"] == "2020-01-01"
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_stream_pagecontent_refused(spark, registered, part_root):
+    """pagecontent=true on the streaming path would move data bytes
+    through the driver; the source must refuse it up front."""
+    q = (
+        spark.readStream.format("metadata")
+        .option("source", "parquet")
+        .option("level", "page")
+        .option("pagecontent", "true")
+        .load(f"{part_root}/date=2020-01-01")
+    )
+    with pytest.raises(Exception, match="streaming path"):
+        (
+            q.writeStream.format("memory")
+            .queryName("pg_refuse")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
