@@ -1058,6 +1058,13 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.value_percentiles(ev.load_events(spark, sf_dir))
 
 
+def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the sketch has no bit-identical DuckDB twin; rank-error
+    # bounds vs the exact operator are asserted in
+    # tests/test_streaming.py::test_approx_percentiles_within_rank_error
+    return ev.value_percentiles_approx(ev.load_events(spark, sf_dir))
+
+
 O_EVENTS_PERCENTILES = """
 SELECT event_type, count(value)::bigint AS n_values,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1518,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
+        "events_percentiles_approx": q_events_percentiles_approx,
         "events_json": q_events_json,
         "events_range_join": q_events_range_join,
         "events_rollup_multires": q_events_rollup_multires,

@@ -20,6 +20,7 @@ from .options import (  # noqa: F401
 )
 from .cache import unpersist_all  # noqa: F401
 from .metrics import ScanMetrics  # noqa: F401
+from .parquet.io import clear_fs_options, set_fs_options  # noqa: F401
 from .sources.api import read_metadata, read_page_index  # noqa: F401
 from .sources.udtfs import register_udtfs  # noqa: F401
 

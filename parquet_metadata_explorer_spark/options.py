@@ -36,6 +36,10 @@ class MetadataOptions:
     # "col=value,col2=a|b" conjunction pruning files BEFORE footer reads
     # (extension beyond the reference, which lists + parses everything)
     partitionfilter: str | None = None
+    # JSON dict of pyarrow filesystem constructor kwargs for the path's
+    # URI scheme (endpoint_override, access_key, ...) — the option-string
+    # form of read_metadata(fs_options=...)
+    fsoptions: str | None = None
 
 
 def validate_source_level(source: str, level: str) -> None:
@@ -82,4 +86,5 @@ def parse_options(parameters: dict) -> MetadataOptions:
         buffersize=buffersize,
         pagecontent=pagecontent,
         partitionfilter=params.get("partitionfilter"),
+        fsoptions=params.get("fsoptions"),
     )

@@ -19,10 +19,80 @@ import pyarrow.fs as pafs
 
 DEFAULT_BUFFER_SIZE = 128 * 1024 * 1024
 
+# scheme -> pyarrow filesystem constructor kwargs (endpoint_override,
+# access_key, region, ...). The Python analog of the reference's
+# session-wide Hadoop conf (SerializableConfiguration.scala:11-21): set
+# once, consulted by every resolve. Worker processes get a snapshot
+# threaded through the task closure (install_fs_options) — module globals
+# do NOT cross the executor boundary on their own.
+_FS_OPTIONS: dict[str, dict] = {}
+_FS_CACHE: dict[tuple, pafs.FileSystem] = {}
 
-def resolve_filesystem(path: str) -> tuple[pafs.FileSystem, str]:
-    """Resolve a path/URI to (filesystem, fs-local path)."""
+
+def set_fs_options(scheme: str, options: dict) -> None:
+    """Register constructor options for a URI scheme (session-global),
+    e.g. ``set_fs_options("s3", {"endpoint_override": "http://minio:9000",
+    "access_key": ..., "secret_key": ...})`` — the credential/endpoint
+    override surface the reference inherits from ``fs.*`` Hadoop keys."""
+    _FS_OPTIONS[scheme.lower()] = dict(options)
+
+
+def clear_fs_options() -> None:
+    _FS_OPTIONS.clear()
+    _FS_CACHE.clear()
+
+
+def fs_options_snapshot() -> dict:
+    """Picklable copy of the registry for threading into task closures."""
+    return {k: dict(v) for k, v in _FS_OPTIONS.items()}
+
+
+def install_fs_options(snapshot: dict | None) -> None:
+    """Install a driver-side snapshot in this (worker) process."""
+    if snapshot:
+        for k, v in snapshot.items():
+            _FS_OPTIONS.setdefault(k, dict(v))
+
+
+def _fs_for_scheme(scheme: str, options: dict) -> pafs.FileSystem:
+    key = (scheme, tuple(sorted(options.items())))
+    fs = _FS_CACHE.get(key)
+    if fs is not None:
+        return fs
+    s = scheme.lower()
+    if s in ("s3", "s3a", "s3n"):
+        fs = pafs.S3FileSystem(**options)
+    elif s in ("gs", "gcs"):
+        fs = pafs.GcsFileSystem(**options)
+    elif s == "hdfs":
+        fs = pafs.HadoopFileSystem(**options)
+    elif s in ("abfs", "abfss", "az") and hasattr(pafs, "AzureFileSystem"):
+        fs = pafs.AzureFileSystem(**options)
+    elif s == "file":
+        fs = pafs.LocalFileSystem(**options)
+    else:
+        raise ValueError(
+            f"No explicit filesystem constructor for scheme '{scheme}'; "
+            "supported: s3/s3a/s3n, gs/gcs, hdfs, abfs/abfss/az, file"
+        )
+    _FS_CACHE[key] = fs
+    return fs
+
+
+def resolve_filesystem(
+    path: str, fs_options: Optional[dict] = None
+) -> tuple[pafs.FileSystem, str]:
+    """Resolve a path/URI to (filesystem, fs-local path). Explicit
+    ``fs_options`` (or a registry entry for the URI's scheme) construct
+    the filesystem directly — custom endpoints, credentials, regions —
+    instead of pyarrow's env-based URI inference."""
     if "://" in path:
+        scheme, rest = path.split("://", 1)
+        opts = (
+            fs_options if fs_options is not None else _FS_OPTIONS.get(scheme.lower())
+        )
+        if opts:
+            return _fs_for_scheme(scheme, opts), rest
         fs, p = pafs.FileSystem.from_uri(path)
         return fs, p
     return pafs.LocalFileSystem(), path

@@ -38,12 +38,30 @@ def _infer_source(files) -> str:
     return SOURCE_PARQUET if is_parquet_file(files[0].path) else SOURCE_FILE
 
 
+def _fs_threaded(emit, snapshot):
+    """Wrap a per-file emitter so the driver's fs-options snapshot is
+    installed in the executor process before any filesystem resolve —
+    module globals do not cross the task boundary on their own."""
+    if not snapshot:
+        return emit
+
+    def run(f):
+        from ..parquet.io import install_fs_options
+
+        install_fs_options(snapshot)
+        return emit(f)
+
+    return run
+
+
 def build_metadata_df(
     spark: SparkSession,
     opts: MetadataOptions,
     io_metrics=None,
     partition_filter=None,
 ) -> DataFrame:
+    from ..parquet.io import fs_options_snapshot
+
     files = list_files(opts.path, spark=spark)
     # prune BEFORE source inference / parallelize: only surviving files
     # ever get a footer fetch (the option string and the richer function
@@ -60,18 +78,21 @@ def build_metadata_df(
 
     num_slices = max(1, min(len(files), opts.maxparts))
     rdd = spark.sparkContext.parallelize(files, num_slices)
+    snap = fs_options_snapshot()
 
     if source == SOURCE_FILE:
         out = rdd.flatMap(R.file_rows)
     elif opts.level == LEVEL_FILE:
-        out = rdd.flatMap(R.parquet_file_rows)
+        out = rdd.flatMap(_fs_threaded(R.parquet_file_rows, snap))
     elif opts.level == "rowgroup":
-        out = rdd.flatMap(R.rowgroup_rows)
+        out = rdd.flatMap(_fs_threaded(R.rowgroup_rows, snap))
     elif opts.level == "column":
-        out = rdd.flatMap(R.column_rows)
+        out = rdd.flatMap(_fs_threaded(R.column_rows, snap))
     else:  # page
         bufsize, content, m = opts.buffersize, opts.pagecontent, io_metrics
-        out = rdd.flatMap(lambda f: R.page_rows(f, bufsize, content, m))
+        out = rdd.flatMap(
+            _fs_threaded(lambda f: R.page_rows(f, bufsize, content, m), snap)
+        )
 
     return spark.createDataFrame(out, schema)
 
@@ -156,8 +177,12 @@ def read_page_index(
     if not files:
         return spark.createDataFrame([], schema)
 
+    from ..parquet.io import fs_options_snapshot
+
     num_slices = max(1, min(len(files), maxparts or 200))
-    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(page_index_rows)
+    rdd = spark.sparkContext.parallelize(files, num_slices).flatMap(
+        _fs_threaded(page_index_rows, fs_options_snapshot())
+    )
     return spark.createDataFrame(rdd, schema)
 
 
@@ -171,6 +196,7 @@ def read_metadata(
     pagecontent: Optional[bool] = None,
     io_metrics=None,
     partition_filter=None,
+    fs_options: Optional[dict] = None,
 ) -> DataFrame:
     """Load file / parquet metadata as a DataFrame.
 
@@ -184,7 +210,17 @@ def read_metadata(
     ``partition_filter`` (dict / callable / ``"col=value"`` string — see
     ``listing.prune_files_by_partition``) prunes files against their
     typed Hive partition values BEFORE any footer is read.
+    ``fs_options`` registers pyarrow filesystem constructor kwargs
+    (endpoint_override, access_key, region, ...) for this path's URI
+    scheme — session-global like the reference's Hadoop conf, and
+    threaded into executor tasks.
     """
+    if fs_options:
+        if "://" not in path:
+            raise ValueError("fs_options requires a scheme-qualified URI path")
+        from ..parquet.io import set_fs_options
+
+        set_fs_options(path.split("://", 1)[0], fs_options)
     params: dict = {"path": path, "level": level}
     if source is not None:
         params["source"] = source

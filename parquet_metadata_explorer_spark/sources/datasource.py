@@ -33,6 +33,19 @@ class _FilesPartition(InputPartition):
         self.files = files
 
 
+def _install_opt_fs(opts) -> None:
+    """Install the ``fsoptions`` JSON (scheme-keyed constructor kwargs for
+    the load path's scheme) in the current process — called at plan time
+    (listing) AND inside every read task, since each runs in its own
+    Python worker."""
+    if opts.fsoptions and "://" in opts.path:
+        import json
+
+        from ..parquet.io import set_fs_options
+
+        set_fs_options(opts.path.split("://", 1)[0], json.loads(opts.fsoptions))
+
+
 class MetadataReader(DataSourceReader):
     def __init__(self, opts, files, source):
         self.opts = opts
@@ -48,6 +61,7 @@ class MetadataReader(DataSourceReader):
         from . import rows as R
 
         opts, source = self.opts, self.source
+        _install_opt_fs(opts)
         for f in partition.files:
             if source == SOURCE_FILE:
                 yield from R.file_rows(f)
@@ -149,6 +163,7 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
         self.opts = opts
         self.source = source
         self.root = opts.path.rstrip("/") or "/"
+        _install_opt_fs(opts)  # the stream reader lists in its own process
 
     @staticmethod
     def _token(f) -> str:
@@ -209,6 +224,7 @@ class MetadataDataSource(DataSource):
                 session = SparkSession.getActiveSession()
             except Exception:
                 session = None
+            _install_opt_fs(opts)
             files = prune_files_by_partition(
                 list_files(opts.path, spark=session), opts.partitionfilter
             )

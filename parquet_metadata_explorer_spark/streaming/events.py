@@ -129,6 +129,31 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB twin of ``value_percentiles``: ``approx_percentile``
+    (Greenwald-Khanna-style sketch — bounded memory, mergeable partials,
+    one partial-aggregatable shuffle) instead of exact ``percentile``
+    (which buffers each group's values). Guarantee: the returned value's
+    *rank* is within ``1/accuracy`` of the requested quantile, which is
+    what the pytest tolerance check asserts against the exact operator.
+    Registered rows-only (a sketch has no bit-identical DuckDB twin).
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.col("value")).alias("n_values"),
+        F.round(
+            F.approx_percentile(F.col("value"), F.lit(0.5), F.lit(accuracy)), 6
+        ).alias("p50"),
+        F.round(
+            F.approx_percentile(F.col("value"), F.lit(0.9), F.lit(accuracy)), 6
+        ).alias("p90"),
+        F.round(
+            F.approx_percentile(F.col("value"), F.lit(0.99), F.lit(accuracy)), 6
+        ).alias("p99"),
+    )
+
+
 def _session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Events with a per-user ``session_seq`` column: lag to detect gaps,
     cumulative sum over the per-user timeline to number sessions. One

@@ -95,3 +95,78 @@ def test_scan_metrics_accumulate_to_driver(spark, sf_dir):
     ).count()
     assert small.remote_reads > big.remote_reads
     assert small.remote_seeks >= 0
+
+
+def test_fs_options_construct_explicit_filesystems(tmp_path):
+    """fs_options / the scheme registry construct the right pyarrow
+    filesystem with custom endpoint+credentials — no URI-inference, no
+    environment, no network (construction only)."""
+    import pyarrow.fs as pafs
+
+    from parquet_metadata_explorer_spark.parquet.io import (
+        clear_fs_options,
+        fs_options_snapshot,
+        install_fs_options,
+        resolve_filesystem,
+        set_fs_options,
+    )
+
+    opts = {
+        "endpoint_override": "http://localhost:9000",
+        "access_key": "ak",
+        "secret_key": "sk",
+        "region": "us-east-1",
+    }
+    # explicit per-call options
+    fs, p = resolve_filesystem("s3://bucket/k/f.parquet", fs_options=opts)
+    assert isinstance(fs, pafs.S3FileSystem) and p == "bucket/k/f.parquet"
+    # constructed instances are memoized per (scheme, options)
+    fs2, _ = resolve_filesystem("s3://other/x", fs_options=opts)
+    assert fs2 is fs
+
+    # session registry + executor-side snapshot install
+    clear_fs_options()
+    set_fs_options("s3", opts)
+    snap = fs_options_snapshot()
+    assert snap == {"s3": opts}
+    fs3, _ = resolve_filesystem("s3://bucket/y")
+    assert isinstance(fs3, pafs.S3FileSystem)
+    clear_fs_options()
+    install_fs_options(snap)  # what _fs_threaded does worker-side
+    fs4, _ = resolve_filesystem("s3://bucket/z")
+    assert isinstance(fs4, pafs.S3FileSystem)
+    clear_fs_options()
+
+    # unknown scheme with options -> loud error, not silent local fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="constructor"):
+        resolve_filesystem("weird://x/y", fs_options={"a": 1})
+
+    # scheme-less paths stay local and ignore the registry
+    fs5, p5 = resolve_filesystem(str(tmp_path))
+    assert isinstance(fs5, pafs.LocalFileSystem) and p5 == str(tmp_path)
+
+
+def test_fs_options_threaded_end_to_end(spark, tmp_path):
+    """file:// scheme with explicit constructor kwargs exercises the full
+    read path (driver listing + executor footer reads) through an
+    explicitly-constructed filesystem."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import parquet_metadata_explorer_spark as pqx
+    from parquet_metadata_explorer_spark.parquet.io import clear_fs_options
+
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(tmp_path / "f.parquet"))
+    try:
+        df = pqx.read_metadata(
+            spark,
+            f"file://{tmp_path}",
+            source="parquet",
+            level="column",
+            fs_options={"use_mmap": True},
+        )
+        assert df.count() == 1
+    finally:
+        clear_fs_options()

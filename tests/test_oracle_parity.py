@@ -68,10 +68,12 @@ def test_parity(spark, duck, name):
 
 
 def test_all_queries_have_entries():
-    # every query has an oracle — the page level gained a DuckDB-SQL
-    # Thrift-parser oracle in r4 (tools/duckdb_page_oracle.py), closing
-    # the last two rows-only entries
-    assert set(QUERIES) - set(ORACLES) == set()
+    # every query has an oracle except the approx-percentile scale twin —
+    # a sketch has no bit-identical DuckDB twin; its rank-error bound vs
+    # the exact operator is asserted in tests/test_streaming.py. The page
+    # level gained a DuckDB-SQL Thrift-parser oracle in r4
+    # (tools/duckdb_page_oracle.py), closing the last two rows-only rows
+    assert set(QUERIES) - set(ORACLES) == {"events_percentiles_approx"}
 
 
 def test_entry_smoke(spark):

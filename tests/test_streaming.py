@@ -182,3 +182,31 @@ def test_load_events_pins_utc_session(spark, sf_dir):
         assert df.limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """The approx_percentile scale twin must return values whose RANK is
+    within 1/accuracy of the requested quantile — checked against the
+    per-group sorted values the exact operator sees."""
+    import bisect
+
+    acc = 1000
+    events = ev.load_events(spark, sf_dir)
+    approx = {r.event_type: r for r in ev.value_percentiles_approx(
+        events, accuracy=acc).collect()}
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(vals)
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        assert approx[et].n_values == n
+        for q, field in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = getattr(approx[et], field)
+            # rank window of the returned value (rounding-tolerant)
+            lo = bisect.bisect_left(xs, v - 1e-6) / n
+            hi = bisect.bisect_right(xs, v + 1e-6) / n
+            eps = 1.0 / acc + 1.0 / n  # sketch bound + discretization
+            assert lo - eps <= q <= hi + eps, (et, field, q, lo, hi)
