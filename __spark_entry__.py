@@ -647,6 +647,44 @@ def _oracle_ann_ivf(n_centroids: int = 16, iters: int = 3, n_probe: int = 4, k: 
     (same tolerance note as the sign-LSH bits).
     """
     q_ids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    parts_fixed = _lloyd_parts(n_centroids, iters)
+    final_c = f"c{iters}"
+    final_a = f"a{iters}"
+    return f"""
+WITH {", ".join(parts_fixed)},
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_d_dist2("q.embedding", "c.c")}, c.cluster) AS rn
+    FROM embeddings q CROSS JOIN {final_c} c
+    WHERE q.vec_id IN ({q_ids})
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN {final_a} a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_d_cos("q.embedding", "n.embedding")}, 6) AS cos
+  FROM cands c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _lloyd_parts(n_centroids: int, iters: int) -> list:
+    """Shared unrolled-Lloyd CTE layers (seeds → c0 → a_i/m_i/c_i per
+    iteration), mirroring similarity.ivf_index — used by both the
+    ann_ivf and cluster_assign oracles."""
     # a cluster left empty in iteration i keeps its iteration-(i-1)
     # centroid (Spark mutates the array in place), hence the coalesce
     # against the PREVIOUS layer, not c0
@@ -687,36 +725,27 @@ c{it} AS (
   FROM {prev} p LEFT JOIN m{it} m USING (cluster)
 )"""
         )
-    final_c = f"c{iters}"
-    final_a = f"a{iters}"
+    return parts_fixed
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document/embedding clustering deliverable: the per-vector k-means
+    cluster assignment after 3 deterministic Lloyd iterations — the
+    topic-bucketing step of a corpus pipeline (reuses the distributed
+    IVF trainer; only K×dim centroids ever reach the driver)."""
+    _, assignments = similarity.ivf_index(
+        _table(spark, sf_dir, "embeddings"), n_centroids=16, iters=3
+    )
+    return assignments.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def _oracle_cluster_assign(n_centroids: int = 16, iters: int = 3) -> str:
+    parts = _lloyd_parts(n_centroids, iters)
     return f"""
-WITH {", ".join(parts_fixed)},
-probes AS (
-  SELECT query_id, cluster FROM (
-    SELECT q.vec_id AS query_id, c.cluster,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY {_d_dist2("q.embedding", "c.c")}, c.cluster) AS rn
-    FROM embeddings q CROSS JOIN {final_c} c
-    WHERE q.vec_id IN ({q_ids})
-  ) WHERE rn <= {n_probe}
-),
-cands AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id
-  FROM probes p JOIN {final_a} a USING (cluster)
-  WHERE a.vec_id <> p.query_id
-),
-scored AS (
-  SELECT c.query_id, c.neighbor_id,
-         round({_d_cos("q.embedding", "n.embedding")}, 6) AS cos
-  FROM cands c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <= {k}
+WITH {", ".join(parts)}
+SELECT vec_id, cluster::bigint AS cluster FROM a{iters}
 """
 
 
@@ -1268,6 +1297,150 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.priority_order_check(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "orders")
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, count(*)::bigint AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.returned_item_report(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+O_TPCH_Q10 = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, revenue,
+       round(c_acctbal, 2) AS acctbal, n_name AS nation
+FROM agg
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.promo_revenue_ratio(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "part")
+    )
+
+
+O_TPCH_Q14 = f"""
+SELECT round(
+         100.0
+         * {_d_ssum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         / {_d_ssum("l_extendedprice * (1 - l_discount)")},
+         4
+       ) AS promo_share_pct,
+       count(*)::bigint AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.top_supplier(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "supplier")
+    )
+
+
+O_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS name, total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY suppkey
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.large_volume_customers(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+    )
+
+
+O_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, {_d_ssum("l_quantity")} AS total_qty
+  FROM lineitem GROUP BY 1 HAVING {_d_ssum("l_quantity")} > 300.0
+)
+SELECT c_name AS name, c_custkey AS custkey, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.disjunctive_revenue(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "part")
+    )
+
+
+O_TPCH_Q19 = f"""
+SELECT round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+       count(*)::bigint AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_stats_cube(_table(spark, sf_dir, "orders"))
 
@@ -1480,6 +1653,136 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_page_reconstruct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-encoding decode matrix, oracled end-to-end: rewrite the
+    documents table with DATA_PAGE_V2 + DELTA_BINARY_PACKED (doc_id) /
+    DELTA_BYTE_ARRAY (lang, source) + zstd, then rebuild every value from
+    raw page bytes via the hand-rolled Thrift walk + delta decoders and
+    compare the multiset against DuckDB reading the ORIGINAL table — the
+    rewrite is content-preserving, so the two agree iff the v2 page walk,
+    level handling, and all three DELTA decoders are exact."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    dst = f"/tmp/pqx_delta_oracle_{tag}.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src, columns=["doc_id", "lang", "source"])
+        pq.write_table(
+            t,
+            dst + ".tmp",
+            data_page_version="2.0",
+            use_dictionary=False,
+            compression="zstd",
+            column_encoding={
+                "doc_id": "DELTA_BINARY_PACKED",
+                "lang": "DELTA_BYTE_ARRAY",
+                "source": "DELTA_BYTE_ARRAY",
+            },
+            row_group_size=200,
+            data_page_size=2048,
+        )
+        os.replace(dst + ".tmp", dst)
+    return (
+        column_values(spark, dst)
+        .groupBy("col_path", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+O_PAGE_RECONSTRUCT_DELTA = """
+SELECT 'doc_id' AS col_path, doc_id::varchar AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'lang' AS col_path, lang AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'source' AS col_path, source AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level first-occurrence line dedup (chunk_tokens=8: each
+    consecutive 8-token chunk is a 'line' — the testdata corpus has no
+    newlines). Returns per-doc kept/removed counts + the cleaned text."""
+    from parquet_metadata_explorer_spark.operators.dedup import line_dedup
+
+    return line_dedup(_table(spark, sf_dir, "documents"), chunk_tokens=8)
+
+
+O_DEDUP_LINES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(greatest(length(t), 1) / 8.0) AS BIGINT)),
+           r -> struct_pack(
+             line_no := r,
+             line := array_to_string(list_slice(t, r * 8 + 1, r * 8 + 8), ' ')
+           )
+         )) AS u
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, CAST(u.line_no AS INT) AS line_no, u.line AS line FROM exploded
+),
+kept AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       count(*)::bigint AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_no), '')
+         AS cleaned_text
+FROM kept
+GROUP BY doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN length(t) >= 2
+      THEN list_transform(range(1, greatest(length(t)-1, 1)+1),
+                          i -> array_to_string(t[i:i+1], ' '))
+      ELSE []::varchar[] END) AS g
+  FROM toks
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(CASE WHEN length(t) >= 3
+      THEN list_transform(range(1, greatest(length(t)-2, 1)+1),
+                          i -> array_to_string(t[i:i+2], ' '))
+      ELSE []::varchar[] END) AS g
+  FROM toks
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, sum(c) AS n3,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+       FROM c3 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n2, 0)::bigint AS n_2grams,
+       round(coalesce(top2 / n2, 0.0), 4) AS top_2gram_frac,
+       round(coalesce(dup3 / n3, 0.0), 4) AS dup_3gram_frac
+FROM documents d
+LEFT JOIN m2 USING (doc_id)
+LEFT JOIN m3 USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1501,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_encoding_report": q_meta_encoding_report,
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1511,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "cluster_assign": q_cluster_assign,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -1520,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "dedup_lines": q_dedup_lines,
         "multimodal_decode": q_multimodal_decode,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -1533,6 +1840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "cube_orders": q_cube_orders,
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
@@ -1557,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_plain_decode": O_PAGE_PLAIN_DECODE,
         "page_reconstruct": O_PAGE_RECONSTRUCT,
+        "page_reconstruct_delta": O_PAGE_RECONSTRUCT_DELTA,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_clusters(),
@@ -1567,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": O_ANN_TOPK,
         "ann_lsh": _oracle_ann_lsh(),
         "ann_ivf": _oracle_ann_ivf(),
+        "cluster_assign": _oracle_cluster_assign(),
         "hash_split": O_HASH_SPLIT,
         "sample_per_group": O_SAMPLE_PER_GROUP,
         "pack_sequences": O_PACK_SEQUENCES,
@@ -1576,6 +1891,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _oracle_langid(),
         "text_tokens": O_TEXT_TOKENS,
         "text_fingerprint": O_TEXT_FINGERPRINT,
+        "text_repetition": O_TEXT_REPETITION,
+        "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,
         "events_windowed": O_EVENTS_WINDOWED,
         "events_sessionize": O_EVENTS_SESSIONIZE,
@@ -1588,6 +1905,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,
         "tpch_q6": O_TPCH_Q6,
+        "tpch_q4": O_TPCH_Q4,
+        "tpch_q10": O_TPCH_Q10,
+        "tpch_q14": O_TPCH_Q14,
+        "tpch_q15": O_TPCH_Q15,
+        "tpch_q18": O_TPCH_Q18,
+        "tpch_q19": O_TPCH_Q19,
         "cube_orders": O_CUBE_ORDERS,
         "salted_stats": O_SALTED_STATS,
         "window_top_orders": O_WINDOW_TOP_ORDERS,

@@ -606,3 +606,71 @@ def embedding_near_duplicates(
     keyed = tiles.repartition(*KEY).sortWithinPartitions(*KEY, "vec_id")
     pairs = keyed.mapInPandas(tile_pairs_stream, "vec_a long, vec_b long, cos double")
     return pairs.dropDuplicates(["vec_a", "vec_b"]).select("vec_a", "vec_b", "cos")
+
+
+def line_dedup(
+    documents: DataFrame,
+    delimiter: str = "\n",
+    chunk_tokens: "int | None" = None,
+) -> DataFrame:
+    """Corpus-level exact line deduplication, first occurrence wins —
+    the CCNet/RefinedWeb boilerplate-removal step: a line (or, with
+    ``chunk_tokens=k``, each consecutive k-token chunk) that appears
+    anywhere earlier in the corpus is dropped from every later document.
+
+    Scale shape: the arg-min over each line's occurrences is a
+    ``groupBy(line).agg(min(struct(doc_id, line_no)))`` — partial
+    aggregation combines map-side, so a boilerplate line occurring 10⁹
+    times contributes ONE row per task to the shuffle, not 10⁹ (a
+    ``row_number`` window over the line key would sort the full 10⁹-row
+    partition on one reducer). The join back on ``line`` is the one
+    place a hot line concentrates; it is row-linear (no blowup) and AQE
+    splits skewed partitions. Reassembly sorts each doc's kept lines
+    with ``array_sort(collect_list(struct))`` — bounded by one document,
+    which by pipeline definition fits in a task.
+
+    Output: one row per input document —
+    (doc_id, n_lines, n_kept, cleaned_text).
+    """
+    sep = " " if chunk_tokens else delimiter
+    if chunk_tokens:
+        k = int(chunk_tokens)
+        toks = F.split(F.col("text"), " ")
+        n_lines = F.greatest(
+            F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(1)
+        )
+        lines_arr = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+    else:
+        lines_arr = F.split(F.col("text"), F.lit(delimiter), -1)
+    lines = documents.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    joined = lines.join(firsts, "line")
+    kept = (F.col("doc_id") == F.col("first.doc_id")) & (
+        F.col("line_no") == F.col("first.line_no")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "cleaned_text")
+    )

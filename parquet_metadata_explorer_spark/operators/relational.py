@@ -292,3 +292,198 @@ def order_stats_cube(orders: DataFrame) -> DataFrame:
             F.round(_stable_sum(F.col("o_totalprice")), 2).alias("total_price"),
         )
     )
+
+
+def priority_order_check(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join, then a
+    small group-by on priority.
+
+    The testdata lacks ``l_commitdate``/``l_receiptdate``, so the EXISTS
+    predicate is "has a returned line" (``l_returnflag = 'R'``) — the
+    plan shape is identical to Q4: date-filtered orders scan, semi join
+    on orderkey (no fact-row duplication, the semi join emits each order
+    at most once), one tiny final aggregation. At scale the semi join
+    shuffles both sides once on orderkey; AQE can flip it to broadcast
+    when the filtered order slice is small.
+    """
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        window.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10: top-k customers by revenue lost to returns in one
+    quarter. Fact-fact join (lineitem⋈orders) shuffles on orderkey;
+    customer and nation broadcast; one group-by on the customer grain,
+    then a global top-k (Spark plans TakeOrderedAndProject — no full
+    sort). Ties break on custkey so the LIMIT cut is deterministic."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — one month of lineitem
+    joined to part (broadcast at testdata ratios; at TPC-H ratios part is
+    the smaller side and AQE picks broadcast vs shuffle), promo share
+    computed as 100·sum(CASE)/sum(all) in a single partial-aggregating
+    pass. The testdata's ``p_type`` carries a literal PROMO class."""
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * _stable_sum(
+                F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / _stable_sum(disc),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15: revenue view + scalar-subquery max. The per-supplier
+    revenue aggregate is computed ONCE and self-joined against its own
+    max — Spark reuses the aggregated exchange for both sides (the
+    max side is one row, broadcast). Quarter-filtered scan, one shuffle
+    on suppkey, supplier dim broadcast."""
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery membership. Orders whose total
+    lineitem quantity exceeds ``min_qty`` are found with one partial-agg
+    shuffle on orderkey; that (small, selective) key set then drives a
+    semi-join-shaped plan: re-join to orders + broadcast customer, and a
+    final per-order aggregation. The big-quantity key set is broadcast —
+    the second lineitem pass never shuffles."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_stable_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The shared conjuncts (quantity floor, size floor) are pushed to the
+    scans; the per-branch brand/size/quantity bands evaluate after the
+    broadcast join exactly as Q19's container/brand bands do. One
+    aggregate, no shuffle beyond the final single-row agg."""
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.round(
+            _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

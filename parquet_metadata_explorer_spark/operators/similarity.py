@@ -258,7 +258,15 @@ def ivf_index(
         .limit(n_centroids)
         .collect()
     ]
-    seeds = e.filter(F.col("vec_id").isin(seed_ids)).toPandas()
+    # canonical label order: cluster i = i-th seed by ascending vec_id.
+    # Without the sort, toPandas() returns repartition order and the
+    # label assignment would be nondeterministic (invisible to ann_ivf,
+    # whose output is label-free, but cluster_assign exposes labels).
+    seeds = (
+        e.filter(F.col("vec_id").isin(seed_ids))
+        .toPandas()
+        .sort_values("vec_id")
+    )
     centroids = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
 
     from pyspark.sql.types import LongType, StructField, StructType

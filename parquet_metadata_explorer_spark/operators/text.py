@@ -231,3 +231,60 @@ def ngram_frequencies(
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition metrics (Gopher-rule shapes): the share of
+    the document's 2-gram instances taken by its single most frequent
+    2-gram, and the share of 3-gram instances whose gram occurs more than
+    once within the document. High values flag boilerplate/spam for
+    quality filtering.
+
+    Scale shape: n-grams stay inside codegen (``transform`` over the
+    token array), then one explode + two partial-aggregating shuffles
+    keyed by (doc_id, gram) and doc_id — both near-uniform keys (grams
+    are scoped per document, so a corpus-hot gram never concentrates).
+    """
+    toks = tokens(F.col("text"))
+
+    def all_grams(k: int):
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        empty = F.array_except(grams, grams)
+        return F.when(n >= k, grams).otherwise(empty)
+
+    def per_doc(k: int, out_total: str, out_top: str, out_dup: str):
+        return (
+            documents.select("doc_id", F.explode(all_grams(k)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").cast("long").alias(out_total),
+                F.max("c").cast("long").alias(out_top),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(out_dup),
+            )
+        )
+
+    two = per_doc(2, "n_2grams", "top2_c", "dup2_c")
+    three = per_doc(3, "n_3grams", "top3_c", "dup3_c")
+    return (
+        documents.select("doc_id")
+        .join(two, "doc_id", "left")
+        .join(three, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.round(
+                F.coalesce(F.col("top2_c") / F.col("n_2grams"), F.lit(0.0)), 4
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("dup3_c") / F.col("n_3grams"), F.lit(0.0)), 4
+            ).alias("dup_3gram_frac"),
+        )
+    )

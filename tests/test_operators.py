@@ -236,3 +236,52 @@ def test_embedding_dedup_quadratic_output_bounded(spark):
         embs, threshold=0.99, bucket_cap=256, n_bands=2, planes_per_band=4
     ).count()
     assert n == 2000 * 1999 // 2
+
+
+def test_line_dedup_newline_corpus(spark):
+    """First occurrence of a repeated line is kept; later instances are
+    dropped; unique lines always survive; order inside a doc preserved."""
+    rows = [
+        (1, "alpha beta\nshared boilerplate line\ngamma"),
+        (2, "shared boilerplate line\ndelta epsilon"),
+        (3, "zeta\nshared boilerplate line\nshared boilerplate line"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r for r in dedup.line_dedup(docs, delimiter="\n").collect()
+    }
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[1].cleaned_text == "alpha beta\nshared boilerplate line\ngamma"
+    assert out[2].n_lines == 2 and out[2].n_kept == 1
+    assert out[2].cleaned_text == "delta epsilon"
+    assert out[3].n_lines == 3 and out[3].n_kept == 1
+    assert out[3].cleaned_text == "zeta"
+
+
+def test_line_dedup_chunk_tokens(spark):
+    """chunk_tokens mode: consecutive k-token windows are the dedup unit;
+    a doc repeating another doc's chunk loses it."""
+    rows = [
+        (1, "a b c d e f"),   # chunks (k=2): "a b", "c d", "e f"
+        (2, "c d x y"),       # "c d" seen in doc 1 -> dropped
+        (3, "a b"),           # fully duplicate of doc 1's first chunk
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(docs, chunk_tokens=2).collect()
+    }
+    assert out[1].n_kept == 3 and out[1].cleaned_text == "a b c d e f"
+    assert out[2].n_kept == 1 and out[2].cleaned_text == "x y"
+    assert out[3].n_kept == 0 and out[3].cleaned_text == ""
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one 2-gram repeated
+        (2, "one two three four five six seven"),      # all grams unique
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert out[1].top_2gram_frac == 1.0 and out[1].dup_3gram_frac == 1.0
+    assert out[2].top_2gram_frac < 0.2 and out[2].dup_3gram_frac == 0.0

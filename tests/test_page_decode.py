@@ -314,3 +314,53 @@ def test_byte_stream_split_floats(spark, tmp_path):
             column_encoding={"f": "BYTE_STREAM_SPLIT", "d": "BYTE_STREAM_SPLIT"},
         )
         _reconstruct_matches(spark, t, f, ["f", "d"])
+
+def test_delta_length_byte_array_edge_cases(spark, tmp_path):
+    """DELTA_LENGTH_BYTE_ARRAY hostile inputs: empty strings (zero-length
+    runs), all-empty column, multibyte UTF-8, a single-row table, and
+    null interleaving — both page versions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cases = {
+        "empties": (["", "a", "", "bb", ""] * 200, pa.string()),
+        "all_empty": ([""] * 777, pa.string()),
+        "unicode": (["héllo", "日本語テキスト", "", "𝔘𝔫𝔦", "é"] * 123, pa.string()),
+        "single": (["only-value"], pa.string()),
+        "nulls": (
+            [None if i % 3 == 0 else f"v{i}" * (i % 5) for i in range(997)],
+            pa.string(),
+        ),
+    }
+    for ver in ("1.0", "2.0"):
+        enc = "DELTA_LENGTH_BYTE_ARRAY" if ver == "1.0" else "DELTA_BYTE_ARRAY"
+        for name, (vals, typ) in cases.items():
+            t = pa.table({"s": pa.array(vals, typ)})
+            f = str(tmp_path / f"dlba_{ver}_{name}.parquet")
+            pq.write_table(
+                t, f, data_page_version=ver, use_dictionary=False,
+                compression="none", column_encoding={"s": enc},
+            )
+            _reconstruct_matches(spark, t, f, ["s"])
+
+
+def test_dictionary_fallback_mid_chunk(spark, tmp_path):
+    """Dictionary overflow mid-chunk: pyarrow writes RLE_DICTIONARY pages
+    until dictionary_pagesize_limit, then falls back to PLAIN for the
+    rest of the SAME column chunk — the per-page encoding dispatch must
+    decode both regimes with one shared chunk dictionary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [f"val-{i:06d}-{'x' * 20}" for i in range(4000)]
+    t = pa.table({"s": pa.array(vals), "n": pa.array(range(4000), pa.int64())})
+    for ver in ("1.0", "2.0"):
+        f = str(tmp_path / f"fallback_{ver}.parquet")
+        pq.write_table(
+            t, f, data_page_version=ver, use_dictionary=True,
+            dictionary_pagesize_limit=2048, data_page_size=8192,
+            compression="snappy", row_group_size=4000,
+        )
+        encs = pq.ParquetFile(f).metadata.row_group(0).column(0).encodings
+        assert "PLAIN" in encs and "RLE_DICTIONARY" in encs, encs
+        _reconstruct_matches(spark, t, f, ["s", "n"])

@@ -106,7 +106,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_replicas(spark, sf_dir)
 
+    from pyspark.sql import functions as F
+
     from parquet_metadata_explorer_spark.operators import dedup, text
+
+    # Forced-oversized-bucket fixture for the embedding tiling: a FIXED
+    # 1500-vector identical cluster (identical sign bits ⇒ one bucket in
+    # EVERY band) appended to each factor's corpus, probed with
+    # bucket_cap=256 so the cluster must tile (ceil(1500/256)=6 chunks,
+    # 21 tiles). The cluster — and hence the oversized-bucket work and
+    # its ~1.1M output pairs — is CONSTANT across factors, so the x1/x2/x4
+    # deltas isolate the background corpus's linear scaling while proving
+    # the tiled path is active (not just the no-overflow fast path).
+    dim_probe = len(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .first()[0]
+    )
+    SKEW_CLUSTER = 1500
+    import math
+
+    cluster_vec = [math.sin(k + 1) for k in range(dim_probe)]
+    cluster = (
+        spark.range(SKEW_CLUSTER)
+        .select(
+            (F.col("id") + 10**12).alias("vec_id"),
+            F.array(*[F.lit(float(v)) for v in cluster_vec])
+            .cast("array<float>")
+            .alias("embedding"),
+            F.lit(999).alias("label"),
+        )
+    )
 
     OPS = {
         "dedup_exact": lambda d, e: dedup.exact_duplicates(d),
@@ -119,6 +149,9 @@ def main() -> None:
         ),
         "dedup_embedding": lambda d, e: dedup.embedding_near_duplicates(
             e, threshold=0.95
+        ),
+        "dedup_embedding_skew": lambda d, e: dedup.embedding_near_duplicates(
+            e.unionByName(cluster), threshold=0.95, bucket_cap=256
         ),
         "text_stats": lambda d, e: text.text_stats(d),
         "ngram_freq": lambda d, e: text.ngram_frequencies(d, n=2, top_k=100),
@@ -142,11 +175,18 @@ def main() -> None:
         d = spark.read.parquet(f"{BASE}/x{n}/documents.parquet")
         e = spark.read.parquet(f"{BASE}/x{n}/embeddings.parquet")
         for op, fn in OPS.items():
-            t0 = time.monotonic()
-            cnt = fn(d, e).count()
-            results[op][f"x{n}"] = round(time.monotonic() - t0, 2)
+            # best-of-2 (bench.py protocol): steady-state cost, excluding
+            # first-execution codegen/JIT of the plan shape and this
+            # container's bursty CPU throttling
+            best, cnt = None, 0
+            for _ in range(2):
+                t0 = time.monotonic()
+                cnt = fn(d, e).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            results[op][f"x{n}"] = round(best, 2)
             rows[op][f"x{n}"] = cnt
-            spark.catalog.clearCache()
             print(f"# x{n} {op}: {results[op][f'x{n}']}s ({cnt} rows)", file=sys.stderr)
 
     print(json.dumps({"sf_base": sf_dir, "times_sec": results, "out_rows": rows}))
