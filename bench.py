@@ -64,8 +64,11 @@ def main() -> None:
         "events_asof",
         "events_range_join",
         "text_decontaminate",
+        "dedup_lines",
+        "cluster_assign",
         "tpch_q1",
         "tpch_q5",
+        "tpch_q10",
         "window_top_orders",
         "rollup_orders",
         "supplier_part_revenue",

@@ -390,11 +390,15 @@ def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     """TPC-H Q15: revenue view + scalar-subquery max. The per-supplier
-    revenue aggregate is computed ONCE and self-joined against its own
-    max — Spark reuses the aggregated exchange for both sides (the
-    max side is one row, broadcast). Quarter-filtered scan, one shuffle
-    on suppkey, supplier dim broadcast."""
-    revenue = (
+    revenue aggregate is persisted and self-joined against its own max
+    (one row, broadcast) — without the persist, Catalyst+AQE recompile
+    each side independently and the quarter of lineitem is scanned and
+    aggregated TWICE (same re-evaluation trap as the ngram postings
+    self-join; plan-asserted in tests/test_plans.py). Quarter-filtered
+    scan, one shuffle on suppkey, supplier dim broadcast."""
+    from ..cache import track_persist
+
+    revenue = track_persist(
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1996-04-01"))

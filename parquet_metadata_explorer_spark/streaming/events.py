@@ -447,3 +447,42 @@ def stream_near_dedup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_line_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    chunk_tokens: int = 8,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``dedup.line_dedup``: documents arrive as files
+    land; each is split into lines (k-token chunks here — the corpus has
+    no newlines) and a line is emitted the first time it is seen, every
+    later copy dropped. State is one row per *distinct* line (bounded by
+    corpus line diversity, not stream length), shuffled on the uniform
+    line key per micro-batch.
+
+    Semantics note vs the batch operator: the batch arg-min keeps the
+    globally smallest (doc_id, line_no) instance; the stream keeps the
+    first *arrival*, and within one micro-batch ``dropDuplicates`` picks
+    an arbitrary instance — the SET of surviving lines is identical, the
+    owning doc of a line first seen twice in one batch may differ (the
+    replay test asserts set equality, not instance identity).
+    """
+    k = int(chunk_tokens)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(docs_path).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(1))
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+    return (
+        stream.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+        .dropDuplicates(["line"])
+    )

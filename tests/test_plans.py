@@ -270,3 +270,77 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q10_broadcasts_dims_and_topk(spark, sf_dir):
+    """Q10: customer+nation broadcast; global top-k plans as
+    TakeOrderedAndProject, never a full sort of the aggregate."""
+    df = relational.returned_item_report(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_reuses_revenue_aggregate(spark, sf_dir):
+    """Q15: the revenue aggregate feeds both the max side and the join
+    side — it is persisted, so BOTH sides read InMemoryTableScan and the
+    quarter of lineitem is scanned+aggregated once (AQE recompiles the
+    sides independently, so ReusedExchange alone cannot be relied on)."""
+    df = relational.top_supplier(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
+    )
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    assert has_broadcast_join(df)
+
+
+def test_q18_big_order_keys_broadcast(spark, sf_dir):
+    """Q18: the selective big-quantity key set must broadcast so the
+    orders scan never shuffles on orderkey."""
+    df = relational.large_volume_customers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+    )
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # big-keys + customer
+
+
+def test_q19_disjunction_evaluates_after_broadcast_join(spark, sf_dir):
+    df = relational.disjunctive_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+    assert has_broadcast_join(df)
+    # single-row final aggregate: at most partial->final exchange pair
+    assert count_exchanges(df) <= 2
+
+
+def test_q4_semi_join_no_duplication(spark, sf_dir):
+    df = relational.priority_order_check(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+    plan = simple_plan(df)
+    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
+    # date-window predicate must reach the orders scan
+    pf = pushed_filters(df)
+    assert "o_orderdate" in pf, pf
+
+
+def test_line_dedup_argmin_partial_agg(spark, sf_dir):
+    """line_dedup's first-occurrence arg-min must plan as partial+final
+    HashAggregate (map-side combine on the hot line key), not a window
+    sort over the line partition."""
+    from parquet_metadata_explorer_spark.operators.dedup import line_dedup
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    df = line_dedup(load(spark, sf_dir, "documents"), chunk_tokens=8)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on line

@@ -210,3 +210,46 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             hi = bisect.bisect_right(xs, v + 1e-6) / n
             eps = 1.0 / acc + 1.0 / n  # sketch bound + discretization
             assert lo - eps <= q <= hi + eps, (et, field, q, lo, hi)
+
+
+def test_stream_line_dedup_matches_batch_set(spark, sf_dir):
+    """The streamed first-seen line set equals the batch line_dedup
+    survivor set (set equality — instance ownership within one
+    micro-batch is arbitrary, as documented)."""
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.operators.dedup import line_dedup
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/documents.parquet", stage + "/documents.parquet")
+    out = ev.stream_line_dedup(spark, stage, chunk_tokens=8)
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("line_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("line_dedup_stream").collect()
+
+    batch = line_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), chunk_tokens=8
+    )
+    n_kept_batch = batch.agg(F.sum("n_kept")).collect()[0][0]
+    batch_lines = {
+        ln
+        for r in batch.collect()
+        if r.cleaned_text
+        for ln in _chunks(r.cleaned_text, 8)
+    }
+    assert len(streamed) == n_kept_batch  # one survivor per distinct line
+    assert {r.line for r in streamed} == batch_lines
+
+
+def _chunks(text, k):
+    toks = text.split(" ")
+    return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
