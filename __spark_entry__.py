@@ -1673,9 +1673,11 @@ def q_page_reconstruct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = f"/tmp/pqx_delta_oracle_{tag}.parquet"
     if not os.path.exists(dst):
         t = pq.read_table(src, columns=["doc_id", "lang", "source"])
+        # pid-suffixed temp + atomic replace: concurrent runs never see a
+        # half-written file
         pq.write_table(
             t,
-            dst + ".tmp",
+            dst + f".tmp{os.getpid()}",
             data_page_version="2.0",
             use_dictionary=False,
             compression="zstd",
@@ -1687,7 +1689,7 @@ def q_page_reconstruct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             row_group_size=200,
             data_page_size=2048,
         )
-        os.replace(dst + ".tmp", dst)
+        os.replace(dst + f".tmp{os.getpid()}", dst)
     return (
         column_values(spark, dst)
         .groupBy("col_path", "value")
@@ -1704,6 +1706,71 @@ FROM documents GROUP BY 1, 2
 UNION ALL
 SELECT 'source' AS col_path, source AS value, count(*)::bigint AS n
 FROM documents GROUP BY 1, 2
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.funnel_conversion(ev.load_events(spark, sf_dir), window_minutes=60)
+
+
+O_EVENTS_FUNNEL = """
+WITH tagged AS (
+  SELECT user_id, ts, 'v' AS side, event_id FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 'p' AS side, event_id FROM events WHERE event_type = 'purchase'
+),
+t2 AS (
+  SELECT *,
+         last_value(CASE WHEN side = 'v' THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CASE WHEN side = 'v' THEN 0 ELSE 1 END, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_view_ts
+  FROM tagged
+),
+agg AS (
+  SELECT
+    count(DISTINCT CASE WHEN side = 'v' THEN user_id END)::bigint AS n_viewers,
+    count(DISTINCT CASE WHEN side = 'p' THEN user_id END)::bigint AS n_purchasers,
+    count(DISTINCT CASE WHEN side = 'p' AND last_view_ts IS NOT NULL
+          AND date_diff('second', last_view_ts, ts) <= 3600
+          THEN user_id END)::bigint AS n_converted
+  FROM t2
+)
+SELECT n_viewers, n_purchasers, n_converted,
+       round(n_converted * 100.0 / n_purchasers, 4) AS conversion_pct
+FROM agg
+"""
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.gapfill_hourly(ev.load_events(spark, sf_dir), event_type="purchase")
+
+
+O_EVENTS_GAPFILL = """
+WITH sub AS (SELECT * FROM events WHERE event_type = 'purchase'),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         round(sum(value::DECIMAL(30,10)) / count(value), 6)::DOUBLE AS mean_value
+  FROM sub GROUP BY 1
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM sub
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+),
+j AS (SELECT s.hour, h.mean_value FROM spine s LEFT JOIN hourly h USING (hour))
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       mean_value,
+       last_value(mean_value IGNORE NULLS) OVER (
+         ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       mean_value IS NULL AS was_gap
+FROM j
 """
 
 
@@ -1744,6 +1811,29 @@ SELECT doc_id,
          AS cleaned_text
 FROM kept
 GROUP BY doc_id
+"""
+
+
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob_score(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_LOGPROB = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+fr AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM ex),
+per AS (
+  SELECT e.doc_id,
+         count(*)::bigint AS n_tokens,
+         sum(round(ln(f.c::DOUBLE / tot.n_total), 12)::DECIMAL(30,15)) AS s
+  FROM ex e
+  JOIN fr f USING (tok)
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, round((s / n_tokens)::DOUBLE, 6) AS mean_logprob
+FROM per
 """
 
 
@@ -1826,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_logprob": q_text_logprob,
         "dedup_lines": q_dedup_lines,
         "multimodal_decode": q_multimodal_decode,
         "events_windowed": q_events_windowed,
@@ -1836,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_range_join": q_events_range_join,
         "events_rollup_multires": q_events_rollup_multires,
+        "events_funnel": q_events_funnel,
+        "events_gapfill": q_events_gapfill,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
@@ -1892,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": O_TEXT_TOKENS,
         "text_fingerprint": O_TEXT_FINGERPRINT,
         "text_repetition": O_TEXT_REPETITION,
+        "text_logprob": O_TEXT_LOGPROB,
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,
         "events_windowed": O_EVENTS_WINDOWED,
@@ -1901,6 +1995,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json": O_EVENTS_JSON,
         "events_range_join": O_EVENTS_RANGE_JOIN,
         "events_rollup_multires": O_EVENTS_ROLLUP_MULTIRES,
+        "events_funnel": O_EVENTS_FUNNEL,
+        "events_gapfill": O_EVENTS_GAPFILL,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,

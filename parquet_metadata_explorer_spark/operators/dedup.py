@@ -644,7 +644,11 @@ def line_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
         )
     else:
-        lines_arr = F.split(F.col("text"), F.lit(delimiter), -1)
+        # F.split takes a Java REGEX — escape so "." or "|" delimiters
+        # split literally
+        import re as _re
+
+        lines_arr = F.split(F.col("text"), _re.escape(delimiter), -1)
     lines = documents.select(
         "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
     )

@@ -288,3 +288,43 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             ).alias("dup_3gram_frac"),
         )
     )
+
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style perplexity filter (rare-token-heavy
+    gibberish scores low; docs of common well-distributed words score
+    high). Returned as (doc_id, n_tokens, mean_logprob); docs with zero
+    tokens are absent (no LM mass to score against).
+
+    Scale shape: one partial-aggregating shuffle builds the (vocab-sized)
+    frequency table, which then BROADCASTS back onto the exploded token
+    stream — the corpus itself never shuffles for the join — and one
+    doc_id-keyed aggregation finishes. Determinism: per-token ln(p) is
+    rounded to 12 decimals and summed as exact decimal(30,15), so the
+    score is invariant to partition count and addition order on any
+    engine (ties at the 12th decimal of an irrational are measure-zero).
+    """
+    toks = tokens(F.col("text"))
+    exploded = documents.select("doc_id", F.explode(toks).alias("tok"))
+    freqs = exploded.groupBy("tok").agg(F.count("*").alias("c"))
+    total = exploded.agg(F.count("*").alias("n_total"))
+    logp = F.round(F.log(F.col("c") / F.col("n_total")), 12).cast(
+        "decimal(30,15)"
+    )
+    return (
+        exploded.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(logp).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round((F.col("s") / F.col("n_tokens")).cast("double"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )

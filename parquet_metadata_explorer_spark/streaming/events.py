@@ -282,6 +282,131 @@ def asof_join_purchases(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_conversion(
+    events: DataFrame, window_minutes: int = 60
+) -> DataFrame:
+    """Two-step funnel: per event type pair (view → purchase), how many
+    users converted — performed a purchase within ``window_minutes`` of
+    some earlier (or simultaneous) view.
+
+    Scale shape: the same union-tag + per-user-timeline window as the
+    as-of join — ONE shuffle on user_id, never a view×purchase range
+    join. Per purchase, the most recent prior view's timestamp comes
+    from ``last(..., ignorenulls)`` over the ordered timeline; a user
+    converts if any purchase's lag is within the window. Output is one
+    summary row: (n_viewers, n_purchasers, n_converted, conversion_pct).
+    """
+    viewers = F.countDistinct(
+        F.when(F.col("side") == "v", F.col("user_id"))
+    )
+    purchasers = F.countDistinct(
+        F.when(F.col("side") == "p", F.col("user_id"))
+    )
+    tagged = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.lit("v").alias("side"), "event_id")
+        .unionByName(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", F.lit("p").alias("side"), "event_id"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("side") == "v", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view_ts = F.last(
+        F.when(F.col("side") == "v", F.col("ts")), ignorenulls=True
+    ).over(w)
+    converted_purchase = (
+        (F.col("side") == "p")
+        & last_view_ts.isNotNull()
+        & (
+            F.col("ts").cast("long") - last_view_ts.cast("long")
+            <= window_minutes * 60
+        )
+    )
+    per_user = tagged.withColumn(
+        "conv", converted_purchase.cast("int")
+    )
+    return per_user.agg(
+        viewers.cast("long").alias("n_viewers"),
+        purchasers.cast("long").alias("n_purchasers"),
+        F.countDistinct(F.when(F.col("conv") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("n_converted"),
+    ).select(
+        "n_viewers",
+        "n_purchasers",
+        "n_converted",
+        F.round(
+            F.col("n_converted") * 100.0 / F.col("n_purchasers"), 4
+        ).alias("conversion_pct"),
+    )
+
+
+def gapfill_hourly(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """Timescale-style gap-fill: a dense hourly spine between the
+    event type's first and last hour, left-joined to the hourly mean
+    value, missing hours filled by last-observation-carried-forward.
+
+    Scale shape: hourly partials partial-aggregate map-side (one shuffle
+    on the hour key); the spine is generated from a single broadcast
+    min/max row (``sequence()`` of hours — spine size = time span, not
+    data size); the LOCF window orders the spine only (rows = hours).
+    For multi-year × many-series gap-fill the window key becomes
+    (series, month-chunk) so no single sort exceeds one partition — at
+    one series and hourly grain the plain window is exact and bounded.
+
+    Output: (hour, mean_value, filled_value, was_gap).
+    """
+    sub = events.filter(F.col("event_type") == event_type)
+    hourly = sub.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            / F.count(F.col("value")),
+            6,
+        )
+        .cast("double")
+        .alias("mean_value")
+    )
+    span = sub.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = spine.join(hourly, "hour", "left")
+    return (
+        joined.select(
+            "hour",
+            "mean_value",
+            F.last("mean_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("mean_value").isNull().alias("was_gap"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "mean_value",
+            "filled_value",
+            "was_gap",
+        )
+        .orderBy("hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # structured-streaming variants
 # ---------------------------------------------------------------------------

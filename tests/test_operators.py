@@ -285,3 +285,26 @@ def test_repetition_stats_flags_boilerplate(spark):
     out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
     assert out[1].top_2gram_frac == 1.0 and out[1].dup_3gram_frac == 1.0
     assert out[2].top_2gram_frac < 0.2 and out[2].dup_3gram_frac == 0.0
+
+
+def test_line_dedup_regex_special_delimiter(spark):
+    """Delimiters with regex metacharacters ('|', '.') must split
+    literally, not as patterns."""
+    rows = [(1, "first|shared part|last"), (2, "shared part|tail")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, delimiter="|").collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[2].n_lines == 2 and out[2].n_kept == 1
+    assert out[2].cleaned_text == "tail"
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """Docs made of corpus-common tokens must outscore docs of corpus-rare
+    tokens; probabilities sum correctly (ln p <= 0 always)."""
+    rows = [(i, "common words repeated here always") for i in range(9)]
+    rows.append((99, "zyzzyva qwerty uncommon"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.unigram_logprob_score(docs).collect()}
+    assert all(r.mean_logprob < 0 for r in out.values())
+    assert out[0].mean_logprob > out[99].mean_logprob
+    assert out[0].n_tokens == 5 and out[99].n_tokens == 3
