@@ -238,11 +238,21 @@ def ivf_index(
     """IVF coarse quantizer: deterministic Lloyd iterations.
 
     Init: the ``n_centroids`` vectors with smallest md5(vec_id) — a
-    deterministic pseudo-random sample. Each iteration: one map-only GEMM
-    assign (no shuffle) + one (cluster, dim) aggregation shuffle; the
-    K×dim centroid matrix returns to the driver (tiny). The heavy side —
-    the corpus — is touched only by scans; this is the standard
-    distributed k-means shape and survives any corpus size.
+    deterministic pseudo-random sample. Each iteration is ONE map-only
+    pass: the per-batch GEMM assigns clusters AND accumulates local
+    (cluster, count, Σembedding) partial sums, so only K rows per
+    partition (K×dim doubles each) ever reach the driver — the corpus is
+    never shuffled, joined, or exploded. (An earlier version re-joined
+    assignments to the corpus by vec_id and exploded dims to average —
+    one full corpus shuffle per iteration, all of it replaced by the
+    in-pass partials.) The final assignment DataFrame is evaluated lazily
+    against the pre-final-update centroids, matching the unrolled-CTE
+    oracle's layer structure.
+
+    Float caveat (shared with the oracle docstring): partial sums
+    accumulate in a different order than SQL AVG, so centroids agree to
+    ulps, not bits; an assignment flips only on an exact distance tie —
+    measure-zero on real embeddings.
 
     Returns (centroids ndarray, assignments DataFrame[vec_id, cluster]).
     """
@@ -299,20 +309,57 @@ def ivf_index(
 
         return assign
 
-    assignments = None
-    for _ in range(iters):
-        assignments = e.mapInPandas(make_assign(centroids), assign_schema)
-        # centroid update: explode dims, one shuffle on (cluster, dim)
-        means = (
-            assignments.join(e, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        for r in means:
-            centroids[r.cluster][r.dim] = r.m
+    dim = centroids.shape[1]
 
+    def make_partial(cents):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def part(batches):
+            import pandas as pd
+
+            c = bc.value
+            k = c.shape[0]
+            sums = np.zeros((k, c.shape[1]))
+            cnt = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d = (
+                    (mat * mat).sum(1)[:, None]
+                    - 2 * (mat @ c.T)
+                    + (c * c).sum(1)[None, :]
+                )
+                a = d.argmin(1)
+                for ci in np.unique(a):
+                    sums[ci] += mat[a == ci].sum(0)
+                cnt += np.bincount(a, minlength=k)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype=np.int64),
+                    "cnt": cnt,
+                    "sums": list(sums),
+                }
+            )
+
+        return part
+
+    prev = centroids
+    for _ in range(iters):
+        prev = centroids.copy()
+        partials = e.mapInPandas(
+            make_partial(centroids),
+            "cluster long, cnt long, sums array<double>",
+        ).collect()
+        sums = np.zeros((n_centroids, dim))
+        cnts = np.zeros(n_centroids, dtype=np.int64)
+        for r in partials:
+            sums[r.cluster] += np.asarray(r.sums)
+            cnts[r.cluster] += r.cnt
+        occupied = cnts > 0  # empty clusters keep their previous centroid
+        centroids[occupied] = sums[occupied] / cnts[occupied, None]
+
+    # the oracle's a{iters} layer: assignment against the PRE-final-update
+    # centroids (the loop's last GEMM saw `prev`, not the updated matrix)
+    assignments = e.mapInPandas(make_assign(prev), assign_schema)
     return centroids, assignments
 
 
