@@ -1837,6 +1837,52 @@ FROM per
 """
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub exercised end-to-end: a deterministic email + IPv4 is
+    appended to every document (the corpus itself contains none), then
+    redacted; the oracle repeats the same salting in SQL. The compact
+    output hashes the redacted text so the full scrub is value-checked."""
+    from parquet_metadata_explorer_spark.operators.text import redact_pii
+
+    docs = _table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77"),
+        ).alias("text"),
+    )
+    return redact_pii(salted).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def _o_text_redact() -> str:
+    from parquet_metadata_explorer_spark.operators.text import EMAIL_RE, IPV4_RE
+
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.1.'
+              || (doc_id % 256) || '.77' AS text
+  FROM documents
+)
+SELECT doc_id,
+       length(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
+       length(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM salted
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_table(spark, sf_dir, "documents"))
 
@@ -1917,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_logprob": q_text_logprob,
+        "text_redact": q_text_redact,
         "dedup_lines": q_dedup_lines,
         "multimodal_decode": q_multimodal_decode,
         "events_windowed": q_events_windowed,
@@ -1986,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": O_TEXT_FINGERPRINT,
         "text_repetition": O_TEXT_REPETITION,
         "text_logprob": O_TEXT_LOGPROB,
+        "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,
         "events_windowed": O_EVENTS_WINDOWED,

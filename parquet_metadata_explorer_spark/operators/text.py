@@ -328,3 +328,29 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# PII patterns shared by operator and tests. RE2/Java-regex common subset
+# only (no lookbehind), so the same pattern string runs on both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub emails and IPv4 addresses from document text — the
+    pre-training privacy pass. Pure codegen (two regexp_replace /
+    regexp_count pairs, no Python), map-only, zero shuffles.
+
+    Output: (doc_id, n_emails, n_ips, redacted_text) with matches
+    replaced by ``<EMAIL>`` / ``<IP>`` tokens.
+    """
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        redacted.alias("redacted_text"),
+    )

@@ -57,3 +57,45 @@ def test_uncompressed_page_content(spark, edge_dir):
     for r in rows:
         assert len(r.page_content) == r.page_compressed_size
         assert r.page_compressed_size == r.page_uncompressed_size  # NONE codec
+
+
+def test_truncation_fuzz_footer_and_pages(tmp_path):
+    """Byte-level truncation fuzz: a valid file cut at ANY length must
+    make the footer parser and the page walk fail with a clean
+    ValueError (ThriftError is one) or EOFError — never hang, never
+    return silently-wrong metadata — or, for cuts that only remove page
+    data the walk hasn't reached, fail on the read. Samples every
+    truncation point on a small file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.parquet.footer import read_footer
+    from parquet_metadata_explorer_spark.parquet.pages import iter_pages
+
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"a": list(range(200)), "b": [f"v{i}" for i in range(200)]}),
+        f,
+        compression="snappy",
+        row_group_size=50,
+    )
+    data = open(f, "rb").read()
+    full = len(data)
+    ok_full = read_footer(f, full)
+    assert ok_full[0].num_rows == 200
+
+    cut_path = str(tmp_path / "cut.parquet")
+    for cut in range(0, full, max(1, full // 160)):
+        with open(cut_path, "wb") as fh:
+            fh.write(data[:cut])
+        try:
+            meta, _ = read_footer(cut_path, cut)
+            # footer decoded (cut inside page data only): the page walk
+            # must then fail cleanly when it hits the missing bytes
+            list(iter_pages(cut_path, size=cut, page_content=True, meta=meta))
+        except (ValueError, EOFError, OSError):
+            continue
+        # reaching here means the truncated file parsed fully — only
+        # possible if the cut removed nothing the reader touches, which
+        # cannot happen for cut < full
+        raise AssertionError(f"truncation at {cut}/{full} parsed cleanly")

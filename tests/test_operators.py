@@ -308,3 +308,20 @@ def test_unigram_logprob_orders_quality(spark):
     assert all(r.mean_logprob < 0 for r in out.values())
     assert out[0].mean_logprob > out[99].mean_logprob
     assert out[0].n_tokens == 5 and out[99].n_tokens == 3
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail me at a.b-c_1@sub.example.org or root@x.io thanks"),
+        (2, "server 192.168.0.1 and 10.255.3.77 up; version 1.2 not an ip"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_ips == 0
+    assert "<EMAIL>" in out[1].redacted_text and "@" not in out[1].redacted_text
+    assert out[2].n_ips == 2 and out[2].n_emails == 0
+    assert out[2].redacted_text.count("<IP>") == 2
+    assert "version 1.2" in out[2].redacted_text  # not over-matched
+    assert out[3].n_emails == 0 and out[3].n_ips == 0
+    assert out[3].redacted_text == rows[2][1]
