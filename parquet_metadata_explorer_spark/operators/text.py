@@ -298,9 +298,12 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     tokens are absent (no LM mass to score against).
 
     Scale shape: one partial-aggregating shuffle builds the (vocab-sized)
-    frequency table, which then BROADCASTS back onto the exploded token
-    stream — the corpus itself never shuffles for the join — and one
-    doc_id-keyed aggregation finishes. Determinism: per-token ln(p) is
+    frequency table; the join back onto the token stream is left to AQE —
+    a bounded vocabulary broadcasts (corpus never shuffles for the join),
+    while a web-scale long-tail vocabulary (which would OOM a forced
+    broadcast) degrades to a shuffle join with AQE skew-splitting on the
+    stop-word keys. One doc_id-keyed aggregation finishes. Determinism:
+    per-token ln(p) is
     rounded to 12 decimals and summed as exact decimal(30,15), so the
     score is invariant to partition count and addition order on any
     engine (ties at the 12th decimal of an irrational are measure-zero).
@@ -313,7 +316,7 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         "decimal(30,15)"
     )
     return (
-        exploded.join(F.broadcast(freqs), "tok")
+        exploded.join(freqs, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -78,3 +78,76 @@ def streaming_user_profiles(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE = StructType(
+    [
+        StructField("last_view_micros", LongType()),
+        StructField("converted", LongType()),  # 0/1, sticky once set
+    ]
+)
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("converted", LongType()),
+    ]
+)
+
+
+def _make_funnel_update(window_seconds: int):
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_view, converted = state.get if state.exists else (-1, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts = pd.to_datetime(rows["ts"])
+        unit_div = 1000 if ts.dtype == "datetime64[ns]" else 1
+        rows = rows.assign(us_micros=ts.astype("int64") // unit_div)
+        # event-time order within the batch: micro-batch arrival order is
+        # file order, not time order — sort so a view earlier in time but
+        # later in the batch still arms the window (ties: views first,
+        # then event_id, matching the batch operator's window ordering)
+        rows = rows.sort_values(
+            ["us_micros", "event_type", "event_id"],
+            key=lambda c: c.map({"view": 0, "purchase": 1})
+            if c.name == "event_type"
+            else c,
+        )
+        for r in rows.itertuples(index=False):
+            if r.event_type == "view":
+                last_view = max(last_view, int(r.us_micros))
+            elif r.event_type == "purchase" and last_view >= 0:
+                if int(r.us_micros) - last_view <= window_seconds * 1_000_000:
+                    converted = 1
+        state.update((last_view, converted))
+        yield pd.DataFrame({"user_id": [user_id], "converted": [converted]})
+
+    return update
+
+
+def streaming_funnel(
+    events_stream: DataFrame, window_minutes: int = 60
+) -> DataFrame:
+    """Streaming twin of ``events.funnel_conversion``: per-user CEP state
+    (latest view timestamp + sticky converted flag) evolved batch by
+    batch; each micro-batch emits the user's current conversion status
+    (update mode — downstream aggregates count ``converted == 1`` rows).
+
+    State is two longs per user — bounded by user cardinality, one
+    shuffle on user_id per micro-batch. Cross-batch ordering caveat
+    (documented, inherent to CEP over unordered arrival): a purchase
+    arriving in an EARLIER micro-batch than its qualifying view converts
+    only if they land in the same batch or view-first — the same
+    guarantee every first-arrival streaming operator here gives, exact
+    when arrival order respects event time.
+    """
+    filtered = events_stream.filter(
+        events_stream["event_type"].isin("view", "purchase")
+    ).select("user_id", "ts", "event_type", "event_id")
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_update(window_minutes * 60),
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

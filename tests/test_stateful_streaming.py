@@ -48,3 +48,44 @@ def test_user_profiles_match_batch(spark, sf_dir):
         u: (streamed[u], expected[u]) for u in expected if streamed[u] != expected[u]
     }
     assert not mismatches, f"first mismatches: {list(mismatches.items())[:3]}"
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Replayed in one availableNow pass, the per-user sticky converted
+    flags must reproduce the batch funnel's n_converted exactly (single
+    batch ⇒ event-time sort inside the state body sees the full
+    history, so the cross-batch arrival caveat does not bite)."""
+    from parquet_metadata_explorer_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = streaming_funnel(stream, window_minutes=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_converted = {
+        r.user_id
+        for r in spark.table("funnel_state").collect()
+        if r.converted == 1
+    }
+
+    batch = ev.funnel_conversion(
+        ev.load_events(spark, sf_dir), window_minutes=60
+    ).collect()[0]
+    assert len(streamed_converted) == batch.n_converted
