@@ -1441,6 +1441,61 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_window_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.customer_order_timeline(_table(spark, sf_dir, "orders"))
+
+
+O_WINDOW_TIMELINE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       strftime(lag(o_orderdate) OVER w1, '%Y-%m-%d') AS prev_orderdate,
+       strftime(lead(o_orderdate) OVER w1, '%Y-%m-%d') AS next_orderdate,
+       (ntile(4) OVER w2)::bigint AS price_quartile,
+       round(percent_rank() OVER w2, 6) AS price_pct_rank,
+       round(cume_dist() OVER w2, 6) AS price_cume_dist
+FROM orders
+WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_grouping_sets(spark, _table(spark, sf_dir, "orders"))
+
+
+O_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::bigint AS g_status,
+       grouping(o_orderpriority)::bigint AS g_priority,
+       count(*)::bigint AS n_orders,
+       round(sum(o_totalprice::DECIMAL(30,10)), 2)::double AS sum_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pivot_status_by_priority(
+        _table(spark, sf_dir, "orders"), _PIVOT_PRIORITIES
+    )
+
+
+O_PIVOT_ORDERS = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::bigint AS n_1,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::bigint AS n_2,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::bigint AS n_3,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::bigint AS n_4,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::bigint AS n_5
+FROM orders GROUP BY 1
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_stats_cube(_table(spark, sf_dir, "orders"))
 
@@ -1986,6 +2041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "window_timeline": q_window_timeline,
+        "grouping_sets": q_grouping_sets,
+        "pivot_orders": q_pivot_orders,
         "cube_orders": q_cube_orders,
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
@@ -2055,6 +2113,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": O_TPCH_Q15,
         "tpch_q18": O_TPCH_Q18,
         "tpch_q19": O_TPCH_Q19,
+        "window_timeline": O_WINDOW_TIMELINE,
+        "grouping_sets": O_GROUPING_SETS,
+        "pivot_orders": O_PIVOT_ORDERS,
         "cube_orders": O_CUBE_ORDERS,
         "salted_stats": O_SALTED_STATS,
         "window_top_orders": O_WINDOW_TOP_ORDERS,

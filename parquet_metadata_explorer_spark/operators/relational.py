@@ -491,3 +491,97 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def customer_order_timeline(orders: DataFrame, k_buckets: int = 4) -> DataFrame:
+    """Window-function breadth on one per-customer timeline: lag/lead
+    (previous/next order dates), ntile price quartiles, percent_rank and
+    cume_dist within the customer — one shuffle on o_custkey, every
+    function over the same window frame (Spark evaluates them in a
+    single Window operator, no extra exchanges)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "prev_orderdate"
+        ),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "next_orderdate"
+        ),
+        F.ntile(k_buckets)
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice"), F.col("o_orderkey")
+            )
+        )
+        .cast("long")
+        .alias("price_quartile"),
+        F.round(
+            F.percent_rank().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice"), F.col("o_orderkey")
+                )
+            ),
+            6,
+        ).alias("price_pct_rank"),
+        F.round(
+            F.cume_dist().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice"), F.col("o_orderkey")
+                )
+            ),
+            6,
+        ).alias("price_cume_dist"),
+    )
+
+
+def order_grouping_sets(spark: SparkSession, orders: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — (status), (priority), (status, priority)
+    but NOT the grand total — with grouping_id disambiguating rows whose
+    key is genuinely NULL from subtotal rows. Spark expands the sets
+    before the exchange, so the shuffle carries partial aggregates."""
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                 AS sum_totalprice
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("g_status").cast("long").alias("g_status"),
+        F.col("g_priority").cast("long").alias("g_priority"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_totalprice").cast("double").alias("sum_totalprice"),
+    )
+
+
+def pivot_status_by_priority(orders: DataFrame, priorities: list) -> DataFrame:
+    """PIVOT: one row per order status, one count column per priority.
+    The pivot list is explicit (never inferred with an extra pass —
+    inference collects distinct values to the driver); Spark compiles it
+    to one partial-aggregating pass with a CASE per output column."""
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .count()
+    )
+    cleaned = pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0))
+            .cast("long")
+            .alias(f"n_{p.split('-')[0]}")
+            for p in priorities
+        ],
+    )
+    return cleaned
