@@ -1829,6 +1829,74 @@ FROM j
 """
 
 
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.3
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source data mixing: per-source kept counts after
+    applying the target sampling fractions (md5-threshold keep decision,
+    reproduced bit-for-bit by the oracle)."""
+    from parquet_metadata_explorer_spark.operators.sampling import mix_by_source
+
+    mixed = mix_by_source(
+        _table(spark, sf_dir, "documents"),
+        _MIX_FRACTIONS,
+        default=_MIX_DEFAULT,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+O_CORPUS_MIX = f"""
+WITH u AS (
+  SELECT source,
+         ('0x' || substr(md5('mix:' || doc_id), 1, 15))::bigint
+           / 1152921504606846976.0 AS u01
+  FROM documents
+),
+kept AS (
+  SELECT source FROM u
+  WHERE u01 < CASE source
+    {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_FRACTIONS.items())}
+    ELSE {_MIX_DEFAULT} END
+)
+SELECT source, count(*)::bigint AS n_kept FROM kept GROUP BY 1
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.cohort_retention(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id)::bigint AS cohort_size
+  FROM firsts GROUP BY 1
+),
+m AS (
+  SELECT f.cohort_week,
+         (date_diff('day', f.cohort_week, a.week) / 7)::bigint AS week_offset,
+         count(DISTINCT a.user_id)::bigint AS n_active
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       n_active, cohort_size,
+       round(n_active * 100.0 / cohort_size, 4) AS retention_pct
+FROM m JOIN sizes USING (cohort_week)
+"""
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level first-occurrence line dedup (chunk_tokens=8: each
     consecutive 8-token chunk is a 'line' — the testdata corpus has no
@@ -2031,6 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_multires": q_events_rollup_multires,
         "events_funnel": q_events_funnel,
         "events_gapfill": q_events_gapfill,
+        "events_retention": q_events_retention,
+        "corpus_mix": q_corpus_mix,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
@@ -2103,6 +2173,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_multires": O_EVENTS_ROLLUP_MULTIRES,
         "events_funnel": O_EVENTS_FUNNEL,
         "events_gapfill": O_EVENTS_GAPFILL,
+        "events_retention": O_EVENTS_RETENTION,
+        "corpus_mix": O_CORPUS_MIX,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,

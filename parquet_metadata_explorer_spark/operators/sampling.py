@@ -122,3 +122,30 @@ def pack_sequences(
         )
         .select("doc_id", "n_tokens", "pack_start", "pack_id")
     )
+
+
+def mix_by_source(
+    documents: DataFrame,
+    fractions: dict,
+    key: str = "source",
+    default: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data mixing: keep each document with its source's
+    target sampling fraction — the per-domain reweighting step of a
+    training-data recipe (downsample web crawl, keep books at 1.0, …).
+
+    Keep decision is ``u01(doc_id) < fraction[source]`` where u01 is the
+    md5-derived 60-bit hash scaled to [0, 1) — reproducible across runs,
+    engines, and partitionings (no RNG state), and INDEPENDENT of the
+    split/sample hashes via the salt. Map-only: the fraction map is a
+    literal expression, zero shuffles, fully pushdown-friendly.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    u01 = hash60(
+        F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(2**60))
+    frac = F.coalesce(mapping[F.col(key)], F.lit(float(default)))
+    return documents.filter(u01 < frac)

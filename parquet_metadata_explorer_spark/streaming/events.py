@@ -611,3 +611,50 @@ def stream_line_dedup(
         stream.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
         .dropDuplicates(["line"])
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the week of
+    their first event; for each (cohort week, week offset), how many of
+    the cohort were active, and the retention percentage.
+
+    Scale shape: three partial-aggregating shuffles — per-user first
+    week (groupBy user), distinct (user, week) activity, then the
+    matrix groupBy — all on near-uniform keys; the matrix itself is
+    weeks × offsets, tiny. ``date_trunc('week')`` is Monday-start on
+    both engines.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    matrix = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        matrix.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") * 100.0 / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
