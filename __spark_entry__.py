@@ -749,6 +749,39 @@ SELECT vec_id, cluster::bigint AS cluster FROM a{iters}
 """
 
 
+def q_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic map: k-means clusters labeled by their top-5 tokens
+    (cluster by embedding, describe by text)."""
+    return similarity.cluster_top_terms(
+        _table(spark, sf_dir, "documents"),
+        _table(spark, sf_dir, "embeddings"),
+        n_centroids=16,
+        iters=3,
+        top_k=5,
+    )
+
+
+def _oracle_cluster_topterms(
+    n_centroids: int = 16, iters: int = 3, top_k: int = 5
+) -> str:
+    parts = _lloyd_parts(n_centroids, iters)
+    return f"""
+WITH {", ".join(parts)},
+joined AS (
+  SELECT a.cluster, d.text FROM a{iters} a
+  JOIN documents d ON d.doc_id = a.vec_id
+),
+toks AS (SELECT cluster, unnest({D_TOKS}) AS tok FROM joined),
+counts AS (SELECT cluster, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY n DESC, tok) AS rank
+  FROM counts
+)
+SELECT cluster::bigint AS cluster, tok, n::bigint AS n, rank::bigint AS rank
+FROM ranked WHERE rank <= {top_k}
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -2075,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cluster_assign": q_cluster_assign,
+        "cluster_topterms": q_cluster_topterms,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -2150,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _oracle_ann_lsh(),
         "ann_ivf": _oracle_ann_ivf(),
         "cluster_assign": _oracle_cluster_assign(),
+        "cluster_topterms": _oracle_cluster_topterms(),
         "hash_split": O_HASH_SPLIT,
         "sample_per_group": O_SAMPLE_PER_GROUP,
         "pack_sequences": O_PACK_SEQUENCES,

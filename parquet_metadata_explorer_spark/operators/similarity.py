@@ -439,3 +439,46 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def cluster_top_terms(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    top_k: int = 5,
+) -> DataFrame:
+    """Label each k-means cluster with its most frequent tokens — the
+    composition that turns raw cluster ids into a human-readable topic
+    map (cluster docs by embedding, describe them by text).
+
+    Scale shape: the assignment pass is map-only (ivf_index); documents
+    join assignments on the aligned doc_id/vec_id key (one shuffle, or
+    broadcast when assignments are small); token counting is one
+    partial-aggregating shuffle on (cluster, token); the final top-k
+    window only sees the (clusters × vocab) count table, never the
+    corpus. Ties break lexicographically for cross-engine determinism.
+    """
+    from ..functions import tokens
+
+    _, assignments = ivf_index(embeddings, n_centroids, iters)
+    joined = documents.join(
+        assignments, documents["doc_id"] == assignments["vec_id"]
+    )
+    counts = (
+        joined.select("cluster", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("cluster", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "tok",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("cluster", "rank")
+    )
