@@ -2032,7 +2032,9 @@ WITH salted AS (
 )
 SELECT doc_id,
        length(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
-       length(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ips,
+       length(regexp_extract_all(
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}'
+       ))::bigint AS n_ips,
        md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                           '{IPV4_RE}', '<IP>', 'g')) AS redacted_md5
 FROM salted

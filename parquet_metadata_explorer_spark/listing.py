@@ -163,12 +163,18 @@ def _mtime_millis(info) -> int:
     return int(mt.timestamp() * 1000)
 
 
-def _make_list_dir(uri_prefix: str):
+def _make_list_dir(uri_prefix: str, fs_snapshot: dict | None = None):
     """Per-directory recursive lister, picklable for Spark tasks and
-    reusable from driver threads."""
+    reusable from driver threads. ``fs_snapshot`` carries the driver's
+    per-scheme filesystem options into executor processes — without it a
+    distributed listing of a custom-endpoint store would resolve with
+    default env credentials in the workers."""
     import pyarrow.fs as pafs
 
     def list_dir(d: str) -> list:
+        from .parquet.io import install_fs_options
+
+        install_fs_options(fs_snapshot)
         dfs, dp = resolve_filesystem(uri_prefix + d if uri_prefix else d)
         out = []
         stack = [dp]
@@ -359,8 +365,10 @@ def list_files(
     dirs = [i.path for i in top if i.type == pafs.FileType.Directory]
     if len(dirs) >= distributed_threshold:
         files = [finfo(i) for i in top if i.type == pafs.FileType.File]
+        from .parquet.io import fs_options_snapshot
+
         uri_prefix = path.split("://")[0] + "://" if "://" in path else ""
-        list_dir = _make_list_dir(uri_prefix)
+        list_dir = _make_list_dir(uri_prefix, fs_options_snapshot())
 
         if spark is not None:
             sc = spark.sparkContext

@@ -94,7 +94,15 @@ def write_zordered(
     if max_bits < 1:
         raise ValueError(
             f"z-ordering {len(cols)} columns cannot fit a 64-bit z-value; "
-            "use at most 31 columns"
+            "use at most 63 columns"
+        )
+    if bits > max_bits:
+        import warnings
+
+        warnings.warn(
+            f"z-order bits clamped {bits}->{max_bits} so "
+            f"{len(cols)} columns fit a 63-bit z-value",
+            stacklevel=2,
         )
     bits = min(bits, max_bits)
     bounds = df.agg(

@@ -311,7 +311,10 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     exploded = documents.select("doc_id", F.explode(toks).alias("tok"))
     freqs = exploded.groupBy("tok").agg(F.count("*").alias("c"))
-    total = exploded.agg(F.count("*").alias("n_total"))
+    # total token count folds from the vocab-sized frequency table — an
+    # exploded.count() here would be a THIRD full corpus scan (the same
+    # re-evaluation trap top_supplier's persist fixes)
+    total = freqs.agg(F.sum("c").alias("n_total"))
     logp = F.round(F.log(F.col("c") / F.col("n_total")), 12).cast(
         "decimal(30,15)"
     )
@@ -348,12 +351,15 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     replaced by ``<EMAIL>`` / ``<IP>`` tokens.
     """
     text = F.col("text")
-    redacted = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-    )
+    # replacements apply sequentially (emails first), so the IP count is
+    # taken on the email-redacted intermediate — an IPv4 embedded in an
+    # email local-part ('1.2.3.4@x.com') is consumed by <EMAIL> and must
+    # not inflate n_ips beyond the <IP> tokens actually emitted
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return documents.select(
         "doc_id",
         F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         redacted.alias("redacted_text"),
     )

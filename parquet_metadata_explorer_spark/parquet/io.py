@@ -48,10 +48,15 @@ def fs_options_snapshot() -> dict:
 
 
 def install_fs_options(snapshot: dict | None) -> None:
-    """Install a driver-side snapshot in this (worker) process."""
+    """Install a driver-side snapshot in this (worker) process.
+
+    Overwrites (never ``setdefault``): reused executor Python workers
+    (``spark.python.worker.reuse``, on by default) keep module globals
+    across jobs, so a stale earlier snapshot — old endpoint, rotated
+    credentials — must not shadow the current job's options."""
     if snapshot:
         for k, v in snapshot.items():
-            _FS_OPTIONS.setdefault(k, dict(v))
+            _FS_OPTIONS[k] = dict(v)
 
 
 def _fs_for_scheme(scheme: str, options: dict) -> pafs.FileSystem:
@@ -92,6 +97,21 @@ def resolve_filesystem(
             fs_options if fs_options is not None else _FS_OPTIONS.get(scheme.lower())
         )
         if opts:
+            # fs-local path semantics differ by scheme class (match what
+            # FileSystem.from_uri would return): for bucket-addressed
+            # stores (s3/gs) the URI authority IS the bucket and stays in
+            # the path; for hdfs://namenode:port/p the authority names the
+            # filesystem (it lives in the options) and the local path is
+            # just /p; for abfss://container@account/p pyarrow paths are
+            # container/p — keep the container, drop the account host.
+            s = scheme.lower()
+            if s == "hdfs":
+                cut = rest.find("/")
+                rest = rest[cut:] if cut >= 0 else "/"
+            elif s in ("abfs", "abfss", "az"):
+                authority, _, tail = rest.partition("/")
+                container = authority.split("@", 1)[0]
+                rest = f"{container}/{tail}" if tail else container
             return _fs_for_scheme(scheme, opts), rest
         fs, p = pafs.FileSystem.from_uri(path)
         return fs, p

@@ -63,13 +63,16 @@ def build_metadata_df(
     from ..parquet.io import fs_options_snapshot
 
     files = list_files(opts.path, spark=spark)
-    # prune BEFORE source inference / parallelize: only surviving files
-    # ever get a footer fetch (the option string and the richer function
-    # argument share one implementation)
+    # infer source from the FULL listing, then prune: a filter matching
+    # zero files must yield an empty DataFrame of the right level, not
+    # flip inference to 'file' and fail level validation
+    source = opts.source or _infer_source(files)
+    # prune BEFORE parallelize: only surviving files ever get a footer
+    # fetch (the option string and the richer function argument share one
+    # implementation)
     files = prune_files_by_partition(
         files, partition_filter if partition_filter is not None else opts.partitionfilter
     )
-    source = opts.source or _infer_source(files)
     validate_source_level(source, opts.level)
     schema = SCHEMAS_BY_LEVEL[(source, opts.level)]
 

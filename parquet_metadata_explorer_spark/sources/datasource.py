@@ -225,10 +225,13 @@ class MetadataDataSource(DataSource):
             except Exception:
                 session = None
             _install_opt_fs(opts)
-            files = prune_files_by_partition(
-                list_files(opts.path, spark=session), opts.partitionfilter
-            )
+            # infer from the FULL listing, then prune (same ordering as
+            # build_metadata_df): a filter matching zero files must give
+            # an empty result of the right level, not flip inference to
+            # 'file' and fail level validation
+            files = list_files(opts.path, spark=session)
             source = opts.source or _infer_source(files)
+            files = prune_files_by_partition(files, opts.partitionfilter)
             validate_source_level(source, opts.level)
             self._planned = (opts, files, source)
         return self._planned

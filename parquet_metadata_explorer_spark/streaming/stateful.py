@@ -43,6 +43,24 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
+def _ts_micros(series: pd.Series) -> pd.Series:
+    """Timestamp series → int64 microseconds, robust to the resolution
+    AND timezone-awareness of what Arrow hands over: dtype string
+    comparison ('datetime64[ns]') silently misses tz-aware variants
+    ('datetime64[ns, UTC]'), which would leave values in nanos and scale
+    every window/timeout by 1000. Read the unit off the dtype instead."""
+    import numpy as np
+
+    ts = pd.to_datetime(series)
+    unit = getattr(ts.dtype, "unit", None)  # DatetimeTZDtype carries .unit
+    if unit is None:
+        unit = np.datetime_data(ts.dtype)[0]  # naive numpy datetime64
+    scale = {"ns": ("div", 1000), "us": ("mul", 1), "ms": ("mul", 1000),
+             "s": ("mul", 1_000_000)}[unit]
+    raw = ts.astype("int64")
+    return raw // scale[1] if scale[0] == "div" else raw * scale[1]
+
+
 def _update_user_profile(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -53,11 +71,7 @@ def _update_user_profile(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        ts = pd.to_datetime(pdf["ts"])
-        # datetime64 resolution varies (ns or us) — normalize to micros
-        unit_div = 1000 if ts.dtype == "datetime64[ns]" else 1
-        ts_max = int(ts.astype("int64").max()) // unit_div
-        last = max(last, ts_max)
+        last = max(last, int(_ts_micros(pdf["ts"]).max()))
     state.update((n, round(total, 2), last))
     yield pd.DataFrame(
         {
@@ -100,9 +114,7 @@ def _make_funnel_update(window_seconds: int):
         (user_id,) = key
         last_view, converted = state.get if state.exists else (-1, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        ts = pd.to_datetime(rows["ts"])
-        unit_div = 1000 if ts.dtype == "datetime64[ns]" else 1
-        rows = rows.assign(us_micros=ts.astype("int64") // unit_div)
+        rows = rows.assign(us_micros=_ts_micros(rows["ts"]))
         # event-time order within the batch: micro-batch arrival order is
         # file order, not time order — sort so a view earlier in time but
         # later in the batch still arms the window (ties: views first,

@@ -170,3 +170,44 @@ def test_fs_options_threaded_end_to_end(spark, tmp_path):
         assert df.count() == 1
     finally:
         clear_fs_options()
+
+
+def test_resolve_fs_local_paths_per_scheme_class(monkeypatch):
+    """With registered options, the fs-local path must match what
+    FileSystem.from_uri would return per scheme class: bucket stays for
+    s3/gs, authority dropped for hdfs, container kept (account dropped)
+    for abfss."""
+    from parquet_metadata_explorer_spark.parquet import io as pio
+
+    class DummyFS:
+        pass
+
+    monkeypatch.setattr(pio, "_fs_for_scheme", lambda s, o: DummyFS())
+    monkeypatch.setattr(pio, "_FS_OPTIONS", {
+        "s3": {"endpoint_override": "http://minio:9000"},
+        "hdfs": {"host": "nn", "port": 8020},
+        "abfss": {"account_name": "acct"},
+    })
+    _, p = pio.resolve_filesystem("s3://bucket/data/f.parquet")
+    assert p == "bucket/data/f.parquet"
+    _, p = pio.resolve_filesystem("hdfs://nn:8020/data/f.parquet")
+    assert p == "/data/f.parquet"
+    _, p = pio.resolve_filesystem(
+        "abfss://container@acct.dfs.core.windows.net/data/f.parquet"
+    )
+    assert p == "container/data/f.parquet"
+
+
+def test_install_fs_options_overwrites_stale_worker_state():
+    """Reused executor workers keep module globals across jobs: a new
+    snapshot (rotated credentials / new endpoint) must overwrite, never
+    be shadowed by setdefault."""
+    from parquet_metadata_explorer_spark.parquet import io as pio
+
+    pio.clear_fs_options()
+    try:
+        pio.install_fs_options({"s3": {"endpoint_override": "http://old:9000"}})
+        pio.install_fs_options({"s3": {"endpoint_override": "http://new:9000"}})
+        assert pio._FS_OPTIONS["s3"]["endpoint_override"] == "http://new:9000"
+    finally:
+        pio.clear_fs_options()

@@ -325,3 +325,14 @@ def test_redact_pii_patterns(spark):
     assert "version 1.2" in out[2].redacted_text  # not over-matched
     assert out[3].n_emails == 0 and out[3].n_ips == 0
     assert out[3].redacted_text == rows[2][1]
+
+
+def test_redact_pii_ip_inside_email_not_double_counted(spark):
+    """An IPv4 embedded in an email local-part is consumed by <EMAIL>;
+    n_ips must count only the <IP> tokens actually emitted."""
+    docs = spark.createDataFrame(
+        [(1, "login 1.2.3.4@example.com from 5.6.7.8")], ["doc_id", "text"]
+    )
+    r = text.redact_pii(docs).collect()[0]
+    assert r.n_emails == 1 and r.n_ips == 1
+    assert r.redacted_text == "login <EMAIL> from <IP>"

@@ -162,3 +162,22 @@ def test_stream_pagecontent_refused(spark, registered, part_root):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_filter_matching_nothing_keeps_level_valid(spark, tmp_path):
+    """A partition filter matching zero files must return an EMPTY
+    DataFrame of the requested level — not let source inference fall
+    back to 'file' and fail level validation."""
+    import pyspark.sql.functions as F
+
+    import parquet_metadata_explorer_spark as pqx
+
+    root = str(tmp_path / "part")
+    spark.range(10).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(root)
+    out = pqx.read_metadata(
+        spark, root, level="rowgroup", partition_filter={"p": "99"}
+    )
+    assert out.count() == 0
+    assert "row_group_id" in out.columns

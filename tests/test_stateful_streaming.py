@@ -89,3 +89,19 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
         ev.load_events(spark, sf_dir), window_minutes=60
     ).collect()[0]
     assert len(streamed_converted) == batch.n_converted
+
+
+def test_ts_micros_handles_tz_aware_and_units():
+    import pandas as pd
+
+    from parquet_metadata_explorer_spark.streaming.stateful import _ts_micros
+
+    naive_ns = pd.Series(pd.to_datetime(["2024-01-01 00:00:01"]))
+    aware_ns = pd.Series(pd.to_datetime(["2024-01-01 00:00:01"])).dt.tz_localize(
+        "UTC"
+    )
+    want = 1_704_067_201_000_000
+    assert int(_ts_micros(naive_ns).iloc[0]) == want
+    assert int(_ts_micros(aware_ns).iloc[0]) == want
+    us = naive_ns.astype("datetime64[us]")
+    assert int(_ts_micros(us).iloc[0]) == want
