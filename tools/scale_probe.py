@@ -155,7 +155,15 @@ def main() -> None:
         ),
         "text_stats": lambda d, e: text.text_stats(d),
         "ngram_freq": lambda d, e: text.ngram_frequencies(d, n=2, top_k=100),
+        "dedup_lines": lambda d, e: dedup.line_dedup(d, chunk_tokens=8),
+        "text_logprob": lambda d, e: text.unigram_logprob_score(d),
+        "cluster_assign": lambda d, e: _cluster_assign(e),
     }
+
+    def _cluster_assign(e):
+        from parquet_metadata_explorer_spark.operators import similarity
+
+        return similarity.ivf_index(e, n_centroids=16, iters=3)[1]
 
     # warm the JVM + Python worker pool once (bench.py rationale)
     spark.range(1000).selectExpr("sum(id)").collect()
