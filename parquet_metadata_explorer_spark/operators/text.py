@@ -298,7 +298,12 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     tokens are absent (no LM mass to score against).
 
     Scale shape: one partial-aggregating shuffle builds the (vocab-sized)
-    frequency table; the join back onto the token stream is left to AQE —
+    frequency table, which is persisted — Catalyst does no common-subplan
+    reuse across branches, so without the persist the freqs and total
+    branches would each re-explode the corpus (three scans in total). With
+    it the corpus is scanned exactly twice (once to build the vocab, once
+    to score), which is the minimum for a corpus-fit LM. The join back
+    onto the token stream is left to AQE —
     a bounded vocabulary broadcasts (corpus never shuffles for the join),
     while a web-scale long-tail vocabulary (which would OOM a forced
     broadcast) degrades to a shuffle join with AQE skew-splitting on the
@@ -308,12 +313,13 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     score is invariant to partition count and addition order on any
     engine (ties at the 12th decimal of an irrational are measure-zero).
     """
+    from ..cache import track_persist
+
     toks = tokens(F.col("text"))
     exploded = documents.select("doc_id", F.explode(toks).alias("tok"))
-    freqs = exploded.groupBy("tok").agg(F.count("*").alias("c"))
-    # total token count folds from the vocab-sized frequency table — an
-    # exploded.count() here would be a THIRD full corpus scan (the same
-    # re-evaluation trap top_supplier's persist fixes)
+    freqs = track_persist(exploded.groupBy("tok").agg(F.count("*").alias("c")))
+    # total token count folds from the persisted vocab-sized frequency
+    # table — an exploded.count() here would be another full corpus scan
     total = freqs.agg(F.sum("c").alias("n_total"))
     logp = F.round(F.log(F.col("c") / F.col("n_total")), 12).cast(
         "decimal(30,15)"

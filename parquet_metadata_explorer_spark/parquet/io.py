@@ -50,13 +50,18 @@ def fs_options_snapshot() -> dict:
 def install_fs_options(snapshot: dict | None) -> None:
     """Install a driver-side snapshot in this (worker) process.
 
-    Overwrites (never ``setdefault``): reused executor Python workers
+    Wholesale replacement, not a merge: reused executor Python workers
     (``spark.python.worker.reuse``, on by default) keep module globals
     across jobs, so a stale earlier snapshot — old endpoint, rotated
-    credentials — must not shadow the current job's options."""
-    if snapshot:
-        for k, v in snapshot.items():
-            _FS_OPTIONS[k] = dict(v)
+    credentials, or a scheme the current job never registered — must not
+    survive. Any provided snapshot (including ``{}``) becomes the entire
+    worker registry; ``None`` means "no snapshot threaded" and leaves the
+    registry untouched (function-API paths that resolve on the driver)."""
+    if snapshot is None:
+        return
+    _FS_OPTIONS.clear()
+    for k, v in snapshot.items():
+        _FS_OPTIONS[k] = dict(v)
 
 
 def _fs_for_scheme(scheme: str, options: dict) -> pafs.FileSystem:

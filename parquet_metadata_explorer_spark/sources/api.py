@@ -41,8 +41,11 @@ def _infer_source(files) -> str:
 def _fs_threaded(emit, snapshot):
     """Wrap a per-file emitter so the driver's fs-options snapshot is
     installed in the executor process before any filesystem resolve —
-    module globals do not cross the task boundary on their own."""
-    if not snapshot:
+    module globals do not cross the task boundary on their own. An EMPTY
+    snapshot still installs (wholesale-replacing the worker registry):
+    a reused worker holding a previous job's options for a scheme this
+    job never registered must not resolve with them."""
+    if snapshot is None:
         return emit
 
     def run(f):

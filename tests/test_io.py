@@ -211,3 +211,24 @@ def test_install_fs_options_overwrites_stale_worker_state():
         assert pio._FS_OPTIONS["s3"]["endpoint_override"] == "http://new:9000"
     finally:
         pio.clear_fs_options()
+
+
+def test_install_fs_options_wholesale_replace():
+    """A provided snapshot replaces the ENTIRE worker registry: schemes the
+    current job did not register (stale endpoint from a previous job on a
+    reused worker) are dropped; {} clears everything; None is 'no snapshot
+    threaded' and leaves the registry untouched."""
+    from parquet_metadata_explorer_spark.parquet import io as pio
+
+    pio.clear_fs_options()
+    try:
+        pio.install_fs_options({"s3": {"endpoint_override": "http://old:9000"}})
+        pio.install_fs_options({"gs": {"project_id": "p"}})
+        assert "s3" not in pio._FS_OPTIONS  # stale scheme gone
+        assert pio._FS_OPTIONS["gs"]["project_id"] == "p"
+        pio.install_fs_options(None)  # no snapshot threaded: untouched
+        assert pio._FS_OPTIONS["gs"]["project_id"] == "p"
+        pio.install_fs_options({})  # empty snapshot: registry cleared
+        assert pio._FS_OPTIONS == {}
+    finally:
+        pio.clear_fs_options()

@@ -344,3 +344,18 @@ def test_line_dedup_argmin_partial_agg(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final on line
+
+
+def test_unigram_logprob_persists_freq_table(spark, sf_dir):
+    """unigram_logprob_score: the vocab frequency table feeds both the
+    n_total fold and the token join — it must be persisted so the corpus
+    is exploded once for the vocab build (two InMemoryTableScan readers),
+    not re-scanned per branch (the Catalyst no-reuse trap)."""
+    from parquet_metadata_explorer_spark.operators import text
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    df = text.unigram_logprob_score(load(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # exactly two corpus scans: vocab build + scoring pass
+    assert plan.count("documents.parquet") <= 2 or plan.count("Scan parquet") <= 2
