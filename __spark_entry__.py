@@ -509,13 +509,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), threshold=0.1)
 
 
+NGRAM_PAIR_BUDGET = 25_000_000
+
+# The auto doc-frequency cap is a deterministic function of the corpus's
+# df histogram (operators/dedup.py auto_doc_freq_cap): walking dfs in
+# ascending order, a df is admitted while the cumulative self-join fan-out
+# sum(df*(df-1)/2 * n_shingles) stays within the pair budget (dfs <= 2 are
+# always admitted; floor 2). The SQL twin below derives the IDENTICAL cap
+# via a cumulative window over the histogram, so the board row stays
+# hash-exact while the registered query runs the self-tuning guard.
 O_DEDUP_NGRAM = f"""
 WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
 sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
 sizes AS (SELECT doc_id, length(s)::bigint AS n_sh FROM sh2),
 inv0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
-rare AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 100),
+freq AS (SELECT shingle, count(*)::bigint AS df FROM inv0 GROUP BY shingle),
+hist AS (SELECT df, count(*)::bigint AS n_shingles FROM freq GROUP BY df),
+cum AS (
+  SELECT df,
+         sum((df * (df - 1) // 2) * n_shingles) OVER (ORDER BY df) AS fanout
+  FROM hist
+),
+cap AS (
+  SELECT greatest(
+           2,
+           coalesce((SELECT max(df) FROM cum
+                     WHERE fanout <= {NGRAM_PAIR_BUDGET}), 2)
+         ) AS c
+),
+rare AS (SELECT shingle FROM freq, cap WHERE df <= cap.c),
 inv AS (SELECT i.doc_id, i.shingle FROM inv0 i JOIN rare USING (shingle)),
 common AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::bigint AS n_common
@@ -1052,12 +1075,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(_table(spark, sf_dir, "documents"))
 
 
+# The documents corpus is plain utf-8 text: no payload passes the strict
+# BMP/PPM/WAV structural parse (verified corpus-wide: zero texts even
+# start with a media magic), so every row takes the deterministic 'raw'
+# fallback the SQL below replicates. The real-decode path is oracled by
+# fixture in tests/test_multimodal_codecs.py (generated BMP/PPM/WAV bytes
+# round-tripped through decode_features).
 O_MULTIMODAL = """
 SELECT doc_id,
        octet_length(encode(text))::bigint AS n_bytes,
+       'raw' AS codec,
        (octet_length(encode(text)) % 64 + 1)::bigint AS width,
        (octet_length(encode(text)) // 64 % 64 + 1)::bigint AS height,
        3::bigint AS channels,
+       NULL::bigint AS sample_rate,
+       NULL::bigint AS n_samples,
+       NULL::bigint AS duration_ms,
        ((octet_length(encode(text))::bigint * 2654435761) % 2147483648)::bigint AS checksum
 FROM documents
 """

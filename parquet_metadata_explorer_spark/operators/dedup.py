@@ -352,7 +352,7 @@ def auto_doc_freq_cap(df_histogram, pair_budget: int) -> int:
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.3,
-    max_doc_freq=100,
+    max_doc_freq="auto",
     pair_budget: int = 25_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index self-join.
@@ -363,15 +363,17 @@ def ngram_jaccard_pairs(
     recall for pairs that share nothing rare, which is the standard
     trade-off at corpus scale.
 
-    ``max_doc_freq="auto"`` derives the cap from the corpus itself: the
-    (tiny) doc-frequency histogram is aggregated, and the largest cap whose
-    total join fan-out fits ``pair_budget`` rows is chosen via
-    ``auto_doc_freq_cap``. A fixed cap is a *rate* knob that must shrink as
-    corpus density grows (measured in tools/scale_probe.py: a 4x-replicated
-    low-entropy corpus puts most shingles just under df=100 and the join
-    goes quadratic); auto mode makes it self-tuning. The histogram is
-    O(distinct df values) — a few hundred rows to the driver, same class of
-    tiny driver-side decision as IVF's centroid pull.
+    ``max_doc_freq="auto"`` (the default) derives the cap from the corpus
+    itself: the (tiny) doc-frequency histogram is aggregated, and the
+    largest cap whose total join fan-out fits ``pair_budget`` rows is
+    chosen via ``auto_doc_freq_cap``. A fixed integer cap is a *rate* knob
+    that must shrink as corpus density grows (measured in
+    tools/scale_probe.py: a 4x-replicated low-entropy corpus puts most
+    shingles just under df=100 and the join goes quadratic — 21.6s fixed
+    vs 11.6s auto), which is why the self-tuning mode is the default; pass
+    an integer to pin the cap. The histogram is O(distinct df values) — a
+    few hundred rows to the driver, same class of tiny driver-side
+    decision as IVF's centroid pull.
     """
     sh = (
         shingle_signature_kernel(documents, n_hashes=0)

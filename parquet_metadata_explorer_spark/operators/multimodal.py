@@ -6,12 +6,14 @@ as Arrow-batched Pandas functions over ``mapInPandas`` — the payload never
 round-trips through Python row objects, batches stream through Arrow, and
 the transform is map-only (zero shuffles).
 
-The decode step itself is STUBBED deterministically (this container has no
-image/audio codecs): ``fake_decode_features`` derives "width/height/
-channels" and a checksum feature purely from the bytes, so the Spark-side
-plumbing — schema, batch shape, UDF signature, partitioning — is real and
-oracle-checkable, while a production deployment swaps one function body
-for PIL/ffmpeg.
+The decode step is REAL for the codec-less container formats pure Python
+can parse exactly — BMP, binary PPM/PGM, and WAV (``operators/codecs.py``):
+width/height/channels/sample-rate/duration come from the actual header
+bytes, and resize operates on the actual pixel grid. Payloads no strict
+parser accepts (including compressed formats — JPEG/PNG/MP3 need codec
+libraries this container doesn't ship) fall back to deterministic
+byte-derived features tagged ``codec='raw'``, so the operator is total
+over arbitrary binary and oracle-checkable on any corpus.
 """
 
 from __future__ import annotations
@@ -24,17 +26,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
+
+from .codecs import sniff_media
 
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
+        StructField("codec", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
         StructField("checksum", LongType()),
     ]
 )
@@ -52,33 +61,72 @@ def to_binary_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: per Arrow batch, 'decode' each payload.
+def _decode_one(payload: bytes) -> dict:
+    """Decode one payload: real header parse for BMP/PPM/PGM/WAV, else the
+    deterministic byte-derived fallback (codec='raw'). Total and
+    deterministic over arbitrary binary — the strict parsers reject
+    anything that doesn't fully satisfy the format contract."""
+    n = len(payload)
+    meta = sniff_media(payload) if n >= 10 else None
+    row = {
+        "n_bytes": n,
+        "codec": "raw",
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": None,
+        "checksum": (n * 2654435761) % (2**31),
+    }
+    if meta is None:
+        # fallback: length-derived pseudo-dimensions (kept from the stub
+        # era so raw payloads still yield stable, oracle-reproducible
+        # features)
+        row["width"] = n % 64 + 1
+        row["height"] = n // 64 % 64 + 1
+        row["channels"] = 3
+        return row
+    row["codec"] = meta["codec"]
+    for k in ("width", "height", "channels", "sample_rate", "n_samples", "duration_ms"):
+        if k in meta:
+            row[k] = meta[k]
+    return row
 
-    Deterministic fake decode (REAL DECODE STUBBED — no codec libs in this
-    container): dimensions and a Knuth-hash checksum derived from payload
-    length only, so an external oracle can reproduce them. Swap this body
-    for PIL/librosa/ffmpeg in production; the signature and batch shape are
-    exactly what a real decoder uses.
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: per Arrow batch, decode each payload.
+
+    Real decode for BMP / binary-PPM/PGM / WAV (pure-Python header
+    parsers, ``codecs.py``); anything else gets deterministic
+    length-derived features under codec='raw'. The per-item loop is
+    inherent to decoding variable media; everything stays inside one
+    Arrow batch — map-only at any corpus size.
     """
+    cols = [f.name for f in DECODED_SCHEMA.fields]
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len).astype("int64")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "width": (n_bytes % 64 + 1).astype("int64"),
-                "height": (n_bytes // 64 % 64 + 1).astype("int64"),
-                "channels": pd.Series([3] * len(pdf), index=pdf.index, dtype="int64"),
-                "checksum": (n_bytes * 2654435761) % (2**31),
-            }
-        )
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            row = _decode_one(bytes(payload))
+            row["doc_id"] = doc_id
+            out.append(row)
+        df = pd.DataFrame(out, columns=cols)
+        for c in cols:
+            if c != "codec":
+                df[c] = df[c].astype("Int64")
+        yield df
+
+
+def decode_payloads(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → decoded feature table via Arrow-batched
+    mapInPandas — the entry point for tables that already carry real media
+    bytes in a binary column."""
+    return payloads.mapInPandas(decode_batch, DECODED_SCHEMA)
 
 
 def decode_features(documents: DataFrame) -> DataFrame:
-    """Binary payload → decoded feature table via Arrow-batched mapInPandas."""
-    return to_binary_payloads(documents).mapInPandas(decode_batch, DECODED_SCHEMA)
+    """Documents-table convenience wrapper: utf-8 text bytes as payload."""
+    return decode_payloads(to_binary_payloads(documents))
 
 
 RESIZED_SCHEMA = StructType(
@@ -91,16 +139,35 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_payloads(documents: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """'Resize' every payload to ``out_w×out_h`` via nearest-neighbor
-    index resampling over the byte grid.
+def _pixel_grid(buf, meta):
+    """(h, w, channels) uint8 array from a parsed BMP/PPM payload —
+    honoring BMP row padding and bottom-up row order."""
+    import numpy as np
 
-    The grid dims come from the same stub decode as ``decode_batch``
-    (REAL IMAGE DECODE STUBBED — no codec libs here; production swaps the
-    grid construction for PIL), but the resample itself is real numpy
-    index arithmetic on the actual payload bytes — the batch shape,
-    vectorized kernel and output schema are exactly a thumbnailing
-    pipeline's. Map-only: zero shuffles at any corpus size.
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    rows = buf[meta["pixel_offset"] :]
+    grid = (
+        rows[: h * meta["row_bytes"]]
+        .reshape(h, meta["row_bytes"])[:, : w * c]
+        .reshape(h, w, c)
+    )
+    if meta["codec"] == "bmp" and not meta["top_down"]:
+        grid = grid[::-1]  # BMP default is bottom-up row order
+    return grid
+
+
+def resize_binary(payloads: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize every (doc_id, payload binary) row to ``out_w×out_h`` via
+    nearest-neighbor index resampling.
+
+    For payloads that parse as BMP / binary-PPM/PGM the grid is the REAL
+    pixel array (padding-stripped, bottom-up-corrected, channels
+    preserved — the resized bytes are out_w*out_h*channels actual
+    pixels). Other payloads resample the raw byte grid under the same
+    deterministic pseudo-dimensions as ``decode_batch``'s raw path. The
+    kernel is vectorized numpy index arithmetic either way — the batch
+    shape, and output schema are exactly a thumbnailing pipeline's.
+    Map-only: zero shuffles at any corpus size.
     """
     import numpy as np
 
@@ -108,13 +175,21 @@ def resize_payloads(documents: DataFrame, out_w: int = 8, out_h: int = 8) -> Dat
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
             for r in pdf.itertuples(index=False):
-                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                payload = bytes(r.payload)
+                buf = np.frombuffer(payload, dtype=np.uint8)
                 n = len(buf)
-                if n == 0:
+                meta = sniff_media(payload) if n >= 10 else None
+                if meta is not None and "width" in meta and meta["codec"] != "wav":
+                    grid = _pixel_grid(buf, meta)
+                    h, w = grid.shape[0], grid.shape[1]
+                    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                    out = grid[np.ix_(yi, xi)].tobytes()
+                elif n == 0:
                     out = b""
                 else:
-                    # stub grid dims in the spirit of decode_batch, clamped
-                    # so w*h <= n always holds (w <= n implies h = n//w >= 1)
+                    # raw fallback: pseudo-dims clamped so w*h <= n always
+                    # holds (w <= n implies h = n//w >= 1)
                     w = min(n, n % 64 + 1)
                     h = n // w
                     grid = buf[: w * h].reshape(h, w)
@@ -134,7 +209,12 @@ def resize_payloads(documents: DataFrame, out_w: int = 8, out_h: int = 8) -> Dat
                 }
             )
 
-    return to_binary_payloads(documents).mapInPandas(resize_batch, RESIZED_SCHEMA)
+    return payloads.mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+def resize_payloads(documents: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Documents-table convenience wrapper for :func:`resize_binary`."""
+    return resize_binary(to_binary_payloads(documents), out_w, out_h)
 
 
 FRAMES_SCHEMA = StructType(

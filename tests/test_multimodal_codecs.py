@@ -1,0 +1,185 @@
+"""Real-decode tests: generated BMP/PPM/WAV fixtures end-to-end through
+the Spark multimodal operators, plus parser unit/rejection coverage."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from parquet_metadata_explorer_spark.operators import codecs, multimodal
+
+
+# -- fixture builders -------------------------------------------------------
+
+
+def make_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """24bpp uncompressed BMP from an (h, w, 3) uint8 array (RGB order in
+    the array; BMP stores BGR, but we keep bytes as-is — the parser and
+    resize treat channels opaquely)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    rows = pixels if top_down else pixels[::-1]
+    body = b"".join(bytes(r.tobytes()) + b"\x00" * pad for r in rows)
+    pixel_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40,  # BITMAPINFOHEADER
+        w,
+        -h if top_down else h,
+        1,  # planes
+        24,  # bpp
+        0,  # BI_RGB
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return header + body
+
+
+def make_ppm(pixels: np.ndarray, comment: bool = False) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# a comment line\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + pixels.tobytes()
+
+
+def make_wav(n_frames: int = 4410, rate: int = 44100, channels: int = 2) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)  # 16-bit PCM
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", (i * 7) % 32768 - 16384) * channels
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+# -- parser unit tests ------------------------------------------------------
+
+
+def test_parse_bmp_bottom_up_and_top_down():
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    for td in (False, True):
+        m = codecs.parse_bmp(make_bmp(px, top_down=td))
+        assert m is not None and m["codec"] == "bmp"
+        assert (m["width"], m["height"], m["channels"]) == (3, 2, 3)
+        assert m["top_down"] is td
+        assert m["row_bytes"] == 12  # 3*3=9 padded to 12
+
+
+def test_parse_ppm_with_comment_and_pgm():
+    px = np.full((4, 5, 3), 9, dtype=np.uint8)
+    m = codecs.parse_ppm(make_ppm(px, comment=True))
+    assert m is not None
+    assert (m["codec"], m["width"], m["height"], m["channels"]) == ("ppm", 5, 4, 3)
+    gray = b"P5\n4 2\n255\n" + bytes(8)
+    g = codecs.parse_ppm(gray)
+    assert (g["codec"], g["width"], g["height"], g["channels"]) == ("pgm", 4, 2, 1)
+
+
+def test_parse_wav_fields_match_stdlib_writer():
+    b = make_wav(n_frames=2205, rate=22050, channels=1)
+    m = codecs.parse_wav(b)
+    assert m is not None
+    assert m["channels"] == 1
+    assert m["sample_rate"] == 22050
+    assert m["bits_per_sample"] == 16
+    assert m["n_samples"] == 2205
+    assert m["duration_ms"] == 100  # 2205/22050 s
+
+
+def test_strict_parsers_reject_near_misses():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    bmp = bytearray(make_bmp(px))
+    # truncated pixel data
+    assert codecs.parse_bmp(bytes(bmp[:-4])) is None
+    # unsupported compression field
+    bad = bytearray(bmp)
+    bad[30] = 1  # BI_RLE8
+    assert codecs.parse_bmp(bytes(bad)) is None
+    # text that merely starts with a magic
+    assert codecs.sniff_media(b"BMW cars are common on highways") is None
+    assert codecs.sniff_media(b"P6 is a chess engine rating") is None
+    assert codecs.sniff_media(b"RIFF through the pages") is None
+    # PPM declaring more pixels than present
+    assert codecs.parse_ppm(b"P6\n100 100\n255\n" + bytes(10)) is None
+    # WAV without a data chunk
+    assert codecs.parse_wav(make_wav()[:40]) is None
+
+
+# -- end-to-end through Spark ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    rows = [
+        (1, bytearray(make_bmp(img))),
+        (2, bytearray(make_ppm(img, comment=True))),
+        (3, bytearray(make_wav(n_frames=4410, rate=44100, channels=2))),
+        (4, bytearray(b"just some opaque text bytes, not media")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_payloads_real_media(spark, media_df):
+    out = {r.doc_id: r for r in multimodal.decode_payloads(media_df).collect()}
+    bmp, ppm, wav, raw = out[1], out[2], out[3], out[4]
+    assert (bmp.codec, bmp.width, bmp.height, bmp.channels) == ("bmp", 6, 4, 3)
+    assert bmp.sample_rate is None and bmp.duration_ms is None
+    assert (ppm.codec, ppm.width, ppm.height, ppm.channels) == ("ppm", 6, 4, 3)
+    assert (wav.codec, wav.channels, wav.sample_rate) == ("wav", 2, 44100)
+    assert wav.n_samples == 4410 and wav.duration_ms == 100
+    assert wav.width is None and wav.height is None
+    assert raw.codec == "raw"
+    assert raw.width == raw.n_bytes % 64 + 1  # deterministic fallback
+    for r in out.values():  # checksum formula uniform across codecs
+        assert r.checksum == (r.n_bytes * 2654435761) % (2**31)
+
+
+def test_resize_binary_real_pixels(spark, media_df):
+    """Nearest-neighbor thumbnail of the BMP/PPM fixtures must equal the
+    numpy resample of the ORIGINAL pixel array — proving padding strip,
+    bottom-up correction, and channel preservation on real bytes."""
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out_w, out_h = 3, 2
+    yi = np.minimum((np.arange(out_h) * 4) // out_h, 3)
+    xi = np.minimum((np.arange(out_w) * 6) // out_w, 5)
+    expected = img[np.ix_(yi, xi)].tobytes()
+    rows = {
+        r.doc_id: r
+        for r in multimodal.resize_binary(media_df, out_w, out_h).collect()
+    }
+    assert bytes(rows[1].resized) == expected  # BMP (bottom-up corrected)
+    assert bytes(rows[2].resized) == expected  # PPM
+    assert len(bytes(rows[1].resized)) == out_w * out_h * 3
+    # WAV + raw fall back to the byte-grid resample and still emit
+    assert len(bytes(rows[3].resized)) > 0
+    assert len(bytes(rows[4].resized)) > 0
+
+
+def test_top_down_bmp_resize_matches_bottom_up(spark):
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_bmp(img))), (2, bytearray(make_bmp(img, top_down=True)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: bytes(r.resized) for r in multimodal.resize_binary(df, 2, 2).collect()}
+    assert rows[1] == rows[2] == img.tobytes()

@@ -15,8 +15,9 @@ are constructed so the WORKLOAD scales honestly instead of degenerating:
   by i dims — norms and within-replica geometry preserved, cross-replica
   cosines decorrelated.
 
-Usage: python tools/scale_probe.py [sf_dir] (default /root/testdata/sf0.1).
-Writes replicas under /tmp/pqx_scale_probe (removed and rebuilt each run).
+Usage: python tools/scale_probe.py [sf_dir] [op1,op2,...]
+(default /root/testdata/sf0.1, all ops). Writes replicas under
+/tmp/pqx_scale_probe (removed and rebuilt each run).
 """
 
 from __future__ import annotations
@@ -141,11 +142,13 @@ def main() -> None:
     OPS = {
         "dedup_exact": lambda d, e: dedup.exact_duplicates(d),
         "dedup_minhash": lambda d, e: dedup.minhash_lsh_pairs(d, threshold=0.5),
+        # default is now the self-tuning auto cap; the fixed-cap row stays
+        # as the comparison baseline showing why (superlinear on density)
         "dedup_ngram_jaccard": lambda d, e: dedup.ngram_jaccard_pairs(
             d, threshold=0.3
         ),
-        "dedup_ngram_auto": lambda d, e: dedup.ngram_jaccard_pairs(
-            d, threshold=0.3, max_doc_freq="auto"
+        "dedup_ngram_fixed": lambda d, e: dedup.ngram_jaccard_pairs(
+            d, threshold=0.3, max_doc_freq=100
         ),
         "dedup_embedding": lambda d, e: dedup.embedding_near_duplicates(
             e, threshold=0.95
@@ -164,6 +167,13 @@ def main() -> None:
         from parquet_metadata_explorer_spark.operators import similarity
 
         return similarity.ivf_index(e, n_centroids=16, iters=3)[1]
+
+    if len(sys.argv) > 2:  # optional comma-separated op filter
+        keep = set(sys.argv[2].split(","))
+        unknown = keep - OPS.keys()
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        OPS = {k: v for k, v in OPS.items() if k in keep}
 
     # warm the JVM + Python worker pool once (bench.py rationale)
     spark.range(1000).selectExpr("sum(id)").collect()
