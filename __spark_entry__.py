@@ -1875,6 +1875,46 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.gapfill_hourly(ev.load_events(spark, sf_dir), event_type="purchase")
 
 
+def q_events_gapfill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-series gap-fill: per-event_type spine + chunked LOCF. The
+    oracle runs the PLAIN per-series unbounded window — hash equality
+    proves the (series, month-chunk) decomposition exact."""
+    _utc(spark)
+    return ev.gapfill_hourly_by_type(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_GAPFILL_BY_TYPE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(sum(value::DECIMAL(30,10)) / count(value), 6)::DOUBLE AS mean_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+),
+j AS (
+  SELECT s.event_type, s.hour, h.mean_value
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       mean_value,
+       last_value(mean_value IGNORE NULLS) OVER (
+         PARTITION BY event_type
+         ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value,
+       mean_value IS NULL AS was_gap
+FROM j
+"""
+
+
 O_EVENTS_GAPFILL = """
 WITH sub AS (SELECT * FROM events WHERE event_type = 'purchase'),
 hourly AS (
@@ -2154,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
         # -- B: new or implementation-changed this round --------------------
+        "events_gapfill_by_type": q_events_gapfill_by_type,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_logprob": q_text_logprob,
         "multimodal_decode": q_multimodal_decode,
@@ -2258,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_multires": O_EVENTS_ROLLUP_MULTIRES,
         "events_funnel": O_EVENTS_FUNNEL,
         "events_gapfill": O_EVENTS_GAPFILL,
+        "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
         "events_retention": O_EVENTS_RETENTION,
         "corpus_mix": O_CORPUS_MIX,
         "tpch_q1": O_TPCH_Q1,

@@ -407,6 +407,97 @@ def gapfill_hourly(events: DataFrame, event_type: str = "purchase") -> DataFrame
     )
 
 
+def gapfill_hourly_by_type(events: DataFrame) -> DataFrame:
+    """Multi-series gap-fill: every event_type gets its own dense hourly
+    spine (first..last hour of THAT series) with LOCF — the documented
+    (series, month-chunk) scale strategy as code, not prose.
+
+    Scale shape — no window ever sorts a whole series in one partition:
+
+    1. hourly means partial-aggregate into one shuffle on
+       (event_type, hour); spans are one tiny row per series.
+    2. within-chunk LOCF runs under a window keyed
+       (event_type, month(hour)) — partition size is bounded by the
+       calendar (≤744 rows) regardless of how many years the data spans.
+    3. cross-chunk carry: each (series, month)'s last observed value is a
+       one-row-per-chunk aggregate (``max_by(value, hour)``); a window
+       over THOSE rows (rows = months per series, data-size-independent)
+       carries the latest prior-month value forward, and a broadcast-sized
+       join hands each chunk its carry-in.
+    4. filled = coalesce(within-chunk LOCF, chunk carry-in) — together
+       exactly equal to a per-series unbounded LOCF (the DuckDB twin runs
+       the plain per-series window; hash-equality of the board row is the
+       proof the chunked decomposition is exact).
+
+    Output: (event_type, hour, mean_value, filled_value, was_gap).
+    """
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            / F.count(F.col("value")),
+            6,
+        )
+        .cast("double")
+        .alias("mean_value")
+    )
+    spans = events.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    chunk = F.date_trunc("month", F.col("hour")).alias("chunk")
+    in_chunk = Window.partitionBy("event_type", chunk).orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # last observed value per (series, month) — one row per observed chunk
+    chunk_last = hourly.groupBy(
+        "event_type", F.date_trunc("month", F.col("hour")).alias("chunk")
+    ).agg(F.max_by("mean_value", "hour").alias("chunk_last"))
+    # the carry must cover EVERY spine month (a fully-empty month still
+    # needs its predecessor's value), so it runs over a dense month spine,
+    # not just observed months
+    month_spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "h0"),
+                F.date_trunc("month", "h1"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("chunk"),
+    )
+    months = Window.partitionBy("event_type").orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = month_spine.join(chunk_last, ["event_type", "chunk"], "left").select(
+        "event_type",
+        "chunk",
+        F.last("chunk_last", ignorenulls=True).over(months).alias("carry_in"),
+    )
+    return (
+        joined.withColumn("chunk", F.date_trunc("month", F.col("hour")))
+        .join(carry, ["event_type", "chunk"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "mean_value",
+            F.coalesce(
+                F.last("mean_value", ignorenulls=True).over(in_chunk),
+                F.col("carry_in"),
+            ).alias("filled_value"),
+            F.col("mean_value").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # structured-streaming variants
 # ---------------------------------------------------------------------------

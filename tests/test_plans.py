@@ -359,3 +359,27 @@ def test_unigram_logprob_persists_freq_table(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
     # exactly two corpus scans: vocab build + scoring pass
     assert plan.count("documents.parquet") <= 2 or plan.count("Scan parquet") <= 2
+
+
+def test_gapfill_by_type_no_global_window_sort(spark, sf_dir):
+    """Multi-series gap-fill: every Window in the plan must be partitioned
+    (by series, or series+month-chunk) — a Window with an empty partition
+    spec would funnel the whole spine through one partition."""
+    from parquet_metadata_explorer_spark.streaming import events as ev
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    import re
+
+    df = ev.gapfill_hourly_by_type(ev.load_events(spark, sf_dir))
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    specs = [
+        lines[i + 2]  # "(N) Window" / "Input ..." / "Arguments: [...]"
+        for i, ln in enumerate(lines)
+        if re.match(r"\(\d+\) Window$", ln.strip())
+    ]
+    assert specs, plan[:1500]
+    for spec in specs:
+        assert "windowspecdefinition(event_type" in spec, (
+            f"unpartitioned window: {spec}"
+        )

@@ -253,3 +253,31 @@ def test_stream_line_dedup_matches_batch_set(spark, sf_dir):
 def _chunks(text, k):
     toks = text.split(" ")
     return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+
+def test_gapfill_by_type_carries_across_empty_months(spark):
+    """A series with observations in Jan and Mar but a fully-empty Feb:
+    every Feb hour must carry Jan's last value (the cross-chunk carry runs
+    over a dense month spine, not just observed months)."""
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 31, 22, 30), 10.0),
+        ("a", dt.datetime(2024, 3, 1, 1, 30), 99.0),
+        ("b", dt.datetime(2024, 1, 31, 23, 15), 7.0),
+        ("b", dt.datetime(2024, 1, 31, 23, 45), 9.0),
+    ]
+    events = spark.createDataFrame(
+        [(t, ts, v, 1) for (t, ts, v) in rows],
+        "event_type string, ts timestamp, value double, user_id long",
+    )
+    out = ev.gapfill_hourly_by_type(events).collect()
+    a = {r.hour: r for r in out if r.event_type == "a"}
+    # spine spans Jan 31 22:00 .. Mar 1 01:00 inclusive
+    assert "2024-02-14 12:00:00" in a
+    feb = a["2024-02-14 12:00:00"]
+    assert feb.was_gap and feb.filled_value == 10.0
+    assert a["2024-03-01 01:00:00"].filled_value == 99.0
+    # series b: single-hour span, no gaps; mean of the two events
+    b = [r for r in out if r.event_type == "b"]
+    assert len(b) == 1 and b[0].filled_value == 8.0 and not b[0].was_gap
