@@ -30,9 +30,33 @@ __version__ = "0.1.0"
 def register(spark):
     """Register the ``metadata`` Python data source (enables
     ``spark.read.format("metadata")``) and the per-level SQL table
-    functions (``SELECT * FROM metadata_columns(path)``)."""
-    from .sources.datasource import MetadataDataSource
+    functions (``SELECT * FROM metadata_columns(path)``).
 
-    spark.dataSource.register(MetadataDataSource)
+    When the session has ``spark.sql.python.filterPushdown.enabled=true``,
+    the registered source enables plan-time filter pushdown by default —
+    ``df.filter("filepath = …")`` (or a lifted ``part_<key>`` column with
+    ``partitioncolumns=true``) then prunes the file list before any footer
+    read, with no per-read option. With the conf off (Spark's default) the
+    plain reader is registered, because Spark refuses any reader that even
+    implements ``pushFilters`` while the conf is disabled; a per-read
+    ``.option("filterpushdown", "true"/"false")`` still overrides either
+    default."""
+    from .sources.datasource import (
+        MetadataDataSource,
+        PushdownEnabledMetadataDataSource,
+    )
+
+    try:
+        conf_on = (
+            str(
+                spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        conf_on = False
+    spark.dataSource.register(
+        PushdownEnabledMetadataDataSource if conf_on else MetadataDataSource
+    )
     register_udtfs(spark)
     return spark

@@ -40,6 +40,11 @@ class MetadataOptions:
     # URI scheme (endpoint_override, access_key, ...) — the option-string
     # form of read_metadata(fs_options=...)
     fsoptions: str | None = None
+    # lift discovered Hive partition keys to top-level ``part_<key>``
+    # string columns — Spark pushes top-level equality/IN predicates to
+    # Python sources (it does NOT push map elements), so filters on these
+    # columns prune files before any footer read
+    partitioncolumns: bool = False
 
 
 def validate_source_level(source: str, level: str) -> None:
@@ -87,4 +92,6 @@ def parse_options(parameters: dict) -> MetadataOptions:
         pagecontent=pagecontent,
         partitionfilter=params.get("partitionfilter"),
         fsoptions=params.get("fsoptions"),
+        partitioncolumns=str(params.get("partitioncolumns", False)).lower()
+        in ("true", "1"),
     )

@@ -47,10 +47,13 @@ def _install_opt_fs(opts) -> None:
 
 
 class MetadataReader(DataSourceReader):
-    def __init__(self, opts, files, source):
+    def __init__(self, opts, files, source, part_keys=()):
         self.opts = opts
         self.files = files
         self.source = source
+        # partitioncolumns=true: discovered partition keys lifted to
+        # top-level ``part_<key>`` columns (appended after base schema)
+        self.part_keys = tuple(part_keys)
 
     def partitions(self):
         n = max(1, min(len(self.files), self.opts.maxparts))
@@ -64,15 +67,22 @@ class MetadataReader(DataSourceReader):
         _install_opt_fs(opts)
         for f in partition.files:
             if source == SOURCE_FILE:
-                yield from R.file_rows(f)
+                base = R.file_rows(f)
             elif opts.level == LEVEL_FILE:
-                yield from R.parquet_file_rows(f)
+                base = R.parquet_file_rows(f)
             elif opts.level == "rowgroup":
-                yield from R.rowgroup_rows(f)
+                base = R.rowgroup_rows(f)
             elif opts.level == "column":
-                yield from R.column_rows(f)
+                base = R.column_rows(f)
             else:
-                yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
+                base = R.page_rows(f, opts.buffersize, opts.pagecontent)
+            if not self.part_keys:
+                yield from base
+            else:
+                pm = f.partition_map()
+                suffix = tuple(pm.get(k) for k in self.part_keys)
+                for row in base:
+                    yield tuple(row) + suffix
 
 
 class PushdownMetadataReader(MetadataReader):
@@ -88,11 +98,20 @@ class PushdownMetadataReader(MetadataReader):
 
     def pushFilters(self, filters):
         """Plan-time file pruning from pushed-down predicates: an
-        equality/IN on ``filename``/``filepath``, or on a ``partition``
-        map key, shrinks the file list BEFORE any footer is fetched.
+        equality/IN on ``filename``/``filepath``, on a ``partition`` map
+        key, or on a lifted ``part_<key>`` column (``partitioncolumns``
+        option) shrinks the file list BEFORE any footer is fetched.
         Every filter is returned as unsupported so Spark still applies it
         post-scan — pruning only removes files that could never produce a
-        matching row, so results are identical with or without it."""
+        matching row, so results are identical with or without it.
+
+        NOTE (measured on Spark 4.1.2): the JVM translates only TOP-LEVEL
+        attribute predicates for Python sources — ``partition['date'] =
+        …`` never reaches pushFilters (only ``IsNotNull(partition)``
+        does). The map-key branch below is kept for Spark versions that
+        learn to push map elements; on today's Spark, automatic pruning
+        via a plain ``df.filter`` needs the lifted ``part_<key>`` columns
+        (or the explicit ``partitionfilter`` option)."""
         from pyspark.sql.datasource import EqualTo, In
 
         for f in filters:
@@ -111,9 +130,13 @@ class PushdownMetadataReader(MetadataReader):
                 self.files = [
                     x for x in self.files if getattr(x, field) in allowed
                 ]
-            elif len(attr) == 2 and attr[0] == "partition":
+            elif (len(attr) == 2 and attr[0] == "partition") or (
+                len(attr) == 1
+                and attr[0].startswith("part_")
+                and attr[0][5:] in self.part_keys
+            ):
+                key = attr[1] if len(attr) == 2 else attr[0][5:]
                 allowed = {None if v is None else str(v) for v in values}
-                key = attr[1]
                 self.files = [
                     x
                     for x in self.files
@@ -233,23 +256,44 @@ class MetadataDataSource(DataSource):
             source = opts.source or _infer_source(files)
             files = prune_files_by_partition(files, opts.partitionfilter)
             validate_source_level(source, opts.level)
-            self._planned = (opts, files, source)
+            part_keys = ()
+            if opts.partitioncolumns:
+                keys = sorted({k for f in files for k, _v in f.partition})
+                part_keys = tuple(keys)
+            self._planned = (opts, files, source, part_keys)
         return self._planned
 
+    # register() swaps this to True when the session conf
+    # spark.sql.python.filterPushdown.enabled is on — pushdown then just
+    # works with no per-read option. It cannot be decided here: the plan
+    # runs in a worker with no session, and Spark raises on any reader
+    # implementing pushFilters while the conf is off.
+    DEFAULT_PUSHDOWN = False
+
     def schema(self):
-        opts, _files, source = self._plan()
-        return SCHEMAS_BY_LEVEL[(source, opts.level)]
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        opts, _files, source, part_keys = self._plan()
+        base = SCHEMAS_BY_LEVEL[(source, opts.level)]
+        if not part_keys:
+            return base
+        return StructType(
+            list(base.fields)
+            + [StructField(f"part_{k}", StringType()) for k in part_keys]
+        )
 
     def reader(self, schema):
-        pushdown = str(self.options.get("filterpushdown", "")).lower() in (
-            "true",
-            "1",
+        raw = self.options.get("filterpushdown")
+        pushdown = (
+            self.DEFAULT_PUSHDOWN
+            if raw is None
+            else str(raw).lower() in ("true", "1")
         )
         cls = PushdownMetadataReader if pushdown else MetadataReader
         return cls(*self._plan())
 
-    def simpleStreamReader(self, schema):
-        opts, _files, source = self._plan()
+    def simpleStreamReader(self, schema):  # noqa: D401 — see class docstring
+        opts, _files, source, _part_keys = self._plan()
         if opts.pagecontent:
             # the simple stream reader emits rows ON THE DRIVER — fine for
             # metadata-sized rows, but pagecontent=true would funnel every
@@ -260,3 +304,13 @@ class MetadataDataSource(DataSource):
                 "for bulk page extraction"
             )
         return MetadataStreamReader(opts, source)
+
+
+class PushdownEnabledMetadataDataSource(MetadataDataSource):
+    """``MetadataDataSource`` with filter pushdown on by default —
+    ``register(spark)`` picks this class when the session conf
+    ``spark.sql.python.filterPushdown.enabled`` is true, so plan-time
+    file pruning needs no per-read option. Module-level (not built
+    dynamically) so the pickled datasource resolves in planning workers."""
+
+    DEFAULT_PUSHDOWN = True

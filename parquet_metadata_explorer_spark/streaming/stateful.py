@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -98,6 +99,12 @@ FUNNEL_STATE = StructType(
     [
         StructField("last_view_micros", LongType()),
         StructField("converted", LongType()),  # 0/1, sticky once set
+        # event-time buffer of rows the watermark has not yet passed:
+        # bounded by (watermark delay × per-user event rate), NOT stream
+        # length — finalized rows collapse into last_view_micros/converted
+        StructField("pend_us", ArrayType(LongType())),
+        StructField("pend_kind", ArrayType(LongType())),  # 0=view 1=purchase
+        StructField("pend_eid", ArrayType(LongType())),
     ]
 )
 
@@ -109,53 +116,112 @@ FUNNEL_OUTPUT = StructType(
 )
 
 
+def _funnel_scan(last_view: int, converted: int, triples, window_us: int) -> tuple:
+    """Run the view→purchase window check over (us, kind, eid) triples in
+    event-time order (views before purchases on equal timestamps — the
+    batch operator's window ordering). The ``0 <=`` lower bound matters
+    only for rows late beyond the watermark, which process out of order
+    against an already-advanced last_view."""
+    for us, kind, _eid in triples:
+        if kind == 0:
+            last_view = max(last_view, us)
+        elif last_view >= 0 and 0 <= us - last_view <= window_us:
+            converted = 1
+    return last_view, converted
+
+
 def _make_funnel_update(window_seconds: int):
+    window_us = window_seconds * 1_000_000
+
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
-        last_view, converted = state.get if state.exists else (-1, 0)
+        if state.exists:
+            last_view, converted, p_us, p_kind, p_eid = state.get
+            pend = list(zip(p_us, p_kind, p_eid))
+        else:
+            last_view, converted, pend = -1, 0, []
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.assign(us_micros=_ts_micros(rows["ts"]))
-        # event-time order within the batch: micro-batch arrival order is
-        # file order, not time order — sort so a view earlier in time but
-        # later in the batch still arms the window (ties: views first,
-        # then event_id, matching the batch operator's window ordering)
-        rows = rows.sort_values(
-            ["us_micros", "event_type", "event_id"],
-            key=lambda c: c.map({"view": 0, "purchase": 1})
-            if c.name == "event_type"
-            else c,
+        if len(rows):
+            us = _ts_micros(rows["ts"])
+            kind = (rows["event_type"] == "purchase").astype("int64")
+            pend.extend(
+                zip(
+                    (int(v) for v in us),
+                    (int(v) for v in kind),
+                    (int(v) for v in rows["event_id"]),
+                )
+            )
+        # full event-time order across batches: the buffer re-sorts every
+        # arrival that the watermark has not yet sealed, so a purchase
+        # that arrived one micro-batch BEFORE its qualifying view still
+        # converts once both are in the buffer
+        pend.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n_final = 0
+        while n_final < len(pend) and pend[n_final][0] <= wm_us:
+            n_final += 1
+        # seal rows the watermark passed: they can no longer be preceded
+        # by new arrivals (late-beyond-watermark rows are processed on
+        # arrival — best effort, standard late-data semantics)
+        last_view, converted = _funnel_scan(
+            last_view, converted, pend[:n_final], window_us
         )
-        for r in rows.itertuples(index=False):
-            if r.event_type == "view":
-                last_view = max(last_view, int(r.us_micros))
-            elif r.event_type == "purchase" and last_view >= 0:
-                if int(r.us_micros) - last_view <= window_seconds * 1_000_000:
-                    converted = 1
-        state.update((last_view, converted))
-        yield pd.DataFrame({"user_id": [user_id], "converted": [converted]})
+        pend = pend[n_final:]
+        # provisional pass over the still-buffered suffix: conversion is
+        # monotone in the event set, so emitting it early is safe/sticky
+        _lv, prov = _funnel_scan(last_view, converted, pend, window_us)
+        state.update(
+            (
+                last_view,
+                converted,
+                [t[0] for t in pend],
+                [t[1] for t in pend],
+                [t[2] for t in pend],
+            )
+        )
+        yield pd.DataFrame({"user_id": [user_id], "converted": [prov]})
 
     return update
 
 
 def streaming_funnel(
-    events_stream: DataFrame, window_minutes: int = 60
+    events_stream: DataFrame,
+    window_minutes: int = 60,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
-    """Streaming twin of ``events.funnel_conversion``: per-user CEP state
-    (latest view timestamp + sticky converted flag) evolved batch by
-    batch; each micro-batch emits the user's current conversion status
-    (update mode — downstream aggregates count ``converted == 1`` rows).
+    """Streaming twin of ``events.funnel_conversion`` with real event-time
+    semantics: per-user state buffers events until the watermark passes,
+    so a purchase arriving a micro-batch BEFORE its qualifying view (but
+    after it in event time) still converts — the cross-batch CEP ordering
+    caveat of the first-arrival design is closed.
 
-    State is two longs per user — bounded by user cardinality, one
-    shuffle on user_id per micro-batch. Cross-batch ordering caveat
-    (documented, inherent to CEP over unordered arrival): a purchase
-    arriving in an EARLIER micro-batch than its qualifying view converts
-    only if they land in the same batch or view-first — the same
-    guarantee every first-arrival streaming operator here gives, exact
-    when arrival order respects event time.
+    Each micro-batch emits the user's current conversion status including
+    a provisional scan of the still-buffered suffix (conversion is
+    monotone in the event set, so provisional emission is safe and
+    sticky); update mode — downstream counts ``converted == 1`` rows.
+
+    Scale shape: one shuffle on user_id per micro-batch; state per user is
+    two longs plus a buffer bounded by the watermark horizon (finalized
+    rows collapse into the two longs). Rows later than the watermark
+    process on arrival — standard late-data semantics.
     """
-    filtered = events_stream.filter(
-        events_stream["event_type"].isin("view", "purchase")
-    ).select("user_id", "ts", "event_type", "event_id")
+    from pyspark.sql import functions as F
+
+    # withWatermark demands TIMESTAMP (LTZ); testdata vintages read as
+    # TIMESTAMP_NTZ, and under the UTC session zone these flows pin the
+    # cast is the wall-clock identity (same rationale as _normalize_ts)
+    filtered = (
+        events_stream.filter(
+            events_stream["event_type"].isin("view", "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+        .withWatermark("ts", watermark_delay)
+    )
     return filtered.groupBy("user_id").applyInPandasWithState(
         _make_funnel_update(window_minutes * 60),
         outputStructType=FUNNEL_OUTPUT,

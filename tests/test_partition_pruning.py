@@ -181,3 +181,73 @@ def test_filter_matching_nothing_keeps_level_valid(spark, tmp_path):
     )
     assert out.count() == 0
     assert "row_group_id" in out.columns
+
+
+def test_register_enables_pushdown_from_session_conf(spark, part_root):
+    """With spark.sql.python.filterPushdown.enabled=true at register()
+    time, a plain df.filter prunes at plan time with NO per-read option:
+    a rowgroup-level scan filtered to one good file succeeds even though
+    the root contains a corrupt parquet file (whose footer read would
+    throw if it were parsed)."""
+    target = f"{part_root}/date=2020-01-01/k=a/part-0.parquet"
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pqx.register(spark)  # re-register with the pushdown default
+        rows = (
+            spark.read.format("metadata")
+            .option("source", "parquet")
+            .option("level", "rowgroup")
+            .load(part_root)
+            .filter(f"filepath = '{target}'")
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0].filepath == target
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        pqx.register(spark)  # restore the plain default
+
+
+def test_partitioncolumns_lifts_keys_and_prunes(spark, part_root):
+    """partitioncolumns=true lifts discovered keys to top-level part_<key>
+    columns; Spark pushes top-level equality to the Python source (it does
+    NOT push map elements — measured), so filtering part_date prunes the
+    corrupt 2020-01-03 partition before any footer read."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pqx.register(spark)
+        df = (
+            spark.read.format("metadata")
+            .option("source", "parquet")
+            .option("level", "rowgroup")
+            .option("partitioncolumns", "true")
+            .load(part_root)
+            .filter("part_date = '2020-01-01'")
+        )
+        assert "part_date" in df.columns and "part_k" in df.columns
+        rows = df.collect()
+        # k=a and k=b, one rowgroup each (rowgroup level has no partition
+        # map column — the lifted part_ columns are how partition values
+        # reach this level at all)
+        assert len(rows) == 2
+        assert all(r.part_date == "2020-01-01" for r in rows)
+        assert sorted(r.part_k for r in rows) == ["a", "b"]
+        assert {r.filepath.split("/k=")[1][0] for r in rows} == {"a", "b"}
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        pqx.register(spark)
+
+
+def test_partitioncolumns_without_pushdown_still_correct(spark, registered, part_root):
+    """partitioncolumns works as plain projected columns when pushdown is
+    off (no pruning, same values) — on a root with no corrupt files."""
+    sub = f"{part_root}/date=2020-01-01"
+    df = (
+        spark.read.format("metadata")
+        .option("source", "parquet")
+        .option("level", "file")
+        .option("partitioncolumns", "true")
+        .load(sub)
+        .filter("part_k = 'b'")
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].part_k == "b"
