@@ -1835,6 +1835,60 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_page_reconstruct_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE_STREAM_SPLIT decode oracled end-to-end, completing the decode
+    matrix: rewrite doc_id/n_chars (INT64 — values stringify exactly on
+    both engines, unlike doubles) with DATA_PAGE_V2 + BYTE_STREAM_SPLIT +
+    zstd, rebuild every value from raw page bytes via the byte-plane
+    de-interleave decoder, and compare the multiset against DuckDB on the
+    ORIGINAL table. Float/double BSS is covered by round-trip pytest
+    (test_byte_stream_split_floats) where string formatting can't skew
+    the comparison."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.page_decode import column_values
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"bss|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    dst = f"/tmp/pqx_bss_oracle_{tag}.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src, columns=["doc_id", "n_chars"])
+        pq.write_table(
+            t,
+            dst + f".tmp{os.getpid()}",
+            data_page_version="2.0",
+            use_dictionary=False,
+            compression="zstd",
+            column_encoding={
+                "doc_id": "BYTE_STREAM_SPLIT",
+                "n_chars": "BYTE_STREAM_SPLIT",
+            },
+            row_group_size=200,
+            data_page_size=2048,
+        )
+        os.replace(dst + f".tmp{os.getpid()}", dst)
+    return (
+        column_values(spark, dst)
+        .groupBy("col_path", "value")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+O_PAGE_RECONSTRUCT_BSS = """
+SELECT 'doc_id' AS col_path, doc_id::varchar AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'n_chars' AS col_path, n_chars::varchar AS value, count(*)::bigint AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     return ev.funnel_conversion(ev.load_events(spark, sf_dir), window_minutes=60)
@@ -2195,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         # -- B: new or implementation-changed this round --------------------
         "events_gapfill_by_type": q_events_gapfill_by_type,
+        "page_reconstruct_bss": q_page_reconstruct_bss,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_logprob": q_text_logprob,
         "multimodal_decode": q_multimodal_decode,
@@ -2300,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": O_EVENTS_FUNNEL,
         "events_gapfill": O_EVENTS_GAPFILL,
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
+        "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "events_retention": O_EVENTS_RETENTION,
         "corpus_mix": O_CORPUS_MIX,
         "tpch_q1": O_TPCH_Q1,

@@ -156,11 +156,11 @@ def column_values(
     fidelity check of the page scan, verified against the data itself.
 
     Scope: FLAT columns, v1 AND v2 data pages, PLAIN / RLE_DICTIONARY /
-    DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
-    encodings (everything pyarrow/parquet-mr write for flat data except
-    BYTE_STREAM_SPLIT); nested columns are skipped. Execution shape: one
-    task per file slice, one streaming page walk per chunk — memory is
-    one dictionary + one page.
+    DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+    BYTE_STREAM_SPLIT encodings (everything pyarrow/parquet-mr write for
+    flat data); nested columns are skipped. Execution shape: one task per
+    file slice, one streaming page walk per chunk — memory is one
+    dictionary + one page.
 
     Output: (row_group_id, pos, col_path, value) with value as canonical
     string, NULL for null rows; ``pos`` is the row index within the row
@@ -247,7 +247,7 @@ def column_values(
                 continue
             enc = page[10]
             if enc not in _DECODABLE:
-                continue  # e.g. BYTE_STREAM_SPLIT: out of scope
+                continue  # unknown/future encodings: skip, don't fail
             use_dict = (
                 dictionary if enc in ("RLE_DICTIONARY", "PLAIN_DICTIONARY") else None
             )
