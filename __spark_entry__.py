@@ -2210,6 +2210,208 @@ LEFT JOIN m3 USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# round-5 relational breadth (Q7/Q13/Q16/Q17/Q22 shapes + range-frame window)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.nation_volume_shipping(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+O_TPCH_Q7 = f"""
+WITH n AS (SELECT * FROM nation
+           WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')),
+sn AS (SELECT s_suppkey, n_name AS supp_nation
+       FROM supplier JOIN n ON s_nationkey = n_nationkey),
+cn AS (SELECT c_custkey, n_name AS cust_nation
+       FROM customer JOIN n ON c_nationkey = n_nationkey)
+SELECT supp_nation, cust_nation,
+       year(l_shipdate)::bigint AS l_year,
+       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN sn ON l_suppkey = s_suppkey
+JOIN cn ON o_custkey = c_custkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_order_distribution(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+O_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS c_count FROM orders
+  WHERE o_orderpriority NOT LIKE '1%' GROUP BY 1
+)
+SELECT coalesce(c_count, 0)::bigint AS c_count, count(*)::bigint AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.part_supplier_counts(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "part")
+    )
+
+
+O_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size::bigint AS p_size,
+       count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.small_quantity_revenue(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "part")
+    )
+
+
+O_TPCH_Q17 = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+bi AS (SELECT l.* FROM lineitem l JOIN bp ON l_partkey = p_partkey),
+th AS (SELECT l_partkey AS t_partkey,
+              0.2 * {_d_ssum("l_quantity")} / count(l_quantity) AS qty_threshold
+       FROM bi GROUP BY 1)
+SELECT round({_d_ssum("l_extendedprice")} / 7.0, 2) AS avg_yearly
+FROM bi JOIN th ON l_partkey = t_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.idle_rich_customers(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+O_TPCH_Q22 = f"""
+WITH avg_bal AS (
+  SELECT {_d_ssum("c_acctbal")} / count(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment, count(*)::bigint AS numcust,
+       round({_d_ssum("c_acctbal")}, 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
+GROUP BY 1
+"""
+
+
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.rolling_weekly_revenue(_table(spark, sf_dir, "orders"))
+
+
+O_WINDOW_ROLLING = f"""
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate::date AS day,
+         round({_d_ssum("o_totalprice")}, 2) AS day_revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       strftime(day, '%Y-%m-%d') AS day,
+       day_revenue,
+       round(sum(day_revenue::DECIMAL(30,10)) OVER (
+         PARTITION BY o_orderpriority ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       )::double, 2) AS rolling_7d
+FROM daily
+"""
+
+
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_filter(_table(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_filter() -> str:
+    """Composes the text_stats feature CTE with the repetition-metric CTEs
+    and evaluates the same rule battery (operators/text.py QUALITY_RULES)
+    as a CASE list."""
+    stats_feat = f"""
+base AS (
+  SELECT doc_id, text, {D_TOKS} AS t,
+         length(text)::bigint AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint AS n_alpha
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         length(t)::bigint AS n_tokens,
+         round(n_punct::double / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(length(list_filter(t, x -> list_contains([{_EN}], x)))::double
+               / greatest(length(t), 1), 4) AS stop_ratio,
+         round(n_alpha::double / greatest(length(t), 1), 4) AS mean_word_len,
+         t
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN length(t) >= 2
+      THEN list_transform(range(1, greatest(length(t)-1, 1)+1),
+                          i -> array_to_string(t[i:i+1], ' '))
+      ELSE []::varchar[] END) AS g
+  FROM feat
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id, unnest(CASE WHEN length(t) >= 3
+      THEN list_transform(range(1, greatest(length(t)-2, 1)+1),
+                          i -> array_to_string(t[i:i+2], ' '))
+      ELSE []::varchar[] END) AS g
+  FROM feat
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, sum(c) AS n3,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+       FROM c3 GROUP BY 1),
+full_feat AS (
+  SELECT f.doc_id, n_tokens, punct_ratio, stop_ratio, mean_word_len,
+         round(coalesce(top2 / n2, 0.0), 4) AS top_2gram_frac,
+         round(coalesce(dup3 / n3, 0.0), 4) AS dup_3gram_frac
+  FROM feat f LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+)"""
+    return f"""
+WITH {stats_feat}
+SELECT doc_id,
+       reasons = '' AS keep,
+       reasons
+FROM (
+  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's concat_ws is ''
+  SELECT doc_id, coalesce(array_to_string(list_filter([
+      CASE WHEN n_tokens < 10 THEN 'too_short' END,
+      CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+      CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
+      CASE WHEN punct_ratio > 0.1 THEN 'punct' END,
+      CASE WHEN stop_ratio < 0.05 THEN 'stopword' END,
+      CASE WHEN top_2gram_frac > 0.20 THEN 'rep_2gram' END,
+      CASE WHEN dup_3gram_frac > 0.20 THEN 'rep_3gram' END
+    ], x -> x IS NOT NULL), ','), '') AS reasons
+  FROM full_feat
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2250,6 +2452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- B: new or implementation-changed this round --------------------
         "events_gapfill_by_type": q_events_gapfill_by_type,
         "page_reconstruct_bss": q_page_reconstruct_bss,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "window_rolling": q_window_rolling,
+        "text_quality_filter": q_text_quality_filter,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_logprob": q_text_logprob,
         "multimodal_decode": q_multimodal_decode,
@@ -2264,14 +2473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # -- D: boarded showcases (riskier designs first) -------------------
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_lines": q_dedup_lines,
-        "clean_corpus": q_clean_corpus,
-        "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cluster_assign": q_cluster_assign,
@@ -2281,6 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_approx": q_events_percentiles_approx,
         "text_redact": q_text_redact,
         # -- E: long-stable (green r3+r4, unchanged) — rotate per SURVEY §2.4
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
+        "ann_topk": q_ann_topk,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -2356,6 +2565,13 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": O_EVENTS_GAPFILL,
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
+        "tpch_q7": O_TPCH_Q7,
+        "tpch_q13": O_TPCH_Q13,
+        "tpch_q16": O_TPCH_Q16,
+        "tpch_q17": O_TPCH_Q17,
+        "tpch_q22": O_TPCH_Q22,
+        "window_rolling": O_WINDOW_ROLLING,
+        "text_quality_filter": _oracle_quality_filter(),
         "events_retention": O_EVENTS_RETENTION,
         "corpus_mix": O_CORPUS_MIX,
         "tpch_q1": O_TPCH_Q1,

@@ -585,3 +585,183 @@ def pivot_status_by_priority(orders: DataFrame, priorities: list) -> DataFrame:
         ],
     )
     return cleaned
+
+
+def nation_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple = ("NATION_0", "NATION_1", "NATION_2", "NATION_3"),
+) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between nations, adapted to the
+    reduced schemas): revenue by (supplier nation, customer nation, ship
+    year) for cross pairs within the nation set. Every dimension side —
+    supplier, customer, nation twice — broadcasts, so lineitem joins
+    orders on the one fact-fact key (orderkey) and nothing else shuffles;
+    the nation filter prunes to the named set BEFORE the broadcast, so
+    the hash tables carry a handful of rows. (A set rather than Q7's
+    exact pair because the reduced data spreads suppliers one-per-nation;
+    the plan shape is identical.)"""
+    n1 = nation.filter(F.col("n_name").isin(*nations))
+    supp_n = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("cn_key"),
+                              F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): orders
+    partial-aggregate to per-customer counts FIRST (fact collapses to
+    dim-sized before any join), then customer left-joins the counts so
+    zero-order customers survive, then a second tiny aggregation builds
+    the histogram. The pre-aggregation is the 100 TB move: the join
+    touches two customer-sized tables, never the orders fact."""
+    per_cust = orders.filter(~F.col("o_orderpriority").startswith("1")).groupBy(
+        "o_custkey"
+    ).agg(F.count("*").alias("c_count"))
+    return (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def part_supplier_counts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts per part attribute, partsupp
+    replaced by the lineitem bridge): distinct supplier keys per
+    (brand, type, size) bucket, excluding one brand and a type prefix.
+    Part is the broadcast dim; the count-distinct plans as two-phase
+    HashAggregate on (attrs, suppkey) then (attrs) — no row explosion."""
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3"
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders of one brand's parts were not filled.
+    The per-part quantity threshold (0.2 × avg) comes from a partial
+    aggregation over ONLY the brand's lineitems (brand part keys
+    broadcast prune the scan), then broadcasts back — the correlated
+    scalar subquery becomes two passes over a brand-sized slice, never a
+    per-row subquery."""
+    bp = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    brand_items = lineitem.join(
+        F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = brand_items.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * _stable_sum(F.col("l_quantity")) / F.count("l_quantity")).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        brand_items.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(_stable_sum(F.col("l_extendedprice")) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape (idle wealthy customers, cntrycode replaced by
+    market segment): customers whose balance exceeds the positive-balance
+    average and who have placed NO orders since ``since``, counted per
+    segment. The global average is one broadcast row; the idleness test
+    is a left-anti join against the distinct customer keys of the recent
+    orders (a key set, not the fact); final aggregation is
+    segment-sized."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (_stable_sum(F.col("c_acctbal")) / F.count("c_acctbal")).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    with_orders = (
+        orders.filter(F.col("o_orderdate") >= F.lit(since))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        rich.join(with_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(_stable_sum(F.col("c_acctbal")), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+def rolling_weekly_revenue(orders: DataFrame) -> DataFrame:
+    """Rolling 7-day revenue per order priority: daily totals first (the
+    fact collapses to priority×date rows), then a RANGE-frame window
+    (6 preceding days .. current) over the daily series. The window
+    partitions by priority and its input is calendar-sized, so no
+    partition ever holds more than one priority's date spine — the
+    range frame is the windows-breadth piece plain row frames can't
+    express (days may be missing; ROWS BETWEEN 6 PRECEDING would look
+    back 6 ROWS, not 6 DAYS)."""
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(_stable_sum(F.col("o_totalprice")), 2).alias("day_revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_revenue",
+        F.round(F.sum(F.col("day_revenue").cast(DEC)).over(w).cast("double"), 2).alias(
+            "rolling_7d"
+        ),
+    ).orderBy("o_orderpriority", "day")

@@ -290,6 +290,46 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# (rule name, failure predicate over text_stats ⋈ repetition_stats columns)
+QUALITY_RULES = (
+    ("too_short", lambda: F.col("n_tokens") < 10),
+    ("too_long", lambda: F.col("n_tokens") > 5000),
+    ("word_len", lambda: (F.col("mean_word_len") < 2) | (F.col("mean_word_len") > 12)),
+    ("punct", lambda: F.col("punct_ratio") > 0.1),
+    ("stopword", lambda: F.col("stop_ratio") < 0.05),
+    ("rep_2gram", lambda: F.col("top_2gram_frac") > 0.20),
+    ("rep_3gram", lambda: F.col("dup_3gram_frac") > 0.20),
+)
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Gopher-style composite keep/drop decision: every document is
+    scored against the rule battery (length band, word-length band,
+    punctuation density, stopword floor, 2-gram/3-gram repetition caps)
+    and returns (doc_id, keep, reasons) with ``reasons`` the
+    comma-joined names of the rules it failed — the audit-friendly form
+    a training-data pipeline filters and *reports* on.
+
+    Scale shape: the feature inputs are ``text_stats`` (pure codegen,
+    map-only) joined to ``repetition_stats`` (per-doc-scoped gram aggs,
+    near-uniform keys) on doc_id; the rule battery itself is a codegen
+    CASE array — no extra shuffle beyond the feature join.
+    """
+    feats = text_stats(documents).join(repetition_stats(documents), "doc_id")
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[F.when(pred(), F.lit(name)) for name, pred in QUALITY_RULES]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return feats.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the CCNet-style perplexity filter (rare-token-heavy

@@ -383,3 +383,61 @@ def test_gapfill_by_type_no_global_window_sort(spark, sf_dir):
         assert "windowspecdefinition(event_type" in spec, (
             f"unpartitioned window: {spec}"
         )
+
+
+def test_q7_dims_broadcast_and_pushdown(spark, sf_dir):
+    """Q7: both nation-resolved dims broadcast; the ship-date band is
+    pushed to the lineitem scan."""
+    df = relational.nation_volume_shipping(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q13_preaggregates_orders_before_join(spark, sf_dir):
+    """Q13: the orders fact must collapse to per-customer counts BEFORE
+    the customer join (partial+final agg below the join, histogram agg
+    above it), and the priority exclusion must reach the orders scan."""
+    df = relational.customer_order_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+    plan = simple_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × (per-cust, histogram)
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert join_pos >= 0
+    # at least one aggregate plans BELOW the join in the tree dump
+    assert "HashAggregate" in plan[join_pos:], plan[:1500]
+
+
+def test_q17_threshold_broadcast(spark, sf_dir):
+    df = relational.small_quantity_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+    plan = simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # brand keys + thresholds
+
+
+def test_q22_anti_join_on_key_set(spark, sf_dir):
+    df = relational.idle_rich_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in pushed_filters(df)  # cutoff reaches orders scan
+
+
+def test_rolling_window_uses_range_frame(spark, sf_dir):
+    """The rolling-7-day window must be a RANGE frame (calendar days, not
+    rows) and partitioned by priority — no unpartitioned global sort."""
+    from parquet_metadata_explorer_spark.plans import formatted_plan
+
+    df = relational.rolling_weekly_revenue(load(spark, sf_dir, "orders"))
+    plan = formatted_plan(df)
+    assert "RangeFrame" in plan, plan[:1500]
+    assert "windowspecdefinition(o_orderpriority" in plan
