@@ -2411,6 +2411,106 @@ FROM (
 """
 
 
+KNN_K = 5
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph on the same 16×4 LSH banding as
+    dedup_embedding (threshold disabled, per-vector top-k ranking)."""
+    return similarity.knn_graph(
+        _table(spark, sf_dir, "embeddings"),
+        k=KNN_K,
+        n_bands=EMB_Q_BANDS,
+        planes_per_band=EMB_Q_PLANES,
+    )
+
+
+def _oracle_knn_graph() -> str:
+    """Same banding CTEs as the dedup_embedding oracle; candidates
+    symmetrize and a per-source row_number keeps top-k (cos desc, dst
+    asc — the operator's tie-break)."""
+    n_bands, rpb = EMB_Q_BANDS, EMB_Q_PLANES
+    band_exprs = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"list_transform(range(0, length(embedding)), d -> {_d_plane_weight(p, 'd')})) > 0 "
+            f"THEN {1 << (p - b * rpb)} ELSE 0 END)"
+            for p in range(b * rpb, (b + 1) * rpb)
+        )
+        band_exprs.append(f"({bits})::bigint AS band_{b}")
+    band_items = ", ".join(
+        f"{{'band_id': {b}, 'band_value': band_{b}}}" for b in range(n_bands)
+    )
+    return f"""
+WITH signs AS (
+  SELECT vec_id, embedding, {", ".join(band_exprs)} FROM embeddings
+),
+bands AS (
+  SELECT vec_id, b.band_id AS band_id, b.band_value AS band_value
+  FROM signs, unnest([{band_items}]) AS u(b)
+),
+cands AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_value = r.band_value AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b, round({_d_cos("a.embedding", "b.embedding")}, 4) AS cos
+  FROM cands c
+  JOIN embeddings a ON c.vec_a = a.vec_id
+  JOIN embeddings b ON c.vec_b = b.vec_id
+),
+sym AS (
+  SELECT vec_a AS src, vec_b AS dst, cos FROM scored
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cos FROM scored
+),
+ranked AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM sym
+)
+SELECT src, dst, cos, rank::bigint AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_metadata_explorer_spark.operators.pipelines import dataset_card
+
+    return dataset_card(_table(spark, sf_dir, "documents"))
+
+
+def _oracle_dataset_card() -> str:
+    return f"""
+WITH feats AS (
+  SELECT doc_id, n_tokens, quality_score FROM ({O_TEXT_STATS}) s
+),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, f.n_tokens, f.quality_score
+  FROM documents d JOIN feats f USING (doc_id)
+),
+lc AS (SELECT source, lang, count(*) AS cnt FROM base GROUP BY 1, 2),
+tl AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+),
+ps AS (
+  SELECT source, count(*)::bigint AS n_docs, sum(n_tokens)::bigint AS n_tokens,
+         round(sum(quality_score::DECIMAL(30,10)) / count(*), 4)::double AS mean_quality
+  FROM base GROUP BY 1
+),
+tot AS (SELECT sum(n_docs) AS total_docs FROM ps)
+SELECT source, n_docs,
+       round(n_docs * 100.0 / total_docs, 4) AS pct_docs,
+       n_tokens, mean_quality, top_lang
+FROM ps JOIN tl USING (source), tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2459,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "window_rolling": q_window_rolling,
         "text_quality_filter": q_text_quality_filter,
+        "knn_graph": q_knn_graph,
+        "dataset_card": q_dataset_card,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_logprob": q_text_logprob,
         "multimodal_decode": q_multimodal_decode,
@@ -2477,8 +2579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_lines": q_dedup_lines,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "cluster_assign": q_cluster_assign,
         "cluster_topterms": q_cluster_topterms,
         "events_funnel": q_events_funnel,
@@ -2490,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
         "pack_sequences": q_pack_sequences,
@@ -2572,6 +2674,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": O_TPCH_Q22,
         "window_rolling": O_WINDOW_ROLLING,
         "text_quality_filter": _oracle_quality_filter(),
+        "knn_graph": _oracle_knn_graph(),
+        "dataset_card": _oracle_dataset_card(),
         "events_retention": O_EVENTS_RETENTION,
         "corpus_mix": O_CORPUS_MIX,
         "tpch_q1": O_TPCH_Q1,

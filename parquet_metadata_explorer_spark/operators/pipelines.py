@@ -124,3 +124,50 @@ def clean_corpus_stats(
         .crossJoin(n(kept_e, "n_after_exact"))
         .crossJoin(n(kept_n, "n_after_near_dup"))
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source dataset card: the summary table a training-data release
+    publishes — document/token volume, corpus share, mean quality score,
+    and dominant language per source.
+
+    Scale shape: one feature pass (text_stats is map-only codegen), one
+    partial-aggregating shuffle per grouping (source; source×lang for the
+    dominant language, arg-maxed via struct-max — no window over data
+    rows), and the corpus total is a one-row broadcast. Output is
+    sources-sized. Determinism: token totals are exact longs, the quality
+    mean goes through a decimal sum, and the dominant-language tie breaks
+    to the lexicographically LAST language via the struct ordering
+    (replicated in the oracle's row_number ordering).
+    """
+    feats = text_stats(documents).select("doc_id", "n_tokens", "quality_score")
+    base = documents.select("doc_id", "source", "lang").join(feats, "doc_id")
+    lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    top_lang = lang_counts.groupBy("source").agg(
+        F.max(F.struct("cnt", "lang")).getField("lang").alias("top_lang")
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(30,10)")) / F.count("*"), 4
+        )
+        .cast("double")
+        .alias("mean_quality"),
+    )
+    total = per_source.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        per_source.join(top_lang, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") * 100.0 / F.col("total_docs"), 4).alias(
+                "pct_docs"
+            ),
+            "n_tokens",
+            "mean_quality",
+            "top_lang",
+        )
+        .orderBy("source")
+    )

@@ -482,3 +482,53 @@ def cluster_top_terms(
         )
         .orderBy("cluster", "rank")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_bands: int = 16,
+    planes_per_band: int = 4,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
+    most-cosine-similar neighbors among LSH candidates — the corpus-wide
+    structure label propagation, graph clustering, and near-dup audits
+    consume (vs ``cosine_topk``'s few-queries-vs-corpus shape).
+
+    Built on the same multi-band sign-LSH + tiled-GEMM machinery as
+    ``dedup.embedding_near_duplicates`` with the cosine threshold
+    disabled (every in-bucket pair scores), so the oversized-bucket skew
+    guard and the O(postings)-not-O(n²) candidate bound carry over
+    unchanged. The pair list symmetrizes (each undirected candidate pair
+    feeds both endpoints' rankings) and a per-source window keeps the
+    top-k — window input is the candidate list, bounded by bands ×
+    bucket_cap per vector, never the corpus square. Recall follows the
+    band config: 16×4 planes ≈ 96% for neighbors at cos ≥ 0.45, tunable
+    per the recall formula in ``embedding_near_duplicates``. Ties break
+    on neighbor id for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(
+        embeddings,
+        threshold=-1.0,  # keep every candidate pair; ranking replaces the cut
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        bucket_cap=bucket_cap,
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -336,3 +336,35 @@ def test_redact_pii_ip_inside_email_not_double_counted(spark):
     r = text.redact_pii(docs).collect()[0]
     assert r.n_emails == 1 and r.n_ips == 1
     assert r.redacted_text == "login <EMAIL> from <IP>"
+
+
+def test_knn_graph_shape_and_symmetric_candidates(spark, embs):
+    out = similarity.knn_graph(embs, k=2, n_bands=16, planes_per_band=4)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    # identical vectors 0 and 1 must be each other's rank-1 neighbor
+    assert by_src[0][0].dst == 1 and by_src[0][0].cos == 1.0
+    assert by_src[1][0].dst == 0 and by_src[1][0].cos == 1.0
+    for src, rs in by_src.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert all(r.dst != src for r in rs)
+
+
+def test_dataset_card_dominant_lang_tiebreak(spark):
+    from parquet_metadata_explorer_spark.operators.pipelines import dataset_card
+
+    rows = [
+        (1, "s1", "en", "hello world one"),
+        (2, "s1", "de", "hallo welt zwei"),  # tie en/de -> lexicographically LAST
+        (3, "s2", "en", "three words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    out = {r.source: r for r in dataset_card(docs).collect()}
+    assert out["s1"].top_lang == "en"  # max(struct) tie-break: 'en' > 'de'
+    assert out["s1"].n_docs == 2 and out["s2"].n_docs == 1
+    assert abs(out["s1"].pct_docs - 66.6667) < 1e-3
+    assert out["s2"].n_tokens == 3
