@@ -69,6 +69,8 @@ def main() -> None:
         "cluster_assign",
         "text_quality_filter",
         "events_gapfill_by_type",
+        "knn_graph",
+        "dataset_card",
         "tpch_q1",
         "tpch_q5",
         "tpch_q10",

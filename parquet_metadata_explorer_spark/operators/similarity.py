@@ -488,8 +488,9 @@ def knn_graph(
     embeddings: DataFrame,
     k: int = 5,
     n_bands: int = 16,
-    planes_per_band: int = 4,
+    planes_per_band="auto",
     bucket_cap: int = 4096,
+    target_occupancy: int = 128,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH: for every vector, its top-k
     most-cosine-similar neighbors among LSH candidates — the corpus-wide
@@ -499,18 +500,38 @@ def knn_graph(
     Built on the same multi-band sign-LSH + tiled-GEMM machinery as
     ``dedup.embedding_near_duplicates`` with the cosine threshold
     disabled (every in-bucket pair scores), so the oversized-bucket skew
-    guard and the O(postings)-not-O(n²) candidate bound carry over
-    unchanged. The pair list symmetrizes (each undirected candidate pair
-    feeds both endpoints' rankings) and a per-source window keeps the
-    top-k — window input is the candidate list, bounded by bands ×
-    bucket_cap per vector, never the corpus square. Recall follows the
-    band config: 16×4 planes ≈ 96% for neighbors at cos ≥ 0.45, tunable
-    per the recall formula in ``embedding_near_duplicates``. Ties break
-    on neighbor id for cross-engine determinism.
+    guard carries over unchanged. The pair list symmetrizes (each
+    undirected candidate pair feeds both endpoints' rankings) and a
+    per-source window keeps the top-k — window input is the candidate
+    list, never the corpus square. Ties break on neighbor id for
+    cross-engine determinism.
+
+    ``planes_per_band="auto"`` (the default) sizes the bucket RESOLUTION
+    to the corpus: sign-LSH with p planes has only 2^p buckets per band,
+    so a FIXED p means bucket occupancy — and the per-band candidate
+    count, occupancy×n/2 — grows linearly with n and total work grows
+    quadratically (measured in tools/scale_probe.py: fixed 4 planes went
+    2.1→12.6 s across a 4× corpus). Auto picks
+    p = clamp(ceil(log2(n / target_occupancy)), 4, 20), holding
+    occupancy ≈ ``target_occupancy`` so candidates stay O(n·bands·occ) —
+    linear in the corpus. The price is recall on FAR pairs (per-band
+    match p^planes shrinks), which is the right trade for kNN: nearest
+    neighbors have high cosine and survive (cos 0.9 at 16 bands × 6
+    planes ≈ 99.9% recall; cos 0.5 ≈ 77%). Pass an integer to pin the
+    resolution (the oracle-checked registry query pins 4 so the SQL twin
+    stays static).
     """
+    import math
+
     from pyspark.sql import Window
 
     from .dedup import embedding_near_duplicates
+
+    if planes_per_band == "auto":
+        n = embeddings.count()
+        planes_per_band = max(
+            4, min(20, math.ceil(math.log2(max(n / target_occupancy, 2.0))))
+        )
 
     pairs = embedding_near_duplicates(
         embeddings,

@@ -368,3 +368,22 @@ def test_dataset_card_dominant_lang_tiebreak(spark):
     assert out["s1"].n_docs == 2 and out["s2"].n_docs == 1
     assert abs(out["s1"].pct_docs - 66.6667) < 1e-3
     assert out["s2"].n_tokens == 3
+
+
+def test_knn_graph_auto_planes_matches_pinned_at_oracle_scales(spark):
+    """The registry query pins planes_per_band=4 (static SQL twin); the
+    auto default must RESOLVE to 4 at both driver correctness scales, or
+    a testdata regeneration could silently desynchronize query and
+    oracle. 500 and 2000 vectors / target 128 -> ceil(log2(n/128))
+    clamped at 4 -> 4."""
+    import math
+
+    for n in (500, 2000):
+        p = max(4, min(20, math.ceil(math.log2(max(n / 128, 2.0)))))
+        assert p == 4, (n, p)
+    # and the operator's own resolution agrees end-to-end on a tiny corpus
+    rows = [(i, [float(i % 7), 1.0, 0.5, -0.25]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = similarity.knn_graph(embs, k=3, n_bands=8)
+    pinned = similarity.knn_graph(embs, k=3, n_bands=8, planes_per_band=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))

@@ -161,7 +161,21 @@ def main() -> None:
         "dedup_lines": lambda d, e: dedup.line_dedup(d, chunk_tokens=8),
         "text_logprob": lambda d, e: text.unigram_logprob_score(d),
         "cluster_assign": lambda d, e: _cluster_assign(e),
+        "text_quality_filter": lambda d, e: text.quality_filter(d),
+        "knn_graph": lambda d, e: _knn(e, "auto"),
+        "knn_graph_fixed": lambda d, e: _knn(e, 4),
+        "dataset_card": lambda d, e: _dataset_card(d),
     }
+
+    def _knn(e, planes):
+        from parquet_metadata_explorer_spark.operators import similarity
+
+        return similarity.knn_graph(e, k=5, n_bands=16, planes_per_band=planes)
+
+    def _dataset_card(d):
+        from parquet_metadata_explorer_spark.operators.pipelines import dataset_card
+
+        return dataset_card(d)
 
     def _cluster_assign(e):
         from parquet_metadata_explorer_spark.operators import similarity
