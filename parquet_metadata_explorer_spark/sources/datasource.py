@@ -197,11 +197,14 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         seen = dict(start.get("seen", {}))
-        new = [
-            f
-            for f in list_files(self.opts.path)
-            if seen.get(f.path) != self._token(f)
-        ]
+        # apply the partition filter per micro-batch: the stream re-lists
+        # on every trigger, so pruning here (not just at plan time) keeps
+        # filtered-out partitions from ever being footer-read OR recorded
+        # in the offset log
+        listed = prune_files_by_partition(
+            list_files(self.opts.path), self.opts.partitionfilter
+        )
+        new = [f for f in listed if seen.get(f.path) != self._token(f)]
         for f in new:
             seen[f.path] = self._token(f)
         # materialized list, not a generator: Spark's prefetch cache

@@ -251,3 +251,31 @@ def test_partitioncolumns_without_pushdown_still_correct(spark, registered, part
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0].part_k == "b"
+
+
+def test_stream_applies_partitionfilter(spark, registered, part_root):
+    """The streaming metadata source must prune per micro-batch: with a
+    partitionfilter excluding the corrupt 2020-01-03 partition, a
+    parquet-level stream over the whole root succeeds and emits only
+    matching partitions (without the filter the corrupt footer would
+    fail the batch)."""
+    import tempfile
+
+    q = (
+        spark.readStream.format("metadata")
+        .option("source", "parquet")
+        .option("level", "file")
+        .option("partitionfilter", "date=2020-01-01|2020-01-02")
+        .load(part_root)
+    )
+    run = (
+        q.writeStream.format("memory")
+        .queryName("stream_pruned")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run.awaitTermination(120)
+    rows = spark.table("stream_pruned").collect()
+    assert len(rows) == 4  # 2 dates x 2 k values; 2020-01-03 pruned
+    assert {r.partition["date"] for r in rows} == {"2020-01-01", "2020-01-02"}
