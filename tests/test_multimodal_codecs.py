@@ -183,3 +183,43 @@ def test_top_down_bmp_resize_matches_bottom_up(spark):
     )
     rows = {r.doc_id: bytes(r.resized) for r in multimodal.resize_binary(df, 2, 2).collect()}
     assert rows[1] == rows[2] == img.tobytes()
+
+
+# -- adversarial totality: the sniffers run on untrusted bytes ------------
+
+
+def test_sniffers_are_total_over_arbitrary_bytes():
+    """sniff_media must never raise — it either parses a valid container
+    or returns None. Exercised with hypothesis over arbitrary byte
+    strings plus mutation fuzz of valid fixtures (bit flips in headers
+    must yield either None or a structurally-consistent parse, never an
+    exception)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz(b):
+        r = codecs.sniff_media(b)
+        assert r is None or isinstance(r, dict)
+
+    fuzz()
+
+
+def test_sniffers_survive_header_mutations():
+    import random
+
+    rng = random.Random(7)
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    fixtures = [make_bmp(px), make_ppm(px), make_wav(n_frames=64, rate=8000)]
+    for base in fixtures:
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(min(64, len(b)))] = rng.randrange(256)
+            r = codecs.sniff_media(bytes(b))  # must not raise
+            assert r is None or isinstance(r, dict)
+        # truncations at every cut point of the header region
+        for cut in range(0, min(80, len(base))):
+            r = codecs.sniff_media(bytes(base[:cut]))
+            assert r is None or isinstance(r, dict)
