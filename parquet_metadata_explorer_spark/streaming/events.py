@@ -531,6 +531,54 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``sessionize`` on Spark's NATIVE gap-based
+    ``session_window`` — the built-in exists precisely for this, so no
+    custom state is needed: state is bounded by the watermark, sessions
+    merge automatically as late-but-in-horizon events arrive, and a
+    session emits (append mode) once the watermark passes its close.
+
+    ``session_window.end`` is last-event-time + gap by definition, so the
+    batch operator's ``session_end = max(ts)`` is recovered by
+    subtracting the gap — the replay test compares the two operators
+    field-for-field (minus the per-user sequence number, which streaming
+    sessions don't carry)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", "4")
+        .load(events_path)
+    )
+    stream = _normalize_ts(stream).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sw = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(
+                F.col("w.end") - F.expr(f"INTERVAL {gap_minutes} MINUTES"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_range_join(
     spark: SparkSession,
     events_path: str,

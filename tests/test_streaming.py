@@ -281,3 +281,58 @@ def test_gapfill_by_type_carries_across_empty_months(spark):
     # series b: single-hour span, no gaps; mean of the two events
     b = [r for r in out if r.event_type == "b"]
     assert len(b) == 1 and b[0].filled_value == 8.0 and not b[0].was_gap
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window twin: replayed with availableNow plus a
+    far-future sentinel file (which advances the watermark so every real
+    session closes and flushes in append mode), the emitted sessions
+    must equal the batch operator field-for-field."""
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stage = str(tmp_path / "sess_events")
+    import os
+
+    os.makedirs(stage)
+    shutil.copy(f"{sf_dir}/events.parquet", stage + "/00-events.parquet")
+    # sentinel: one event far past every real timestamp; second file =
+    # later mtime so it forms the LAST micro-batch and pushes the watermark
+    _time.sleep(0.05)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**12], pa.int64()),
+                "ts": pa.array([pa.scalar(4102444800000000, pa.timestamp("us"))]),
+                "user_id": pa.array([10**9], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        stage + "/zz-sentinel.parquet",
+    )
+    out = ev.stream_sessionize(spark, stage, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.table("sessions_stream").collect()
+        if r.user_id != 10**9
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in ev.sessionize(ev.load_events(spark, sf_dir), 30).collect()
+    }
+    assert streamed == batch
