@@ -94,26 +94,52 @@ def _decode_one(payload: bytes) -> dict:
     return row
 
 
+# payload prefixes that can possibly be media — anything else takes the
+# vectorized raw path without a per-item call
+_MEDIA_PREFIXES = (b"BM", b"P5", b"P6", b"RIFF")
+
+
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: per Arrow batch, decode each payload.
 
     Real decode for BMP / binary-PPM/PGM / WAV (pure-Python header
     parsers, ``codecs.py``); anything else gets deterministic
-    length-derived features under codec='raw'. The per-item loop is
-    inherent to decoding variable media; everything stays inside one
-    Arrow batch — map-only at any corpus size.
+    length-derived features under codec='raw'. Only payloads whose magic
+    prefix could possibly be media pay the per-item parse; the raw
+    majority of a mixed corpus stays fully vectorized pandas arithmetic
+    over the Arrow batch — map-only at any corpus size.
     """
     cols = [f.name for f in DECODED_SCHEMA.fields]
     for pdf in batches:
-        out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            row = _decode_one(bytes(payload))
-            row["doc_id"] = doc_id
-            out.append(row)
-        df = pd.DataFrame(out, columns=cols)
-        for c in cols:
-            if c != "codec":
-                df[c] = df[c].astype("Int64")
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len).astype("int64")
+        # vectorized raw features for every row; media rows overwrite below
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.array(pdf["doc_id"], dtype="Int64"),
+                "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                "codec": "raw",
+                "width": pd.array(n_bytes % 64 + 1, dtype="Int64"),
+                "height": pd.array(n_bytes // 64 % 64 + 1, dtype="Int64"),
+                "channels": pd.array([3] * len(pdf), dtype="Int64"),
+                "sample_rate": pd.array([None] * len(pdf), dtype="Int64"),
+                "n_samples": pd.array([None] * len(pdf), dtype="Int64"),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                "checksum": pd.array(
+                    (n_bytes * 2654435761) % (2**31), dtype="Int64"
+                ),
+            },
+            columns=cols,
+        )
+        for i, p in enumerate(payloads):
+            if len(p) < 10:
+                continue
+            prefix = bytes(p[:4])
+            if prefix[:2] not in _MEDIA_PREFIXES[:3] and prefix != b"RIFF":
+                continue
+            row = _decode_one(bytes(p))
+            for c, v in row.items():
+                df.iloc[i, df.columns.get_loc(c)] = v
         yield df
 
 
