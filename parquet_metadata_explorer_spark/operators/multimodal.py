@@ -96,7 +96,8 @@ def _decode_one(payload: bytes) -> dict:
 
 # payload prefixes that can possibly be media — anything else takes the
 # vectorized raw path without a per-item call
-_MEDIA_PREFIXES = (b"BM", b"P5", b"P6", b"RIFF")
+_MEDIA_MAGIC_2 = (b"BM", b"P5", b"P6")
+_MEDIA_MAGIC_4 = b"RIFF"
 
 
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,7 +136,7 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if len(p) < 10:
                 continue
             prefix = bytes(p[:4])
-            if prefix[:2] not in _MEDIA_PREFIXES[:3] and prefix != b"RIFF":
+            if prefix[:2] not in _MEDIA_MAGIC_2 and prefix != _MEDIA_MAGIC_4:
                 continue
             row = _decode_one(bytes(p))
             for c, v in row.items():
