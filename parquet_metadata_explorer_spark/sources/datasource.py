@@ -61,28 +61,10 @@ class MetadataReader(DataSourceReader):
         return [_FilesPartition(c) for c in chunks if c] or [_FilesPartition([])]
 
     def read(self, partition):
-        from . import rows as R
-
-        opts, source = self.opts, self.source
-        _install_opt_fs(opts)
-        for f in partition.files:
-            if source == SOURCE_FILE:
-                base = R.file_rows(f)
-            elif opts.level == LEVEL_FILE:
-                base = R.parquet_file_rows(f)
-            elif opts.level == "rowgroup":
-                base = R.rowgroup_rows(f)
-            elif opts.level == "column":
-                base = R.column_rows(f)
-            else:
-                base = R.page_rows(f, opts.buffersize, opts.pagecontent)
-            if not self.part_keys:
-                yield from base
-            else:
-                pm = f.partition_map()
-                suffix = tuple(pm.get(k) for k in self.part_keys)
-                for row in base:
-                    yield tuple(row) + suffix
+        _install_opt_fs(self.opts)
+        yield from _emit_rows(
+            partition.files, self.opts, self.source, self.part_keys
+        )
 
 
 class PushdownMetadataReader(MetadataReader):
@@ -145,21 +127,29 @@ class PushdownMetadataReader(MetadataReader):
             yield f
 
 
-def _emit_rows(files, opts, source):
-    """Shared per-file row dispatch (batch partitions and stream batches)."""
+def _emit_rows(files, opts, source, part_keys=()):
+    """Shared per-file row dispatch (batch partitions and stream batches);
+    ``part_keys`` appends the lifted ``part_<key>`` column values."""
     from . import rows as R
 
     for f in files:
         if source == SOURCE_FILE:
-            yield from R.file_rows(f)
+            base = R.file_rows(f)
         elif opts.level == LEVEL_FILE:
-            yield from R.parquet_file_rows(f)
+            base = R.parquet_file_rows(f)
         elif opts.level == "rowgroup":
-            yield from R.rowgroup_rows(f)
+            base = R.rowgroup_rows(f)
         elif opts.level == "column":
-            yield from R.column_rows(f)
+            base = R.column_rows(f)
         else:
-            yield from R.page_rows(f, opts.buffersize, opts.pagecontent)
+            base = R.page_rows(f, opts.buffersize, opts.pagecontent)
+        if not part_keys:
+            yield from base
+        else:
+            pm = f.partition_map()
+            suffix = tuple(pm.get(k) for k in part_keys)
+            for row in base:
+                yield tuple(row) + suffix
 
 
 class MetadataStreamReader(SimpleDataSourceStreamReader):
@@ -182,9 +172,10 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
     rejects it up front (use the batch path for bulk page extraction).
     """
 
-    def __init__(self, opts, source):
+    def __init__(self, opts, source, part_keys=()):
         self.opts = opts
         self.source = source
+        self.part_keys = tuple(part_keys)
         self.root = opts.path.rstrip("/") or "/"
         _install_opt_fs(opts)  # the stream reader lists in its own process
 
@@ -210,7 +201,10 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
         # materialized list, not a generator: Spark's prefetch cache
         # copy.copy()s the iterator, which only list-like iterators allow;
         # a microbatch is metadata-sized so this is cheap
-        return iter(list(_emit_rows(new, self.opts, self.source))), {"seen": seen}
+        return (
+            iter(list(_emit_rows(new, self.opts, self.source, self.part_keys))),
+            {"seen": seen},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict):
         sseen = start.get("seen", {})
@@ -224,7 +218,7 @@ class MetadataStreamReader(SimpleDataSourceStreamReader):
             size, mtime = (int(x) for x in tok.split(":"))
             part = parse_partition_values(self.root, p) if p != self.root else ()
             files.append(FileInfo(p, p.rsplit("/", 1)[-1], size, mtime, part))
-        return _emit_rows(files, self.opts, self.source)
+        return _emit_rows(files, self.opts, self.source, self.part_keys)
 
 
 class MetadataDataSource(DataSource):
@@ -306,7 +300,7 @@ class MetadataDataSource(DataSource):
                 "(rows are emitted on the driver); use the batch reader "
                 "for bulk page extraction"
             )
-        return MetadataStreamReader(opts, source)
+        return MetadataStreamReader(opts, source, _part_keys)
 
 
 class PushdownEnabledMetadataDataSource(MetadataDataSource):

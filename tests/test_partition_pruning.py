@@ -279,3 +279,32 @@ def test_stream_applies_partitionfilter(spark, registered, part_root):
     rows = spark.table("stream_pruned").collect()
     assert len(rows) == 4  # 2 dates x 2 k values; 2020-01-03 pruned
     assert {r.partition["date"] for r in rows} == {"2020-01-01", "2020-01-02"}
+
+
+def test_stream_partitioncolumns_emits_lifted_values(spark, registered, part_root):
+    """partitioncolumns=true on the STREAM path: the schema gains the
+    part_<key> columns AND the stream rows carry their values (a
+    schema/row mismatch here would corrupt every emitted row)."""
+    import tempfile
+
+    q = (
+        spark.readStream.format("metadata")
+        .option("source", "parquet")
+        .option("level", "file")
+        .option("partitionfilter", "date=2020-01-01|2020-01-02")
+        .option("partitioncolumns", "true")
+        .load(part_root)
+    )
+    run = (
+        q.writeStream.format("memory")
+        .queryName("stream_partcols")
+        .option("checkpointLocation", tempfile.mkdtemp() + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run.awaitTermination(120)
+    rows = spark.table("stream_partcols").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.part_date == r.partition["date"]
+        assert r.part_k == r.partition["k"]
