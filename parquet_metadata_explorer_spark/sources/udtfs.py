@@ -44,11 +44,16 @@ _SPECS = {
 
 def _make_udtf_class(emit):
     class MetadataUDTF:
-        def eval(self, path: str):
+        def eval(self, path: str, partition_filter: str = None):
             # a file path yields that file; a directory path lists
             # recursively (serial within this eval — prefer LATERAL over a
-            # listing for wide roots)
-            for fi in list_files(path):
+            # listing for wide roots). The optional second argument is the
+            # same "col=a|b,col2=v" conjunction the partitionfilter option
+            # takes: pruned files are never footer-read, from pure SQL.
+            from ..listing import prune_files_by_partition
+
+            files = prune_files_by_partition(list_files(path), partition_filter)
+            for fi in files:
                 yield from emit(fi)
 
     return MetadataUDTF

@@ -65,3 +65,35 @@ def test_page_index_udtf(spark, tmp_path):
     assert via_sql.schema == via_api.schema
     assert via_sql.count() == via_api.count() > 5
     assert _rows(via_sql) == _rows(via_api)
+
+
+@pytest.fixture(scope="module")
+def part_root_sql(tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("udtf_pruned"))
+    for d in ("2020-01-01", "2020-01-02"):
+        for k in ("a", "b"):
+            sub = f"{root}/date={d}/k={k}"
+            os.makedirs(sub)
+            pq.write_table(pa.table({"x": [1, 2]}), f"{sub}/part-0.parquet")
+    bad = f"{root}/date=2020-01-03/k=a"
+    os.makedirs(bad)
+    with open(f"{bad}/part-0.parquet", "wb") as f:
+        f.write(b"PAR1corrupt-not-a-footer")
+    return root
+
+
+def test_udtf_partition_filter_argument(spark, part_root_sql):
+    """The optional second UDTF argument prunes partitions before any
+    footer read: querying the whole root at parquet-file level succeeds
+    from pure SQL even though an excluded partition holds a corrupt file."""
+    rows = spark.sql(
+        "SELECT filepath, partition['date'] AS d FROM "
+        f"metadata_parquet_file('{part_root_sql}', 'date=2020-01-01|2020-01-02')"
+    ).collect()
+    assert len(rows) == 4
+    assert {r.d for r in rows} == {"2020-01-01", "2020-01-02"}
