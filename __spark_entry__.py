@@ -2338,6 +2338,214 @@ FROM daily
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.min_cost_supplier(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+O_TPCH_Q2 = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         {_d_ssum("l_extendedprice")} / {_d_ssum("l_quantity")} AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+sr AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY supply_cost, l_suppkey) AS rn
+  FROM supply JOIN sr ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 15
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supply_cost, 4) AS supply_cost
+FROM ranked WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.national_market_share(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+O_TPCH_Q8 = f"""
+WITH cust_r AS (
+  SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'
+),
+supp_n AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT year(o_orderdate)::bigint AS o_year,
+       round({_d_ssum("CASE WHEN supp_nation = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_d_ssum("l_extendedprice * (1 - l_discount)")}, 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_r ON o_custkey = c_custkey
+JOIN supp_n ON l_suppkey = s_suppkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return relational.product_type_profit(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+O_TPCH_Q9 = f"""
+WITH supp_n AS (
+  SELECT s_suppkey, n_name AS nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT nation, year(o_orderdate)::bigint AS o_year,
+       round({_d_ssum("l_extendedprice * (1 - l_discount) - 0.1::double * p_retailprice * l_quantity")}, 2)
+         AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supp_n ON l_suppkey = s_suppkey
+WHERE p_name LIKE '%rod%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.important_part_values(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+O_TPCH_Q11 = """
+WITH sk AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_0', 'NATION_5', 'NATION_10')
+),
+vals AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)) AS value_dec
+  FROM lineitem JOIN sk ON l_suppkey = s_suppkey GROUP BY 1
+),
+tot AS (SELECT sum(value_dec) AS total_dec FROM vals)
+SELECT l_partkey AS partkey, round(value_dec::double, 2) AS value
+FROM vals, tot
+WHERE value_dec::double > 0.001::double * total_dec::double
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.late_shipment_priority(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "orders")
+    )
+
+
+O_TPCH_Q12 = """
+SELECT l_returnflag AS returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::bigint AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::bigint AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.dominant_share_suppliers(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+O_TPCH_Q20 = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity::DECIMAL(30,10)) AS qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'cold%'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey AS t_partkey, sum(qty_dec) AS total_dec
+        FROM pair GROUP BY 1),
+winners AS (
+  SELECT DISTINCT l_suppkey FROM pair JOIN tot ON l_partkey = t_partkey
+  WHERE qty_dec::double > 0.3::double * total_dec::double
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+FROM supplier JOIN winners ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.waiting_suppliers(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "supplier"),
+    )
+
+
+# The oracle deliberately runs the textbook correlated EXISTS / NOT EXISTS
+# form, so the board row verifies the Spark side's aggregate decorrelation
+# (nsupp >= 2 / nlate = 1 per order), not just re-runs it.
+O_TPCH_Q21 = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*)::bigint AS numwait
+FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(_table(spark, sf_dir, "documents"))
 
@@ -2557,6 +2765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "window_rolling": q_window_rolling,
         "text_quality_filter": q_text_quality_filter,
         "knn_graph": q_knn_graph,
@@ -2672,6 +2887,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16": O_TPCH_Q16,
         "tpch_q17": O_TPCH_Q17,
         "tpch_q22": O_TPCH_Q22,
+        "tpch_q2": O_TPCH_Q2,
+        "tpch_q8": O_TPCH_Q8,
+        "tpch_q9": O_TPCH_Q9,
+        "tpch_q11": O_TPCH_Q11,
+        "tpch_q12": O_TPCH_Q12,
+        "tpch_q20": O_TPCH_Q20,
+        "tpch_q21": O_TPCH_Q21,
         "window_rolling": O_WINDOW_ROLLING,
         "text_quality_filter": _oracle_quality_filter(),
         "knn_graph": _oracle_knn_graph(),

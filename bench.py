@@ -75,6 +75,8 @@ def main() -> None:
         "tpch_q5",
         "tpch_q10",
         "tpch_q13",
+        "tpch_q9",
+        "tpch_q21",
         "window_rolling",
         "window_top_orders",
         "rollup_orders",

@@ -765,3 +765,339 @@ def rolling_weekly_revenue(orders: DataFrame) -> DataFrame:
             "rolling_7d"
         ),
     ).orderBy("o_orderpriority", "day")
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+    max_size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, adapted: no partsupp table,
+    so the supply relation is DERIVED from lineitem — per (part, supplier)
+    average unit price). The correlated MIN subquery decorrelates into a
+    per-part window: rank region suppliers by cost within each part and
+    keep rank 1. One shuffle builds the supply aggregate (uniform
+    (part,supp) keys), one window shuffle on partkey; part filter and the
+    region-supplier map broadcast. Cost is a double division of two
+    exact decimal sums, so it is bit-identical on any engine/partitioning
+    and the rank-1 choice is deterministic (ties break on suppkey)."""
+    supply = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        (_stable_sum(F.col("l_extendedprice")) / _stable_sum(F.col("l_quantity"))).alias(
+            "supply_cost"
+        )
+    )
+    s_region = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts_f = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name")
+    w = Window.partitionBy("l_partkey").orderBy("supply_cost", "l_suppkey")
+    return (
+        supply.join(F.broadcast(s_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("supply_cost"), 4).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_1",
+    region_name: str = "AMERICA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the revenue a region's
+    customers spent on one part type in 1996-1997, what share was
+    supplied by the target nation, per order year. Single fact-fact join
+    (lineitem ⋈ orders on orderkey); the part-type filter, the region's
+    customer keys, and the supplier→nation map all broadcast, so the
+    share numerator/denominator fold in ONE grouped pass (conditional
+    aggregation, no second scan and no self-join)."""
+    cust_r = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("cn_key"))
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == p_type).select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                _stable_sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / _stable_sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "rod",
+) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: no partsupp, so
+    supply cost is proxied as 10% of the part's retail price per unit).
+    Profit per supplier nation per order year for parts whose name
+    contains the token. The part filter (with its retailprice) and the
+    supplier→nation map broadcast; lineitem ⋈ orders is the only
+    shuffle-join, then one grouped pass."""
+    parts_f = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(_stable_sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple = ("NATION_0", "NATION_5", "NATION_10"),
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock value, adapted: no partsupp, so a
+    part's "stock value" is the revenue shipped by the nation set's
+    suppliers). HAVING value > fraction × total — the global total is a
+    one-row broadcast (scalar subquery decorrelated), computed from the
+    per-part aggregates, NOT a second fact scan. Per-part values stay
+    exact decimals until the final compare/output, so the threshold test
+    is bit-deterministic at any partitioning."""
+    supp_keys = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(F.broadcast(supp_keys), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.lit(fraction) * F.col("total_dec").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame, orders: DataFrame, lag_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority report, adapted: no
+    l_shipmode/commitdate/receiptdate, so "late" means shipped more than
+    ``lag_days`` after the order date and the report groups by return
+    flag). Dual conditional counts (high- vs low-priority orders among
+    late lineitems) fold in one grouped pass over the single fact-fact
+    join."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {lag_days} DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+def dominant_share_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    prefix: str = "cold",
+    year: str = "1998",
+    share: float = 0.3,
+) -> DataFrame:
+    """TPC-H Q20 shape (part-promotion suppliers, adapted: no partsupp,
+    so "availability" is the quantity a supplier actually shipped).
+    Suppliers who shipped more than ``share`` of some prefix-named
+    part's total quantity in the target year. The nested correlated
+    chain decorrelates into two aggregation levels over the SAME
+    (part,supplier) partials — per-pair quantities stay exact decimals,
+    the per-part total folds from the pairs (no second fact scan), and
+    the survivor keys left-semi join supplier. Part filter broadcasts;
+    shuffles are on uniform (part,supp) then part keys."""
+    parts_f = part.filter(F.col("p_name").startswith(prefix)).select("p_partkey")
+    pair = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01"))
+        )
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+    )
+    totals = pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_dec").alias("total_dec")
+    )
+    winners = (
+        pair.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.lit(share) * F.col("total_dec").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(winners, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name")
+        .orderBy("s_name")
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    lag_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted:
+    "late" means shipped more than ``lag_days`` after the order date).
+    Counts, per supplier, the late lineitems of finalized multi-supplier
+    orders where that supplier was the ONLY late one. The double
+    correlated EXISTS / NOT EXISTS decorrelates into two order-level
+    aggregates over the same joined fact — distinct-supplier count and
+    distinct-LATE-supplier count per order — joined back on orderkey:
+    EXISTS(other supplier) ⇔ nsupp ≥ 2, NOT EXISTS(other late supplier)
+    ⇔ nlate = 1 (the blamed supplier is itself late). Every shuffle is
+    on uniform orderkey; the blame tables are order-sized, never
+    lineitem-sized, and no per-row subquery survives. The DuckDB oracle
+    runs the textbook correlated EXISTS form, so the board row verifies
+    the rewrite itself."""
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    late = li.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {lag_days} DAYS")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("lo_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nlate")
+    )
+    blamed = (
+        late.join(
+            per_order.filter(F.col("nsupp") >= 2),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .join(
+            late_per_order.filter(F.col("nlate") == 1),
+            F.col("l_orderkey") == F.col("lo_orderkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
