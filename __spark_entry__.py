@@ -1929,6 +1929,27 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.gapfill_hourly(ev.load_events(spark, sf_dir), event_type="purchase")
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (view→purchase attribution) — the batch twin of
+    the watermarked stream-stream join in streaming/events.py."""
+    _utc(spark)
+    return ev.view_purchase_attribution(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_ATTRIBUTION = """
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       ((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000)::bigint AS delay_sec
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 def q_events_gapfill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-series gap-fill: per-event_type spine + chunked LOCF. The
     oracle runs the PLAIN per-series unbounded window — hash equality
@@ -2759,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         # -- B: new or implementation-changed this round --------------------
         "events_gapfill_by_type": q_events_gapfill_by_type,
+        "events_attribution": q_events_attribution,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -2881,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": O_EVENTS_FUNNEL,
         "events_gapfill": O_EVENTS_GAPFILL,
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
+        "events_attribution": O_EVENTS_ATTRIBUTION,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

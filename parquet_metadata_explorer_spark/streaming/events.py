@@ -797,3 +797,122 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def view_purchase_attribution(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Interval self-join (view→purchase attribution): every (view,
+    purchase) pair of the SAME user where the view happened within
+    ``window_minutes`` before the purchase.
+
+    Scale shape: the equality key (user_id) carries the join — Catalyst
+    plans a single hash/sort-merge equi-join on user_id with the time
+    interval as a residual filter, so the shuffle is one pass per side
+    on a near-uniform key and the residual only scans each user's own
+    pairs (per-user event counts are bounded in practice; a pathological
+    single-user firehose is the same hot-key problem every per-user
+    operator here documents). This is deliberately NOT a bin-explode
+    rewrite: with an equality key already present, binning would only
+    multiply rows. The streaming twin (``stream_stream_attribution``)
+    runs the identical predicate as a watermarked stream-stream join.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        purchases.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (
+                F.col("v_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+            ),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "view_id",
+            # whole-second floor of the EXACT microsecond delta —
+            # unix_timestamp() floors each side independently, which is
+            # off by one whenever the sub-second parts straddle
+            F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000")
+            .cast("long")
+            .alias("delay_sec"),
+        )
+        .orderBy("user_id", "purchase_id", "view_id")
+    )
+
+
+def stream_stream_attribution(
+    spark: SparkSession,
+    events_path: str,
+    window_minutes: int = 30,
+    watermark_minutes: int = 60,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Stream-STREAM interval join: the streaming twin of
+    ``view_purchase_attribution``, and the one join shape that keeps
+    state on BOTH sides. Each side declares an event-time watermark;
+    the interval condition relates the two event-time columns, so the
+    engine can expire buffered rows — a view older than
+    (purchase watermark − window) can never match a future purchase,
+    and a purchase older than the view watermark can never gain new
+    views — bounding state by watermark + window, never stream length.
+    Without the time-interval condition (or watermarks) Spark would
+    rightly refuse to plan an append-mode stream-stream inner join,
+    because state would grow forever.
+
+    State partitions by the equality key (user_id), the same
+    near-uniform key as the batch join's shuffle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    base = _normalize_ts(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(events_path)
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{watermark_minutes} minutes")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{watermark_minutes} minutes")
+    )
+    return purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000")
+        .cast("long")
+        .alias("delay_sec"),
+    )

@@ -336,3 +336,67 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
         for r in ev.sessionize(ev.load_events(spark, sf_dir), 30).collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must equal the batch
+    self-join when the replay is split into time-ordered micro-batches:
+    boundary-crossing pairs (purchase in a later batch than its views)
+    force BOTH sides' state to carry rows across batches, and the
+    time-ordered split keeps every row ahead of the watermark so nothing
+    is legitimately droppable."""
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = ev.load_events(spark, sf_dir)
+    batch = {
+        tuple(r)
+        for r in ev.view_purchase_attribution(events)
+        .select("purchase_id", "view_id", "delay_sec")
+        .collect()
+    }
+    assert batch, "expected at least one attributed pair"
+
+    # stage as three time-ordered files, replayed one per micro-batch
+    stage = tempfile.mkdtemp()
+    ordered = events.orderBy("ts").withColumn(
+        "third", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        (
+            ordered.filter(F.col("third") == i)
+            .drop("third")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage + f"/tmp_{i}")
+        )
+    import glob as _glob
+    import os
+
+    files = []
+    for i in (1, 2, 3):
+        part = _glob.glob(stage + f"/tmp_{i}/part-*.parquet")[0]
+        dst = stage + f"/{i:02d}.parquet"
+        os.rename(part, dst)
+        shutil.rmtree(stage + f"/tmp_{i}")
+        files.append(dst)
+
+    out = ev.stream_stream_attribution(spark, stage, max_files_per_trigger=1)
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        tuple(r)
+        for r in spark.table("attr_stream")
+        .select("purchase_id", "view_id", "delay_sec")
+        .collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(stage)
