@@ -1929,6 +1929,25 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.gapfill_hourly(ev.load_events(spark, sf_dir), event_type="purchase")
 
 
+def q_page_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file page-checksum audit. The oracle recounts pages per file
+    with the independent DuckDB-SQL page walk; the crc columns are
+    pinned 0 there (DuckDB has no CRC-32) — agreeing proves the engine
+    does not hallucinate checksums on checksum-less corpora, and the
+    positive/corruption paths are fixture-tested in tests/test_reports.py."""
+    from parquet_metadata_explorer_spark.operators.reports import (
+        page_integrity_report,
+    )
+
+    rep = page_integrity_report(spark, sf_dir)
+    return rep.select(
+        F.element_at(F.split("filepath", "/"), -1).alias("filename"),
+        "n_pages",
+        "n_with_crc",
+        "n_crc_mismatch",
+    ).orderBy("filename")
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join (view→purchase attribution) — the batch twin of
     the watermarked stream-stream join in streaming/events.py."""
@@ -2781,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- B: new or implementation-changed this round --------------------
         "events_gapfill_by_type": q_events_gapfill_by_type,
         "events_attribution": q_events_attribution,
+        "page_integrity": q_page_integrity,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -2904,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": O_EVENTS_GAPFILL,
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
         "events_attribution": O_EVENTS_ATTRIBUTION,
+        "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

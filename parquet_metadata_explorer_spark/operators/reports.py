@@ -294,3 +294,64 @@ def dict_encoding_report(spark: SparkSession, data_path: str) -> DataFrame:
         )
         .orderBy("path")
     )
+
+
+def page_integrity_report(spark: SparkSession, data_path: str) -> DataFrame:
+    """Per-file page-checksum audit: recompute every data/dictionary
+    page's CRC-32 from its raw bytes and compare against the footer-level
+    checksum the writer recorded in the page header.
+
+    The parquet spec (parquet-format PageHeader.crc) defines the checksum
+    as standard CRC-32 over the page's on-disk bytes EXCLUDING the
+    header — exactly the ``page_content`` column the page-level scan
+    already materializes, so the whole audit is ``F.crc32`` (JVM
+    whole-stage codegen, the same polynomial) over the existing
+    distributed page scan: no Python in the hot path, parallelism is
+    per-file like every other level. The header field is a SIGNED i32 of
+    the checksum's low 32 bits; normalize both sides to unsigned before
+    comparing.
+
+    Returns one row per file: pages seen, pages carrying a checksum,
+    mismatches, and up to 10 (rowgroup, column, page) example triples
+    for the mismatching pages. ``n_crc_mismatch > 0`` means bit rot,
+    truncation, or an in-place rewrite — the file should be quarantined.
+    Writers that never emit checksums (``n_with_crc = 0``) are reported,
+    not flagged.
+    """
+    from ..sources.api import read_metadata
+
+    pages = read_metadata(
+        spark, data_path, source="parquet", level="page", pagecontent=True
+    )
+    # low 32 bits, unsigned, of both the recorded and recomputed CRC
+    recorded = F.col("crc").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    computed = F.crc32(F.col("page_content")).bitwiseAND(F.lit(0xFFFFFFFF))
+    checked = pages.select(
+        "filepath",
+        "row_group_id",
+        "column_id",
+        "page_id",
+        F.col("crc").isNotNull().alias("has_crc"),
+        (F.col("crc").isNotNull() & (recorded != computed)).alias("mismatch"),
+    )
+    return (
+        checked.groupBy("filepath")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.col("has_crc").cast("long")).alias("n_with_crc"),
+            F.sum(F.col("mismatch").cast("long")).alias("n_crc_mismatch"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("mismatch"),
+                            F.struct("row_group_id", "column_id", "page_id"),
+                        )
+                    )
+                ),
+                1,
+                10,
+            ).alias("mismatch_examples"),
+        )
+        .orderBy("filepath")
+    )

@@ -279,3 +279,25 @@ if __name__ == "__main__":
         print(exp.head(20).to_string())
         if diff is not None:
             print(diff.head(40).to_string())
+
+
+def integrity_oracle_sql(glob: str) -> str:
+    """DuckDB twin of ``reports.page_integrity_report`` (filename + count
+    columns): per-file page counts from the independent SQL page walk.
+    DuckDB has no CRC-32 function and the corpora this oracle points at
+    are pyarrow-written WITHOUT page checksums, so ``n_with_crc`` /
+    ``n_crc_mismatch`` are pinned to 0 here — the engine must agree,
+    which verifies it does NOT hallucinate checksums on checksum-less
+    files; the positive paths (clean checksummed file, detected
+    corruption) are covered by the fixture tests in
+    tests/test_reports.py."""
+    return f"""
+WITH RECURSIVE {page_walk_cte(glob)}
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+       count(*)::BIGINT AS n_pages,
+       0::BIGINT AS n_with_crc,
+       0::BIGINT AS n_crc_mismatch
+FROM pages
+GROUP BY 1
+ORDER BY 1
+"""
