@@ -638,6 +638,51 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 """
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-k — the whole scoring pipeline
+    (quantize, integer dot, hierarchical top-k) is whole-stage codegen;
+    the oracle replays the identical quantization in DuckDB list SQL, so
+    hash equality proves the int math end-to-end."""
+    return similarity.int8_cosine_topk(
+        _table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+
+
+O_ANN_INT8 = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS m
+  FROM embeddings
+),
+qz0 AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> floor(v * 127.0 / m + 0.5)) AS q8
+  FROM base WHERE m > 0
+),
+qz AS (
+  SELECT vec_id, q8, sqrt(list_dot_product(q8, q8)) AS qnorm
+  FROM qz0
+  WHERE list_dot_product(q8, q8) > 0
+),
+q AS (
+  SELECT vec_id AS query_id, q8 AS qa, qnorm AS na FROM qz
+  WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qa, e.q8) / (q.na * e.qnorm), 6) AS cos
+  FROM q CROSS JOIN qz e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::bigint AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(_table(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
@@ -2801,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_by_type": q_events_gapfill_by_type,
         "events_attribution": q_events_attribution,
         "page_integrity": q_page_integrity,
+        "ann_int8": q_ann_int8,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -2925,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
         "events_attribution": O_EVENTS_ATTRIBUTION,
         "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
+        "ann_int8": O_ANN_INT8,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

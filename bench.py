@@ -55,6 +55,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_embedding",
         "ann_topk",
+        "ann_int8",
         "text_stats",
         "text_langid",
         "text_tokens",

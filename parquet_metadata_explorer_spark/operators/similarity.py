@@ -553,3 +553,98 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    ``q_i = floor(x_i * 127 / max|x| + 0.5)`` — entirely in whole-stage
+    codegen (``F.transform`` / ``F.array_max``), no Python.
+
+    This is the 100 TB memory lever for similarity search: an
+    ``array<tinyint>`` corpus column is 4× smaller than float32 (8×
+    smaller than the float64 the GEMM kernel promotes to) on disk, in
+    shuffle payloads, and in executor cache — and int8 dot products are
+    exact in 64-bit math, so scoring stays deterministic. floor(x+0.5)
+    is used instead of round() because numpy/Java/DuckDB disagree on
+    half-to-even vs half-away rounding; floor(+0.5) is the same
+    function everywhere. Zero vectors (max|x| = 0) cannot be scored by
+    cosine and are dropped here, not silently emitted as NaN later.
+
+    Returns (vec_id, q8 array<tinyint>, qnorm double) with qnorm the
+    L2 norm of the QUANTIZED vector (exact integer sum under the sqrt).
+    """
+    m = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    with_m = embeddings.withColumn("_m", m).filter(F.col("_m") > 0)
+    q8 = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * F.lit(127.0) / F.col("_m") + F.lit(0.5))
+        .cast("tinyint"),
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform("q8", lambda v: v.cast("long") * v.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    return (
+        with_m.withColumn("q8", q8)
+        .withColumn("qnorm", qnorm)
+        .filter(F.col("qnorm") > 0)
+        .select("vec_id", "q8", "qnorm")
+    )
+
+
+def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
+    """Brute-force top-k by cosine over int8-QUANTIZED vectors, with the
+    entire scoring pipeline in whole-stage codegen: quantize
+    (``quantize_embeddings``), broadcast the (tiny) quantized query set,
+    integer dot product via ``F.zip_with``/``F.aggregate`` in long math,
+    then a HIERARCHICAL top-k — per (query, neighbor_id mod 32) bucket
+    first, global second — so no window partition ever holds more than
+    its bucket's share of the corpus. The flat alternative (one window
+    partition per query spanning the whole corpus) funnels every scored
+    row through |queries| reducers; the bucket pre-pass caps the final
+    window's input at 32·k rows per query regardless of corpus size.
+
+    Complements ``cosine_topk``: that one is the Arrow/numpy GEMM
+    (float, Python workers, fastest per-row); this one is the
+    JVM-only path (no Python worker at all in the plan) over a corpus
+    representation that is 4× smaller. Recall vs the float kernel is
+    measured in tests/test_ivf.py.
+    """
+    from ..functions import ensure_parallelism
+
+    spark = embeddings.sparkSession
+    q = quantize_embeddings(ensure_parallelism(embeddings))
+    queries = q.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qa"),
+        F.col("qnorm").alias("na"),
+    )
+    dot_int = F.aggregate(
+        F.zip_with("qa", "q8", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(dot_int.cast("double") / (F.col("na") * F.col("qnorm")), 6),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
+    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("lrank", F.row_number().over(w_local))
+        .filter(F.col("lrank") <= k)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
