@@ -2014,6 +2014,35 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (6h window / 1h slide) top-3 event types."""
+    _utc(spark)
+    return ev.trending_event_types(ev.load_events(spark, sf_dir))
+
+
+# Spark's F.window(w, s) assigns an event at ts to every epoch-aligned
+# window start in (ts-w, ts] stepping by s — for 6h/1h that is
+# date_trunc('hour', ts) - {0..5} hours, which is how the oracle unrolls it.
+O_EVENTS_TRENDING = """
+WITH exploded AS (
+  SELECT date_trunc('hour', ts) - to_hours(k) AS w_start, event_type
+  FROM events, range(6) t(k)
+),
+counts AS (
+  SELECT w_start, event_type, count(*)::bigint AS n_events
+  FROM exploded GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w_start
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n_events, rank::bigint AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_events_gapfill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-series gap-fill: per-event_type spine + chunked LOCF. The
     oracle runs the PLAIN per-series unbounded window — hash equality
@@ -2847,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "page_integrity": q_page_integrity,
         "ann_int8": q_ann_int8,
+        "events_trending": q_events_trending,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -2972,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": O_EVENTS_ATTRIBUTION,
         "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
         "ann_int8": O_ANN_INT8,
+        "events_trending": O_EVENTS_TRENDING,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

@@ -916,3 +916,79 @@ def stream_stream_attribution(
         .cast("long")
         .alias("delay_sec"),
     )
+
+
+def trending_event_types(
+    events: DataFrame,
+    window_hours: int = 6,
+    slide_hours: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Sliding-window trending report: top-k event types by count in
+    every ``window_hours``-hour window sliding by ``slide_hours``.
+
+    ``F.window(ts, w, s)`` assigns each event to its w/s overlapping
+    windows (explode at the source, epoch-aligned starts) and the count
+    is partial-aggregatable per (window, type) — one shuffle whose key
+    count is time-span × types, not event count. The top-k window
+    partitions by window_start: calendar-sized input (types per
+    window), so the rank never sees raw events. Ties break
+    lexicographically on event_type for a deterministic board.
+    """
+    win = F.window("ts", f"{window_hours} hours", f"{slide_hours} hours")
+    counts = (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w_rank = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+def stream_trending(
+    spark: SparkSession,
+    events_path: str,
+    window_hours: int = 6,
+    slide_hours: int = 1,
+) -> DataFrame:
+    """Streaming twin of the sliding-window count (the top-k rank runs
+    downstream of the sink — ranking inside the stream would need
+    complete-mode re-emission of whole windows). Watermark bounds the
+    per-window state; each event updates its w/s overlapping windows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize_ts(
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(events_path).schema)
+        .option("maxFilesPerTrigger", "4")
+        .load(events_path)
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", f"{window_hours} hours", f"{slide_hours} hours").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )

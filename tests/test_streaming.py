@@ -400,3 +400,46 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     shutil.rmtree(stage)
+
+
+def test_stream_trending_matches_batch(spark, sf_dir):
+    """The sliding-window streamed counts, ranked after the sink, must
+    equal the batch trending report."""
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = {
+        tuple(r)
+        for r in ev.trending_event_types(ev.load_events(spark, sf_dir)).collect()
+    }
+    assert batch
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/events.parquet", stage + "/events.parquet")
+    out = ev.stream_trending(spark, stage)
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import Window as W
+
+    counts = spark.table("trend_stream")
+    w_rank = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    streamed = {
+        tuple(r)
+        for r in counts.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        )
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(stage)
