@@ -984,6 +984,19 @@ ORDER BY freq DESC, ngram LIMIT 50
 """
 
 
+def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory bloom variant of decontamination. Rows-only on the
+    board (the probe hashes with Spark's xxhash64, which has no DuckDB
+    twin); the no-false-negative upper-bound property and the bit-exact
+    agreement of the numpy bloom with the parquet split-block reader are
+    asserted in tests/test_operators.py."""
+    docs = _table(spark, sf_dir, "documents")
+    return text.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 20th document plays the benchmark/eval set; the rest is the
     training corpus being screened for eval-set leakage."""
@@ -2877,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_integrity": q_page_integrity,
         "ann_int8": q_ann_int8,
         "events_trending": q_events_trending,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,

@@ -409,3 +409,122 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         redacted.alias("redacted_text"),
     )
+
+
+def _bloom_build_words(hashes, num_blocks: int):
+    """Numpy split-block bloom builder over int64 hash values — the SAME
+    block/salt math as ``parquet.bloom.BloomFilter`` (cross-checked in
+    tests), vectorized. Returns a uint32 word array of 8*num_blocks."""
+    import numpy as np
+
+    from ..parquet.bloom import _SALT
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    words = np.zeros(num_blocks * 8, dtype=np.uint32)
+    block = ((h >> np.uint64(32)) * np.uint64(num_blocks)) >> np.uint64(32)
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for i, salt in enumerate(_SALT):
+        bit = np.uint32(1) << ((lo * np.uint32(salt)) >> np.uint32(27))
+        np.bitwise_or.at(words, block.astype(np.int64) * 8 + i, bit)
+    return words
+
+
+def _bloom_probe_words(hashes, words, num_blocks: int):
+    """Vectorized membership probe: boolean array, true iff all 8 salted
+    bits of each hash's block are set."""
+    import numpy as np
+
+    from ..parquet.bloom import _SALT
+
+    h = np.asarray(hashes, dtype=np.uint64)
+    block = (((h >> np.uint64(32)) * np.uint64(num_blocks)) >> np.uint64(32)).astype(
+        np.int64
+    )
+    lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    ok = np.ones(len(h), dtype=bool)
+    for i, salt in enumerate(_SALT):
+        bit = np.uint32(1) << ((lo * np.uint32(salt)) >> np.uint32(27))
+        ok &= (words[block * 8 + i] & bit) != 0
+    return ok
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    bits_per_item: int = 24,
+) -> DataFrame:
+    """Fixed-memory twin of ``decontaminate``: the benchmark shingle set
+    is compressed into a split-block bloom bitmap instead of broadcast
+    verbatim.
+
+    Why it exists: the exact variant broadcasts the distinct shingle
+    STRINGS — fine for MB-scale eval suites, but a multi-GB
+    decontamination list (every public benchmark, all contest archives)
+    outgrows a broadcast hash table long before it outgrows a bloom: at
+    24 bits/item the bitmap is ~3 bytes per shingle (~0.03% FP) with no
+    per-entry object overhead — two orders of magnitude smaller than the
+    strings as a JVM hash set.
+
+    Plan shape: shingle strings are hashed JVM-side (``F.xxhash64``
+    whole-stage codegen — any stable 64-bit hash works here, parquet
+    compatibility is not required); the bitmap probe is ONE Arrow batch
+    pass over the int64 hash column (numpy bit math, no strings cross
+    into Python); then the same single groupBy(doc_id) as the exact
+    variant. No join at all — the contamination check is map-only.
+
+    False positives only (never negatives): ``contamination`` here is a
+    guaranteed UPPER BOUND on the exact ratio — the safe direction for a
+    leakage guard. The bitmap is built on the driver from the
+    benchmark's distinct hashes (eval suites are small by definition);
+    for a truly huge list, build per-partition words and OR-merge —
+    associative, one numpy reduce.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import shingle_signature_kernel
+    from ..cache import track_persist
+
+    spark = documents.sparkSession
+    doc_sh = track_persist(
+        shingle_signature_kernel(documents, n_hashes=0).filter(
+            F.size("shingles") > 0
+        )
+    )
+    bench_hashes = [
+        r.h
+        for r in shingle_signature_kernel(benchmark, n_hashes=0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .select(F.xxhash64("shingle").alias("h"))
+        .collect()
+    ]
+    n_items = max(1, len(bench_hashes))
+    num_blocks = max(1, (n_items * bits_per_item + 255) // 256)
+    words = _bloom_build_words(bench_hashes, num_blocks)
+    bc = spark.sparkContext.broadcast((words, num_blocks))
+
+    def probe(batches):
+        w, nb = bc.value
+        for pdf in batches:
+            hits = _bloom_probe_words(pdf["h"].to_numpy(np.uint64), w, nb)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hit": hits})
+
+    inv = doc_sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    hits = (
+        inv.mapInPandas(probe, "doc_id long, hit boolean")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_hit"))
+    )
+    sizes = doc_sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(ratio, 4).alias("contamination"),
+        (ratio >= threshold).alias("contaminated"),
+    )

@@ -387,3 +387,53 @@ def test_knn_graph_auto_planes_matches_pinned_at_oracle_scales(spark):
     auto = similarity.knn_graph(embs, k=3, n_bands=8)
     pinned = similarity.knn_graph(embs, k=3, n_bands=8, planes_per_band=4)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
+
+
+def test_bloom_math_matches_reference_reader(spark):
+    """The vectorized numpy bloom build/probe must agree bit-for-bit with
+    the scalar split-block reader in parquet.bloom on every inserted hash
+    (no false negatives by construction) and on membership of probes."""
+    import random
+
+    import numpy as np
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        _bloom_build_words,
+        _bloom_probe_words,
+    )
+    from parquet_metadata_explorer_spark.parquet.bloom import BloomFilter
+
+    rng = random.Random(11)
+    inserted = [rng.getrandbits(64) for _ in range(2000)]
+    probes = inserted + [rng.getrandbits(64) for _ in range(2000)]
+    nb = 64
+    words = _bloom_build_words(np.array(inserted, dtype=np.uint64), nb)
+    ref = BloomFilter(words.astype("<u4").tobytes())
+    got = _bloom_probe_words(np.array(probes, dtype=np.uint64), words, nb)
+    want = [ref.might_contain_hash(h) for h in probes]
+    assert got.tolist() == want
+    assert all(got[: len(inserted)])
+
+
+def test_decontaminate_bloom_upper_bounds_exact(spark, sf_dir):
+    """Bloom contamination must never miss an exact hit (no false
+    negatives) and at 24 bits/item must stay close to exact: an
+    over-flagging bloom would quarantine clean documents."""
+    from parquet_metadata_explorer_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+
+    exact = {r.doc_id: r for r in t.decontaminate(train, bench).collect()}
+    bloom = {r.doc_id: r for r in t.decontaminate_bloom(train, bench).collect()}
+    assert exact.keys() == bloom.keys()
+    fp_extra = 0
+    for did, e in exact.items():
+        b = bloom[did]
+        assert b.n_sh == e.n_sh
+        assert b.n_hit >= e.n_hit, (did, b.n_hit, e.n_hit)
+        assert b.contaminated or not e.contaminated
+        fp_extra += b.n_hit - e.n_hit
+    total_sh = sum(e.n_sh for e in exact.values())
+    assert fp_extra / total_sh < 0.005, (fp_extra, total_sh)
