@@ -441,3 +441,50 @@ def test_rolling_window_uses_range_frame(spark, sf_dir):
     plan = formatted_plan(df)
     assert "RangeFrame" in plan, plan[:1500]
     assert "windowspecdefinition(o_orderpriority" in plan
+
+
+def test_q2_decorrelated_min_window(spark, sf_dir):
+    """Q2: the derived-supply MIN decorrelates into one window over the
+    (part,supp) aggregate — no self-join of the supply table, no second
+    lineitem scan; the region supplier map and part filter broadcast."""
+    df = relational.min_cost_supplier(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") <= 5  # lineitem once + 4 dims
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+
+
+def test_q21_no_correlated_join(spark, sf_dir):
+    """Q21: the double EXISTS/NOT-EXISTS must decorrelate into order-level
+    aggregates — the plan may not contain a nested-loop join, and every
+    shuffle join is on orderkey (sort-merge or hash), with the supplier
+    name map broadcast."""
+    df = relational.waiting_suppliers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+    )
+    plan = simple_plan(df)
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_int8_topk_no_python_stage(spark, sf_dir):
+    """The int8 ANN plan is JVM-only: quantization, integer dot and both
+    rank windows must compile without ArrowEvalPython/BatchEvalPython/
+    MapInPandas nodes."""
+    from parquet_metadata_explorer_spark.operators import similarity
+
+    df = similarity.int8_cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), [0, 1], k=5
+    )
+    plan = simple_plan(df)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
+        assert node not in plan, node

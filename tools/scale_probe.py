@@ -165,12 +165,32 @@ def main() -> None:
         "knn_graph": lambda d, e: _knn(e, "auto"),
         "knn_graph_fixed": lambda d, e: _knn(e, 4),
         "dataset_card": lambda d, e: _dataset_card(d),
+        # float GEMM vs pure-codegen int8 top-k over the same corpus:
+        # both scale linearly in corpus size (brute force, fixed queries)
+        "ann_topk": lambda d, e: _ann_float(e),
+        "ann_int8": lambda d, e: _ann_int8(e),
+        # fixed benchmark (the x1 corpus's 1-in-20 slice) screened against
+        # a growing training corpus: bitmap build constant, probe linear
+        "decontam_bloom": lambda d, e: text.decontaminate_bloom(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 10**9)),
+        ),
     }
 
     def _knn(e, planes):
         from parquet_metadata_explorer_spark.operators import similarity
 
         return similarity.knn_graph(e, k=5, n_bands=16, planes_per_band=planes)
+
+    def _ann_float(e):
+        from parquet_metadata_explorer_spark.operators import similarity
+
+        return similarity.cosine_topk(e, [0, 1, 2, 3, 4], k=10)
+
+    def _ann_int8(e):
+        from parquet_metadata_explorer_spark.operators import similarity
+
+        return similarity.int8_cosine_topk(e, [0, 1, 2, 3, 4], k=10)
 
     def _dataset_card(d):
         from parquet_metadata_explorer_spark.operators.pipelines import dataset_card
