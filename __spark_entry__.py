@@ -984,6 +984,44 @@ ORDER BY freq DESC, ngram LIMIT 50
 """
 
 
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (8 merges). Oracle: the merge loop
+    unrolled into 8 CTE stages (the IVF Lloyd pattern) — each stage
+    re-derives the arg-max pair and applies it with leftmost
+    non-overlapping replace, which is exactly the greedy merge scan."""
+    return text.bpe_merges(_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _oracle_bpe(n: int = 8, min_count: int = 2) -> str:
+    sql = [
+        f"""WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS wc
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+v0 AS MATERIALIZED (SELECT wc, regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>' AS s
+       FROM words)"""
+    ]
+    for i in range(1, n + 1):
+        sql.append(
+            f""",
+p{i} AS MATERIALIZED (SELECT p.l AS l, p.r AS r, sum(wc)::BIGINT AS pc
+  FROM (SELECT wc, unnest(list_transform(range(1, len(parts_)),
+                    j -> {{'l': parts_[j], 'r': parts_[j+1]}})) AS p
+        FROM (SELECT wc, str_split(s, chr(31)) AS parts_ FROM v{i-1}))
+  GROUP BY 1, 2 HAVING sum(wc) >= {min_count}),
+m{i} AS MATERIALIZED (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (SELECT wc, replace(s, (SELECT l FROM m{i}) || chr(31) || (SELECT r FROM m{i}),
+                            (SELECT l FROM m{i}) || (SELECT r FROM m{i})) AS s
+         FROM v{i-1})"""
+        )
+    finals = [
+        f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, pc AS pair_count FROM m{i}"
+        for i in range(1, n + 1)
+    ]
+    sql.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(sql)
+
+
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-memory bloom variant of decontamination. Rows-only on the
     board (the probe hashes with Spark's xxhash64, which has no DuckDB
@@ -2891,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": q_ann_int8,
         "events_trending": q_events_trending,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "text_bpe": q_text_bpe,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3017,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
         "ann_int8": O_ANN_INT8,
         "events_trending": O_EVENTS_TRENDING,
+        "text_bpe": _oracle_bpe(),
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

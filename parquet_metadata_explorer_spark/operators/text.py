@@ -528,3 +528,95 @@ def decontaminate_bloom(
         F.round(ratio, 4).alias("contamination"),
         (ratio >= threshold).alias("contaminated"),
     )
+
+
+def bpe_merges(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Train a byte-pair-encoding merge table over the corpus — the
+    tokenizer-training step of a data pipeline.
+
+    The scale insight (and why this is feasible at 100 TB) is classical
+    BPE's own: merges depend only on the WORD FREQUENCY table, so the
+    corpus is touched EXACTLY ONCE — one explode + groupBy(word) shuffle
+    producing a vocab-sized table (bounded by language, not corpus
+    size). The merge loop then runs entirely on that table: each
+    iteration explodes each distinct word's adjacent symbol pairs
+    weighted by word count (vocab-sized), takes the arg-max pair (one
+    collected row, like the k-means centroid partials), and applies the
+    merge to the symbol arrays with a vectorized Arrow pass. n_merges
+    iterations = n_merges vocab-sized jobs, zero further corpus scans.
+
+    Symbols start as characters plus a ``</w>`` end-of-word marker
+    (the standard Sennrich et al. 2016 formulation). Ties in pair
+    counts break lexicographically, so the merge table is deterministic
+    on any engine and partitioning. Returns
+    (rank, left, right, merged, pair_count) — rank 1 is the first,
+    most frequent, merge.
+    """
+    import pandas as pd
+
+    from ..cache import track_persist
+    from ..functions import tokens as tok_fn
+
+    spark = documents.sparkSession
+    words = track_persist(
+        documents.select(F.explode(tok_fn(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    # symbols: characters + end-of-word marker
+    vocab = words.select(
+        "wc",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "wc",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("pc"))
+            .filter(F.col("pc") >= min_count)
+            .orderBy(F.col("pc").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, pc = pairs[0].l, pairs[0].r, pairs[0].pc
+        merges.append((rank, left, right, left + right, pc))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"wc": pdf["wc"], "syms": out})
+
+        vocab = track_persist(
+            vocab.mapInPandas(apply_merge, "wc long, syms array<string>")
+        )
+
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )

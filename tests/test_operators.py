@@ -437,3 +437,31 @@ def test_decontaminate_bloom_upper_bounds_exact(spark, sf_dir):
         fp_extra += b.n_hit - e.n_hit
     total_sh = sum(e.n_sh for e in exact.values())
     assert fp_extra / total_sh < 0.005, (fp_extra, total_sh)
+
+
+def test_bpe_merges_hand_checked(spark):
+    """Hand-checkable corpus: 'low' x5 and 'lower' x2. First merge must
+    be (l, o) count 7; after it, (lo, w) at 7 beats everything; then
+    w</w> at 5 closes 'low'."""
+    docs = spark.createDataFrame(
+        [(i, "low") for i in range(5)] + [(9000 + i, "lower") for i in range(2)],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in text.bpe_merges(docs, n_merges=3, min_count=1).collect()
+    ]
+    assert out == [
+        (1, "l", "o", "lo", 7),
+        (2, "lo", "w", "low", 7),
+        (3, "low", "</w>", "low</w>", 5),
+    ], out
+
+
+def test_bpe_merges_stops_when_exhausted(spark):
+    """min_count prunes the tail: asking for more merges than the corpus
+    supports returns only the supported prefix."""
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    out = text.bpe_merges(docs, n_merges=50, min_count=2).collect()
+    # pairs with corpus count >= 2: (a,b) and (ab,</w>) only
+    assert [(r.left, r.right) for r in out] == [("a", "b"), ("ab", "</w>")], out
