@@ -2912,16 +2912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_timeline": q_window_timeline,
         "grouping_sets": q_grouping_sets,
         "pivot_orders": q_pivot_orders,
-        "tpch_q6": q_tpch_q6,
-        "cube_orders": q_cube_orders,
-        "salted_stats": q_salted_stats,
-        "window_top_orders": q_window_top_orders,
-        "rollup_orders": q_rollup_orders,
-        "supplier_part_revenue": q_supplier_part_revenue,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "set_ops": q_set_ops,
-        "scalar_functions": q_scalar_functions,
         # -- B: new or implementation-changed this round --------------------
         "events_gapfill_by_type": q_events_gapfill_by_type,
         "events_attribution": q_events_attribution,
@@ -2960,7 +2950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- D: boarded showcases (riskier designs first) -------------------
+        # -- D: r3-green group-A survivors (the 5 riskiest of the 10 keep
+        # their slot; the other 5 rotate to the tail — slots are exhausted:
+        # 9 never-boarded + 27 group-B + 9 meta + these 5 = exactly 50)
+        "window_top_orders": q_window_top_orders,
+        "salted_stats": q_salted_stats,
+        "cube_orders": q_cube_orders,
+        "supplier_part_revenue": q_supplier_part_revenue,
+        "rollup_orders": q_rollup_orders,
+        # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
+        "tpch_q6": q_tpch_q6,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
