@@ -992,9 +992,11 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(_table(spark, sf_dir, "documents"), n_merges=8)
 
 
-def _oracle_bpe(n: int = 8, min_count: int = 2) -> str:
+def _bpe_ctes(n: int = 8, min_count: int = 2) -> str:
+    """Shared WITH-body for the BPE oracles: words -> v0 -> n unrolled
+    (pairs, arg-max, apply) stages, all materialized."""
     sql = [
-        f"""WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+        f"""toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
 words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS wc
           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
 v0 AS MATERIALIZED (SELECT wc, regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>' AS s
@@ -1013,13 +1015,60 @@ v{i} AS MATERIALIZED (SELECT wc, replace(s, (SELECT l FROM m{i}) || chr(31) || (
                             (SELECT l FROM m{i}) || (SELECT r FROM m{i})) AS s
          FROM v{i-1})"""
         )
+    return "".join(sql)
+
+
+def _oracle_bpe(n: int = 8, min_count: int = 2) -> str:
     finals = [
         f'SELECT {i}::BIGINT AS rank, l AS "left", r AS "right", '
         f"l || r AS merged, pc AS pair_count FROM m{i}"
         for i in range(1, n + 1)
     ]
-    sql.append("\n" + "\nUNION ALL\n".join(finals))
-    return "".join(sql)
+    return (
+        "WITH " + _bpe_ctes(n, min_count) + "\n" + "\nUNION ALL\n".join(finals)
+    )
+
+
+def _oracle_bpe_tokenize(n: int = 8, min_count: int = 2) -> str:
+    """Tokenizer-apply oracle: the SAME trained stages, then the
+    rank-order replace chain over each document's sep-joined symbols."""
+    stages = [
+        """,
+d0 AS (SELECT doc_id,
+              regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                             '(.)', '\\1' || chr(31), 'g') || '</w>' AS s
+       FROM documents),
+t0 AS (SELECT doc_id,
+              replace(s, chr(31) || ' ' || chr(31), chr(31) || '</w>' || chr(31)) AS s
+       FROM d0)"""
+    ]
+    for i in range(1, n + 1):
+        stages.append(
+            f""",
+t{i} AS (SELECT doc_id,
+              replace(s, (SELECT l FROM m{i}) || chr(31) || (SELECT r FROM m{i}),
+                         (SELECT l FROM m{i}) || (SELECT r FROM m{i})) AS s
+        FROM t{i-1})"""
+        )
+    return (
+        "WITH "
+        + _bpe_ctes(n, min_count)
+        + "".join(stages)
+        + f"""
+SELECT doc_id,
+       len(str_split(s, chr(31)))::BIGINT AS n_bpe_tokens,
+       md5(array_to_string(str_split(s, chr(31)), ' ')) AS fingerprint
+FROM t{n}"""
+    )
+
+
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train 8 merges, then encode the corpus as one
+    codegen replace chain. The oracle re-trains the same stages in SQL
+    and applies the identical chain — fingerprint equality proves the
+    full train→encode path end-to-end."""
+    docs = _table(spark, sf_dir, "documents")
+    return text.bpe_tokenize(docs, text.bpe_merges(docs, n_merges=8))
 
 
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2920,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": q_events_trending,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_bpe": q_text_bpe,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3060,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_int8": O_ANN_INT8,
         "events_trending": O_EVENTS_TRENDING,
         "text_bpe": _oracle_bpe(),
+        "text_bpe_tokenize": _oracle_bpe_tokenize(),
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

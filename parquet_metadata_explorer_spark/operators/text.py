@@ -620,3 +620,53 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"
     )
+
+
+BPE_SEP = "\x1f"
+
+
+def bpe_tokenize(documents: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the tokenizer
+    ENCODE step, as one whole-stage-codegen string expression chain.
+
+    The trick: represent the whole normalized document as a
+    separator-joined symbol string (char ␟ char ␟ … with ``</w>``
+    closing each word), then apply each merge, in rank order, as ONE
+    literal ``replace(s, l␟r, lr)`` — leftmost non-overlapping
+    replacement is exactly the greedy merge scan. Rank-order apply
+    equals the classic lowest-rank-first encoder for any table our
+    trainer produces (a merge's output symbol cannot appear in an
+    earlier merge's input: the symbol did not exist yet when the earlier
+    pair was counted). Cross-word merges cannot fire: ``</w>`` ends
+    every word and pairs beginning with a ``…</w>`` symbol are never in
+    a table trained per-word.
+
+    Map-only, zero shuffle, zero Python. The expression chain grows one
+    ``replace`` per merge, so this path is for the demo-sized tables
+    ``bpe_merges`` trains here (≲100 merges keeps codegen happy); a
+    production 32k-merge vocabulary would instead tokenize the DISTINCT
+    word table with an Arrow kernel and broadcast/AQE-join the pieces
+    back — vocab-sized Python work, corpus-sized pure joins (the
+    ``bpe_merges`` docstring's same scale argument).
+
+    Returns (doc_id, n_bpe_tokens, fingerprint) — the fingerprint is
+    md5 of the space-joined token stream, a corpus-checkable digest
+    that keeps result rows small.
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").select("left", "right").collect()
+    ]
+    s = F.concat(
+        F.regexp_replace(normalize_text(F.col("text")), "(.)", "$1" + BPE_SEP),
+        F.lit("</w>"),
+    )
+    s = F.replace(s, F.lit(BPE_SEP + " " + BPE_SEP), F.lit(BPE_SEP + "</w>" + BPE_SEP))
+    for left, right in merges:
+        s = F.replace(s, F.lit(left + BPE_SEP + right), F.lit(left + right))
+    toks = F.split(s, BPE_SEP)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.md5(F.array_join(toks, " ")).alias("fingerprint"),
+    )

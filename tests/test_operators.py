@@ -465,3 +465,21 @@ def test_bpe_merges_stops_when_exhausted(spark):
     out = text.bpe_merges(docs, n_merges=50, min_count=2).collect()
     # pairs with corpus count >= 2: (a,b) and (ab,</w>) only
     assert [(r.left, r.right) for r in out] == [("a", "b"), ("ab", "</w>")], out
+
+
+def test_bpe_tokenize_counts(spark):
+    """With an empty merge table every char + one </w> per word is a
+    token; merges only ever reduce the count."""
+    docs = spark.createDataFrame(
+        [(1, "ab cd"), (2, "low low lower")], "doc_id long, text string"
+    )
+    empty = text.bpe_merges(docs.limit(0), n_merges=0)
+    base = {r.doc_id: r.n_bpe_tokens for r in text.bpe_tokenize(docs, empty).collect()}
+    assert base[1] == 4 + 2  # 4 chars + 2 end-of-word markers
+    assert base[2] == 11 + 3
+    trained = text.bpe_merges(docs, n_merges=5, min_count=1)
+    merged = {
+        r.doc_id: r.n_bpe_tokens for r in text.bpe_tokenize(docs, trained).collect()
+    }
+    assert all(merged[d] <= base[d] for d in base)
+    assert merged[2] < base[2]  # 'low' x3 must compress
