@@ -3000,15 +3000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- D: r3-green group-A survivors (the 5 riskiest of the 10 keep
-        # their slot; the other 5 rotate to the tail — slots are exhausted:
-        # 9 never-boarded + 27 group-B + 9 meta + these 5 = exactly 50)
+        # -- D: r3-green group-A survivors (the riskiest keep their slot;
+        # the rest rotate to the tail — slots are exhausted:
+        # 9 never-boarded + 28 group-B + 9 meta + these 4 = exactly 50)
         "window_top_orders": q_window_top_orders,
         "salted_stats": q_salted_stats,
         "cube_orders": q_cube_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
-        "rollup_orders": q_rollup_orders,
         # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
+        "rollup_orders": q_rollup_orders,
         "tpch_q6": q_tpch_q6,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
