@@ -1062,6 +1062,22 @@ FROM t{n}"""
     )
 
 
+def q_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned data read: files admitted by our own footer-stat
+    metadata, residual filter on the scan. The oracle is the plain
+    SELECT — equality proves pruning never drops a matching row."""
+    from parquet_metadata_explorer_spark.operators.reports import stats_pruned_read
+
+    return stats_pruned_read(
+        spark, f"{sf_dir}/documents.parquet", "n_chars", 500, 2000
+    ).select("doc_id", "lang", "n_chars")
+
+
+O_PRUNED_READ = """
+SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 500 AND 2000
+"""
+
+
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: train 8 merges, then encode the corpus as one
     codegen replace chain. The oracle re-trains the same stages in SQL
@@ -2970,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_bpe": q_text_bpe,
         "text_bpe_tokenize": q_text_bpe_tokenize,
+        "pruned_read": q_pruned_read,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3002,12 +3019,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # -- D: r3-green group-A survivors (the riskiest keep their slot;
         # the rest rotate to the tail — slots are exhausted:
-        # 9 never-boarded + 28 group-B + 9 meta + these 4 = exactly 50)
+        # 9 never-boarded + 29 group-B + 9 meta + these 3 = exactly 50)
         "window_top_orders": q_window_top_orders,
         "salted_stats": q_salted_stats,
         "cube_orders": q_cube_orders,
-        "supplier_part_revenue": q_supplier_part_revenue,
         # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
+        "supplier_part_revenue": q_supplier_part_revenue,
         "rollup_orders": q_rollup_orders,
         "tpch_q6": q_tpch_q6,
         "semi_join": q_semi_join,
@@ -3111,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trending": O_EVENTS_TRENDING,
         "text_bpe": _oracle_bpe(),
         "text_bpe_tokenize": _oracle_bpe_tokenize(),
+        "pruned_read": O_PRUNED_READ,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

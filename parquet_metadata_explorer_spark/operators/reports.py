@@ -355,3 +355,83 @@ def page_integrity_report(spark: SparkSession, data_path: str) -> DataFrame:
         )
         .orderBy("filepath")
     )
+
+
+def prunable_files(
+    spark: SparkSession, data_path: str, column: str, lo, hi
+) -> DataFrame:
+    """Files whose footer statistics ADMIT rows with ``column`` in
+    [lo, hi] — the metadata half of a stats-pruned read.
+
+    Runs distributed: the column-level scan's raw min/max stat bytes are
+    decoded (same typed decoder as the overlap report) and compared in
+    an Arrow pass, then ONE tiny groupBy(filepath) folds rowgroup
+    verdicts into a per-file keep/skip. A file is kept when ANY row
+    group's [min, max] intersects [lo, hi] — or when stats are absent
+    (no stats ⇒ must not prune; absence of evidence is not absence of
+    rows). Only the kept file list (metadata-sized) reaches the driver.
+    """
+    import pandas as pd
+
+    from ..parquet.decode import decode_stat_value
+    from ..sources.api import read_metadata
+
+    cols = read_metadata(spark, data_path, source="parquet", level="column").filter(
+        F.col("path") == column
+    )
+    slim = cols.select(
+        "filepath",
+        "type",
+        F.col("statistics.min_value").alias("mn"),
+        F.col("statistics.max_value").alias("mx"),
+    )
+
+    def admit(batches):
+        for pdf in batches:
+            keep = []
+            for r in pdf.itertuples(index=False):
+                mn = decode_stat_value(r.mn, r.type)
+                mx = decode_stat_value(r.mx, r.type)
+                if mn is None or mx is None:
+                    keep.append(True)  # unprunable without stats
+                else:
+                    try:
+                        keep.append(not (mx < lo or mn > hi))
+                    except TypeError:
+                        keep.append(True)  # incomparable -> never prune
+            yield pd.DataFrame({"filepath": pdf["filepath"], "keep": keep})
+
+    return (
+        slim.mapInPandas(admit, "filepath string, keep boolean")
+        .groupBy("filepath")
+        .agg(F.max("keep").alias("keep"))
+        .filter(F.col("keep"))
+        .select("filepath")
+    )
+
+
+def stats_pruned_read(
+    spark: SparkSession, data_path: str, column: str, lo, hi
+) -> DataFrame:
+    """Metadata-driven scan pruning — the synergy the metadata plane
+    exists for: answer ``SELECT … WHERE column BETWEEN lo AND hi`` while
+    OPENING only the files whose footer stats admit matches.
+
+    Spark's own parquet reader prunes ROW GROUPS inside each file it
+    opens, but it still lists/opens every file's footer at scan time;
+    this operator moves that decision into the (cacheable, queryable)
+    metadata DataFrame — on a 10^6-file table a date-range query plans
+    from the metadata scan and touches only the admitted files. The
+    residual BETWEEN filter stays on the read (stats admit false
+    positives; correctness never depends on the pruning), and row-group
+    pruning inside admitted files still happens via the pushed filter.
+    """
+    files = [r.filepath for r in prunable_files(spark, data_path, column, lo, hi).collect()]
+    col = F.col(column)
+    if not files:
+        return (
+            spark.read.parquet(data_path)
+            .filter(F.lit(False))
+            .filter(col.between(lo, hi))
+        )
+    return spark.read.parquet(*files).filter(col.between(lo, hi))

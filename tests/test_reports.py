@@ -246,3 +246,36 @@ def test_page_integrity_detects_corruption(spark, tmp_path):
         victim.column_id,
         victim.page_id,
     )
+
+
+def test_stats_pruned_read(spark, tmp_path):
+    """A range query over a 10-file sorted dataset must (a) admit only
+    the files whose stat ranges intersect and (b) return exactly the
+    full-scan result."""
+    from parquet_metadata_explorer_spark.operators.reports import (
+        prunable_files,
+        stats_pruned_read,
+    )
+
+    d = tmp_path / "ranged"
+    d.mkdir()
+    for i in range(10):
+        t = pa.table({"k": list(range(i * 100, i * 100 + 100)), "tag": [i] * 100})
+        pq.write_table(t, str(d / f"f{i}.parquet"))
+
+    admitted = [r.filepath for r in prunable_files(spark, str(d), "k", 250, 420).collect()]
+    assert sorted(p.rsplit("/", 1)[1] for p in admitted) == [
+        "f2.parquet",
+        "f3.parquet",
+        "f4.parquet",
+    ]
+
+    got = sorted(
+        r.k for r in stats_pruned_read(spark, str(d), "k", 250, 420).collect()
+    )
+    assert got == list(range(250, 421))
+
+    # fully out-of-range: no file admitted, empty result, schema intact
+    none = stats_pruned_read(spark, str(d), "k", 5000, 6000)
+    assert none.count() == 0
+    assert set(none.columns) == {"k", "tag"}
