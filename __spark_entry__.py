@@ -1062,6 +1062,26 @@ FROM t{n}"""
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_overlap(_table(spark, sf_dir, "documents"))
+
+
+O_SOURCE_OVERLAP = f"""
+WITH toks AS (SELECT doc_id, source, {D_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT source, unnest({D_SHINGLES}) AS shingle FROM toks),
+per AS (SELECT source, count(*)::BIGINT AS n_shingles FROM sh GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       round(n_common / n_shingles::double, 4) AS overlap
+FROM common JOIN per ON source_a = per.source
+"""
+
+
 def q_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned data read: files admitted by our own footer-stat
     metadata, residual filter on the scan. The oracle is the plain
@@ -2987,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe": q_text_bpe,
         "text_bpe_tokenize": q_text_bpe_tokenize,
         "pruned_read": q_pruned_read,
+        "source_overlap": q_source_overlap,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3019,11 +3040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # -- D: r3-green group-A survivors (the riskiest keep their slot;
         # the rest rotate to the tail — slots are exhausted:
-        # 9 never-boarded + 29 group-B + 9 meta + these 3 = exactly 50)
+        # 9 never-boarded + 30 group-B + 9 meta + these 2 = exactly 50)
         "window_top_orders": q_window_top_orders,
         "salted_stats": q_salted_stats,
-        "cube_orders": q_cube_orders,
         # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
+        "cube_orders": q_cube_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
         "rollup_orders": q_rollup_orders,
         "tpch_q6": q_tpch_q6,
@@ -3129,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe": _oracle_bpe(),
         "text_bpe_tokenize": _oracle_bpe_tokenize(),
         "pruned_read": O_PRUNED_READ,
+        "source_overlap": O_SOURCE_OVERLAP,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

@@ -670,3 +670,53 @@ def bpe_tokenize(documents: DataFrame, merges_df: DataFrame) -> DataFrame:
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Cross-source overlap matrix: for every ordered source pair
+    (a, b), how much of source a's distinct 3-word shingle vocabulary
+    also occurs in source b — the mixture-design diagnostic that shows
+    which corpus components are near-copies (mirror crawls, re-scrapes)
+    before any pairwise document dedup runs.
+
+    Scale shape: one Arrow shingle pass (map-only), ONE shuffle on
+    shingle to fold each shingle's source SET (bounded by the source
+    count, not the corpus), then pair explosion bounded by sources² per
+    shingle and source-pair-sized aggregates. No document ever joins a
+    document — the matrix costs the same as one inverted-index build.
+    """
+    from .dedup import shingle_signature_kernel
+
+    sh = (
+        shingle_signature_kernel(documents, n_hashes=0)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("shingle"))
+    )
+    srcs = sh.groupBy("shingle").agg(F.collect_set("source").alias("srcs"))
+    per_source = (
+        srcs.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+    )
+    pairs = (
+        srcs.select(
+            F.explode("srcs").alias("source_a"), F.col("srcs").alias("srcs_b")
+        )
+        .select("source_a", F.explode("srcs_b").alias("source_b"))
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_source.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_shingles"), 4).alias("overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )
