@@ -435,3 +435,54 @@ def stats_pruned_read(
             .filter(col.between(lo, hi))
         )
     return spark.read.parquet(*files).filter(col.between(lo, hi))
+
+
+def stream_integrity_audit(
+    spark: SparkSession,
+    data_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous ingest validation: watch a landing directory with the
+    streaming metadata source (file level — one row per NEW file per
+    micro-batch, checkpoint-exact replay) and, per trigger, run the page
+    CRC-32 audit on EXACTLY the newly arrived files, appending one audit
+    row per file to ``out_path``.
+
+    This is the ``foreachBatch`` shape: the audit is a batch aggregation
+    (groupBy filepath over a page scan) that Structured Streaming cannot
+    express incrementally, and foreachBatch hands each micro-batch over
+    the full batch API — the discovery stays streaming (incremental,
+    restart-safe via the checkpoint), the per-file work stays the
+    already-tested batch operator. Micro-batches are new-files-sized, so
+    the driver-side path collection is bounded by ingest rate, never by
+    table size. Returns the started StreamingQuery.
+    """
+    from .. import register as _register
+    from pyspark.sql import functions as SF
+
+    _register(spark)
+    files_stream = (
+        spark.readStream.format("metadata").option("level", "file").load(data_path)
+    )
+
+    def audit(batch_df, batch_id):
+        paths = sorted(r.filepath for r in batch_df.select("filepath").collect())
+        if not paths:
+            return
+        report = page_integrity_report(spark, paths[0])
+        for p in paths[1:]:
+            report = report.unionByName(page_integrity_report(spark, p))
+        (
+            report.withColumn("batch_id", SF.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = files_stream.writeStream.foreachBatch(audit).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -61,3 +61,55 @@ def test_stream_rowgroup_level_parses_footers(spark):
     # streamed rows equal the batch scan of the same directory
     batch = pqx.read_metadata(spark, root, source="parquet", level="rowgroup").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+
+
+def test_stream_integrity_audit_incremental(spark, tmp_path):
+    """Continuous ingest validation: the first trigger audits the clean
+    landed file; after a corrupted file lands, the restarted query audits
+    ONLY the new file and flags exactly its broken page."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.reports import (
+        stream_integrity_audit,
+    )
+    from parquet_metadata_explorer_spark.sources.api import read_metadata
+
+    root = str(tmp_path / "landing")
+    out = str(tmp_path / "audit_out")
+    ck = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(root)
+
+    t = pa.table({"a": list(range(4000)), "s": [f"v{i % 61}" for i in range(4000)]})
+    pq.write_table(t, root + "/clean.parquet", write_page_checksum=True)
+
+    q = stream_integrity_audit(spark, root, out, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1
+    assert first[0].filepath.endswith("clean.parquet")
+    assert first[0].n_crc_mismatch == 0 and first[0].n_with_crc == first[0].n_pages
+
+    # a corrupted file lands: write with checksums, flip one page byte
+    bad = root + "/bad.parquet"
+    pq.write_table(t, bad, write_page_checksum=True)
+    page = next(
+        p
+        for p in read_metadata(spark, bad, source="parquet", level="page").collect()
+        if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2") and p.page_compressed_size > 8
+    )
+    off = page.page_header_offset + page.page_header_size + 2
+    with open(bad, "r+b") as f:
+        f.seek(off)
+        b = f.read(1)
+        f.seek(off)
+        f.write(bytes([b[0] ^ 0x55]))
+
+    q2 = stream_integrity_audit(spark, root, out, ck)
+    q2.awaitTermination(120)
+    rows = {r.filepath.rsplit("/", 1)[1]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"clean.parquet", "bad.parquet"}
+    assert rows["bad.parquet"].n_crc_mismatch == 1
+    assert rows["bad.parquet"].batch_id > rows["clean.parquet"].batch_id
