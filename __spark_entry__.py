@@ -2179,6 +2179,43 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on the hourly series."""
+    _utc(spark)
+    return ev.hourly_anomalies(ev.load_events(spark, sf_dir))
+
+
+_ANOM_MEAN = "sx::double / n"
+_ANOM_VAR = "(sxx::double - sx::double * sx::double / n) / (n - 1)"
+_ANOM_Z = f"(n_events - {_ANOM_MEAN}) / sqrt({_ANOM_VAR})"
+O_EVENTS_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+         count(n_events) OVER win AS n,
+         sum(n_events::DECIMAL(30,10)) OVER win AS sx,
+         sum((n_events * n_events)::DECIMAL(30,10)) OVER win AS sxx
+  FROM hourly
+  WINDOW win AS (PARTITION BY event_type ORDER BY (epoch(hour) / 3600)::BIGINT
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       n_events,
+       round({_ANOM_MEAN}, 4) AS trail_mean,
+       round(CASE WHEN n >= 2 THEN
+               CASE WHEN {_ANOM_VAR} > 0 THEN {_ANOM_Z} END
+             END, 4) AS z_score,
+       coalesce(abs(CASE WHEN n >= 2 THEN
+                      CASE WHEN {_ANOM_VAR} > 0 THEN {_ANOM_Z} END
+                    END) > 3.0, false) AS anomaly
+FROM w
+"""
+
+
 def q_events_gapfill_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-series gap-fill: per-event_type spine + chunked LOCF. The
     oracle runs the PLAIN per-series unbounded window — hash equality
@@ -3008,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokenize": q_text_bpe_tokenize,
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
+        "events_anomalies": q_events_anomalies,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3038,12 +3076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- D: r3-green group-A survivors (the riskiest keep their slot;
+        # -- D: r3-green group-A survivor (the riskiest keeps its slot;
         # the rest rotate to the tail — slots are exhausted:
-        # 9 never-boarded + 30 group-B + 9 meta + these 2 = exactly 50)
-        "window_top_orders": q_window_top_orders,
+        # 9 never-boarded + 31 group-B + 9 meta + this 1 = exactly 50)
         "salted_stats": q_salted_stats,
         # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
+        "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
         "rollup_orders": q_rollup_orders,
@@ -3151,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokenize": _oracle_bpe_tokenize(),
         "pruned_read": O_PRUNED_READ,
         "source_overlap": O_SOURCE_OVERLAP,
+        "events_anomalies": O_EVENTS_ANOMALIES,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

@@ -419,7 +419,11 @@ def _bloom_build_words(hashes, num_blocks: int):
 
     from ..parquet.bloom import _SALT
 
-    h = np.asarray(hashes, dtype=np.uint64)
+    # explicit two's-complement view: Spark's xxhash64 yields SIGNED
+    # longs, and numpy is deprecating implicit negative->uint64 wrapping
+    h = np.asarray(
+        [x & 0xFFFFFFFFFFFFFFFF for x in hashes], dtype=np.uint64
+    )
     words = np.zeros(num_blocks * 8, dtype=np.uint32)
     block = ((h >> np.uint64(32)) * np.uint64(num_blocks)) >> np.uint64(32)
     lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -508,7 +512,9 @@ def decontaminate_bloom(
     def probe(batches):
         w, nb = bc.value
         for pdf in batches:
-            hits = _bloom_probe_words(pdf["h"].to_numpy(np.uint64), w, nb)
+            # reinterpret the signed hash column as uint64 bit patterns
+            h = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            hits = _bloom_probe_words(h, w, nb)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hit": hits})
 
     inv = doc_sh.select(

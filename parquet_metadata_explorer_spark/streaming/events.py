@@ -992,3 +992,54 @@ def stream_trending(
             "n_events",
         )
     )
+
+
+def hourly_anomalies(
+    events: DataFrame, trail_hours: int = 24, z_threshold: float = 3.0
+) -> DataFrame:
+    """Hourly volume anomaly detection: flag (event_type, hour) buckets
+    whose count deviates from the TRAILING ``trail_hours``-hour
+    mean by more than ``z_threshold`` sample standard deviations.
+
+    The raw stream collapses to (type, hour) counts first — one
+    partial-aggregatable shuffle — and the trailing statistics run as a
+    RANGE window over the hourly series EXCLUDING the current row
+    (−trail_hours .. −1 hour), so a spike never masks itself by
+    inflating its own baseline. Window partitions are per event_type
+    and calendar-sized. Variance is computed from exact decimal
+    Σx/Σx² partials (sample stddev, n−1), so the z-scores are
+    partition-count invariant; hours with fewer than 2 trailing points
+    or zero variance report NULL z and never flag.
+    """
+    from parquet_metadata_explorer_spark.operators.relational import DEC
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    hrs = F.unix_timestamp("hour") / 3600
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(hrs.cast("long"))
+        .rangeBetween(-trail_hours, -1)
+    )
+    n = F.count("n_events").over(w)
+    sx = F.sum(F.col("n_events").cast(DEC)).over(w)
+    sxx = F.sum((F.col("n_events") * F.col("n_events")).cast(DEC)).over(w)
+    mean = sx.cast("double") / n
+    # sample variance from exact partials: (Σx² − (Σx)²/n) / (n−1)
+    var = (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) / (n - 1)
+    z = F.when(
+        (n >= 2) & (var > 0),
+        (F.col("n_events") - mean) / F.sqrt(var),
+    )
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            F.round(mean, 4).alias("trail_mean"),
+            F.round(z, 4).alias("z_score"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
