@@ -1082,6 +1082,40 @@ FROM common JOIN per ON source_a = per.source
 """
 
 
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over the fact table."""
+    from parquet_metadata_explorer_spark.operators.reports import profile_columns
+
+    return profile_columns(
+        _table(spark, sf_dir, "lineitem"), _PROFILE_NUM, _PROFILE_STR
+    )
+
+
+def _oracle_profile() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(
+            f"""SELECT '{c}' AS "column", count({c})::BIGINT AS n_values,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::double AS min_num, max({c})::double AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem"""
+        )
+    for c in _PROFILE_STR:
+        parts.append(
+            f"""SELECT '{c}' AS "column", count({c})::BIGINT AS n_values,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       NULL::double AS min_num, NULL::double AS max_num,
+       min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned data read: files admitted by our own footer-stat
     metadata, residual filter on the scan. The oracle is the plain
@@ -3046,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
         "events_anomalies": q_events_anomalies,
+        "profile_lineitem": q_profile_lineitem,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3076,11 +3111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_plain_decode": q_page_plain_decode,
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- D: r3-green group-A survivor (the riskiest keeps its slot;
-        # the rest rotate to the tail — slots are exhausted:
-        # 9 never-boarded + 31 group-B + 9 meta + this 1 = exactly 50)
+        # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY
+        # §2.4 (slots exhausted: 9 never-boarded + 32 group-B + 9 meta
+        # = exactly 50; the whole r3-green group-A set rotates to the tail)
         "salted_stats": q_salted_stats,
-        # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY §2.4
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
         "supplier_part_revenue": q_supplier_part_revenue,
@@ -3190,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_read": O_PRUNED_READ,
         "source_overlap": O_SOURCE_OVERLAP,
         "events_anomalies": O_EVENTS_ANOMALIES,
+        "profile_lineitem": _oracle_profile(),
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

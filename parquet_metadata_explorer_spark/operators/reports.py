@@ -486,3 +486,69 @@ def stream_integrity_audit(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def profile_columns(
+    df: DataFrame, numeric_cols: list, string_cols: list
+) -> DataFrame:
+    """Single-pass column profiler: per column — value/null/distinct
+    counts plus min/max (numeric columns as doubles, string columns
+    lexicographic) — the data-quality summary every ingest pipeline
+    runs first.
+
+    ALL metrics fold in ONE aggregation over the table: Catalyst plans
+    the multi-column DISTINCT aggregates with one Expand (rows
+    multiplied by the distinct-column count, each partial-aggregated
+    map-side), so the table is scanned once regardless of how many
+    columns are profiled. The single wide result row is then unpivoted
+    to long format driver-side — metrics-count rows, never data rows.
+    Min/max stay typed (numeric vs string columns report in separate
+    columns) because cross-engine double→string rendering is not
+    deterministic, while doubles and ASCII orderings are.
+    """
+    aggs = []
+    for c in numeric_cols + string_cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    for c in numeric_cols:
+        aggs += [
+            F.min(F.col(c)).cast("double").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__mx"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.min(F.col(c)).cast("string").alias(f"{c}__smn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__smx"),
+        ]
+    wide = df.agg(*aggs)
+    rows = []
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").cast("long").alias("n_values"),
+                F.col(f"{c}__nn").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                (F.col(f"{c}__mn") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"{c}__mx") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (F.col(f"{c}__smn") if not is_num else F.lit(None).cast("string")).alias(
+                    "min_str"
+                ),
+                (F.col(f"{c}__smx") if not is_num else F.lit(None).cast("string")).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

@@ -488,3 +488,17 @@ def test_int8_topk_no_python_stage(spark, sf_dir):
     plan = simple_plan(df)
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapsInPandas"):
         assert node not in plan, node
+
+
+def test_profiler_single_scan(spark, sf_dir):
+    """The multi-column profile must fold in ONE pass over the table —
+    one parquet scan regardless of how many columns are profiled."""
+    from parquet_metadata_explorer_spark.operators.reports import profile_columns
+
+    df = profile_columns(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice"],
+        ["l_returnflag"],
+    )
+    plan = simple_plan(df)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
