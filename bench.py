@@ -72,6 +72,10 @@ def main() -> None:
         "events_gapfill_by_type",
         "knn_graph",
         "dataset_card",
+        "source_overlap",
+        "text_bpe",
+        "profile_lineitem",
+        "events_trending",
         "tpch_q1",
         "tpch_q5",
         "tpch_q10",
