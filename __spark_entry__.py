@@ -2213,6 +2213,61 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional (linear-interpolation) gap-fill; oracle runs the
+    plain per-series unbounded windows — hash equality proves the
+    two-direction month-chunk decomposition exact."""
+    _utc(spark)
+    return ev.gapfill_hourly_interpolate(ev.load_events(spark, sf_dir))
+
+
+O_EVENTS_GAPFILL_INTERP = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         round(sum(value::DECIMAL(30,10)) / count(value), 6)::double AS mean_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+),
+j AS (
+  SELECT s.event_type, s.hour, h.mean_value
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN mean_value IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER wb AS ph,
+    last_value(mean_value IGNORE NULLS) OVER wb AS pv,
+    first_value(CASE WHEN mean_value IS NOT NULL THEN hour END IGNORE NULLS)
+      OVER wf AS nh,
+    first_value(mean_value IGNORE NULLS) OVER wf AS nv
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       mean_value,
+       round(CASE WHEN mean_value IS NOT NULL THEN mean_value
+                  WHEN ph IS NOT NULL AND nh IS NOT NULL THEN
+                    pv + (nv - pv) * ((epoch(hour) - epoch(ph)) / 3600)
+                                   / ((epoch(nh) - epoch(ph)) / 3600)
+                  WHEN ph IS NOT NULL THEN pv
+                  WHEN nh IS NOT NULL THEN nv END, 6) AS filled_value,
+       mean_value IS NULL AS was_gap
+FROM w
+"""
+
+
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window z-score anomaly flags on the hourly series."""
     _utc(spark)
@@ -3081,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "events_anomalies": q_events_anomalies,
         "profile_lineitem": q_profile_lineitem,
+        "events_gapfill_interp": q_events_gapfill_interp,
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
@@ -3099,7 +3155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "dataset_card": q_dataset_card,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_logprob": q_text_logprob,
         "multimodal_decode": q_multimodal_decode,
         # -- C: reference-surface parity contract (MetadataLevel S7-S14) ----
         "meta_file_list": q_meta_file_list,
@@ -3114,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- E: long-stable (green r3/r4, unchanged) — rotate per SURVEY
         # §2.4 (slots exhausted: 9 never-boarded + 32 group-B + 9 meta
         # = exactly 50; the whole r3-green group-A set rotates to the tail)
+        "text_logprob": q_text_logprob,
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
@@ -3225,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": O_SOURCE_OVERLAP,
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
+        "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,
         "page_reconstruct_bss": O_PAGE_RECONSTRUCT_BSS,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q13": O_TPCH_Q13,

@@ -1043,3 +1043,119 @@ def hourly_anomalies(
         )
         .orderBy("event_type", "hour")
     )
+
+
+def gapfill_hourly_interpolate(events: DataFrame) -> DataFrame:
+    """Linear-interpolation gap-fill: every missing hour gets the value
+    linearly interpolated between its nearest observed neighbors (LOCF
+    at the trailing edge, backfill at the leading edge) — the fill
+    strategy for continuous metrics where carrying a stale value flat
+    distorts trends.
+
+    Same chunked scale shape as the LOCF variant, run in BOTH
+    directions: (value, hour) pairs carry forward AND backward under
+    (series, month-chunk) windows (≤744 rows each), with per-chunk
+    boundary pairs folded month-spine-wise so a fully-empty month still
+    inherits both neighbors. Interpolation arithmetic is fixed-order
+    double math over exact decimal hourly means and integer hour
+    distances, so the result is partition-invariant; the DuckDB twin
+    runs the plain per-series unbounded windows — hash equality proves
+    the bidirectional chunk decomposition exact.
+    """
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            / F.count(F.col("value")),
+            6,
+        )
+        .cast("double")
+        .alias("mean_value")
+    )
+    spans = events.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+
+    pair = F.when(
+        F.col("mean_value").isNotNull(),
+        F.struct(F.col("hour").alias("h"), F.col("mean_value").alias("v")),
+    )
+    chunk = F.date_trunc("month", F.col("hour"))
+    w_back = (
+        Window.partitionBy("event_type", chunk)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type", chunk)
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    # per observed (series, month): the last and first observed pairs
+    chunk_edges = hourly.groupBy(
+        "event_type", F.date_trunc("month", F.col("hour")).alias("chunk")
+    ).agg(
+        F.max_by(
+            F.struct(F.col("hour").alias("h"), F.col("mean_value").alias("v")), "hour"
+        ).alias("chunk_last"),
+        F.min_by(
+            F.struct(F.col("hour").alias("h"), F.col("mean_value").alias("v")), "hour"
+        ).alias("chunk_first"),
+    )
+    month_spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "h0"),
+                F.date_trunc("month", "h1"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("chunk"),
+    )
+    months_prev = Window.partitionBy("event_type").orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    months_next = Window.partitionBy("event_type").orderBy("chunk").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    carry = month_spine.join(chunk_edges, ["event_type", "chunk"], "left").select(
+        "event_type",
+        "chunk",
+        F.last("chunk_last", ignorenulls=True).over(months_prev).alias("carry_in"),
+        F.first("chunk_first", ignorenulls=True).over(months_next).alias("carry_out"),
+    )
+
+    prev_p = F.coalesce(F.last(pair, ignorenulls=True).over(w_back), F.col("carry_in"))
+    next_p = F.coalesce(F.first(pair, ignorenulls=True).over(w_fwd), F.col("carry_out"))
+    dh = (F.unix_timestamp(next_p["h"]) - F.unix_timestamp(prev_p["h"])) / 3600
+    dx = (F.unix_timestamp(F.col("hour")) - F.unix_timestamp(prev_p["h"])) / 3600
+    interp = (
+        F.when(F.col("mean_value").isNotNull(), F.col("mean_value"))
+        .when(
+            prev_p.isNotNull() & next_p.isNotNull(),
+            prev_p["v"] + (next_p["v"] - prev_p["v"]) * dx / dh,
+        )
+        .when(prev_p.isNotNull(), prev_p["v"])
+        .when(next_p.isNotNull(), next_p["v"])
+    )
+    return (
+        joined.withColumn("chunk", chunk)
+        .join(carry, ["event_type", "chunk"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "mean_value",
+            F.round(interp, 6).alias("filled_value"),
+            F.col("mean_value").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
