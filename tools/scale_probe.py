@@ -175,6 +175,13 @@ def main() -> None:
             d.filter(F.col("doc_id") % 20 != 0),
             d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 10**9)),
         ),
+        # corpus pass is the only size-dependent stage; the merge loop is
+        # vocab-sized (token permutation keeps the word multiset constant,
+        # so the vocab — and the loop cost — is flat across factors)
+        "text_bpe": lambda d, e: text.bpe_merges(d, n_merges=8),
+        # shingle volume linear; per-shingle source sets bounded by the
+        # source count (20), pair explosion sources²-bounded
+        "source_overlap": lambda d, e: text.source_overlap(d),
     }
 
     def _knn(e, planes):
