@@ -536,6 +536,9 @@ def decontaminate_bloom(
     )
 
 
+BPE_SEP = "\x1f"
+
+
 def bpe_merges(
     documents: DataFrame, n_merges: int = 8, min_count: int = 2
 ) -> DataFrame:
@@ -548,10 +551,17 @@ def bpe_merges(
     producing a vocab-sized table (bounded by language, not corpus
     size). The merge loop then runs entirely on that table: each
     iteration explodes each distinct word's adjacent symbol pairs
-    weighted by word count (vocab-sized), takes the arg-max pair (one
-    collected row, like the k-means centroid partials), and applies the
-    merge to the symbol arrays with a vectorized Arrow pass. n_merges
-    iterations = n_merges vocab-sized jobs, zero further corpus scans.
+    weighted by word count (vocab-sized) and takes the arg-max pair —
+    one collected row, like the k-means centroid partials. Applying a
+    chosen merge is a single literal ``replace(s, l␟r, lr)`` over the
+    separator-joined symbol string (leftmost non-overlapping
+    replacement IS the greedy merge scan — the identity the tokenizer
+    apply and the DuckDB oracle are built on), so the whole loop is
+    whole-stage codegen: n_merges vocab-sized JVM jobs, no Python
+    stage, zero further corpus scans. Round k re-derives its vocab by
+    chaining k cheap replaces over the persisted word table — O(n²)
+    string passes over a vocab-sized table beats materializing n
+    intermediate tables.
 
     Symbols start as characters plus a ``</w>`` end-of-word marker
     (the standard Sennrich et al. 2016 formulation). Ties in pair
@@ -560,8 +570,6 @@ def bpe_merges(
     (rank, left, right, merged, pair_count) — rank 1 is the first,
     most frequent, merge.
     """
-    import pandas as pd
-
     from ..cache import track_persist
     from ..functions import tokens as tok_fn
 
@@ -571,23 +579,22 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
     )
-    # symbols: characters + end-of-word marker
-    vocab = words.select(
-        "wc",
-        F.concat(
-            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-        ).alias("syms"),
+    # separator-joined symbols: characters + end-of-word marker
+    s_col = F.concat(
+        F.regexp_replace(F.col("w"), "(.)", "$1" + BPE_SEP), F.lit("</w>")
     )
+    vocab = words.select("wc", s_col.alias("s"))
 
     merges = []
     for rank in range(1, n_merges + 1):
+        parts = F.split("s", BPE_SEP)
         pairs = (
             vocab.select(
                 "wc",
                 F.explode(
                     F.zip_with(
-                        F.slice("syms", 1, F.size("syms") - 1),
-                        F.slice("syms", 2, F.size("syms") - 1),
+                        F.slice(parts, 1, F.size(parts) - 1),
+                        F.slice(parts, 2, F.size(parts) - 1),
                         lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                     )
                 ).alias("p"),
@@ -603,32 +610,16 @@ def bpe_merges(
             break
         left, right, pc = pairs[0].l, pairs[0].r, pairs[0].pc
         merges.append((rank, left, right, left + right, pc))
-
-        def apply_merge(batches, _l=left, _r=right):
-            for pdf in batches:
-                out = []
-                for syms in pdf["syms"]:
-                    res, i, n = [], 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
-                            res.append(_l + _r)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    out.append(res)
-                yield pd.DataFrame({"wc": pdf["wc"], "syms": out})
-
-        vocab = track_persist(
-            vocab.mapInPandas(apply_merge, "wc long, syms array<string>")
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(left + BPE_SEP + right), F.lit(left + right)
+            ),
         )
 
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"
     )
-
-
-BPE_SEP = "\x1f"
 
 
 def bpe_tokenize(documents: DataFrame, merges_df: DataFrame) -> DataFrame:
