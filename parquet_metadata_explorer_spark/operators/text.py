@@ -622,7 +622,9 @@ def bpe_merges(
     )
 
 
-def bpe_tokenize(documents: DataFrame, merges_df: DataFrame) -> DataFrame:
+def bpe_tokenize(
+    documents: DataFrame, merges_df: DataFrame, with_tokens: bool = False
+) -> DataFrame:
     """Apply a trained BPE merge table to the corpus — the tokenizer
     ENCODE step, as one whole-stage-codegen string expression chain.
 
@@ -662,11 +664,16 @@ def bpe_tokenize(documents: DataFrame, merges_df: DataFrame) -> DataFrame:
     for left, right in merges:
         s = F.replace(s, F.lit(left + BPE_SEP + right), F.lit(left + right))
     toks = F.split(s, BPE_SEP)
-    return documents.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
-    )
+    ]
+    if with_tokens:
+        # full token stream — reconstruction-invariant tested; the digest
+        # columns stay the default because board rows should be small
+        cols.append(toks.alias("bpe_tokens"))
+    return documents.select(*cols)
 
 
 def source_overlap(documents: DataFrame) -> DataFrame:

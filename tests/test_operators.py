@@ -483,3 +483,26 @@ def test_bpe_tokenize_counts(spark):
     }
     assert all(merged[d] <= base[d] for d in base)
     assert merged[2] < base[2]  # 'low' x3 must compress
+
+
+def test_bpe_tokenize_reconstructs_text(spark, sf_dir):
+    """Merges only delete separators, so concatenating the token stream
+    (with </w> back to spaces) must reproduce the normalized text of
+    EVERY document — the lossless-encode invariant."""
+    from parquet_metadata_explorer_spark.functions import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = text.bpe_merges(docs, n_merges=8)
+    out = text.bpe_tokenize(docs, merges, with_tokens=True)
+    bad = (
+        out.join(docs, "doc_id")
+        .select(
+            F.trim(
+                F.regexp_replace(F.array_join("bpe_tokens", ""), "</w>", " ")
+            ).alias("rebuilt"),
+            normalize_text(F.col("text")).alias("norm"),
+        )
+        .filter(F.col("rebuilt") != F.col("norm"))
+        .count()
+    )
+    assert bad == 0
