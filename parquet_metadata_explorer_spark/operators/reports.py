@@ -358,7 +358,12 @@ def page_integrity_report(spark: SparkSession, data_path: str) -> DataFrame:
 
 
 def prunable_files(
-    spark: SparkSession, data_path: str, column: str, lo, hi
+    spark: SparkSession,
+    data_path: str,
+    column: str,
+    lo,
+    hi,
+    metadata_df: DataFrame = None,
 ) -> DataFrame:
     """Files whose footer statistics ADMIT rows with ``column`` in
     [lo, hi] — the metadata half of a stats-pruned read.
@@ -370,15 +375,26 @@ def prunable_files(
     group's [min, max] intersects [lo, hi] — or when stats are absent
     (no stats ⇒ must not prune; absence of evidence is not absence of
     rows). Only the kept file list (metadata-sized) reaches the driver.
+
+    ``metadata_df`` is the catalog path: pass a previously materialized
+    column-level metadata DataFrame (e.g. written to a parquet table by
+    an ingest job) and admission runs WITHOUT listing or footer-reading
+    the data lake at all — on a 10^6-file table the per-query cost
+    drops from a million footer fetches to one scan of a small
+    metadata table. This is the reference's own motivation ("metadata
+    available as a DataFrame so you can query it") taken to its
+    conclusion: the metadata DataFrame IS the file-pruning index.
     """
     import pandas as pd
 
     from ..parquet.decode import decode_stat_value
     from ..sources.api import read_metadata
 
-    cols = read_metadata(spark, data_path, source="parquet", level="column").filter(
-        F.col("path") == column
-    )
+    cols = (
+        metadata_df
+        if metadata_df is not None
+        else read_metadata(spark, data_path, source="parquet", level="column")
+    ).filter(F.col("path") == column)
     slim = cols.select(
         "filepath",
         "type",

@@ -279,3 +279,41 @@ def test_stats_pruned_read(spark, tmp_path):
     none = stats_pruned_read(spark, str(d), "k", 5000, 6000)
     assert none.count() == 0
     assert set(none.columns) == {"k", "tag"}
+
+
+def test_pruned_read_from_cached_metadata(spark, tmp_path):
+    """A materialized metadata table must drive file admission WITHOUT
+    touching the data lake: admission from the cached catalog equals
+    admission from a live scan, even after the original files are gone."""
+    import shutil
+
+    from parquet_metadata_explorer_spark.operators.reports import prunable_files
+    from parquet_metadata_explorer_spark.sources.api import read_metadata
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    for i in range(6):
+        t = pa.table({"k": list(range(i * 50, i * 50 + 50))})
+        pq.write_table(t, str(d / f"f{i}.parquet"))
+
+    catalog = str(tmp_path / "catalog")
+    read_metadata(spark, str(d), source="parquet", level="column").write.parquet(
+        catalog
+    )
+    live = sorted(
+        r.filepath for r in prunable_files(spark, str(d), "k", 60, 160).collect()
+    )
+
+    shutil.rmtree(d)  # the lake is gone; the catalog must suffice
+    cached = sorted(
+        r.filepath
+        for r in prunable_files(
+            spark, None, "k", 60, 160, metadata_df=spark.read.parquet(catalog)
+        ).collect()
+    )
+    assert cached == live
+    assert [p.rsplit("/", 1)[1] for p in cached] == [
+        "f1.parquet",
+        "f2.parquet",
+        "f3.parquet",
+    ]
