@@ -1132,6 +1132,16 @@ SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 500 AND 2000
 """
 
 
+def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over the documents-as-payloads table (raw byte
+    grid path at board scale — the real-pixel path is fixture-tested in
+    tests/test_multimodal_codecs.py). Rows-only: the numpy hash kernel
+    has no DuckDB twin."""
+    from parquet_metadata_explorer_spark.operators import multimodal as mm
+
+    return mm.image_dhash(mm.to_binary_payloads(_table(spark, sf_dir, "documents")))
+
+
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: train 8 merges, then encode the corpus as one
     codegen replace chain. The oracle re-trains the same stages in SQL
@@ -3170,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.4 (slots exhausted: 9 never-boarded + 32 group-B + 9 meta
         # = exactly 50; the whole r3-green group-A set rotates to the tail)
         "text_logprob": q_text_logprob,
+        "multimodal_dhash": q_multimodal_dhash,
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,

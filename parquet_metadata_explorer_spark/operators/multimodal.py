@@ -285,3 +285,124 @@ def sample_frames(
             )
 
     return to_binary_payloads(documents).mapInPandas(frames_batch, FRAMES_SCHEMA)
+
+
+def image_dhash(payloads: DataFrame) -> DataFrame:
+    """64-bit perceptual difference-hash (dHash) per payload: decode
+    (REAL pixels for BMP / binary-PPM/PGM payloads, the deterministic
+    raw grid otherwise), integer-grayscale, nearest-neighbor resample
+    to 9×8, then one bit per horizontal gradient sign — robust to
+    resizing/recompression noise, which byte-level dedup cannot see.
+
+    Map-only Arrow kernel (same batch plumbing as decode/resize); the
+    hash lands as one signed long, so everything downstream —
+    banding, Hamming distance — is whole-stage codegen.
+    """
+    import numpy as np
+
+    def dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, codecs = [], [], []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf)
+                meta = sniff_media(payload) if n >= 10 else None
+                if meta is not None and "width" in meta and meta["codec"] != "wav":
+                    grid = _pixel_grid(buf, meta)
+                    codec = meta["codec"]
+                else:
+                    w = min(n, n % 64 + 1) if n else 1
+                    h = max(n // w, 1) if n else 1
+                    g = buf[: w * h] if n else np.zeros(1, dtype=np.uint8)
+                    grid = g.reshape(h, w, 1) if n else np.zeros((1, 1, 1), np.uint8)
+                    codec = "raw"
+                # integer grayscale: channel sum // channels (deterministic)
+                gray = grid.astype(np.uint32).sum(axis=2) // grid.shape[2]
+                h0, w0 = gray.shape
+                yi = np.minimum((np.arange(8) * h0) // 8, h0 - 1)
+                xi = np.minimum((np.arange(9) * w0) // 9, w0 - 1)
+                small = gray[np.ix_(yi, xi)]
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # two's-complement into a signed long column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(r.doc_id)
+                hashes.append(val)
+                codecs.append(codec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "codec": codecs,
+                }
+            )
+
+    return payloads.mapInPandas(dhash_batch, "doc_id long, dhash long, codec string")
+
+
+def image_neardup_pairs(
+    payloads: DataFrame, max_hamming: int = 4, n_bands: int = 4
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash each payload, band
+    the 64 bits into ``n_bands`` 16-bit keys (two hashes within Hamming
+    distance < n_bands MUST share at least one unchanged band — the
+    pigeonhole guarantee SimHash banding runs on), candidate-join on
+    (band, key), verify with an exact popcount of the XOR.
+
+    Everything after the hash kernel is codegen: banding is shift/mask
+    arithmetic, the join key (band_id, band_val) is near-uniform
+    (perceptual hashes of distinct images are ~random bits), and the
+    verify is ``bit_count`` — no Python, no pairwise scan. Identical
+    padded-bucket caveats as SimHash apply (a viral image's identical
+    hash forms one bucket; the pair output is then genuinely quadratic
+    because every pair IS a duplicate).
+    """
+    hashed = image_dhash(payloads).select("doc_id", "dhash")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hashed.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("dhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.dhash").alias("ha"),
+            F.col("r.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -223,3 +223,44 @@ def test_sniffers_survive_header_mutations():
         for cut in range(0, min(80, len(base))):
             r = codecs.sniff_media(bytes(base[:cut]))
             assert r is None or isinstance(r, dict)
+
+
+def test_image_dhash_neardup_pairs(spark):
+    """Perceptual dedup on REAL decoded pixels: a lightly-perturbed copy
+    of an image must pair with its original at small Hamming distance;
+    structurally different images must not pair."""
+    from parquet_metadata_explorer_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    # near-dup: a few isolated pixels nudged — gradient signs survive
+    near = base.copy()
+    near[2, 3] ^= 1
+    near[20, 40] ^= 1
+    # distinct images: independent noise + an inverted copy
+    other = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+    inverted = 255 - base
+
+    rows = [
+        (1, bytearray(make_bmp(base))),
+        (2, bytearray(make_bmp(near))),
+        (3, bytearray(make_bmp(other))),
+        (4, bytearray(make_bmp(inverted))),
+    ]
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {r.doc_id: r.dhash for r in image_dhash(payloads).collect()}
+    assert all(
+        r.codec == "bmp" for r in image_dhash(payloads).collect()
+    )  # real decode path
+    assert bin((hashes[1] ^ hashes[2]) & (2**64 - 1)).count("1") <= 4
+    assert bin((hashes[1] ^ hashes[4]) & (2**64 - 1)).count("1") > 40  # inversion flips gradients
+
+    pairs = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_neardup_pairs(payloads).collect()
+    ]
+    assert [(a, b) for a, b, _ in pairs] == [(1, 2)], pairs
