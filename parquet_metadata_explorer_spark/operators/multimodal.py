@@ -362,17 +362,110 @@ def image_neardup_pairs(
     because every pair IS a duplicate).
     """
     hashed = image_dhash(payloads).select("doc_id", "dhash")
+    return hash_neardup_pairs(hashed, "dhash", max_hamming, n_bands)
+
+
+def _wav_mono(buf, meta):
+    """Integer mono sample array from a parsed PCM WAV payload (first
+    channel; 8-bit is unsigned-centered, 16/32-bit signed; float WAVs
+    and 24-bit fall back to the raw byte view)."""
+    import numpy as np
+
+    off, size = meta["data_offset"], meta["data_size"]
+    bits, ch = meta["bits_per_sample"], meta["channels"]
+    data = buf[off : off + size]
+    if bits == 8:
+        s = data.astype(np.int32) - 128
+    elif bits == 16:
+        s = data[: len(data) // 2 * 2].view("<i2").astype(np.int32)
+    elif bits == 32:
+        s = data[: len(data) // 4 * 4].view("<i4").astype(np.int64)
+    else:
+        s = data.astype(np.int32)
+        ch = 1
+    return s[::ch] if ch > 1 else s
+
+
+def audio_fingerprint(payloads: DataFrame) -> DataFrame:
+    """64-bit energy-envelope fingerprint per audio payload: decode the
+    REAL samples for PCM WAV payloads (8/16/32-bit, first channel),
+    mean |amplitude| over 65 equal windows, one bit per adjacent-window
+    gradient sign — the audio analog of ``image_dhash``, robust to
+    volume scaling (signs compare window means against each other, not
+    a threshold). Non-WAV payloads hash their raw byte stream through
+    the identical envelope, so every row gets a deterministic hash.
+
+    Same contract as the image path: map-only Arrow kernel emits one
+    signed long; candidate pairing reuses ``hash_neardup_pairs`` —
+    banding and popcount verification in pure codegen.
+    """
+    import numpy as np
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, codecs = [], [], []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                meta = sniff_media(payload) if len(buf) >= 10 else None
+                if meta is not None and meta["codec"] == "wav":
+                    s = np.abs(_wav_mono(buf, meta)).astype(np.int64)
+                    codec = "wav"
+                else:
+                    s = buf.astype(np.int64)
+                    codec = "raw"
+                if len(s) == 0:
+                    s = np.zeros(1, dtype=np.int64)
+                n = len(s)
+                # 65 window means via exact integer prefix sums
+                csum = np.concatenate([[0], np.cumsum(s)])
+                edges = (np.arange(66) * n) // 65
+                edges = np.maximum(edges, np.arange(66) > 0)  # nonempty windows
+                cnt = np.maximum(edges[1:] - edges[:-1], 1)
+                means = (csum[edges[1:]] - csum[edges[:-1]]) // cnt
+                bits = means[1:] > means[:-1]
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(r.doc_id)
+                hashes.append(val)
+                codecs.append(codec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fingerprint": pd.Series(hashes, dtype="int64"),
+                    "codec": codecs,
+                }
+            )
+
+    return payloads.mapInPandas(
+        fp_batch, "doc_id long, fingerprint long, codec string"
+    )
+
+
+def hash_neardup_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    max_hamming: int = 4,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Generic banded Hamming join over any 64-bit hash column — the
+    shared tail of the image and audio perceptual dedups (pigeonhole
+    banding + bit_count verify, all codegen)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
+    h = F.col(hash_col)
     bands = hashed.select(
         "doc_id",
-        "dhash",
+        h.alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned("dhash", i * width)
+                        F.shiftrightunsigned(h, i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -380,9 +473,9 @@ def image_neardup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "dhash", "b.band_id", "b.band_val")
+    ).select("doc_id", "_h", "b.band_id", "b.band_val")
     l, r = bands.alias("l"), bands.alias("r")
-    cand = (
+    return (
         l.join(
             r,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -392,13 +485,11 @@ def image_neardup_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.dhash").alias("ha"),
-            F.col("r.dhash").alias("hb"),
+            F.col("l._h").alias("ha"),
+            F.col("r._h").alias("hb"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
         )

@@ -264,3 +264,63 @@ def test_image_dhash_neardup_pairs(spark):
         for r in image_neardup_pairs(payloads).collect()
     ]
     assert [(a, b) for a, b, _ in pairs] == [(1, 2)], pairs
+
+
+def _wav_from_samples(samples: np.ndarray, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_neardup(spark):
+    """The envelope fingerprint must survive volume scaling and light
+    noise (the gradient signs compare windows against each other), and
+    must separate structurally different signals."""
+    from parquet_metadata_explorer_spark.operators.multimodal import (
+        audio_fingerprint,
+        hash_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    t = np.arange(n)
+    base = (
+        6000 * np.sin(2 * np.pi * t / 200) * (0.2 + 0.8 * (t / n))
+    ).astype(np.int64)
+    quieter = base // 2  # volume halved
+    noisy = base + rng.integers(-80, 80, size=n)
+    # different carrier AND reversed envelope: the window means sample a
+    # different phase pattern, so gradient signs decorrelate
+    other = (
+        6000 * np.sin(2 * np.pi * t / 137) * (1.0 - 0.8 * (t / n))
+    ).astype(np.int64)
+
+    rows = [
+        (1, bytearray(_wav_from_samples(base))),
+        (2, bytearray(_wav_from_samples(quieter))),
+        (3, bytearray(_wav_from_samples(noisy))),
+        (4, bytearray(_wav_from_samples(other))),
+    ]
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = audio_fingerprint(payloads)
+    rowsc = out.collect()
+    assert all(r.codec == "wav" for r in rowsc)
+    fp = {r.doc_id: r.fingerprint for r in rowsc}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(fp[1], fp[2]) <= 4, ham(fp[1], fp[2])
+    assert ham(fp[1], fp[3]) <= 6, ham(fp[1], fp[3])
+    assert ham(fp[1], fp[4]) > 12, ham(fp[1], fp[4])
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in hash_neardup_pairs(out, "fingerprint", max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
