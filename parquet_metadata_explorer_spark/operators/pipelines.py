@@ -171,3 +171,74 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def prepare_corpus(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.4,
+    contamination_threshold: float = 0.5,
+    n_merges: int = 8,
+    budget_tokens: int = 2048,
+) -> tuple:
+    """The COMPLETE training-data preparation flow, wired end-to-end
+    from already-verified operators:
+
+        quality filter → corpus line dedup → exact dedup →
+        benchmark decontamination → BPE train + tokenize →
+        context-window packing
+
+    Returns ``(packs, tokenized, merges, audit)`` — the packed-sequence
+    assignments, the per-doc token digests, the trained merge table,
+    and a per-stage row-count audit. Shuffle budget: one per stage,
+    each individually documented scale-safe; nothing quadratic and the
+    only driver-side rows are the audit counts, the merge arg-maxes
+    and the prefix-sum partials, so the composition inherits every
+    stage's 100 TB story.
+    """
+    from .dedup import line_dedup
+    from .sampling import pack_sequences
+    from .text import bpe_merges, bpe_tokenize, decontaminate, quality_filter
+
+    n_input = documents.count()
+
+    kept_q = documents.join(
+        quality_filter(documents).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    n_quality = kept_q.count()
+
+    deduped_lines = line_dedup(kept_q).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    cleaned = deduped_lines.filter(F.length(F.trim("text")) > 0)
+    n_lines = cleaned.count()
+
+    first_ids = (
+        cleaned.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    unique = cleaned.join(first_ids, "doc_id", "left_semi")
+    n_exact = unique.count()
+
+    contaminated = (
+        decontaminate(unique, benchmark, threshold=contamination_threshold)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    final = unique.join(contaminated, "doc_id", "left_anti")
+    n_final = final.count()
+
+    merges = bpe_merges(final, n_merges=n_merges)
+    tokenized = bpe_tokenize(final, merges)
+    packs = pack_sequences(final, budget_tokens=budget_tokens)
+
+    audit = {
+        "input": n_input,
+        "after_quality": n_quality,
+        "after_line_dedup": n_lines,
+        "after_exact": n_exact,
+        "after_decontamination": n_final,
+    }
+    return packs, tokenized, merges, audit

@@ -506,3 +506,35 @@ def test_bpe_tokenize_reconstructs_text(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_prepare_corpus_end_to_end(spark, sf_dir):
+    """The composed preparation pipeline must be monotone (each stage
+    only removes documents), decontaminated (no surviving doc crosses
+    the containment threshold), and packed consistently (every final
+    doc has a pack assignment and offsets tile the token tape)."""
+    from parquet_metadata_explorer_spark.operators.pipelines import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    packs, tokenized, merges, audit = prepare_corpus(train, bench, n_merges=4)
+    assert (
+        audit["input"]
+        >= audit["after_quality"]
+        >= audit["after_line_dedup"]
+        >= audit["after_exact"]
+        >= audit["after_decontamination"]
+        > 0
+    ), audit
+    assert merges.count() == 4
+    prow = packs.orderBy("doc_id").collect()
+    assert len(prow) == audit["after_decontamination"]
+    assert tokenized.count() == audit["after_decontamination"]
+    # offsets tile the tape: each doc starts where the previous ended
+    off = 0
+    for r in prow:
+        assert r.pack_start == off, (r.doc_id, r.pack_start, off)
+        off += r.n_tokens
+        assert r.pack_id == r.pack_start // 2048
