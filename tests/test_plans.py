@@ -502,3 +502,25 @@ def test_profiler_single_scan(spark, sf_dir):
     )
     plan = simple_plan(df)
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_attribution_is_equi_join_not_nlj(spark, sf_dir):
+    """The interval self-join must ride the user_id equality — a single
+    shuffle/broadcast equi-join with the time bounds as residual
+    filters, never a nested loop."""
+    from parquet_metadata_explorer_spark.streaming import events as ev
+
+    df = ev.view_purchase_attribution(ev.load_events(spark, sf_dir))
+    plan = simple_plan(df)
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Join" in plan
+
+
+def test_trending_partial_aggregates(spark, sf_dir):
+    """Sliding-window counts must partial-aggregate before the exchange
+    (the window explode multiplies rows at the SOURCE, map-side)."""
+    from parquet_metadata_explorer_spark.streaming import events as ev
+
+    df = ev.trending_event_types(ev.load_events(spark, sf_dir))
+    plan = simple_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
