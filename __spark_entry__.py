@@ -88,6 +88,21 @@ def _d_ssum(expr: str) -> str:
     return f"sum(({expr})::DECIMAL(30,10))::double"
 
 
+def _d_rsum(expr: str, k: int) -> str:
+    """DuckDB twin of relational._round_sum: exact decimal sum, rounded
+    IN DECIMAL (exact HALF_UP, identical on both engines), then cast to
+    double. round() on the double instead is engine-dependent at
+    half-way boundaries (the r5 tpch_q11 board red)."""
+    return f"round(sum(({expr})::DECIMAL(30,10)), {k})::double"
+
+
+def _d_round(expr: str, k: int) -> str:
+    """DuckDB twin of relational._round_dec: snap the double to
+    decimal(30,10) (same nearest conversion on both engines), round the
+    decimal exactly, emit double."""
+    return f"round(({expr})::DECIMAL(30,10), {k})::double"
+
+
 # ---------------------------------------------------------------------------
 # metadata-level queries (the reference surface, S1-S19)
 # ---------------------------------------------------------------------------
@@ -1508,11 +1523,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       round({_d_ssum("l_quantity")}, 2) AS sum_qty,
-       round({_d_ssum("l_extendedprice")}, 2) AS sum_base_price,
-       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
-       round({_d_ssum("l_quantity")} / count(l_quantity), 4) AS avg_qty,
-       round({_d_ssum("l_discount")} / count(l_discount), 4) AS avg_disc,
+       {_d_rsum("l_quantity", 2)} AS sum_qty,
+       {_d_rsum("l_extendedprice", 2)} AS sum_base_price,
+       {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+       {_d_round(f'{_d_ssum("l_quantity")} / count(l_quantity)', 4)} AS avg_qty,
+       {_d_round(f'{_d_ssum("l_discount")} / count(l_discount)', 4)} AS avg_disc,
        count(*)::bigint AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1532,7 +1547,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q5 = f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+       {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
        count(*)::bigint AS n_lineitems
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1555,7 +1570,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_TPCH_Q3 = f"""
 WITH agg AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+         {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1578,7 +1593,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q6 = f"""
-SELECT round({_d_ssum("l_extendedprice * l_discount")}, 2) AS revenue,
+SELECT {_d_rsum("l_extendedprice * l_discount", 2)} AS revenue,
        count(*)::bigint AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -1621,7 +1636,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_TPCH_Q10 = f"""
 WITH agg AS (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+         {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1632,7 +1647,7 @@ WITH agg AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT c_custkey, c_name, revenue,
-       round(c_acctbal, 2) AS acctbal, n_name AS nation
+       {_d_round("c_acctbal", 2)} AS acctbal, n_name AS nation
 FROM agg
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -1648,11 +1663,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q14 = f"""
 SELECT round(
-         100.0
-         * {_d_ssum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
-         / {_d_ssum("l_extendedprice * (1 - l_discount)")},
+         (100.0
+          * {_d_ssum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+          / {_d_ssum("l_extendedprice * (1 - l_discount)")})::DECIMAL(30,10),
          4
-       ) AS promo_share_pct,
+       )::double AS promo_share_pct,
        count(*)::bigint AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1671,7 +1686,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_TPCH_Q15 = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS total_revenue
+         {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1701,8 +1716,8 @@ WITH big AS (
 )
 SELECT c_name AS name, c_custkey AS custkey, o_orderkey AS orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       round(o_totalprice, 2) AS totalprice,
-       round(total_qty, 2) AS total_qty
+       {_d_round("o_totalprice", 2)} AS totalprice,
+       {_d_round("total_qty", 2)} AS total_qty
 FROM orders
 JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1719,7 +1734,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q19 = f"""
-SELECT round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+SELECT {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
        count(*)::bigint AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1737,14 +1752,14 @@ def q_window_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_order_timeline(_table(spark, sf_dir, "orders"))
 
 
-O_WINDOW_TIMELINE = """
+O_WINDOW_TIMELINE = f"""
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        strftime(lag(o_orderdate) OVER w1, '%Y-%m-%d') AS prev_orderdate,
        strftime(lead(o_orderdate) OVER w1, '%Y-%m-%d') AS next_orderdate,
        (ntile(4) OVER w2)::bigint AS price_quartile,
-       round(percent_rank() OVER w2, 6) AS price_pct_rank,
-       round(cume_dist() OVER w2, 6) AS price_cume_dist
+       {_d_round("percent_rank() OVER w2", 6)} AS price_pct_rank,
+       {_d_round("cume_dist() OVER w2", 6)} AS price_cume_dist
 FROM orders
 WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
@@ -1793,7 +1808,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CUBE_ORDERS = f"""
 SELECT o_orderstatus, o_orderpriority, count(*)::bigint AS n_orders,
-       round({_d_ssum("o_totalprice")}, 2) AS total_price
+       {_d_rsum("o_totalprice", 2)} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -1821,7 +1836,7 @@ SELECT l_returnflag,
        count(l_extendedprice)::bigint AS n_values,
        min(l_extendedprice) AS min_value,
        max(l_extendedprice) AS max_value,
-       round({_d_ssum("l_extendedprice")} / count(l_extendedprice), 6) AS avg_value
+       {_d_round(f'{_d_ssum("l_extendedprice")} / count(l_extendedprice)', 6)} AS avg_value
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1832,13 +1847,13 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_WINDOW_TOP_ORDERS = """
+O_WINDOW_TOP_ORDERS = f"""
 WITH j AS (
   SELECT c_mktsegment AS segment, o_orderkey AS orderkey, o_totalprice
   FROM orders JOIN customer ON o_custkey = c_custkey
 ),
 r AS (
-  SELECT segment, orderkey, round(o_totalprice, 2) AS totalprice,
+  SELECT segment, orderkey, {_d_round("o_totalprice", 2)} AS totalprice,
          row_number() OVER (PARTITION BY segment
                             ORDER BY o_totalprice DESC, orderkey) AS rank
   FROM j
@@ -1854,7 +1869,7 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ROLLUP_ORDERS = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*)::bigint AS n_orders,
-       round({_d_ssum("o_totalprice")}, 2) AS sum_totalprice
+       {_d_rsum("o_totalprice", 2)} AS sum_totalprice
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -1920,7 +1935,7 @@ SELECT year(l_shipdate)::bigint AS ship_year,
        upper(l_returnflag) AS flag,
        l_returnflag || '/' || l_linestatus AS flag_status,
        count(*)::bigint AS n,
-       round({_d_ssum("abs(l_discount - 0.05)")}, 3) AS sum_abs_disc_dev,
+       {_d_rsum("abs(l_discount - 0.05)", 3)} AS sum_abs_disc_dev,
        round(sum(ceil(l_quantity)), 1) AS sum_ceil_qty,
        max(length(l_returnflag))::bigint AS max_flag_len
 FROM lineitem
@@ -1942,7 +1957,7 @@ WITH rich AS (
   WHERE s_acctbal > (SELECT {_d_ssum("s_acctbal")} / count(s_acctbal) FROM supplier)
 )
 SELECT p_brand AS brand,
-       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+       {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
        count(*)::bigint AS n_items
 FROM lineitem
 JOIN rich ON l_suppkey = s_suppkey
@@ -2620,7 +2635,7 @@ cn AS (SELECT c_custkey, n_name AS cust_nation
        FROM customer JOIN n ON c_nationkey = n_nationkey)
 SELECT supp_nation, cust_nation,
        year(l_shipdate)::bigint AS l_year,
-       round({_d_ssum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+       {_d_rsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN sn ON l_suppkey = s_suppkey
@@ -2675,7 +2690,7 @@ bi AS (SELECT l.* FROM lineitem l JOIN bp ON l_partkey = p_partkey),
 th AS (SELECT l_partkey AS t_partkey,
               0.2 * {_d_ssum("l_quantity")} / count(l_quantity) AS qty_threshold
        FROM bi GROUP BY 1)
-SELECT round({_d_ssum("l_extendedprice")} / 7.0, 2) AS avg_yearly
+SELECT {_d_round(f'{_d_ssum("l_extendedprice")} / 7.0', 2)} AS avg_yearly
 FROM bi JOIN th ON l_partkey = t_partkey
 WHERE l_quantity < qty_threshold
 """
@@ -2693,7 +2708,7 @@ WITH avg_bal AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_mktsegment AS segment, count(*)::bigint AS numcust,
-       round({_d_ssum("c_acctbal")}, 2) AS totacctbal
+       {_d_rsum("c_acctbal", 2)} AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -2710,7 +2725,7 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_WINDOW_ROLLING = f"""
 WITH daily AS (
   SELECT o_orderpriority, o_orderdate::date AS day,
-         round({_d_ssum("o_totalprice")}, 2) AS day_revenue
+         {_d_rsum("o_totalprice", 2)} AS day_revenue
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderpriority,
@@ -2719,7 +2734,7 @@ SELECT o_orderpriority,
        round(sum(day_revenue::DECIMAL(30,10)) OVER (
          PARTITION BY o_orderpriority ORDER BY day
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-       )::double, 2) AS rolling_7d
+       ), 2)::double AS rolling_7d
 FROM daily
 """
 
@@ -2754,10 +2769,10 @@ ranked AS (
   JOIN part ON l_partkey = p_partkey
   WHERE p_type = 'STANDARD' AND p_size <= 15
 )
-SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(supply_cost, 4) AS supply_cost
+SELECT {_d_round("s_acctbal", 2)} AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       {_d_round("supply_cost", 4)} AS supply_cost
 FROM ranked WHERE rn = 1
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+ORDER BY 1 DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
 
@@ -2785,8 +2800,8 @@ supp_n AS (
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 )
 SELECT year(o_orderdate)::bigint AS o_year,
-       round({_d_ssum("CASE WHEN supp_nation = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
-             / {_d_ssum("l_extendedprice * (1 - l_discount)")}, 6) AS mkt_share
+       round(({_d_ssum("CASE WHEN supp_nation = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+              / {_d_ssum("l_extendedprice * (1 - l_discount)")})::DECIMAL(30,10), 6)::double AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2816,7 +2831,7 @@ WITH supp_n AS (
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 )
 SELECT nation, year(o_orderdate)::bigint AS o_year,
-       round({_d_ssum("l_extendedprice * (1 - l_discount) - 0.1::double * p_retailprice * l_quantity")}, 2)
+       {_d_rsum("l_extendedprice * (1 - l_discount) - 0.1::double * p_retailprice * l_quantity", 2)}
          AS sum_profit
 FROM lineitem JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2845,7 +2860,7 @@ vals AS (
   FROM lineitem JOIN sk ON l_suppkey = s_suppkey GROUP BY 1
 ),
 tot AS (SELECT sum(value_dec) AS total_dec FROM vals)
-SELECT l_partkey AS partkey, round(value_dec::double, 2) AS value
+SELECT l_partkey AS partkey, round(value_dec, 2)::double AS value
 FROM vals, tot
 WHERE value_dec::double > 0.001::double * total_dec::double
 """
@@ -2878,7 +2893,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_TPCH_Q20 = """
+O_TPCH_Q20 = f"""
 WITH pair AS (
   SELECT l_partkey, l_suppkey, sum(l_quantity::DECIMAL(30,10)) AS qty_dec
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2893,7 +2908,7 @@ winners AS (
   SELECT DISTINCT l_suppkey FROM pair JOIN tot ON l_partkey = t_partkey
   WHERE qty_dec::double > 0.3::double * total_dec::double
 )
-SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+SELECT s_name, {_d_round("s_acctbal", 2)} AS s_acctbal, n_name
 FROM supplier JOIN winners ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 """

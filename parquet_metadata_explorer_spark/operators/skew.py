@@ -59,7 +59,12 @@ def salted_group_stats(
             F.max("_max").alias("max_value"),
         )
         .withColumn(
+            # snap the double quotient to decimal(30,10) before rounding:
+            # round() on the raw double is engine-dependent at half-way
+            # boundaries (the r5 tpch_q11 board red)
             "avg_value",
-            F.round(F.col("sum_value") / F.col("n_values"), 6),
+            F.round(
+                (F.col("sum_value") / F.col("n_values")).cast("decimal(30,10)"), 6
+            ).cast("double"),
         )
     )
