@@ -373,8 +373,8 @@ cands AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         round(length(list_intersect(a.s, b.s))::double /
-               (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))), 4) AS jaccard
+         round((length(list_intersect(a.s, b.s))::double /
+               (length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))))::DECIMAL(30,10), 4)::double AS jaccard
   FROM cands c JOIN sigs a ON c.doc_a = a.doc_id JOIN sigs b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
@@ -561,11 +561,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.n_common,
-       round(c.n_common::double / (a.n_sh + b.n_sh - c.n_common), 4) AS jaccard
+       round((c.n_common::double / (a.n_sh + b.n_sh - c.n_common))::DECIMAL(30,10), 4)::double AS jaccard
 FROM common c
 JOIN sizes a ON c.doc_a = a.doc_id
 JOIN sizes b ON c.doc_b = b.doc_id
-WHERE round(c.n_common::double / (a.n_sh + b.n_sh - c.n_common), 4) >= 0.1
+WHERE round((c.n_common::double / (a.n_sh + b.n_sh - c.n_common))::DECIMAL(30,10), 4)::double >= 0.1
 """
 
 
@@ -685,7 +685,7 @@ q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round(list_dot_product(q.qa, e.q8) / (q.na * e.qnorm), 6) AS cos
+         round((list_dot_product(q.qa, e.q8) / (q.na * e.qnorm))::DECIMAL(30,10), 6)::double AS cos
   FROM q CROSS JOIN qz e WHERE e.vec_id <> q.query_id
 ),
 ranked AS (
@@ -751,7 +751,7 @@ cands AS (
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
-         round({_d_cos("q.embedding", "n.embedding")}, 6) AS cos
+         round(({_d_cos("q.embedding", "n.embedding")})::DECIMAL(30,10), 6)::double AS cos
   FROM cands c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
@@ -890,7 +890,7 @@ cands AS (
   FROM q JOIN bucketed e ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
 ),
 scored AS (
-  SELECT query_id, neighbor_id, round({_d_cos("q_emb", "embedding")}, 6) AS cos
+  SELECT query_id, neighbor_id, round(({_d_cos("q_emb", "embedding")})::DECIMAL(30,10), 6)::double AS cos
   FROM cands
 ),
 ranked AS (
@@ -1092,8 +1092,102 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT source_a, source_b, n_common,
-       round(n_common / n_shingles::double, 4) AS overlap
+       round((n_common / n_shingles::double)::DECIMAL(30,10), 4)::double AS overlap
 FROM common JOIN per ON source_a = per.source
+"""
+
+
+BPE_1K_MERGES = 1200
+
+
+def q_text_bpe_encode1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale BPE: train ≥1k merges over the identifier-heavy
+    customer-name corpus (the `documents` table's synthetic vocabulary is
+    31 words — it exhausts at ~102 merges; c_name carries 1.5k distinct
+    words at sf0.01), then ENCODE via the distinct-word Arrow path
+    (operators/text.py bpe_tokenize_words) — the path a 32k-merge
+    vocabulary needs, far past the ~100-merge codegen replace chain.
+
+    Training runs driver-side on the one-pass word-frequency table
+    (bpe_merges_fast); the oracle replays the SAME merge loop as ONE
+    recursive CTE whose scalar subquery takes the arg-max pair per
+    iteration, then encodes by joining each document word to the final
+    vocab state (applying all merges in rank order to the vocab IS the
+    per-word encode, so the converged state is the encoding)."""
+    docs = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id"), F.col("c_name").alias("text")
+    )
+    merges = text.bpe_merges_fast(docs, n_merges=BPE_1K_MERGES, min_count=1)
+    return text.bpe_tokenize_words(docs, merges)
+
+
+def _oracle_bpe_encode1k(n: int = BPE_1K_MERGES) -> str:
+    """Recursive-CTE twin of train(≥1k)+encode: the working table carries
+    (word, symbols) vocab rows; each iteration's arg-max pair (count
+    desc, l, r ties — the trainer's exact ordering) rewrites the vocab
+    with one leftmost-non-overlapping replace and logs one merge row.
+    Recursion ends at ``n`` iterations or pair exhaustion (empty best →
+    empty recursive term). The final vocab state joins back to the
+    per-document word sequence for the fingerprint digest."""
+    return f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS wc FROM (
+    SELECT unnest(str_split(trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM customer) GROUP BY 1
+),
+t AS (
+  -- wrapped symbol string ␟c␟␟c␟…␟</w>␟: every symbol carries its own
+  -- leading AND trailing separator, so replace(␟l␟␟r␟ → ␟lr␟) is the
+  -- exact aligned Sennrich merge (cannot cross a symbol boundary)
+  SELECT 0 AS iter, 'v' AS kind, w, wc,
+         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+           || chr(31) || '</w>' || chr(31) AS s
+  FROM words
+  UNION ALL
+  (
+  WITH cur AS (SELECT * FROM t),
+  best AS (
+    SELECT p.l AS l, p.r AS r, sum(wc)::BIGINT AS pc
+    FROM (SELECT wc, unnest(list_transform(range(1, len(parts_)),
+                  j -> {{'l': parts_[j], 'r': parts_[j+1]}})) AS p
+          FROM (SELECT wc, str_split(trim(s, chr(31)), chr(31) || chr(31)) AS parts_
+                FROM cur WHERE kind='v'))
+    GROUP BY 1, 2 HAVING sum(wc) >= 1
+    ORDER BY pc DESC, l, r LIMIT 1
+  )
+  SELECT x.iter+1, x.kind, x.w, x.wc,
+         CASE WHEN x.kind='v' THEN
+           replace(x.s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                        chr(31) || b.l || b.r || chr(31))
+         END AS s
+  FROM (SELECT iter, 'v' AS kind, w, wc, s FROM cur WHERE kind='v') x
+  JOIN best b ON true
+  WHERE x.iter < {n}
+  )
+),
+final_vocab AS MATERIALIZED (
+  SELECT w, str_split(trim(s, chr(31)), chr(31) || chr(31)) AS toks
+  FROM t WHERE kind='v' AND iter = (SELECT max(iter) FROM t)
+),
+docs AS (
+  SELECT c_custkey AS doc_id,
+         trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM customer
+),
+wp AS (
+  SELECT doc_id, j AS pos, parts_[j] AS w
+  FROM (SELECT doc_id, str_split(norm, ' ') AS parts_ FROM docs),
+       unnest(range(1, len(parts_)+1)) AS u(j)
+),
+enc AS (
+  SELECT doc_id, pos,
+         array_to_string(v.toks, ' ') AS enc_str,
+         len(v.toks)::BIGINT AS n_toks
+  FROM wp JOIN final_vocab v USING (w)
+)
+SELECT doc_id, sum(n_toks)::BIGINT AS n_bpe_tokens,
+       md5(string_agg(enc_str, ' ' ORDER BY pos)) AS fingerprint
+FROM enc GROUP BY doc_id
 """
 
 
@@ -1201,7 +1295,7 @@ hits AS (
   FROM inv i JOIN bench USING (shingle) GROUP BY 1
 )
 SELECT c.doc_id, c.n_sh, coalesce(h.n_hit, 0)::bigint AS n_hit,
-       round(coalesce(h.n_hit, 0)::double / c.n_sh, 4) AS contamination,
+       round((coalesce(h.n_hit, 0)::double / c.n_sh)::DECIMAL(30,10), 4)::double AS contamination,
        (coalesce(h.n_hit, 0)::double / c.n_sh) >= 0.5 AS contaminated
 FROM corpus c LEFT JOIN hits h USING (doc_id)
 """
@@ -1221,17 +1315,17 @@ WITH base AS (
 feat AS (
   SELECT doc_id, n_chars,
          length(t)::bigint AS n_tokens,
-         round(n_punct::double / greatest(n_chars, 1), 4) AS punct_ratio,
-         round(n_upper::double / greatest(n_alpha, 1), 4) AS upper_ratio,
-         round(length(list_filter(t, x -> list_contains([{_EN}], x)))::double
-               / greatest(length(t), 1), 4) AS stop_ratio,
-         round(n_alpha::double / greatest(length(t), 1), 4) AS mean_word_len
+         round((n_punct::double / greatest(n_chars, 1))::DECIMAL(30,10), 4)::double AS punct_ratio,
+         round((n_upper::double / greatest(n_alpha, 1))::DECIMAL(30,10), 4)::double AS upper_ratio,
+         round((length(list_filter(t, x -> list_contains([{_EN}], x)))::double
+               / greatest(length(t), 1))::DECIMAL(30,10), 4)::double AS stop_ratio,
+         round((n_alpha::double / greatest(length(t), 1))::DECIMAL(30,10), 4)::double AS mean_word_len
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens, punct_ratio, upper_ratio, stop_ratio, mean_word_len,
        round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
-           + (CASE WHEN stop_ratio >= 0.05 THEN 0.4 ELSE 0.0 END))::double, 4) AS quality_score
+           + (CASE WHEN stop_ratio >= 0.05 THEN 0.4 ELSE 0.0 END))::double::DECIMAL(30,10), 4)::double AS quality_score
 FROM feat
 """
 
@@ -1246,8 +1340,8 @@ def _oracle_langid() -> str:
     for lang in langs:
         words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
         score_items.append(
-            f"round(length(list_filter(t, x -> list_contains([{words}], x)))::double"
-            f" / greatest(length(t), 1), 4) AS score_{lang}"
+            f"round((length(list_filter(t, x -> list_contains([{words}], x)))::double"
+            f" / greatest(length(t), 1))::DECIMAL(30,10), 4)::double AS score_{lang}"
         )
     case_items = "\n".join(
         f"        WHEN score_{lang} = best THEN '{lang}'" for lang in langs
@@ -1350,8 +1444,8 @@ O_EVENTS_WINDOWED = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)::bigint AS n_events,
-       round({_d_ssum("value")}, 2) AS sum_value,
-       round({_d_ssum("value")} / count(value), 4) AS avg_value
+       {_d_rsum("value", 2)} AS sum_value,
+       {_d_round(f'{_d_ssum("value")} / count(value)', 4)} AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1384,7 +1478,7 @@ SELECT user_id, session_seq::bigint AS session_seq,
        count(*)::bigint AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       round({_d_ssum("value")}, 2) AS sum_value
+       {_d_rsum("value", 2)} AS sum_value
 FROM s GROUP BY user_id, session_seq
 """
 
@@ -1402,9 +1496,9 @@ def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_EVENTS_PERCENTILES = """
 SELECT event_type, count(value)::bigint AS n_values,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.9), 6) AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99
+       round((quantile_cont(value, 0.5))::DECIMAL(30,10), 6)::double AS p50,
+       round((quantile_cont(value, 0.9))::DECIMAL(30,10), 6)::double AS p90,
+       round((quantile_cont(value, 0.99))::DECIMAL(30,10), 6)::double AS p99
 FROM events GROUP BY event_type
 """
 
@@ -1448,7 +1542,7 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EVENTS_ROLLUP_MULTIRES = f"""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        count(*)::bigint AS n_events,
-       round({_d_ssum("value")}, 2) AS sum_value
+       {_d_rsum("value", 2)} AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2159,7 +2253,7 @@ agg AS (
   FROM t2
 )
 SELECT n_viewers, n_purchasers, n_converted,
-       round(n_converted * 100.0 / n_purchasers, 4) AS conversion_pct
+       round((n_converted * 100.0 / n_purchasers)::DECIMAL(30,10), 4)::double AS conversion_pct
 FROM agg
 """
 
@@ -2282,12 +2376,12 @@ w AS (
 SELECT event_type,
        strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
        mean_value,
-       round(CASE WHEN mean_value IS NOT NULL THEN mean_value
+       round((CASE WHEN mean_value IS NOT NULL THEN mean_value
                   WHEN ph IS NOT NULL AND nh IS NOT NULL THEN
                     pv + (nv - pv) * ((epoch(hour) - epoch(ph)) / 3600)
                                    / ((epoch(nh) - epoch(ph)) / 3600)
                   WHEN ph IS NOT NULL THEN pv
-                  WHEN nh IS NOT NULL THEN nv END, 6) AS filled_value,
+                  WHEN nh IS NOT NULL THEN nv END)::DECIMAL(30,10), 6)::double AS filled_value,
        mean_value IS NULL AS was_gap
 FROM w
 """
@@ -2319,10 +2413,10 @@ w AS (
 SELECT event_type,
        strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
        n_events,
-       round({_ANOM_MEAN}, 4) AS trail_mean,
-       round(CASE WHEN n >= 2 THEN
+       round(({_ANOM_MEAN})::DECIMAL(30,10), 4)::double AS trail_mean,
+       round((CASE WHEN n >= 2 THEN
                CASE WHEN {_ANOM_VAR} > 0 THEN {_ANOM_Z} END
-             END, 4) AS z_score,
+             END)::DECIMAL(30,10), 4)::double AS z_score,
        coalesce(abs(CASE WHEN n >= 2 THEN
                       CASE WHEN {_ANOM_VAR} > 0 THEN {_ANOM_Z} END
                     END) > 3.0, false) AS anomaly
@@ -2458,7 +2552,7 @@ m AS (
 )
 SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
        n_active, cohort_size,
-       round(n_active * 100.0 / cohort_size, 4) AS retention_pct
+       round((n_active * 100.0 / cohort_size)::DECIMAL(30,10), 4)::double AS retention_pct
 FROM m JOIN sizes USING (cohort_week)
 """
 
@@ -2521,7 +2615,7 @@ per AS (
   CROSS JOIN tot
   GROUP BY 1
 )
-SELECT doc_id, n_tokens, round((s / n_tokens)::DOUBLE, 6) AS mean_logprob
+SELECT doc_id, n_tokens, round((s / n_tokens)::DOUBLE::DECIMAL(30,10), 6)::double AS mean_logprob
 FROM per
 """
 
@@ -2602,8 +2696,8 @@ m3 AS (SELECT doc_id, sum(c) AS n3,
        FROM c3 GROUP BY 1)
 SELECT d.doc_id,
        coalesce(n2, 0)::bigint AS n_2grams,
-       round(coalesce(top2 / n2, 0.0), 4) AS top_2gram_frac,
-       round(coalesce(dup3 / n3, 0.0), 4) AS dup_3gram_frac
+       round((coalesce(top2 / n2, 0.0))::DECIMAL(30,10), 4)::double AS top_2gram_frac,
+       round((coalesce(dup3 / n3, 0.0))::DECIMAL(30,10), 4)::double AS dup_3gram_frac
 FROM documents d
 LEFT JOIN m2 USING (doc_id)
 LEFT JOIN m3 USING (doc_id)
@@ -2966,10 +3060,10 @@ base AS (
 feat AS (
   SELECT doc_id,
          length(t)::bigint AS n_tokens,
-         round(n_punct::double / greatest(n_chars, 1), 4) AS punct_ratio,
-         round(length(list_filter(t, x -> list_contains([{_EN}], x)))::double
-               / greatest(length(t), 1), 4) AS stop_ratio,
-         round(n_alpha::double / greatest(length(t), 1), 4) AS mean_word_len,
+         round((n_punct::double / greatest(n_chars, 1))::DECIMAL(30,10), 4)::double AS punct_ratio,
+         round((length(list_filter(t, x -> list_contains([{_EN}], x)))::double
+               / greatest(length(t), 1))::DECIMAL(30,10), 4)::double AS stop_ratio,
+         round((n_alpha::double / greatest(length(t), 1))::DECIMAL(30,10), 4)::double AS mean_word_len,
          t
   FROM base
 ),
@@ -2995,8 +3089,8 @@ m3 AS (SELECT doc_id, sum(c) AS n3,
        FROM c3 GROUP BY 1),
 full_feat AS (
   SELECT f.doc_id, n_tokens, punct_ratio, stop_ratio, mean_word_len,
-         round(coalesce(top2 / n2, 0.0), 4) AS top_2gram_frac,
-         round(coalesce(dup3 / n3, 0.0), 4) AS dup_3gram_frac
+         round((coalesce(top2 / n2, 0.0))::DECIMAL(30,10), 4)::double AS top_2gram_frac,
+         round((coalesce(dup3 / n3, 0.0))::DECIMAL(30,10), 4)::double AS dup_3gram_frac
   FROM feat f LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
 )"""
     return f"""
@@ -3114,7 +3208,7 @@ ps AS (
 ),
 tot AS (SELECT sum(n_docs) AS total_docs FROM ps)
 SELECT source, n_docs,
-       round(n_docs * 100.0 / total_docs, 4) AS pct_docs,
+       round((n_docs * 100.0 / total_docs)::DECIMAL(30,10), 4)::double AS pct_docs,
        n_tokens, mean_quality, top_lang
 FROM ps JOIN tl USING (source), tot
 """
@@ -3157,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_bpe": q_text_bpe,
         "text_bpe_tokenize": q_text_bpe_tokenize,
+        "text_bpe_encode1k": q_text_bpe_encode1k,
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
         "events_anomalies": q_events_anomalies,
@@ -3303,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trending": O_EVENTS_TRENDING,
         "text_bpe": _oracle_bpe(),
         "text_bpe_tokenize": _oracle_bpe_tokenize(),
+        "text_bpe_encode1k": _oracle_bpe_encode1k(),
         "pruned_read": O_PRUNED_READ,
         "source_overlap": O_SOURCE_OVERLAP,
         "events_anomalies": O_EVENTS_ANOMALIES,

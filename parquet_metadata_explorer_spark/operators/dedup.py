@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .relational import _round_dec
+
 from ..cache import track_persist
 from ..functions import ensure_parallelism, hash60, normalize_text, tokens
 
@@ -236,7 +238,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            _round_dec(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 4,
@@ -423,7 +425,7 @@ def ngram_jaccard_pairs(
     out = (
         common.withColumn(
             "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+            _round_dec(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")

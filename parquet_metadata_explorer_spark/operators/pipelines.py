@@ -162,9 +162,12 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(F.col("n_docs") * 100.0 / F.col("total_docs"), 4).alias(
-                "pct_docs"
-            ),
+            F.round(
+                (F.col("n_docs") * 100.0 / F.col("total_docs")).cast("decimal(30,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("pct_docs"),
             "n_tokens",
             "mean_quality",
             "top_lang",

@@ -409,7 +409,7 @@ def ivf_ann_topk(
         .join(e.withColumnRenamed("vec_id", "neighbor_id"), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")).cast("decimal(30,10)"), 6).cast("double"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -432,7 +432,7 @@ def lsh_ann_topk(
         bucketed.withColumnRenamed("vec_id", "neighbor_id"),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("query_id")),
     )
-    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+    scored = cands.withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("embedding")).cast("decimal(30,10)"), 6).cast("double"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -631,7 +631,7 @@ def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame
         q.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.round(dot_int.cast("double") / (F.col("na") * F.col("qnorm")), 6),
+            F.round((dot_int.cast("double") / (F.col("na") * F.col("qnorm"))).cast("decimal(30,10)"), 6).cast("double"),
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .relational import _round_dec
+
 from ..functions import hash60, normalize_text, tokens
 
 # tiny built-in stopword lexicons for language ID (top function words)
@@ -45,12 +47,12 @@ def text_stats(documents: DataFrame) -> DataFrame:
         F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
     ).cast("long")
 
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    upper_ratio = F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
-    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
-    mean_word_len = F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
+    punct_ratio = _round_dec(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    upper_ratio = _round_dec(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
+    stop_ratio = _round_dec(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    mean_word_len = _round_dec(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
 
-    quality = F.round(
+    quality = _round_dec(
         F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0)),
@@ -81,7 +83,7 @@ def language_id(documents: DataFrame) -> DataFrame:
         return lambda t: t.isin(*words)
 
     scores = {
-        lang: F.round(F.size(F.filter(toks, stop_filter(words))) / n_tokens, 4)
+        lang: _round_dec(F.size(F.filter(toks, stop_filter(words))) / n_tokens, 4)
         for lang, words in LANG_STOPWORDS.items()
     }
     # argmax: greatest(...) then a CASE chain in alphabetical order, so the
@@ -196,7 +198,7 @@ def decontaminate(
             "doc_id",
             "n_sh",
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-            F.round(ratio, 4).alias("contamination"),
+            _round_dec(ratio, 4).alias("contamination"),
             (ratio >= threshold).alias("contaminated"),
         )
     )
@@ -280,10 +282,10 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
-            F.round(
+            _round_dec(
                 F.coalesce(F.col("top2_c") / F.col("n_2grams"), F.lit(0.0)), 4
             ).alias("top_2gram_frac"),
-            F.round(
+            _round_dec(
                 F.coalesce(F.col("dup3_c") / F.col("n_3grams"), F.lit(0.0)), 4
             ).alias("dup_3gram_frac"),
         )
@@ -375,7 +377,7 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round((F.col("s") / F.col("n_tokens")).cast("double"), 6).alias(
+            _round_dec((F.col("s") / F.col("n_tokens")).cast("double"), 6).alias(
                 "mean_logprob"
             ),
         )
@@ -531,7 +533,7 @@ def decontaminate_bloom(
         "doc_id",
         "n_sh",
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-        F.round(ratio, 4).alias("contamination"),
+        _round_dec(ratio, 4).alias("contamination"),
         (ratio >= threshold).alias("contaminated"),
     )
 
@@ -720,7 +722,219 @@ def source_overlap(documents: DataFrame) -> DataFrame:
             "source_a",
             "source_b",
             "n_common",
-            F.round(F.col("n_common") / F.col("n_shingles"), 4).alias("overlap"),
+            _round_dec(F.col("n_common") / F.col("n_shingles"), 4).alias("overlap"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+def _bpe_wrap(symbols) -> str:
+    """Double-separator wrapped symbol string: ``␟s1␟␟s2␟…␟sn␟``.
+
+    Every symbol carries its own leading AND trailing separator, so the
+    replace pattern ``␟l␟␟r␟`` → ``␟lr␟`` can only match a FULL adjacent
+    symbol pair — plain leftmost-non-overlapping string replace becomes
+    the exact aligned Sennrich merge. (The ≤100-merge codegen chain in
+    ``bpe_tokenize`` uses bare single separators, whose replace can in
+    principle cross a symbol boundary on adversarial vocabularies —
+    e.g. pattern ``2␟0`` matching inside symbol ``12``; harmless on
+    natural text, but the production path must be symbol-exact.)"""
+    return BPE_SEP + (BPE_SEP + BPE_SEP).join(symbols) + BPE_SEP
+
+
+def _bpe_unwrap(s: str):
+    return s.strip(BPE_SEP).split(BPE_SEP + BPE_SEP)
+
+
+def _bpe_apply(s: str, left: str, right: str) -> str:
+    """One aligned merge over a wrapped symbol string."""
+    return s.replace(
+        BPE_SEP + left + BPE_SEP + BPE_SEP + right + BPE_SEP,
+        BPE_SEP + left + right + BPE_SEP,
+    )
+
+
+def _bpe_word_pairs(s: str):
+    parts = _bpe_unwrap(s)
+    return zip(parts, parts[1:])
+
+
+def bpe_merges_fast(
+    documents: DataFrame, n_merges: int, min_count: int = 2
+) -> DataFrame:
+    """Driver-side BPE trainer over the one-pass word-frequency table —
+    the production shape for large merge counts.
+
+    ``bpe_merges`` runs each merge round as a vocab-sized Spark job;
+    that proves the loop's inputs are bounded, but a 32k-merge table
+    would be 32k sequential jobs whose per-job overhead dwarfs the
+    vocab-sized work. The merge loop has ZERO distribution benefit —
+    classical BPE training depends only on the word-frequency table
+    (bounded by language, not corpus size), so the scale-correct split
+    is: Spark folds the corpus to word counts in ONE pass (the only
+    corpus-sized step), then the driver runs the merge loop in memory
+    the way production tokenizer trainers do.
+
+    Same loop as ``bpe_merges`` — aligned pair counts weighted by word
+    count, arg-max with (count desc, left, right) ties — but each merge
+    applies SYMBOL-EXACT (the wrapped representation, ``_bpe_wrap``):
+    true Sennrich semantics, equal to ``bpe_merges`` wherever the bare
+    replace never crosses a symbol boundary (asserted on the documents
+    corpus in pytest). Incremental bookkeeping (pair counts
+    updated only for words containing the merged pair, lazy max-heap)
+    makes the loop O(updates · log), so thousands of merges train in
+    seconds.
+    """
+    import heapq
+    from collections import defaultdict
+
+    spark = documents.sparkSession
+    rows = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .collect()
+    )  # vocab-sized: bounded by language, same collect class as the
+    # trainer's per-round arg-max row (SURVEY §2.4)
+    words = [_bpe_wrap(list(r["w"]) + ["</w>"]) for r in rows]
+    wcs = [r["wc"] for r in rows]
+
+    pair_counts: dict = defaultdict(int)
+    index: dict = defaultdict(set)
+    for i, s in enumerate(words):
+        for p in _bpe_word_pairs(s):
+            pair_counts[p] += wcs[i]
+            index[p].add(i)
+    # lazy max-heap: entries are (-pc, l, r); stale entries are skipped
+    # when their recorded count no longer matches pair_counts
+    heap = [(-pc, l, r) for (l, r), pc in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            npc, l, r = heap[0]
+            if pair_counts.get((l, r), 0) != -npc or -npc < min_count:
+                heapq.heappop(heap)
+                continue
+            best = (l, r, -npc)
+            break
+        if best is None:
+            break
+        l, r, pc = best
+        merges.append((rank, l, r, l + r, pc))
+        pat = BPE_SEP + l + BPE_SEP + BPE_SEP + r + BPE_SEP
+        touched = set()
+        for i in list(index.get((l, r), ())):
+            s = words[i]
+            if pat not in s:
+                index[(l, r)].discard(i)
+                continue
+            # every pair whose count changes (old word's pairs decrement,
+            # new word's increment) needs a fresh heap entry, or its stale
+            # higher-count entry is popped and the pair becomes unreachable
+            for p in _bpe_word_pairs(s):
+                pair_counts[p] -= wcs[i]
+                touched.add(p)
+            new = _bpe_apply(s, l, r)
+            words[i] = new
+            for p in _bpe_word_pairs(new):
+                pair_counts[p] += wcs[i]
+                index[p].add(i)
+                touched.add(p)
+        for p in touched:
+            heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+        # the merged pair itself is exhausted (count may be >0 only via
+        # misaligned leftovers); repush its current count so the heap
+        # stays truthful
+        heapq.heappush(heap, (-pair_counts.get((l, r), 0), l, r))
+
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_tokenize_words(
+    documents: DataFrame, merges_df: DataFrame, with_tokens: bool = False
+) -> DataFrame:
+    """Production-scale BPE encode via the DISTINCT word table — the
+    path a 32k-merge vocabulary needs (the codegen replace chain of
+    ``bpe_tokenize`` stops being practical past ~100 merges).
+
+    Per-word encode is exactly equivalent to the full-document replace
+    chain: every trained merge is confined to one word (``</w>`` closes
+    each word and no trained pair starts with a ``…</w>`` symbol — the
+    symbol is always word-final in the training vocab), so the document
+    token stream is the concatenation of its words' encodings.
+
+    Scale shape: ONE corpus scan explodes (doc_id, pos, word); the
+    Python merge work runs ONCE PER DISTINCT WORD (vocab-sized, Zipf —
+    not corpus-sized) as an Arrow-batched pandas UDF over the distinct
+    table; the per-word encodings broadcast-join back (a vocab-sized
+    hash table, AQE picks broadcast on statistics at any SF) and one
+    doc_id shuffle reassembles ordered streams. Python cost =
+    |vocab| × |merges|; corpus cost = pure JVM join + shuffle,
+    invariant to merge count — the probe row in ARCHITECTURE.md shows
+    encode time flat at 4× corpus with the vocabulary held constant.
+
+    Returns (doc_id, n_bpe_tokens, fingerprint) with fingerprint =
+    md5 of the space-joined token stream — identical to
+    ``bpe_tokenize`` for the same merge table (pytest-asserted at 60
+    merges; the driver board verifies 120 merges against the unrolled
+    DuckDB twin).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").select("left", "right").collect()
+    ]
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf cannot infer the eval type from string hints
+    @pandas_udf("array<string>")
+    def encode(batch):
+        out = []
+        for w in batch:
+            s = _bpe_wrap(list(w) + ["</w>"])
+            for left, right in merges:
+                s = _bpe_apply(s, left, right)
+            out.append(_bpe_unwrap(s))
+        return pd.Series(out)
+
+    # split WITHOUT the empty filter: the full-document string treats an
+    # empty normalized text as the single word '' (→ ['</w>'])
+    words_pos = documents.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "w"),
+    )
+    encoded = (
+        words_pos.select("w")
+        .distinct()
+        .withColumn("toks", encode(F.col("w")))
+        .select(
+            "w",
+            F.array_join("toks", " ").alias("enc"),
+            F.size("toks").cast("long").alias("n_toks"),
+        )
+    )
+    stream = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+            lambda x: x["enc"],
+        ),
+        " ",
+    )
+    agg_cols = [
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        F.md5(stream).alias("fingerprint"),
+    ]
+    if with_tokens:
+        agg_cols.append(F.split(stream, " ").alias("bpe_tokens"))
+    return (
+        words_pos.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(*agg_cols)
     )

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_metadata_explorer_spark.operators.relational import _stable_sum
+from parquet_metadata_explorer_spark.operators.relational import (
+    _round_dec,
+    _round_sum,
+    _stable_sum,
+)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,10 +62,10 @@ def windowed_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+            _round_sum(F.col("value"), 2).alias("sum_value"),
             # divide by count(value), not count(*): preserves SQL avg()
             # semantics when value is NULL (excluded from both sides)
-            F.round(_stable_sum(F.col("value")) / F.count(F.col("value")), 4).alias(
+            _round_dec(_stable_sum(F.col("value")) / F.count(F.col("value")), 4).alias(
                 "avg_value"
             ),
         )
@@ -105,7 +109,7 @@ def multi_resolution_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.sum("n").cast("long").alias("n_events"),
-            F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_value"),
         )
         .orderBy("day", "event_type")
     )
@@ -123,9 +127,9 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     """
     return events.groupBy("event_type").agg(
         F.count(F.col("value")).alias("n_values"),
-        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+        _round_dec(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        _round_dec(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        _round_dec(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
     )
 
 
@@ -187,7 +191,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+            _round_sum(F.col("value"), 2).alias("sum_value"),
         )
         .withColumn("session_seq", F.col("session_seq").cast("long"))
         .orderBy("user_id", "session_seq")
@@ -344,7 +348,7 @@ def funnel_conversion(
         "n_viewers",
         "n_purchasers",
         "n_converted",
-        F.round(
+        _round_dec(
             F.col("n_converted") * 100.0 / F.col("n_purchasers"), 4
         ).alias("conversion_pct"),
     )
@@ -520,7 +524,7 @@ def stream_windowed_counts(spark: SparkSession, events_path: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+            _round_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -564,7 +568,7 @@ def stream_sessionize(
         .groupBy(F.col("user_id"), sw.alias("w"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(_stable_sum(F.col("value")), 2).alias("sum_value"),
+            _round_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -791,7 +795,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             "week_offset",
             F.col("n_active").cast("long").alias("n_active"),
             F.col("cohort_size").cast("long").alias("cohort_size"),
-            F.round(F.col("n_active") * 100.0 / F.col("cohort_size"), 4).alias(
+            _round_dec(F.col("n_active") * 100.0 / F.col("cohort_size"), 4).alias(
                 "retention_pct"
             ),
         )
@@ -1037,8 +1041,8 @@ def hourly_anomalies(
             "event_type",
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "n_events",
-            F.round(mean, 4).alias("trail_mean"),
-            F.round(z, 4).alias("z_score"),
+            _round_dec(mean, 4).alias("trail_mean"),
+            _round_dec(z, 4).alias("z_score"),
             F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("anomaly"),
         )
         .orderBy("event_type", "hour")
@@ -1154,7 +1158,7 @@ def gapfill_hourly_interpolate(events: DataFrame) -> DataFrame:
             "event_type",
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "mean_value",
-            F.round(interp, 6).alias("filled_value"),
+            _round_dec(interp, 6).alias("filled_value"),
             F.col("mean_value").isNull().alias("was_gap"),
         )
         .orderBy("event_type", "hour")
