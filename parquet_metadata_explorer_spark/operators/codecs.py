@@ -150,6 +150,181 @@ def parse_wav(b: bytes) -> Optional[dict]:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (3 = palette, parsed header-only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse the five PNG row filters (None/Sub/Up/Average/Paeth).
+
+    Per-pixel sequential dependency within a row forces a byte loop;
+    fine for the thumbnail-scale fixtures the pure-Python path targets
+    (a production image pipeline brings a codec library — this makes
+    the Spark plumbing real, not fast)."""
+    out = bytearray(height * stride)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_off = y * stride
+        out[row_off : row_off + stride] = raw[pos : pos + stride]
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                out[row_off + i] = (out[row_off + i] + out[row_off + i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y:
+                for i in range(stride):
+                    out[row_off + i] = (
+                        out[row_off + i] + out[prev_off + i]
+                    ) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = out[row_off + i - bpp] if i >= bpp else 0
+                b_ = out[prev_off + i] if y else 0
+                out[row_off + i] = (out[row_off + i] + ((a + b_) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[row_off + i - bpp] if i >= bpp else 0
+                b_ = out[prev_off + i] if y else 0
+                c = out[prev_off + i - bpp] if (y and i >= bpp) else 0
+                pa, pb, pc = abs(b_ - c), abs(a - c), abs(a + b_ - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                out[row_off + i] = (out[row_off + i] + pred) & 0xFF
+        else:
+            raise ValueError("bad filter")
+        prev_off = row_off
+    return bytes(out)
+
+
+def parse_png(b: bytes) -> Optional[dict]:
+    """PNG: signature + chunk walk. Dimensions/channels from IHDR for any
+    structurally-valid PNG; REAL pixels (stdlib zlib inflate + the five
+    row unfilters) for the common 8-bit non-interlaced color types
+    (gray / RGB / gray+alpha / RGBA). Palette, 16-bit and interlaced
+    files parse header-only — dimensions without a ``pixels`` key."""
+    import zlib
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG or len(b) < 33:
+        return None
+    pos, n = len(_PNG_SIG), len(b)
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 8 <= n:
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if clen > n - body_start:
+            return None  # truncated chunk
+        body = b[body_start : body_start + clen]
+        if pos == len(_PNG_SIG) and ctype != b"IHDR":
+            return None  # IHDR must come first
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            comp, filt, interlace = body[10], body[11], body[12]
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                return None
+            if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+                return None
+            if color_type not in _PNG_CHANNELS:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        pos = body_start + clen + 4  # skip CRC
+    if width is None or not saw_end:
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    meta = {
+        "codec": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+    }
+    if bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6) and idat:
+        stride = width * channels
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return meta  # header-only when the stream is corrupt
+        if len(raw) != height * (stride + 1):
+            return meta
+        try:
+            meta["pixels"] = _png_unfilter(raw, height, stride, channels)
+        except ValueError:
+            return meta
+        meta["row_bytes"] = stride
+        meta["top_down"] = True
+    return meta
+
+
+# SOF markers that carry dimensions (baseline, progressive, lossless,
+# arithmetic variants) — everything except DHT(C4)/DAC(CC)/JPG(C8)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_jpeg(b: bytes) -> Optional[dict]:
+    """JPEG header-only: walk the marker segments to the first SOF and
+    return (width, height, channels, precision). Entropy decode (DCT +
+    Huffman) needs a codec library — dimensions are what the metadata
+    plane of a crawl pipeline needs, and the strict segment walk keeps
+    arbitrary bytes from mis-sniffing."""
+    if b[:2] != b"\xff\xd8" or len(b) < 4:
+        return None
+    pos, n = 2, len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None  # lost marker sync: not a JPEG stream
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers, no payload
+        if marker in (0xD9, 0xDA):
+            return None  # EOI / start-of-scan before any SOF
+        if pos + 2 > n:
+            return None
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            return None
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                return None
+            precision = b[pos + 2]
+            height = int.from_bytes(b[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            ncomp = b[pos + 7]
+            if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+                return None
+            if ncomp not in (1, 3, 4) or precision not in (8, 12, 16):
+                return None
+            return {
+                "codec": "jpeg",
+                "width": width,
+                "height": height,
+                "channels": ncomp,
+                "bit_depth": precision,
+            }
+        pos += seglen
+    return None
+
+
 def sniff_media(b: bytes) -> Optional[dict]:
     """Dispatch on magic bytes; None when no strict parser accepts."""
     if b[:2] == b"BM":
@@ -158,4 +333,8 @@ def sniff_media(b: bytes) -> Optional[dict]:
         return parse_ppm(b)
     if b[:4] == b"RIFF":
         return parse_wav(b)
+    if b[: len(_PNG_SIG)] == _PNG_SIG:
+        return parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        return parse_jpeg(b)
     return None

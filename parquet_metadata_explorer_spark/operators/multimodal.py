@@ -96,8 +96,8 @@ def _decode_one(payload: bytes) -> dict:
 
 # payload prefixes that can possibly be media — anything else takes the
 # vectorized raw path without a per-item call
-_MEDIA_MAGIC_2 = (b"BM", b"P5", b"P6")
-_MEDIA_MAGIC_4 = b"RIFF"
+_MEDIA_MAGIC_2 = (b"BM", b"P5", b"P6", b"\xff\xd8")
+_MEDIA_MAGIC_4 = (b"RIFF", b"\x89PNG")
 
 
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +136,7 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if len(p) < 10:
                 continue
             prefix = bytes(p[:4])
-            if prefix[:2] not in _MEDIA_MAGIC_2 and prefix != _MEDIA_MAGIC_4:
+            if prefix[:2] not in _MEDIA_MAGIC_2 and prefix not in _MEDIA_MAGIC_4:
                 continue
             row = _decode_one(bytes(p))
             for c, v in row.items():
@@ -167,12 +167,16 @@ RESIZED_SCHEMA = StructType(
 
 
 def _pixel_grid(buf, meta):
-    """(h, w, channels) uint8 array from a parsed BMP/PPM payload —
-    honoring BMP row padding and bottom-up row order."""
+    """(h, w, channels) uint8 array from a parsed BMP/PPM/PNG payload —
+    BMP row padding and bottom-up order honored; PNG pixels come from
+    the parser's inflated+unfiltered buffer (codecs.parse_png)."""
     import numpy as np
 
     w, h, c = meta["width"], meta["height"], meta["channels"]
-    rows = buf[meta["pixel_offset"] :]
+    if "pixels" in meta:  # PNG: rows come from the inflated+unfiltered
+        rows = np.frombuffer(meta["pixels"], dtype=np.uint8)
+    else:
+        rows = buf[meta["pixel_offset"] :]
     grid = (
         rows[: h * meta["row_bytes"]]
         .reshape(h, meta["row_bytes"])[:, : w * c]
@@ -206,7 +210,7 @@ def resize_binary(payloads: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFr
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 n = len(buf)
                 meta = sniff_media(payload) if n >= 10 else None
-                if meta is not None and "width" in meta and meta["codec"] != "wav":
+                if meta is not None and ("pixels" in meta or "pixel_offset" in meta):
                     grid = _pixel_grid(buf, meta)
                     h, w = grid.shape[0], grid.shape[1]
                     yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
@@ -308,7 +312,7 @@ def image_dhash(payloads: DataFrame) -> DataFrame:
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 n = len(buf)
                 meta = sniff_media(payload) if n >= 10 else None
-                if meta is not None and "width" in meta and meta["codec"] != "wav":
+                if meta is not None and ("pixels" in meta or "pixel_offset" in meta):
                     grid = _pixel_grid(buf, meta)
                     codec = meta["codec"]
                 else:

@@ -324,3 +324,178 @@ def test_audio_fingerprint_neardup(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+# -- PNG / JPEG (round 6) ---------------------------------------------------
+
+
+def _paeth(a, b, c):
+    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def make_png(pixels: np.ndarray, filters=None) -> bytes:
+    """Real PNG encoder for the test: per-row FORWARD filtering (so the
+    parser must invert it) + zlib, color type from channel count."""
+    import zlib
+
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    stride = w * c
+    flat = pixels.reshape(h, stride).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y]
+        enc = bytearray([f])
+        for i in range(stride):
+            a = int(row[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            raw = int(row[i])
+            if f == 0:
+                v = raw
+            elif f == 1:
+                v = raw - a
+            elif f == 2:
+                v = raw - b
+            elif f == 3:
+                v = raw - ((a + b) >> 1)
+            else:
+                v = raw - _paeth(a, b, cc)
+            enc.append(v & 0xFF)
+        out += enc
+        prev = row
+
+    def chunk(tag, body):
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w: int, h: int, ncomp: int = 3, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI, APP0, DQT, SOF."""
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + bytes(6)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comp
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def test_parse_png_all_filter_types():
+    """Every PNG row filter must unfilter back to the original pixels."""
+    rng = np.random.RandomState(3)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(5, 4, c)).astype(np.uint8)
+        m = codecs.parse_png(make_png(px, filters=[0, 1, 2, 3, 4]))
+        assert m is not None and m["codec"] == "png"
+        assert (m["width"], m["height"], m["channels"]) == (4, 5, c)
+        got = np.frombuffer(m["pixels"], dtype=np.uint8).reshape(5, 4, c)
+        assert (got == px).all(), f"channels={c}"
+
+
+def test_parse_jpeg_dimensions():
+    for prog in (False, True):
+        m = codecs.parse_jpeg(make_jpeg(640, 480, 3, progressive=prog))
+        assert m == {
+            "codec": "jpeg",
+            "width": 640,
+            "height": 480,
+            "channels": 3,
+            "bit_depth": 8,
+        }
+    m = codecs.parse_jpeg(make_jpeg(12, 7, 1))
+    assert (m["width"], m["height"], m["channels"]) == (12, 7, 1)
+
+
+def test_png_jpeg_reject_near_misses():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = make_png(px)
+    # signature-only text must not sniff
+    assert codecs.sniff_media(b"\x89PNG but actually prose") is None
+    assert codecs.sniff_media(b"\xff\xd8 then garbage without markers") is None
+    # truncated IDAT: either header-only (no pixels) or rejected
+    m = codecs.parse_png(good[:-20])
+    assert m is None or "pixels" not in m
+    # corrupt zlib stream -> header-only parse, dims still usable
+    bad = bytearray(good)
+    bad[50] ^= 0xFF
+    m = codecs.parse_png(bytes(bad))
+    assert m is None or (m["width"], m["height"]) == (2, 2)
+    # JPEG with SOS before SOF carries no dimensions
+    assert codecs.parse_jpeg(b"\xff\xd8\xff\xda\x00\x04\x00\x00") is None
+
+
+def test_png_jpeg_sniffers_total():
+    """Truncation at every cut + random header mutations never raise."""
+    import random
+
+    rng = random.Random(11)
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    for base in (make_png(px, filters=[4, 3, 1]), make_jpeg(33, 21, 3)):
+        for cut in range(len(base)):
+            r = codecs.sniff_media(bytes(base[:cut]))
+            assert r is None or isinstance(r, dict)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            r = codecs.sniff_media(bytes(b))
+            assert r is None or isinstance(r, dict)
+
+
+def test_decode_and_resize_png_jpeg(spark):
+    """End-to-end: PNG resize resamples REAL decoded pixels; JPEG decodes
+    header dimensions but (no entropy decode) resizes via the raw path."""
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_png(img, filters=[1, 2, 3, 4]))),
+            (2, bytearray(make_jpeg(640, 480, 3))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_payloads(df).collect()}
+    assert (out[1].codec, out[1].width, out[1].height, out[1].channels) == (
+        "png", 6, 4, 3,
+    )
+    assert (out[2].codec, out[2].width, out[2].height, out[2].channels) == (
+        "jpeg", 640, 480, 3,
+    )
+    out_w, out_h = 3, 2
+    yi = np.minimum((np.arange(out_h) * 4) // out_h, 3)
+    xi = np.minimum((np.arange(out_w) * 6) // out_w, 5)
+    rows = {r.doc_id: bytes(r.resized) for r in multimodal.resize_binary(df, out_w, out_h).collect()}
+    assert rows[1] == img[np.ix_(yi, xi)].tobytes()
+    assert len(rows[2]) > 0  # raw-path fallback still total
+
+
+def test_png_dhash_matches_bmp_dhash(spark):
+    """The SAME pixel grid through PNG and BMP containers must produce
+    the SAME perceptual dHash — the hash is a pixel property, not a
+    container property."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(img, filters=[2] * 16))), (2, bytearray(make_bmp(img)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: (r.dhash, r.codec) for r in multimodal.image_dhash(df).collect()}
+    assert rows[1][1] == "png" and rows[2][1] == "bmp"
+    assert rows[1][0] == rows[2][0]

@@ -182,7 +182,27 @@ def main() -> None:
         # shingle volume linear; per-shingle source sets bounded by the
         # source count (20), pair explosion sources²-bounded
         "source_overlap": lambda d, e: text.source_overlap(d),
+        # production encode path at a FIXED merge table (trained once on
+        # the x1 corpus — the replica permutation keeps the word multiset,
+        # hence the vocabulary, constant across factors): Python work =
+        # |vocab| × |merges| = constant; the corpus-sized part is the
+        # word explode + broadcast join + one doc_id shuffle → flat-ish
+        # per-row cost at 4× is the 100 TB claim
+        "bpe_encode_words": lambda d, e: text.bpe_tokenize_words(
+            d, _bpe_table(d)
+        ),
     }
+
+    _bpe_cache = {}
+
+    def _bpe_table(d):
+        if "m" not in _bpe_cache:
+            x1 = spark.read.parquet(f"{BASE}/x1/documents.parquet")
+            m = text.bpe_merges_fast(x1, n_merges=120, min_count=1)
+            m.cache()
+            m.count()
+            _bpe_cache["m"] = m
+        return _bpe_cache["m"]
 
     def _knn(e, planes):
         from parquet_metadata_explorer_spark.operators import similarity
