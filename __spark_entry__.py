@@ -3045,17 +3045,17 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(_table(spark, sf_dir, "documents"))
 
 
-def _oracle_quality_filter() -> str:
-    """Composes the text_stats feature CTE with the repetition-metric CTEs
-    and evaluates the same rule battery (operators/text.py QUALITY_RULES)
-    as a CASE list."""
-    stats_feat = f"""
+def _quality_feat_ctes(source: str = "documents") -> str:
+    """Shared CTE body: text_stats features + repetition metrics +
+    quality_score over ``source`` — used by the quality-filter oracle and
+    the prepare_corpus audit oracle."""
+    return f"""
 base AS (
   SELECT doc_id, text, {D_TOKS} AS t,
          length(text)::bigint AS n_chars,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint AS n_punct,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint AS n_alpha
-  FROM documents
+  FROM {source}
 ),
 feat AS (
   SELECT doc_id,
@@ -3092,7 +3092,31 @@ full_feat AS (
          round((coalesce(top2 / n2, 0.0))::DECIMAL(30,10), 4)::double AS top_2gram_frac,
          round((coalesce(dup3 / n3, 0.0))::DECIMAL(30,10), 4)::double AS dup_3gram_frac
   FROM feat f LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+),
+keepers AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_filter([
+             CASE WHEN n_tokens < 10 THEN 'too_short' END,
+             CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+             CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
+             CASE WHEN punct_ratio > 0.1 THEN 'punct' END,
+             CASE WHEN stop_ratio < 0.05 THEN 'stopword' END,
+             CASE WHEN top_2gram_frac > 0.20 THEN 'rep_2gram' END,
+             CASE WHEN dup_3gram_frac > 0.20 THEN 'rep_3gram' END
+           ], x -> x IS NOT NULL), ','), '') AS reasons,
+         round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+              + (CASE WHEN stop_ratio >= 0.05 THEN 0.4 ELSE 0.0 END)
+           )::double::DECIMAL(30,10), 4)::double AS quality_score
+  FROM full_feat
 )"""
+
+
+def _oracle_quality_filter() -> str:
+    """Composes the text_stats feature CTE with the repetition-metric CTEs
+    and evaluates the same rule battery (operators/text.py QUALITY_RULES)
+    as a CASE list."""
+    stats_feat = _quality_feat_ctes("documents")
     return f"""
 WITH {stats_feat}
 SELECT doc_id,
@@ -3111,6 +3135,94 @@ FROM (
     ], x -> x IS NOT NULL), ','), '') AS reasons
   FROM full_feat
 )
+"""
+
+
+def q_prepare_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage document-survival counts of the FULL preparation flow
+    (quality gate -> corpus line dedup -> exact dedup -> benchmark
+    decontamination) over the standard %20 train/benchmark split — the
+    flagship pipeline's monotone audit on the hard signal. Every stage
+    operator is also individually oracled (quality_filter, dedup_lines,
+    dedup_exact, text_decontaminate)."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        preparation_audit,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return preparation_audit(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+def _oracle_prepare_audit() -> str:
+    """Unrolled-CTE twin of the preparation chain, every stage
+    MATERIALIZED (the fd-explosion rule for linear CTE chains). Line
+    dedup runs in newline mode (the pipeline default): first occurrence
+    of each line wins by (doc_id, line_no)."""
+    feat = _quality_feat_ctes("(SELECT * FROM documents WHERE doc_id % 20 <> 0)")
+    return f"""
+WITH {feat},
+train AS MATERIALIZED (SELECT doc_id, text FROM base),
+kept_q AS MATERIALIZED (
+  SELECT t.doc_id, t.text
+  FROM train t JOIN keepers k USING (doc_id)
+  WHERE k.reasons = '' AND k.quality_score >= 0.4
+),
+lines AS MATERIALIZED (
+  SELECT doc_id, j - 1 AS line_no, parts_[j] AS line
+  FROM (SELECT doc_id, str_split(text, chr(10)) AS parts_ FROM kept_q),
+       unnest(range(1, len(parts_)+1)) AS u(j)
+),
+kept_lines AS MATERIALIZED (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 AS keep
+  FROM lines
+),
+cleaned AS MATERIALIZED (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no),
+                  '') AS text
+  FROM kept_lines GROUP BY doc_id
+),
+cleaned_ne AS MATERIALIZED (SELECT * FROM cleaned WHERE trim(text) <> ''),
+uniq AS MATERIALIZED (
+  SELECT c.doc_id, c.text
+  FROM cleaned_ne c
+  JOIN (SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5({D_NORM}) AS fp FROM cleaned_ne)
+        GROUP BY fp) f USING (doc_id)
+),
+u_sh AS MATERIALIZED (
+  SELECT doc_id, {D_SHINGLES} AS s
+  FROM (SELECT doc_id, {D_TOKS} AS t FROM uniq)
+),
+bench_sh AS MATERIALIZED (
+  SELECT DISTINCT unnest(s) AS shingle FROM (
+    SELECT {D_SHINGLES} AS s FROM (
+      SELECT {D_TOKS} AS t FROM documents WHERE doc_id % 20 = 0))
+),
+hits AS MATERIALIZED (
+  SELECT i.doc_id, count(*)::BIGINT AS n_hit
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM u_sh WHERE len(s) > 0) i
+  JOIN bench_sh USING (shingle)
+  GROUP BY 1
+),
+contaminated AS MATERIALIZED (
+  SELECT h.doc_id
+  FROM hits h JOIN (SELECT doc_id, len(s)::BIGINT AS n_sh FROM u_sh) z USING (doc_id)
+  WHERE h.n_hit::double / z.n_sh >= 0.5
+),
+final AS MATERIALIZED (
+  SELECT u.doc_id FROM uniq u
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = u.doc_id)
+)
+SELECT 0::BIGINT AS stage_no, 'input' AS stage, count(*)::BIGINT AS n_docs FROM train
+UNION ALL SELECT 1, 'after_quality', count(*) FROM kept_q
+UNION ALL SELECT 2, 'after_line_dedup', count(*) FROM cleaned_ne
+UNION ALL SELECT 3, 'after_exact', count(*) FROM uniq
+UNION ALL SELECT 4, 'after_decontamination', count(*) FROM final
 """
 
 
@@ -3272,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "window_rolling": q_window_rolling,
         "text_quality_filter": q_text_quality_filter,
+        "prepare_corpus_audit": q_prepare_corpus_audit,
         "knn_graph": q_knn_graph,
         "dataset_card": q_dataset_card,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3393,6 +3506,12 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": O_EVENTS_GAPFILL,
         "events_gapfill_by_type": O_EVENTS_GAPFILL_BY_TYPE,
         "events_attribution": O_EVENTS_ATTRIBUTION,
+        # Glob fixed to the driver's oracle SF like every meta_* oracle
+        # (oracle_sql() is static; the local parity twin substitutes the
+        # path per SF). Assumes a checksum-less corpus: crc columns are
+        # pinned 0 in SQL (DuckDB has no CRC-32) — a checksummed corpus
+        # would mismatch for harness reasons, not engine bugs; those
+        # paths are fixture-tested in tests/test_reports.py.
         "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
         "ann_int8": O_ANN_INT8,
         "events_trending": O_EVENTS_TRENDING,
@@ -3419,6 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21": O_TPCH_Q21,
         "window_rolling": O_WINDOW_ROLLING,
         "text_quality_filter": _oracle_quality_filter(),
+        "prepare_corpus_audit": _oracle_prepare_audit(),
         "knn_graph": _oracle_knn_graph(),
         "dataset_card": _oracle_dataset_card(),
         "events_retention": O_EVENTS_RETENTION,

@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The per-run detail ("runs") goes to BENCH_summary.json next to this file
+instead of stdout — r5's driver tail-capture truncated the stdout line
+mid-JSON because the runs dict made it huge ("parsed": null); the compact
+line always fits a bounded tail.
 
 Each query runs three times after a session warm-up and reports the best
 run — the steady-state query cost, excluding the first-execution
@@ -74,6 +78,7 @@ def main() -> None:
         "dataset_card",
         "source_overlap",
         "text_bpe",
+        "text_bpe_encode1k",
         "profile_lineitem",
         "events_trending",
         "tpch_q1",
@@ -127,18 +132,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # full detail (raw runs) to a file the tail capture can't truncate
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_summary.json"), "w") as f:
+            json.dump({**summary, "runs": runs}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(summary))
     spark.stop()
 
 

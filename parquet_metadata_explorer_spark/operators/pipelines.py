@@ -199,23 +199,62 @@ def prepare_corpus(
     and the prefix-sum partials, so the composition inherits every
     stage's 100 TB story.
     """
-    from .dedup import line_dedup
     from .sampling import pack_sequences
-    from .text import bpe_merges, bpe_tokenize, decontaminate, quality_filter
+    from .text import bpe_merges, bpe_tokenize
 
-    n_input = documents.count()
-
-    kept_q = documents.join(
-        quality_filter(documents).filter(F.col("keep")).select("doc_id"), "doc_id"
+    stages = preparation_stages(
+        documents,
+        benchmark,
+        min_quality=min_quality,
+        contamination_threshold=contamination_threshold,
     )
-    n_quality = kept_q.count()
+    audit = {name: df.count() for name, df in stages.items()}
+    final = stages["after_decontamination"]
 
-    deduped_lines = line_dedup(kept_q).select(
-        "doc_id", F.col("cleaned_text").alias("text")
+    merges = bpe_merges(final, n_merges=n_merges)
+    tokenized = bpe_tokenize(final, merges)
+    packs = pack_sequences(final, budget_tokens=budget_tokens)
+    return packs, tokenized, merges, audit
+
+
+PREPARATION_STAGE_ORDER = (
+    "input",
+    "after_quality",
+    "after_line_dedup",
+    "after_exact",
+    "after_decontamination",
+)
+
+
+def preparation_stages(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.4,
+    contamination_threshold: float = 0.5,
+) -> dict:
+    """The prepare_corpus document-survival chain as lazy stage frames —
+    shared by the pipeline runner and the boarded audit query.
+
+    The quality gate applies BOTH the rule battery (quality_filter) and
+    the declared ``min_quality`` threshold on text_stats' quality_score
+    (r5 ADVICE: the parameter was declared but unused)."""
+    from .dedup import line_dedup
+    from .text import decontaminate, quality_filter, text_stats
+
+    rule_keep = quality_filter(documents).filter(F.col("keep")).select("doc_id")
+    score_keep = (
+        text_stats(documents)
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id")
     )
-    cleaned = deduped_lines.filter(F.length(F.trim("text")) > 0)
-    n_lines = cleaned.count()
-
+    kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
+        score_keep, "doc_id", "left_semi"
+    )
+    cleaned = (
+        line_dedup(kept_q)
+        .select("doc_id", F.col("cleaned_text").alias("text"))
+        .filter(F.length(F.trim("text")) > 0)
+    )
     first_ids = (
         cleaned.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
         .groupBy("fp")
@@ -223,25 +262,50 @@ def prepare_corpus(
         .select("doc_id")
     )
     unique = cleaned.join(first_ids, "doc_id", "left_semi")
-    n_exact = unique.count()
-
     contaminated = (
         decontaminate(unique, benchmark, threshold=contamination_threshold)
         .filter(F.col("contaminated"))
         .select("doc_id")
     )
     final = unique.join(contaminated, "doc_id", "left_anti")
-    n_final = final.count()
-
-    merges = bpe_merges(final, n_merges=n_merges)
-    tokenized = bpe_tokenize(final, merges)
-    packs = pack_sequences(final, budget_tokens=budget_tokens)
-
-    audit = {
-        "input": n_input,
-        "after_quality": n_quality,
-        "after_line_dedup": n_lines,
-        "after_exact": n_exact,
-        "after_decontamination": n_final,
+    return {
+        "input": documents,
+        "after_quality": kept_q,
+        "after_line_dedup": cleaned,
+        "after_exact": unique,
+        "after_decontamination": final,
     }
-    return packs, tokenized, merges, audit
+
+
+def preparation_audit(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.4,
+    contamination_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-stage survival counts of the full preparation flow as ONE
+    DataFrame (stage_no, stage, n_docs) — the monotone audit table as a
+    declarative union of stage counts, so the flagship pipeline itself
+    sits on the driver's oracle board (each stage's operator is also
+    individually oracled)."""
+    stages = preparation_stages(
+        documents,
+        benchmark,
+        min_quality=min_quality,
+        contamination_threshold=contamination_threshold,
+    )
+    parts = []
+    for i, name in enumerate(PREPARATION_STAGE_ORDER):
+        parts.append(
+            stages[name]
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select(
+                F.lit(i).cast("long").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage_no")
