@@ -306,6 +306,7 @@ def list_files(
     path: str,
     spark=None,
     distributed_threshold: int = 64,
+    spark_threshold: int = 4096,
 ) -> list[FileInfo]:
     """List all data files under ``path`` (or the single file itself),
     discovering Hive partition columns from directory names.
@@ -316,12 +317,20 @@ def list_files(
     would for a direct load of that directory.
 
     Wide roots (≥ ``distributed_threshold`` first-level subdirectories)
-    never get a serial driver walk: per-directory listing fans out as a
-    Spark job when ``spark`` is given, else over a driver thread pool
-    (listing is IO-latency bound, so threads recover most of the win —
-    this is what the ``format("metadata")`` path uses, since the Python
-    DataSource plan runs in a worker process without a SparkSession;
-    the reference's single entry point is ``DefaultSource.scala:157-163``).
+    never get a serial driver walk: per-directory listing fans out over a
+    driver thread pool, or as a Spark job when ``spark`` is given AND the
+    root is at least ``spark_threshold`` directories wide. The split is
+    measured (tools/listing_probe.py, 100k files / 400 dirs on tmpfs):
+    the thread pool matches the serial walk locally (1.46 vs 1.44 s) and
+    fully absorbs object-store round-trips (flat at +2 ms/dir), while a
+    local Spark job pays ~2.4 s of fixed scheduling overhead — so below
+    ``spark_threshold`` threads win outright, and above it the job
+    amortizes its overhead and scales with the CLUSTER's cores instead of
+    the driver's thread pool (the reference's "hundreds of thousands of
+    files" regime, README.md:49; its single entry point is
+    ``DefaultSource.scala:157-163``). The thread pool is also what the
+    ``format("metadata")`` path uses, since the Python DataSource plan
+    runs in a worker process without a SparkSession.
     """
     fs, p = resolve_filesystem(path)
     p = p.rstrip("/") or "/"
@@ -336,7 +345,9 @@ def list_files(
         for match in _expand_glob(fs, p):
             try:
                 out.extend(
-                    list_files(uri_prefix + match, spark, distributed_threshold)
+                    list_files(
+                        uri_prefix + match, spark, distributed_threshold, spark_threshold
+                    )
                 )
             except FileNotFoundError:
                 continue  # static tail segment appended past a miss
@@ -370,7 +381,7 @@ def list_files(
         uri_prefix = path.split("://")[0] + "://" if "://" in path else ""
         list_dir = _make_list_dir(uri_prefix, fs_options_snapshot())
 
-        if spark is not None:
+        if spark is not None and len(dirs) >= spark_threshold:
             sc = spark.sparkContext
             listed = (
                 sc.parallelize(dirs, min(len(dirs), 256))

@@ -49,7 +49,9 @@ def test_distributed_listing_matches_driver_side(spark, tmp_path):
     os.makedirs(root)
     _mktree(root)
     serial = list_files(root)
-    distributed = list_files(root, spark=spark, distributed_threshold=2)
+    distributed = list_files(
+        root, spark=spark, distributed_threshold=2, spark_threshold=2
+    )
     assert [(f.path, f.size, f.partition) for f in distributed] == [
         (f.path, f.size, f.partition) for f in serial
     ]
@@ -158,3 +160,42 @@ def test_glob_recursion_keeps_uri_scheme(tmp_path, monkeypatch):
     # every resolve (the glob root AND each per-match recursion) must
     # carry the scheme so the same filesystem is re-selected
     assert seen and all(p.startswith("file://") for p in seen)
+
+
+def test_wide_root_routing_defaults(spark, tmp_path, monkeypatch):
+    """Measured routing defaults (tools/listing_probe.py): a wide root
+    below spark_threshold uses the driver THREAD pool even when a
+    SparkSession is available (a local Spark job pays ~2.4 s fixed
+    scheduling overhead); only spark_threshold-wide roots take the
+    distributed job, where cluster cores amortize it."""
+    import parquet_metadata_explorer_spark.listing as L
+
+    root = tmp_path / "wide"
+    for d in range(70):  # >= distributed_threshold, < spark_threshold
+        sub = root / f"k={d}"
+        sub.mkdir(parents=True)
+        (sub / "f.bin").write_bytes(b"x")
+
+    used = {"threads": False, "spark": False}
+    orig_make = L._make_list_dir
+
+    def spy_make(uri_prefix, fs_snapshot=None):
+        inner = orig_make(uri_prefix, fs_snapshot)
+
+        def spy(d):
+            import threading
+
+            if threading.current_thread().name != "MainThread":
+                used["threads"] = True
+            return inner(d)
+
+        return spy
+
+    monkeypatch.setattr(L, "_make_list_dir", spy_make)
+    files = L.list_files(str(root), spark=spark)  # defaults
+    assert len(files) == 70
+    assert used["threads"], "wide-but-not-huge root must use the thread pool"
+
+    # forcing the spark threshold down routes the same root to the job
+    files2 = L.list_files(str(root), spark=spark, spark_threshold=64)
+    assert [(f.path, f.size) for f in files2] == [(f.path, f.size) for f in files]
