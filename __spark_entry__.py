@@ -2282,6 +2282,41 @@ def q_page_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("filename")
 
 
+def q_page_content_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pagecontent=true`` exercised on the hard signal: the buffered
+    forward-only reader materializes every page's raw bytes
+    (RemoteInputStream semantics, SURVEY S16) and the query folds them to
+    per-file page counts + total content bytes. The oracle recounts from
+    the independent DuckDB-SQL page-header walk — equality proves each
+    materialized buffer is exactly ``compressed_page_size`` long for
+    every page of every file. Also the bench row for the page-content
+    read path (headers-only meta_page can't time the data reads)."""
+    df = pqx.read_metadata(
+        spark, sf_dir, source="parquet", level="page", pagecontent=True
+    )
+    return (
+        df.groupBy(F.element_at(F.split("filepath", "/"), -1).alias("filename"))
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.length("page_content")).cast("long").alias("content_bytes"),
+        )
+        .orderBy("filename")
+    )
+
+
+def _oracle_page_content(glob: str) -> str:
+    from tools import duckdb_page_oracle as _po
+
+    return f"""
+WITH RECURSIVE {_po.page_walk_cte(glob)}
+SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+       count(*)::BIGINT AS n_pages,
+       sum(comp)::BIGINT AS content_bytes
+FROM pages
+GROUP BY 1
+"""
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join (view→purchase attribution) — the batch twin of
     the watermarked stream-stream join in streaming/events.py."""
@@ -3358,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_by_type": q_events_gapfill_by_type,
         "events_attribution": q_events_attribution,
         "page_integrity": q_page_integrity,
+        "page_content_scan": q_page_content_scan,
         "ann_int8": q_ann_int8,
         "events_trending": q_events_trending,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
@@ -3513,6 +3549,8 @@ def oracle_sql() -> dict[str, str]:
         # would mismatch for harness reasons, not engine bugs; those
         # paths are fixture-tested in tests/test_reports.py.
         "page_integrity": _page_oracle.integrity_oracle_sql(f"{SF01}/*.parquet"),
+        # same fixed-glob convention as page_integrity above
+        "page_content_scan": _oracle_page_content(f"{SF01}/*.parquet"),
         "ann_int8": O_ANN_INT8,
         "events_trending": O_EVENTS_TRENDING,
         "text_bpe": _oracle_bpe(),

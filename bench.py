@@ -54,6 +54,7 @@ def main() -> None:
         "meta_column",
         "meta_page",
         "page_plain_decode",
+        "page_content_scan",
         "dedup_exact",
         "dedup_minhash",
         "dedup_ngram_jaccard",

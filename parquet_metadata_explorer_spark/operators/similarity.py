@@ -611,7 +611,12 @@ def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame
     (float, Python workers, fastest per-row); this one is the
     JVM-only path (no Python worker at all in the plan) over a corpus
     representation that is 4× smaller. Recall vs the float kernel is
-    measured in tests/test_ivf.py.
+    measured in tests/test_ivf.py; tools/ann_scale_probe.py at 32k
+    vectors: recall@10 = 0.98, but the element-wise codegen dot is ~2×
+    SLOWER than the BLAS GEMM on in-memory corpora — the int8 win is
+    scan/shuffle bytes (array<tinyint> is a quarter of the IO at
+    100 TB), not local compute; prefer the float kernel when the corpus
+    fits memory.
     """
     from ..functions import ensure_parallelism
 
