@@ -1077,6 +1077,64 @@ FROM t{n}"""
     )
 
 
+SUBSTR_WINDOW = 20
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2022 shape): rolling
+    20-token window hashes, global first-occurrence wins, overlapping
+    duplicated windows merged by interval union into duplicated-token
+    counts per document."""
+    return dedup.substring_dedup(
+        _table(spark, sf_dir, "documents"), window=SUBSTR_WINDOW
+    )
+
+
+def _oracle_dedup_substring(w: int = SUBSTR_WINDOW) -> str:
+    h = _d_hash60(f"array_to_string(t[i:i+{w-1}], ' ')")
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, length(t)::BIGINT AS n_tokens, t FROM toks),
+wins AS (
+  SELECT doc_id, u.i - 1 AS pos, u.h AS h
+  FROM (
+    SELECT doc_id,
+           CASE WHEN length(t) >= {w}
+                THEN list_transform(range(1, length(t) - {w} + 2),
+                                    i -> struct_pack(i := i, h := {h}))
+                ELSE [] END AS whs
+    FROM base
+  ), unnest(whs) AS z(u)
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS occ
+  FROM wins
+),
+dupw AS (SELECT doc_id, pos FROM marked WHERE occ > 1 AND rn > 1),
+contrib AS (
+  SELECT doc_id, pos,
+         greatest(0, pos + {w} - greatest(pos,
+           coalesce(max(pos + {w}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+  FROM dupw
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_windows, sum(c)::BIGINT AS n_dup_tokens
+  FROM contrib GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       greatest(b.n_tokens - {w} + 1, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       coalesce(p.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       {_d_round(f"coalesce(p.n_dup_tokens, 0) / greatest(b.n_tokens, 1)::double", 4)}
+         AS dup_token_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_overlap(_table(spark, sf_dir, "documents"))
 
@@ -3395,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode1k": q_text_bpe_encode1k,
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
+        "dedup_substring": q_dedup_substring,
         # C) the r5 red (double-rounding), fixed r6 -- prove green
         "tpch_q11": q_tpch_q11,
         # D) two-rounds-old entries (r4 rows), rounding-sweep-touched
@@ -3408,7 +3467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_gapfill": q_events_gapfill,
         "text_redact": q_text_redact,
-        "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "ann_topk": q_ann_topk,
@@ -3438,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # F) unchanged-since-r4-green, deferred one round (r7 head)
+        "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
@@ -3562,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_encode1k": _oracle_bpe_encode1k(),
         "pruned_read": O_PRUNED_READ,
         "source_overlap": O_SOURCE_OVERLAP,
+        "dedup_substring": _oracle_dedup_substring(),
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -682,3 +682,104 @@ def line_dedup(
         )
         .select("doc_id", "n_lines", "n_kept", "cleaned_text")
     )
+
+
+def substring_dedup(documents: DataFrame, window: int = 20) -> DataFrame:
+    """Span-level exact substring deduplication across the corpus — the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") measurement: any ``window``-token span that appeared
+    EARLIER in the corpus (first occurrence by (doc_id, position) wins)
+    marks its tokens as duplicated, and overlapping duplicated windows
+    merge into spans, so a copied 500-token passage counts 500 duplicated
+    tokens, not 481 windows × 20.
+
+    Line dedup catches whole duplicated LINES; this catches arbitrary
+    copied spans that cross line structure (quotations, boilerplate
+    embedded mid-paragraph, mirrored articles with edited openings).
+
+    Scale shape: one row per rolling window (corpus-token-linear, the
+    same cardinality class as the line-dedup postings); the global
+    first-occurrence is a partial-aggregating ``min(struct(doc_id,
+    pos))`` per window hash — a boilerplate span occurring 10⁹ times
+    contributes one row per task to that shuffle; the join back on the
+    hash is row-linear with AQE splitting hot hashes. The interval
+    union runs per document under a (doc_id) window ordered by
+    position — running max of span ends over PRECEDING rows, so each
+    row's novel contribution is ``end − max(start, prev_max_end)``
+    clamped at 0; per-partition state is one document's duplicated
+    windows. Window hashes are the shared 60-bit md5 prefix (exactly
+    reproducible in the DuckDB oracle); a collision can only OVER-mark
+    duplication, identically on both engines.
+
+    Output per doc: (doc_id, n_tokens, n_windows, n_dup_windows,
+    n_dup_tokens, dup_token_frac).
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    base = documents.select("doc_id", toks.alias("t"), n.alias("n_tokens"))
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= window,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - window + 1),
+                    lambda i: hash60(F.concat_ws(" ", F.slice("t", i, window))),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count("*").alias("occ"),
+    )
+    dup = (
+        wins.join(firsts, "h")
+        .filter(
+            (F.col("occ") > 1)
+            & (
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w_doc = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + F.lit(window)
+        - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + window).over(w_doc), F.lit(0))),
+    )
+    per_doc = (
+        dup.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("contrib").cast("long").alias("n_dup_tokens"),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.col("n_tokens") - window + 1, F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            _round_dec(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )

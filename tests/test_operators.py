@@ -627,3 +627,34 @@ def test_prepare_corpus_end_to_end(spark, sf_dir):
         assert r.pack_start == off, (r.doc_id, r.pack_start, off)
         off += r.n_tokens
         assert r.pack_id == r.pack_start // 2048
+
+
+def test_substring_dedup_interval_union(spark):
+    """A 30-token span copied from doc 1 into doc 2 (window=8) must mark
+    exactly 23 duplicate windows merging to exactly 30 duplicated tokens
+    in doc 2, zero in the first-occurrence doc; adjacent/overlapping
+    duplicated windows never double-count tokens."""
+    from parquet_metadata_explorer_spark.operators.dedup import substring_dedup
+
+    words = lambda k, n: " ".join(f"w{k}{i}" for i in range(n))
+    a = words("a", 60)
+    span = " ".join(a.split()[10:40])
+    b = words("b", 20) + " " + span + " " + words("c", 15)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, words("d", 30)), (4, "short doc here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup(df, window=8).collect()}
+    assert out[1].n_dup_windows == 0 and out[1].n_dup_tokens == 0
+    assert out[2].n_dup_windows == 30 - 8 + 1
+    assert out[2].n_dup_tokens == 30
+    assert abs(out[2].dup_token_frac - round(30 / 65, 4)) < 1e-9
+    assert out[3].n_dup_tokens == 0
+    assert out[4].n_windows == 0  # shorter than the window
+
+    # two separate copied spans in one doc stay separate intervals
+    c = words("e", 10) + " " + " ".join(a.split()[0:12]) + " " + words("f", 10) \
+        + " " + " ".join(a.split()[40:52])
+    df2 = spark.createDataFrame([(1, a), (5, c)], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in substring_dedup(df2, window=8).collect()}
+    assert out2[5].n_dup_tokens == 24  # 12 + 12, no bridge across f-words
