@@ -2713,6 +2713,47 @@ FROM per
 """
 
 
+def q_text_logprob2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff — the CCNet-shaped perplexity
+    filter one order above text_logprob."""
+    return text.bigram_logprob_score(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_LOGPROB2 = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+stream AS MATERIALIZED (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev
+  FROM toks, unnest(range(1, len(t)+1)) AS z(i)
+),
+uni AS MATERIALIZED (SELECT tok, count(*) AS cu FROM stream GROUP BY 1),
+tot AS (SELECT sum(cu) AS n_total FROM uni),
+bi AS MATERIALIZED (
+  SELECT prev AS b_prev, tok AS b_tok, count(*) AS cb
+  FROM stream WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, s.prev,
+         round(CASE
+                 WHEN s.prev IS NULL THEN ln(u.cu::DOUBLE / tot.n_total)
+                 WHEN b.cb IS NOT NULL THEN ln(b.cb::DOUBLE / pu.cu)
+                 ELSE ln(0.4::DOUBLE * u.cu / tot.n_total)
+               END, 12)::DECIMAL(30,15) AS lp
+  FROM stream s
+  JOIN uni u USING (tok)
+  LEFT JOIN bi b ON s.prev = b.b_prev AND s.tok = b.b_tok
+  LEFT JOIN uni pu ON s.prev = pu.tok
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+       round((sum(lp) / count(*))::DOUBLE::DECIMAL(30,10), 6)::double AS mean_logprob,
+       round(exp(-((sum(lp) / count(*))::DOUBLE))::DECIMAL(30,10), 4)::double AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub exercised end-to-end: a deterministic email + IPv4 is
     appended to every document (the corpus itself contains none), then
@@ -3454,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
         "dedup_substring": q_dedup_substring,
+        "text_logprob2": q_text_logprob2,
         # C) the r5 red (double-rounding), fixed r6 -- prove green
         "tpch_q11": q_tpch_q11,
         # D) two-rounds-old entries (r4 rows), rounding-sweep-touched
@@ -3467,7 +3509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_gapfill": q_events_gapfill,
         "text_redact": q_text_redact,
-        "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -3497,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: sf0.001 local-parity coverage this round ----------
         # F) unchanged-since-r4-green, deferred one round (r7 head)
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
@@ -3622,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_read": O_PRUNED_READ,
         "source_overlap": O_SOURCE_OVERLAP,
         "dedup_substring": _oracle_dedup_substring(),
+        "text_logprob2": O_TEXT_LOGPROB2,
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -938,3 +938,89 @@ def bpe_tokenize_words(
         .groupBy("doc_id")
         .agg(*agg_cols)
     )
+
+
+def bigram_logprob_score(documents: DataFrame, backoff: float = 0.4) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with stupid backoff
+    (Brants et al. 2007) under the corpus's own LM — one order up from
+    ``unigram_logprob_score``, the shape CCNet's actual perplexity
+    filter has: token i scores ln(C(w_{i-1} w_i)/C(w_{i-1})) when the
+    bigram was seen, else ln(backoff · C(w_i)/N); the first token always
+    scores by its unigram. Gibberish with plausible unigrams but
+    improbable transitions now scores low.
+
+    Scale shape: the corpus explodes ONCE into a position-keyed token
+    stream (persisted — three consumers: bigram counts, unigram counts,
+    scoring), the two count tables are vocabulary- and
+    distinct-bigram-sized (corpus-sublinear), and scoring is two
+    count-table joins (AQE broadcasts bounded vocabularies, degrades to
+    skew-split shuffle joins for web-scale tails) plus one doc_id
+    aggregation. Determinism: the unigram discipline — per-position
+    ln(p) rounds to 12 decimals, sums as exact decimal(30,15).
+
+    Returns (doc_id, n_tokens, n_scored, mean_logprob, ppl) for docs
+    with ≥1 token; ppl = exp(−mean), the conventional display form.
+    """
+    from pyspark.sql import Window
+
+    from ..cache import track_persist
+
+    toks = tokens(F.col("text"))
+    stream = track_persist(
+        documents.select(
+            "doc_id", F.posexplode(toks).alias("pos", "tok")
+        ).withColumn(
+            "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+    )
+    uni = track_persist(stream.groupBy("tok").agg(F.count("*").alias("cu")))
+    total = uni.agg(F.sum("cu").alias("n_total"))
+    bi = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("b_prev"), F.col("tok").alias("b_tok"))
+        .agg(F.count("*").alias("cb"))
+    )
+    prev_u = uni.select(
+        F.col("tok").alias("p_tok"), F.col("cu").alias("cu_prev")
+    )
+    scored = (
+        stream.join(uni, "tok")
+        .join(
+            bi,
+            (F.col("prev") == F.col("b_prev")) & (F.col("tok") == F.col("b_tok")),
+            "left",
+        )
+        .join(prev_u, F.col("prev") == F.col("p_tok"), "left")
+        .crossJoin(F.broadcast(total))
+    )
+    logp = F.when(
+        F.col("prev").isNull(),  # first token: unigram
+        F.log(F.col("cu") / F.col("n_total")),
+    ).otherwise(
+        F.when(
+            F.col("cb").isNotNull(),
+            F.log(F.col("cb") / F.col("cu_prev")),
+        ).otherwise(F.log(F.lit(backoff) * F.col("cu") / F.col("n_total")))
+    )
+    dec = F.round(logp, 12).cast("decimal(30,15)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(dec).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_scored",
+            _round_dec((F.col("s") / F.col("n_tokens")).cast("double"), 6).alias(
+                "mean_logprob"
+            ),
+            _round_dec(
+                F.exp(-(F.col("s") / F.col("n_tokens")).cast("double")), 4
+            ).alias("ppl"),
+        )
+    )

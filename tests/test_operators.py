@@ -658,3 +658,26 @@ def test_substring_dedup_interval_union(spark):
     df2 = spark.createDataFrame([(1, a), (5, c)], "doc_id long, text string")
     out2 = {r.doc_id: r for r in substring_dedup(df2, window=8).collect()}
     assert out2[5].n_dup_tokens == 24  # 12 + 12, no bridge across f-words
+
+
+def test_bigram_logprob_prefers_seen_transitions(spark):
+    """Two docs over the same token multiset: the one whose transitions
+    dominate the corpus must out-score (lower perplexity than) the one
+    forcing backoff through unseen bigrams; ppl == exp(-mean)."""
+    import math
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, common))             # canonical transitions
+    rows.append((200, "mat the on sat cat the"))  # same words, novel order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+    assert out[100].mean_logprob > out[200].mean_logprob
+    assert out[100].ppl < out[200].ppl
+    for d in (100, 200):
+        assert out[d].n_tokens == 6 and out[d].n_scored == 5
+        assert abs(out[d].ppl - math.exp(-out[d].mean_logprob)) < 1e-3
