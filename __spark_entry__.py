@@ -2604,6 +2604,75 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TMIX_ALPHA = 0.5
+
+
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (XLM recipe): keep rates
+    DERIVED from the corpus (p_s^alpha, normalized, budget = corpus
+    size), applied with the deterministic md5 keep rule; output is the
+    per-source audit (share, rate, kept count)."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    # key = lang: the corpus's language distribution is skewed (en ~44%),
+    # so alpha=0.5 genuinely downweights the head (rate < 1) while the
+    # tail languages cap at rate = 1 — the XLM behavior, visible in rows
+    rates = temperature_rates(docs, alpha=TMIX_ALPHA, key="lang")
+    kept = (
+        temperature_mix(docs, alpha=TMIX_ALPHA, key="lang")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, rates["source"] == kept["lang"], "left")
+        .select(
+            F.col("source").alias("lang"),
+            "n_docs",
+            F.round(F.col("q").cast("decimal(30,10)"), 6)
+            .cast("double")
+            .alias("q"),
+            F.round(F.col("rate").cast("decimal(30,10)"), 6)
+            .cast("double")
+            .alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_CORPUS_MIX_TEMPERATURE = f"""
+WITH counts AS (SELECT lang AS source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+wtab AS (
+  SELECT source, n_docs, pow(n_docs / n_total::double, {TMIX_ALPHA}) AS w
+  FROM counts, tot
+),
+ws AS (SELECT sum(w::DECIMAL(30,15)) AS w_sum FROM wtab),
+rates AS (
+  SELECT source, n_docs,
+         w / w_sum::double AS q,
+         least(1.0, n_total * (w / w_sum::double) / n_docs) AS rate
+  FROM wtab, ws, tot
+),
+kept AS (
+  SELECT d.lang AS source, count(*)::BIGINT AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.source
+  WHERE ('0x' || substr(md5('tmix:' || d.doc_id), 1, 15))::bigint
+        / 1152921504606846976.0 < r.rate
+  GROUP BY 1
+)
+SELECT r.source AS lang, r.n_docs,
+       round(q::DECIMAL(30,10), 6)::double AS q,
+       round(rate::DECIMAL(30,10), 6)::double AS rate,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
 O_CORPUS_MIX = f"""
 WITH u AS (
   SELECT source,
@@ -3496,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_content_scan": q_page_content_scan,
         "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
         # C) the r5 red (double-rounding), fixed r6 -- prove green
         "tpch_q11": q_tpch_q11,
         # D) two-rounds-old entries (r4 rows), rounding-sweep-touched
@@ -3510,7 +3580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "text_redact": q_text_redact,
         "clean_corpus": q_clean_corpus,
-        "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_decontaminate": q_text_decontaminate,
@@ -3539,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F) unchanged-since-r4-green, deferred one round (r7 head)
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
         "dedup_simhash": q_dedup_simhash,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
@@ -3665,6 +3735,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": O_SOURCE_OVERLAP,
         "dedup_substring": _oracle_dedup_substring(),
         "text_logprob2": O_TEXT_LOGPROB2,
+        "corpus_mix_temperature": O_CORPUS_MIX_TEMPERATURE,
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -149,3 +149,68 @@ def mix_by_source(
     ) / F.lit(float(2**60))
     frac = F.coalesce(mapping[F.col(key)], F.lit(float(default)))
     return documents.filter(u01 < frac)
+
+
+def temperature_rates(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    key: str = "source",
+) -> DataFrame:
+    """Per-source keep rates for temperature-scaled mixing (the
+    XLM/mT5 recipe): sample sources proportional to p_s^alpha so
+    low-resource sources are up-weighted relative to their share
+    (alpha=1 keeps the natural distribution, alpha->0 approaches
+    uniform). ``budget_docs`` is the target output size (defaults to the
+    corpus size — pure REBALANCING at constant volume); the keep rate is
+    ``min(1, budget·q_s / n_s)`` with q_s the temperature-scaled share.
+
+    Scale shape: one tiny per-source aggregation (sources are dozens,
+    not corpus-sized); the rate arithmetic is fixed-order double math
+    over exact counts, bit-identical on any engine.
+
+    Returns (source, n_docs, q, rate) — q the temperature-scaled target
+    share, rate the per-document keep probability.
+    """
+    counts = documents.groupBy(F.col(key).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    w = F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha)))
+    weighted = counts.crossJoin(F.broadcast(total)).withColumn("w", w)
+    wsum = weighted.agg(F.sum(F.col("w").cast("decimal(30,15)")).alias("w_sum"))
+    budget = F.lit(float(budget_docs)) if budget_docs else F.col("n_total")
+    return (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("q", F.col("w") / F.col("w_sum").cast("double"))
+        .withColumn(
+            "rate",
+            F.least(F.lit(1.0), budget * F.col("q") / F.col("n_docs")),
+        )
+        .select("source", "n_docs", "q", "rate")
+    )
+
+
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    key: str = "source",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Apply ``temperature_rates`` deterministically: keep a document
+    when its salted md5 u01 falls under its source's rate — the same
+    RNG-free keep rule as ``mix_by_source``, with the fractions DERIVED
+    from the corpus instead of supplied. The rate table is broadcast
+    (source-count-sized); the filter is map-side."""
+    rates = temperature_rates(documents, alpha, budget_docs, key)
+    u01 = hash60(
+        F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(2**60))
+    return (
+        documents.join(
+            F.broadcast(rates.select(F.col("source").alias(key), "rate")), key
+        )
+        .filter(u01 < F.col("rate"))
+        .drop("rate")
+    )

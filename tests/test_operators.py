@@ -681,3 +681,40 @@ def test_bigram_logprob_prefers_seen_transitions(spark):
     for d in (100, 200):
         assert out[d].n_tokens == 6 and out[d].n_scored == 5
         assert abs(out[d].ppl - math.exp(-out[d].mean_logprob)) < 1e-3
+
+
+def test_temperature_mix_rebalances_head(spark):
+    """alpha=1 is the natural distribution (everything kept at natural
+    budget); lower alpha caps tail sources at rate 1 and pushes the head
+    source's rate below 1, monotonically in alpha."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    rows = [(i, "x", "big") for i in range(800)] + [
+        (10_000 + i, "x", "small") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    r1 = {r.source: r.rate for r in temperature_rates(df, alpha=1.0).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in r1.values()), r1
+    assert temperature_mix(df, alpha=1.0).count() == 1000
+
+    r_half = {r.source: r for r in temperature_rates(df, alpha=0.5).collect()}
+    r_quart = {r.source: r for r in temperature_rates(df, alpha=0.25).collect()}
+    assert r_half["small"].rate == 1.0 and r_quart["small"].rate == 1.0
+    assert r_quart["big"].rate < r_half["big"].rate < 1.0
+    # temperature-scaled share q still sums to 1
+    assert abs(sum(r.q for r in r_half.values()) - 1.0) < 1e-9
+
+    kept = (
+        temperature_mix(df, alpha=0.5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    kept = {r.source: r["count"] for r in kept}
+    assert kept["small"] == 200  # rate 1: everything survives
+    exp_big = r_half["big"].rate * 800
+    assert abs(kept["big"] - exp_big) < 80  # md5-uniform keep near target
