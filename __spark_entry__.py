@@ -811,6 +811,124 @@ c{it} AS (
     return parts_fixed
 
 
+PQ_M, PQ_K, PQ_ITERS = 8, 32, 3
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the encoding half of IVF-PQ): 8
+    subspaces × 32 centroids trained with exact-decimal Lloyd means (so
+    codebooks are bit-identical across engines), corpus stored as 8
+    codes/vector (32× smaller than float32), queries scored by
+    asymmetric distance computation."""
+    return similarity.pq_ann_topk(
+        _table(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=10,
+        m=PQ_M,
+        n_centroids=PQ_K,
+        iters=PQ_ITERS,
+    )
+
+
+def _pq_dist2(sub_d: int) -> str:
+    # direct Σ(a−b)² in index order — the exact expression (and fp
+    # order) of the Spark trainer's zip_with/aggregate distance
+    return (
+        f"list_sum(list_transform(range(1, {sub_d}+1),"
+        f" j -> (v.sv[j] - c.c[j]) * (v.sv[j] - c.c[j])))"
+    )
+
+
+def _oracle_ann_pq(
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dim: int = 64
+) -> str:
+    sub_d = dim // m
+    parts = [
+        f"""subv AS MATERIALIZED (
+  SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(0, {m}),
+             s -> {{'sub': s,
+                    'sv': (embedding::DOUBLE[])[s*{sub_d}+1 : s*{sub_d}+{sub_d}]}})) AS u
+    FROM embeddings)
+),
+seedtab AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster FROM (
+    SELECT vec_id FROM embeddings ORDER BY md5(vec_id::varchar) LIMIT {k})
+),
+pc0 AS MATERIALIZED (
+  SELECT v.sub, d.cluster, v.sv AS c
+  FROM seedtab d JOIN subv v USING (vec_id)
+)"""
+    ]
+    for it in range(1, iters + 2):  # iters updates + the final assign
+        prev = f"pc{it - 1}"
+        parts.append(
+            f"""pa{it} AS MATERIALIZED (
+  SELECT vec_id, sub, cluster, sv FROM (
+    SELECT v.vec_id, v.sub, c.cluster, v.sv,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {_pq_dist2(sub_d)}, c.cluster) AS rn
+    FROM subv v JOIN {prev} c ON v.sub = c.sub
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= iters:
+            parts.append(
+                f"""pm{it} AS (
+  SELECT sub, cluster, list(mv ORDER BY dim) AS c FROM (
+    SELECT sub, cluster, u.dim AS dim,
+           round(sum(u.v::DECIMAL(30,15)) / count(*), 12)::DOUBLE AS mv
+    FROM (SELECT sub, cluster,
+                 unnest(list_transform(range(1, {sub_d}+1),
+                        j -> {{'dim': j-1, 'v': sv[j]}})) AS u
+          FROM pa{it})
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+pc{it} AS MATERIALIZED (
+  SELECT p.sub, p.cluster, coalesce(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN pm{it} m ON p.sub = m.sub AND p.cluster = m.cluster
+)"""
+            )
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    return f"""
+WITH {", ".join(parts)},
+qt AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qnorm
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+tbl AS (
+  SELECT t.query_id, c.sub, c.cluster,
+         list_dot_product(t.qv[c.sub*{sub_d}+1 : c.sub*{sub_d}+{sub_d}], c.c) AS dotq,
+         list_dot_product(c.c, c.c) AS cn2,
+         t.qnorm
+  FROM qt t CROSS JOIN pc{iters} c
+),
+sc AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id,
+         sum(round(t.dotq, 12)::DECIMAL(30,15)) AS sdot,
+         sum(round(t.cn2, 12)::DECIMAL(30,15)) AS sn2,
+         any_value(t.qnorm) AS qnorm
+  FROM pa{iters + 1} a
+  JOIN tbl t ON a.sub = t.sub AND a.cluster = t.cluster
+  WHERE a.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round((sdot::DOUBLE / (qnorm * sqrt(sn2::DOUBLE)))::DECIMAL(30,10), 6)::double AS cos
+  FROM sc
+)
+SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM ranked
+) WHERE rank <= 10
+"""
+
+
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document/embedding clustering deliverable: the per-vector k-means
     cluster assignment after 3 deterministic Lloyd iterations — the
@@ -3566,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
         "corpus_mix_temperature": q_corpus_mix_temperature,
+        "ann_pq": q_ann_pq,
         # C) the r5 red (double-rounding), fixed r6 -- prove green
         "tpch_q11": q_tpch_q11,
         # D) two-rounds-old entries (r4 rows), rounding-sweep-touched
@@ -3578,7 +3697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_topterms": q_cluster_topterms,
         "events_funnel": q_events_funnel,
         "events_gapfill": q_events_gapfill,
-        "text_redact": q_text_redact,
         "clean_corpus": q_clean_corpus,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -3609,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
+        "text_redact": q_text_redact,
         "dedup_simhash": q_dedup_simhash,
         "hash_split": q_hash_split,
         "sample_per_group": q_sample_per_group,
@@ -3736,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": _oracle_dedup_substring(),
         "text_logprob2": O_TEXT_LOGPROB2,
         "corpus_mix_temperature": O_CORPUS_MIX_TEMPERATURE,
+        "ann_pq": _oracle_ann_pq(),
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -653,3 +653,208 @@ def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def pq_index(
+    embeddings: DataFrame, m: int = 8, n_centroids: int = 16, iters: int = 3
+):
+    """Product-quantization codebooks + codes (the encoding half of
+    IVF-PQ, Jégou et al. 2011): split each vector into ``m`` subvectors,
+    k-means each subspace independently, and represent every vector as
+    ``m`` one-byte centroid ids — with m=8, k=16 a 64-dim float corpus
+    compresses 32× (8 codes vs 256 bytes).
+
+    Engine-exact determinism (unlike the numpy-partial ``ivf_index``,
+    whose centroids agree with SQL only to ulps): every Lloyd update
+    computes per-dimension means as EXACT decimal sums divided by
+    counts, so centroids — and therefore codes and every downstream ADC
+    score — are bit-identical on any engine and partitioning. Seeds are
+    the ``n_centroids`` vectors with smallest md5(vec_id) (the IVF
+    convention), subspace ``s`` initialized from their s-th subvectors.
+
+    Scale shape per iteration: the corpus explodes to n·m subvector
+    rows, cross-joins the broadcast (m·k)-row codebook for the argmin
+    (the standard Lloyd corpus×k cost, partial-aggregating), and the
+    mean fold groups on (sub, cluster, dim) — k·dims cells, map-side
+    combined. Only the m·k·(dim/m) codebook floats reach the driver.
+
+    Returns (codebook dict {(sub, cluster): [float]}, codes
+    DataFrame[vec_id, sub, cluster]).
+    """
+    spark = embeddings.sparkSession
+    e = track_persist(ensure_parallelism(embeddings.select("vec_id", "embedding")))
+    dim = len(e.select("embedding").first()[0])
+    assert dim % m == 0, (dim, m)
+    sub_d = dim // m
+
+    subv = track_persist(
+        e.select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("sub"),
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            s * sub_d + 1,
+                            sub_d,
+                        ).alias("sv"),
+                    ),
+                )
+            ).alias("u"),
+        ).select("vec_id", F.col("u.sub").alias("sub"), F.col("u.sv").alias("sv"))
+    )
+
+    seed_rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r.vec_id)  # canonical cluster labels
+    codebook = {}
+    for ci, r in enumerate(seed_rows):
+        vec = [float(x) for x in r.embedding]
+        for s in range(m):
+            codebook[(s, ci)] = vec[s * sub_d : (s + 1) * sub_d]
+
+    def assign(cb):
+        cents = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cb.items())],
+            "sub int, cluster int, c array<double>",
+        )
+        dist2 = F.aggregate(
+            F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            subv.join(F.broadcast(cents), "sub")
+            .withColumn("d2", dist2)
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("b"))
+            .select(
+                "vec_id", "sub", F.col("b.cluster").alias("cluster"),
+                F.col("b.sv").alias("sv"),
+            )
+        )
+
+    for _ in range(iters):
+        a = assign(codebook)
+        means = (
+            a.select(
+                "sub",
+                "cluster",
+                F.posexplode("sv").alias("dim", "v"),
+            )
+            .groupBy("sub", "cluster", "dim")
+            .agg(
+                # round the exact-decimal mean at 12 before the double
+                # cast: both engines' decimal quotients are correct to
+                # >= 15 digits, so the rounded value is bit-identical
+                F.round(
+                    F.sum(F.col("v").cast("decimal(30,15)")) / F.count("v"),
+                    12,
+                )
+                .cast("double")
+                .alias("mval")
+            )
+            .collect()
+        )
+        new_cb = {}
+        for r in means:
+            new_cb.setdefault((r.sub, r.cluster), [0.0] * sub_d)[r.dim] = r.mval
+        for key, c in codebook.items():  # empty cluster keeps its centroid
+            new_cb.setdefault(key, c)
+        codebook = new_cb
+
+    codes = assign(codebook).select("vec_id", "sub", "cluster")
+    return codebook, codes
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ
+    codes: queries stay exact, corpus vectors are m one-byte codes, and
+    a query's score against a vector is a sum of m table lookups —
+    dot(q) ≈ Σ_sub dot(q_sub, centroid[sub, code]); the code-derived
+    norm √(Σ|centroid|²) approximates the corpus norm. The scan reads
+    codes (32× smaller than floats), never the vectors — the memory/IO
+    shape that makes billion-vector ANN fit a cluster.
+
+    The per-(query, sub, cluster) lookup table is m·k rows per query,
+    broadcast; scoring is ONE code-table join + a (vec, query) fold with
+    the logprob discipline (per-term round-12 → exact decimal sums) so
+    ADC scores are partition-invariant; ranking uses the int8 path's
+    hierarchical top-k (bucketed pre-pass caps the final window at 32·k
+    rows per query).
+    """
+    codebook, codes = pq_index(embeddings, m=m, n_centroids=n_centroids, iters=iters)
+    codes = track_persist(codes)
+    spark = embeddings.sparkSession
+
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import math
+
+    sub_d = None
+    table = []
+    for qr in qrows:
+        qv = [float(x) for x in qr.embedding]
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        sub_d = len(qv) // m
+        for (s, c), cent in codebook.items():
+            qs = qv[s * sub_d : (s + 1) * sub_d]
+            dotq = sum(a * b for a, b in zip(qs, cent))
+            cn2 = sum(x * x for x in cent)
+            table.append((int(qr.vec_id), s, c, dotq, cn2, qnorm))
+    tdf = spark.createDataFrame(
+        table,
+        "query_id long, sub int, cluster int, dotq double, cn2 double, qnorm double",
+    )
+    dec = "decimal(30,15)"
+    scored = (
+        codes.join(F.broadcast(tdf), ["sub", "cluster"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
+            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                (
+                    F.col("sdot").cast("double")
+                    / (F.col("qnorm") * F.sqrt(F.col("sn2").cast("double")))
+                ).cast("decimal(30,10)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
+    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -718,3 +718,60 @@ def test_temperature_mix_rebalances_head(spark):
     assert kept["small"] == 200  # rate 1: everything survives
     exp_big = r_half["big"].rate * 800
     assert abs(kept["big"] - exp_big) < 80  # md5-uniform keep near target
+
+
+def test_pq_adc_equals_reconstructed_cosine(spark):
+    """ADC correctness invariant (data-independent, unlike recall): a
+    query's ADC score against a vector must equal the exact cosine
+    between the query and the vector RECONSTRUCTED from its PQ codes —
+    the lookup-table sum is dot(q, reconstruction) by linearity."""
+    import math
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k = 8, 16
+    codebook, codes = pq_index(e, m=m, n_centroids=k, iters=2)
+    recon = {}
+    for r in codes.collect():
+        recon.setdefault(r.vec_id, {})[r.sub] = codebook[(r.sub, r.cluster)]
+    qids = [0, 1]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(e.vec_id.isin(qids)).collect()
+    }
+    out = pq_ann_topk(e, qids, k=5, m=m, n_centroids=k, iters=2).collect()
+    assert len(out) == 10
+    for r in out:
+        q = qvecs[r.query_id]
+        rv = [x for s in range(m) for x in recon[r.neighbor_id][s]]
+        dot = sum(a * b for a, b in zip(q, rv))
+        qn = math.sqrt(sum(x * x for x in q))
+        rn = math.sqrt(sum(x * x for x in rv))
+        assert abs(r.cos - dot / (qn * rn)) < 1e-5, (r, dot / (qn * rn))
+
+
+def test_pq_recall_floor(spark):
+    """Approximation quality floor on the synthetic corpus: 32 centroids
+    per subspace must recover a meaningful share of the exact top-10
+    (measured 0.42 at 64 centroids, 0.32 at 32 — synthetic embeddings
+    are noise-heavy; assert a conservative floor so regressions in the
+    trainer/scorer still trip)."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(e, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_ann_topk(e, [0, 1, 2, 3, 4], k=10, n_centroids=32).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.2
