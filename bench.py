@@ -72,6 +72,8 @@ def main() -> None:
         "events_range_join",
         "text_decontaminate",
         "dedup_lines",
+        "dedup_substring",
+        "text_logprob2",
         "cluster_assign",
         "text_quality_filter",
         "events_gapfill_by_type",

@@ -191,7 +191,20 @@ def main() -> None:
         "bpe_encode_words": lambda d, e: text.bpe_tokenize_words(
             d, _bpe_table(d)
         ),
+        # span-level substring dedup: postings linear in corpus tokens,
+        # arg-min partial agg, hot-hash join-back (the dedup_lines class)
+        "dedup_substring": lambda d, e: _substring(d),
+        # bigram LM: position-keyed explode + two count-table joins
+        "text_logprob2": lambda d, e: _bigram(d),
     }
+
+    def _substring(d):
+        from parquet_metadata_explorer_spark.operators.dedup import substring_dedup
+
+        return substring_dedup(d, window=20)
+
+    def _bigram(d):
+        return text.bigram_logprob_score(d)
 
     _bpe_cache = {}
 
