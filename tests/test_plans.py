@@ -524,3 +524,57 @@ def test_trending_partial_aggregates(spark, sf_dir):
     df = ev.trending_event_types(ev.load_events(spark, sf_dir))
     plan = simple_plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_substring_dedup_partial_agg_no_corpus_window(spark, sf_dir):
+    """The first-occurrence arg-min must be a partial-aggregating
+    groupBy (min of struct), never a window sort over the postings —
+    a 10^9-copy boilerplate span would otherwise sort on one reducer.
+    The only window in the plan is the per-document interval union."""
+    from parquet_metadata_explorer_spark.operators.dedup import substring_dedup
+
+    df = substring_dedup(load(spark, sf_dir, "documents"), window=20)
+    plan = simple_plan(df)
+    assert "partial_min" in plan.lower() or plan.count("HashAggregate") >= 2, plan
+    # the interval-union window partitions by doc_id, never by the hash
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(1), plan
+
+
+def test_bigram_logprob_no_python_in_plan(spark, sf_dir):
+    """Scoring is pure JVM: joins + hash aggregates, no Python workers
+    (BatchEvalPython/ArrowEvalPython) anywhere in the plan."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    plan = simple_plan(bigram_logprob_score(load(spark, sf_dir, "documents")))
+    assert "EvalPython" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """The derived rate table joins map-side (broadcast) — the corpus
+    never shuffles for the keep decision."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    plan = simple_plan(temperature_mix(load(spark, sf_dir, "documents"), key="lang"))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_scoring_is_jvm_only(spark, sf_dir):
+    """ADC scoring (codes ⋈ broadcast tables → decimal fold → ranked
+    top-k) must contain no Python stage; only the trainer's bounded
+    collects run in Python on the driver."""
+    from parquet_metadata_explorer_spark.operators.similarity import pq_ann_topk
+
+    df = pq_ann_topk(
+        load(spark, sf_dir, "embeddings"), [0, 1], k=5, n_centroids=8, iters=1
+    )
+    plan = simple_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
