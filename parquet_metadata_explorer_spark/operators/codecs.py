@@ -325,6 +325,84 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
     return None
 
 
+def _riff_children(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) for RIFF chunks in a range."""
+    pos = start
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        csize = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if body + csize > end:
+            return  # truncated child: stop, caller decides validity
+        yield cid, body, csize
+        pos = body + csize + (csize & 1)  # word alignment
+
+
+def parse_avi(b: bytes) -> Optional[dict]:
+    """RIFF-AVI container: REAL frame boundaries from the ``movi`` list
+    (``00db``/``00dc`` chunks) plus dimensions/timing from ``avih`` —
+    the container walk a video pipeline needs for frame sampling.
+    Frame PIXEL decode stays format-dependent: uncompressed DIB streams
+    (biCompression=0) are raw bottom-up rows; compressed codecs need
+    libraries this environment doesn't ship, so their frames surface as
+    opaque bytes with exact boundaries."""
+    if len(b) < 24 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    riff_size = int.from_bytes(b[4:8], "little")
+    end = min(len(b), 8 + riff_size)
+    width = height = None
+    usec_per_frame = total_frames_hdr = None
+    compression = None
+    bpp = None
+    frames = []
+    for cid, body, csize in _riff_children(b, 12, end):
+        if cid != b"LIST" or csize < 4:
+            continue
+        form = b[body : body + 4]
+        if form == b"hdrl":
+            for c2, b2, s2 in _riff_children(b, body + 4, body + csize):
+                if c2 == b"avih" and s2 >= 40:
+                    usec_per_frame = int.from_bytes(b[b2 : b2 + 4], "little")
+                    total_frames_hdr = int.from_bytes(b[b2 + 16 : b2 + 20], "little")
+                    width = int.from_bytes(b[b2 + 32 : b2 + 36], "little")
+                    height = int.from_bytes(b[b2 + 36 : b2 + 40], "little")
+                elif c2 == b"LIST" and s2 >= 4 and b[b2 : b2 + 4] == b"strl":
+                    for c3, b3, s3 in _riff_children(b, b2 + 4, b2 + s2):
+                        if (
+                            c3 == b"strf"
+                            and s3 >= 40
+                            and compression is None
+                        ):
+                            # BITMAPINFOHEADER of the first video stream
+                            bpp = int.from_bytes(b[b3 + 14 : b3 + 16], "little")
+                            compression = int.from_bytes(
+                                b[b3 + 16 : b3 + 20], "little"
+                            )
+        elif form == b"movi":
+            for c2, b2, s2 in _riff_children(b, body + 4, body + csize):
+                # ##db (uncompressed DIB) / ##dc (compressed) video chunks
+                if c2[2:4] in (b"db", b"dc") and c2[:2].isdigit():
+                    frames.append((b2, s2))
+    if width is None or not frames:
+        return None
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        return None
+    meta = {
+        "codec": "avi",
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+        "compression": compression,
+        "bits_per_pixel": bpp,
+    }
+    if usec_per_frame:
+        meta["duration_ms"] = (len(frames) * usec_per_frame) // 1000
+    if compression == 0 and bpp in (8, 24, 32):
+        meta["channels"] = (bpp or 24) // 8
+    return meta
+
+
 def sniff_media(b: bytes) -> Optional[dict]:
     """Dispatch on magic bytes; None when no strict parser accepts."""
     if b[:2] == b"BM":
@@ -332,6 +410,8 @@ def sniff_media(b: bytes) -> Optional[dict]:
     if b[:2] in (b"P6", b"P5"):
         return parse_ppm(b)
     if b[:4] == b"RIFF":
+        if b[8:12] == b"AVI ":
+            return parse_avi(b)
         return parse_wav(b)
     if b[: len(_PNG_SIG)] == _PNG_SIG:
         return parse_png(b)

@@ -499,3 +499,85 @@ def test_png_dhash_matches_bmp_dhash(spark):
     rows = {r.doc_id: (r.dhash, r.codec) for r in multimodal.image_dhash(df).collect()}
     assert rows[1][1] == "png" and rows[2][1] == "bmp"
     assert rows[1][0] == rows[2][0]
+
+
+# -- AVI (round 6) ----------------------------------------------------------
+
+
+def make_avi(frames: list, w: int = 4, h: int = 3, usec_per_frame: int = 40000) -> bytes:
+    """Minimal RIFF-AVI with an uncompressed DIB video stream: hdrl
+    (avih + strl{strh,strf}) + movi with one 00db chunk per frame."""
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form, body):
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<10I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h
+    ) + bytes(16)
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                                        len(frames), 0, 0, 0) + bytes(8)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_avi_real_frame_boundaries():
+    frames = [bytes([i]) * 36 for i in range(5)]  # 4x3x3 DIB rows
+    b = make_avi(frames, w=4, h=3)
+    m = codecs.parse_avi(b)
+    assert m is not None and m["codec"] == "avi"
+    assert (m["width"], m["height"], m["n_frames"]) == (4, 3, 5)
+    assert m["compression"] == 0 and m["channels"] == 3
+    assert m["duration_ms"] == 5 * 40  # 40 ms per frame
+    got = [b[o : o + s] for o, s in m["frames"]]
+    assert got == frames
+    # WAV still routes correctly through the shared RIFF magic
+    assert codecs.sniff_media(make_wav(n_frames=16, rate=8000))["codec"] == "wav"
+    assert codecs.sniff_media(b)["codec"] == "avi"
+
+
+def test_avi_truncation_and_mutation_total():
+    frames = [bytes([i]) * 36 for i in range(3)]
+    base = make_avi(frames)
+    for cut in range(len(base)):
+        r = codecs.sniff_media(bytes(base[:cut]))
+        assert r is None or isinstance(r, dict)
+    import random
+
+    rng = random.Random(13)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        r = codecs.sniff_media(bytes(bb))
+        assert r is None or isinstance(r, dict)
+
+
+def test_sample_frames_container_aware(spark):
+    """An AVI payload must yield its REAL movi frames (every_n applied
+    on frame indices); non-container bytes keep the fixed-stride
+    split."""
+    frames = [bytes([40 + i]) * 36 for i in range(6)]
+    avi = make_avi(frames)
+    raw = bytes(range(100))
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(raw))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.sample_frames(df, frame_size=16, every_n=2).collect()
+    got1 = {r.frame_id: bytes(r.frame) for r in out if r.doc_id == 1}
+    assert got1 == {0: frames[0], 2: frames[2], 4: frames[4]}
+    got2 = {r.frame_id: bytes(r.frame) for r in out if r.doc_id == 2}
+    assert got2[0] == raw[:16] and 1 not in got2  # stride fallback
+    # decode_features reports the container's real geometry
+    dec = {r.doc_id: r for r in multimodal.decode_payloads(df).collect()}
+    assert (dec[1].codec, dec[1].width, dec[1].height, dec[1].n_samples) == (
+        "avi", 4, 3, 6,
+    )
