@@ -756,6 +756,48 @@ def stream_line_dedup(
     )
 
 
+def stream_substring_novelty(
+    spark: SparkSession,
+    docs_path: str,
+    window: int = 20,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``dedup.substring_dedup``'s discovery side:
+    documents arrive as files land, each emits its rolling
+    ``window``-token span hashes, and a span survives the first time it
+    is seen — every later copy (the duplicated spans the batch operator
+    counts) is dropped. State is one row per DISTINCT span hash
+    (bounded by corpus span diversity, not stream length), shuffled on
+    the uniform hash key per micro-batch.
+
+    Same semantics note as ``stream_line_dedup``: the batch arg-min
+    keeps the globally smallest (doc_id, pos) instance; the stream
+    keeps the first arrival — the replay test asserts SET equality of
+    surviving span hashes plus the duplicated-window count.
+    """
+    from ..functions import hash60, tokens
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(docs_path).schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    wins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        stream.select("doc_id", F.posexplode(wins).alias("pos", "h"))
+        .dropDuplicates(["h"])
+    )
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort-retention matrix: users grouped by the week of
     their first event; for each (cohort week, week offset), how many of

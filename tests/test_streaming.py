@@ -443,3 +443,37 @@ def test_stream_trending_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     shutil.rmtree(stage)
+
+
+def test_stream_substring_novelty_matches_batch(spark, sf_dir):
+    """The streamed first-seen span-hash set equals the batch
+    substring_dedup firsts, and the dropped-occurrence count equals the
+    batch's total duplicate-window count."""
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.operators.dedup import substring_dedup
+
+    stage = tempfile.mkdtemp()
+    shutil.copy(f"{sf_dir}/documents.parquet", stage + "/documents.parquet")
+    out = ev.stream_substring_novelty(spark, stage, window=20)
+    ck = tempfile.mkdtemp()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("substr_novelty_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ck + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("substr_novelty_stream").collect()
+
+    batch = substring_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), window=20
+    ).collect()
+    total_windows = sum(r.n_windows for r in batch)
+    dup_windows = sum(r.n_dup_windows for r in batch)
+    # survivors = distinct hashes = total occurrences − duplicates
+    assert len(streamed) == total_windows - dup_windows
+    assert len({r.h for r in streamed}) == len(streamed)
