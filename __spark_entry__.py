@@ -1253,6 +1253,65 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by PMI (min pair count 5)."""
+    return text.collocations(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_COLLOCATIONS = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+stream AS MATERIALIZED (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev
+  FROM toks, unnest(range(1, len(t)+1)) AS z(i)
+),
+uni AS MATERIALIZED (SELECT tok, count(*) AS cu FROM stream GROUP BY 1),
+nu AS (SELECT sum(cu) AS n_uni FROM uni),
+bi AS MATERIALIZED (
+  SELECT prev AS w1, tok AS w2, count(*) AS cb
+  FROM stream WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5
+),
+nb AS (SELECT count(*) AS n_bi FROM stream WHERE prev IS NOT NULL)
+SELECT b.w1, b.w2, b.cb::BIGINT AS pair_count,
+       round((ln((b.cb / nb.n_bi) /
+                 ((u1.cu / nu.n_uni) * (u2.cu / nu.n_uni))))::DECIMAL(30,10),
+             6)::double AS pmi
+FROM bi b
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped exact dedup: screen the doc_id%5!=0 'arrivals' against
+    the fingerprint catalog of the doc_id%5==0 'previous corpus'."""
+    docs = _table(spark, sf_dir, "documents")
+    catalog = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+        ).alias("fp")
+    )
+    return dedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0), catalog
+    )
+
+
+O_DEDUP_INCREMENTAL = f"""
+WITH fp_new AS (
+  SELECT doc_id, md5({D_NORM}) AS fp FROM documents WHERE doc_id % 5 <> 0
+),
+catalog AS (
+  SELECT DISTINCT md5({D_NORM}) AS fp FROM documents WHERE doc_id % 5 = 0
+)
+SELECT min(doc_id)::BIGINT AS doc_id, fp
+FROM fp_new WHERE fp NOT IN (SELECT fp FROM catalog)
+GROUP BY fp
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_overlap(_table(spark, sf_dir, "documents"))
 
@@ -3739,6 +3798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "corpus_mix": q_corpus_mix,
+        "text_collocations": q_text_collocations,
+        "dedup_incremental": q_dedup_incremental,
         # G) rows-only entries (no oracle by design; pytest-compensated)
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "multimodal_dhash": q_multimodal_dhash,
@@ -3879,6 +3940,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _oracle_dataset_card(),
         "events_retention": O_EVENTS_RETENTION,
         "corpus_mix": O_CORPUS_MIX,
+        "text_collocations": O_TEXT_COLLOCATIONS,
+        "dedup_incremental": O_DEDUP_INCREMENTAL,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q3": O_TPCH_Q3,

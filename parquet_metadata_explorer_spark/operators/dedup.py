@@ -783,3 +783,29 @@ def substring_dedup(documents: DataFrame, window: int = 20) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_fingerprints: DataFrame
+) -> DataFrame:
+    """Incremental (CDC-shaped) exact dedup: screen TODAY'S arrivals
+    against a persisted fingerprint catalog from previous runs, keeping
+    only documents whose normalized-text md5 is (a) absent from the
+    catalog and (b) the first occurrence within the batch (min doc_id —
+    the batch must also self-dedup, or two copies arriving together both
+    survive). The production shape of a refreshing corpus: the catalog
+    is a metadata-plane table the pipeline appends each run's new
+    fingerprints to, and the screen is one broadcast-or-shuffle
+    anti-join plus the standard arg-min — no reprocessing of history.
+
+    ``seen_fingerprints`` needs one column ``fp`` (md5 hex). Returns the
+    surviving (doc_id, fp) rows.
+    """
+    fps = new_docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    fresh = fps.join(
+        seen_fingerprints.select("fp").distinct(), "fp", "left_anti"
+    )
+    firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return firsts.select("doc_id", "fp").orderBy("doc_id")

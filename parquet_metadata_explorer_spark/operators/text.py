@@ -1024,3 +1024,63 @@ def bigram_logprob_score(documents: DataFrame, backoff: float = 0.4) -> DataFram
             ).alias("ppl"),
         )
     )
+
+
+def collocations(
+    documents: DataFrame, min_count: int = 5, top_k: int = 100
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with a minimum-count
+    floor so rare coincidences don't dominate (the classic corpus-
+    analysis ranking; Church & Hanks 1990).
+
+    Scale shape: the position-keyed explode and the two count tables are
+    the ``bigram_logprob_score`` machinery — vocabulary- and
+    distinct-bigram-sized, partial-aggregating; PMI arithmetic is
+    fixed-order double math over exact counts, and the final top-k is a
+    global TakeOrdered over the (tiny) filtered bigram table. Ties break
+    on the bigram text so the cut is deterministic on any engine.
+    """
+    from pyspark.sql import Window
+
+    from ..cache import track_persist
+
+    toks = tokens(F.col("text"))
+    stream = track_persist(
+        documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .withColumn(
+            "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+    )
+    uni = track_persist(stream.groupBy("tok").agg(F.count("*").alias("cu")))
+    n_uni = uni.agg(F.sum("cu").alias("n_uni"))
+    bi = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("w1"), F.col("tok").alias("w2"))
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    n_bi = (
+        stream.filter(F.col("prev").isNotNull())
+        .agg(F.count("*").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.log(
+        (F.col("cb") / F.col("n_bi"))
+        / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("pair_count"),
+            _round_dec(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
