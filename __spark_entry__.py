@@ -2825,7 +2825,8 @@ O_CORPUS_MIX_TEMPERATURE = f"""
 WITH counts AS (SELECT lang AS source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
 tot AS (SELECT sum(n_docs) AS n_total FROM counts),
 wtab AS (
-  SELECT source, n_docs, pow(n_docs / n_total::double, {TMIX_ALPHA}) AS w
+  SELECT source, n_docs,
+         round(pow(n_docs / n_total::double, {TMIX_ALPHA}), 12) AS w
   FROM counts, tot
 ),
 ws AS (SELECT sum(w::DECIMAL(30,15)) AS w_sum FROM wtab),

@@ -166,8 +166,12 @@ def temperature_rates(
     ``min(1, budget·q_s / n_s)`` with q_s the temperature-scaled share.
 
     Scale shape: one tiny per-source aggregation (sources are dozens,
-    not corpus-sized); the rate arithmetic is fixed-order double math
-    over exact counts, bit-identical on any engine.
+    not corpus-sized). Determinism: ``pow`` is NOT correctly rounded in
+    libm, so the raw weight may differ between engines in the last ulp;
+    w is therefore snapped to 12 decimals (the logprob discipline —
+    ties at the 12th decimal of an irrational power are measure-zero)
+    before the exact decimal(30,15) normalization sum, making q and
+    rate fixed-order double math over engine-identical inputs.
 
     Returns (source, n_docs, q, rate) — q the temperature-scaled target
     share, rate the per-document keep probability.
@@ -176,7 +180,9 @@ def temperature_rates(
         F.count("*").cast("long").alias("n_docs")
     )
     total = counts.agg(F.sum("n_docs").alias("n_total"))
-    w = F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha)))
+    w = F.round(
+        F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha))), 12
+    )
     weighted = counts.crossJoin(F.broadcast(total)).withColumn("w", w)
     wsum = weighted.agg(F.sum(F.col("w").cast("decimal(30,15)")).alias("w_sum"))
     budget = F.lit(float(budget_docs)) if budget_docs else F.col("n_total")

@@ -760,7 +760,10 @@ def _bpe_word_pairs(s: str):
 
 
 def bpe_merges_fast(
-    documents: DataFrame, n_merges: int, min_count: int = 2
+    documents: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    max_vocab: int | None = 2_000_000,
 ) -> DataFrame:
     """Driver-side BPE trainer over the one-pass word-frequency table —
     the production shape for large merge counts.
@@ -784,18 +787,44 @@ def bpe_merges_fast(
     updated only for words containing the merged pair, lazy max-heap)
     makes the loop O(updates · log), so thousands of merges train in
     seconds.
+
+    Driver-memory bound: "bounded by language" holds for prose but NOT
+    for 100 TB of web text, where distinct normalized "words" (URL
+    fragments, numbers, hex hashes, typos) reach 1e8-1e9 rows — an
+    unbounded collect of that table kills the driver. Two guards, both
+    applied INSIDE the distributed word-count fold before `.collect()`:
+
+    - ``min_count`` prefilters words with total count < min_count (the
+      production-trainer prefilter). Intended semantic deviation: a
+      pair supported ONLY by sub-threshold words is lost even when its
+      summed support crosses min_count — exactly the long-tail noise
+      the floor exists to drop. With ``min_count=1`` the prefilter is a
+      no-op and the trainer is exactly the unbounded loop. The pair
+      floor at heap pop is unchanged (still enforced).
+    - ``max_vocab`` caps the collect at the top-N words by mass
+      ((wc desc, w asc) — deterministic tie-break), a hard memory ceiling
+      (default 2M rows ~ a few hundred MB) independent of corpus
+      pathology. TakeOrdered on the word-count table: no global sort.
+      ``None`` disables the cap.
     """
     import heapq
     from collections import defaultdict
 
     spark = documents.sparkSession
-    rows = (
+    wcounts = (
         documents.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("wc"))
-        .collect()
-    )  # vocab-sized: bounded by language, same collect class as the
-    # trainer's per-round arg-max row (SURVEY §2.4)
+    )
+    if min_count > 1:
+        wcounts = wcounts.filter(F.col("wc") >= F.lit(int(min_count)))
+    if max_vocab is not None:
+        # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+        # top-N partials, no shuffle of the full vocab
+        wcounts = wcounts.orderBy(
+            F.col("wc").desc(), F.col("w")
+        ).limit(int(max_vocab))
+    rows = wcounts.collect()  # bounded: max_vocab rows, min_count floor
     words = [_bpe_wrap(list(r["w"]) + ["</w>"]) for r in rows]
     wcs = [r["wc"] for r in rows]
 

@@ -521,6 +521,70 @@ def test_bpe_fast_trainer_matches_spark_loop(spark, sf_dir):
         assert a == b, (n, [x for x, y in zip(a, b) if x != y][:3])
 
 
+def test_bpe_fast_collect_bounds(spark, sf_dir):
+    """The driver-collect guards (min_count word prefilter, max_vocab
+    top-N-by-mass cap) must (a) be no-ops when they don't bind — same
+    merge table at min_count=1 and 2 on the singleton-free documents
+    corpus, with and without a non-binding cap — and (b) when they DO
+    bind, restrict training to exactly the surviving words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # (a) non-binding guards change nothing (documents has no wc==1
+    # words, and its vocab is 31 << the cap)
+    base = [
+        tuple(r)
+        for r in text.bpe_merges_fast(
+            docs, n_merges=12, min_count=1, max_vocab=None
+        ).collect()
+    ]
+    for mc, mv in ((2, None), (1, 1000), (2, 1000)):
+        got = [
+            tuple(r)
+            for r in text.bpe_merges_fast(
+                docs, n_merges=12, min_count=mc, max_vocab=mv
+            ).collect()
+        ]
+        assert got == base, (mc, mv)
+
+    # (b) binding guards: 'zq' is supported only by two singleton words
+    toy = spark.createDataFrame(
+        [("a", "zq zq"), ("b", "hello hello hello"), ("c", "zqx")],
+        "doc_id string, text string",
+    )
+    # min_count=1: no prefilter; the zq pair (summed support 3) merges
+    # once the loop exhausts the pair space
+    deep = {
+        (r["left"], r["right"])
+        for r in text.bpe_merges_fast(toy, 20, min_count=1).collect()
+    }
+    assert ("z", "q") in deep
+    # the documented deviation: a pair whose SUMMED support >= min_count
+    # but every supporting word is individually sub-threshold
+    toy2 = spark.createDataFrame(
+        [("a", "zqa"), ("b", "zqb"), ("c", "hello hello hello")],
+        "doc_id string, text string",
+    )
+    merged2 = {
+        (r["left"], r["right"])
+        for r in text.bpe_merges_fast(toy2, 20, min_count=2).collect()
+    }
+    # pair (z,q) has summed support 2 >= min_count, but both 'zqa' and
+    # 'zqb' have wc=1 < min_count: the prefilter loses it BY DESIGN
+    assert ("z", "q") not in merged2
+    unfiltered2 = {
+        (r["left"], r["right"])
+        for r in text.bpe_merges_fast(toy2, 20, min_count=1).collect()
+    }
+    assert ("z", "q") in unfiltered2
+    # max_vocab=1 keeps only the heaviest word ('hello' wc=3): every
+    # merge must be over hello's alphabet
+    capped = text.bpe_merges_fast(toy2, 20, min_count=1, max_vocab=1).collect()
+    assert capped, "cap must not empty the trainer"
+    for r in capped:
+        assert set(r["left"]) <= set("hello</w>") and set(r["right"]) <= set(
+            "hello</w>"
+        ), tuple(r)
+
+
 def _py_reference_encode(text_value, merges):
     """Independent per-document reference encoder: normalize, then the
     aligned leftmost-non-overlapping merge scan per word, rank order —
