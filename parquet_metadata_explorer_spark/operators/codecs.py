@@ -1,13 +1,17 @@
-"""Pure-Python media header/sample parsers for the multimodal operators.
+"""Pure-Python media parsers for the multimodal operators.
 
-Real decoders for the three codec-less container formats a pure-Python
-environment can parse exactly — BMP (Windows DIB), binary PPM/PGM
-(netpbm), and WAV (RIFF/PCM) — so ``multimodal.decode_features`` extracts
-width/height/channels/sample-rate/duration from the actual bytes instead
-of a stub. Compressed formats (JPEG/PNG/MP3/H.264) still need codec
-libraries this container doesn't ship; payloads that aren't one of the
-three formats fall back to the deterministic byte-derived features, so
-the operator is total over arbitrary binary.
+Real decoders for the formats a pure-Python environment can handle
+exactly — BMP (Windows DIB), binary PPM/PGM (netpbm), WAV (RIFF/PCM),
+and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters)
+for 8-bit non-interlaced gray/RGB/gray+alpha/RGBA and PLTE-indexed
+palette images — so ``multimodal.decode_features``, ``resize_binary``
+and ``image_dhash`` work on actual pixel grids. JPEG parses header-only
+(SOF dimensions/channels; entropy decode genuinely needs a codec
+library), as do PNG 16-bit/interlaced variants. AVI parses the RIFF
+container (avih dims/timing + real ``movi`` frame boundaries for the
+video stream) so frame sampling is container-aware. Payloads no strict
+parser accepts fall back to the deterministic byte-derived features, so
+every operator stays total over arbitrary binary.
 
 Every parser is strict-by-construction: it returns ``None`` unless the
 full structural contract holds (magic bytes, sane header fields, payload
@@ -205,8 +209,12 @@ def parse_png(b: bytes) -> Optional[dict]:
     """PNG: signature + chunk walk. Dimensions/channels from IHDR for any
     structurally-valid PNG; REAL pixels (stdlib zlib inflate + the five
     row unfilters) for the common 8-bit non-interlaced color types
-    (gray / RGB / gray+alpha / RGBA). Palette, 16-bit and interlaced
-    files parse header-only — dimensions without a ``pixels`` key."""
+    (gray / RGB / gray+alpha / RGBA) AND 8-bit PLTE-indexed palette
+    images (indices decoded like a 1-channel grid, then looked up to
+    RGB — the decoded grid is channels=3, identical to the same image
+    encoded as truecolor; tRNS transparency is ignored, color only).
+    16-bit, interlaced and sub-byte-depth palette files parse
+    header-only — dimensions without a ``pixels`` key."""
     import zlib
 
     if b[: len(_PNG_SIG)] != _PNG_SIG or len(b) < 33:
@@ -214,6 +222,7 @@ def parse_png(b: bytes) -> Optional[dict]:
     pos, n = len(_PNG_SIG), len(b)
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    palette = None
     saw_end = False
     while pos + 8 <= n:
         clen = int.from_bytes(b[pos : pos + 4], "big")
@@ -237,6 +246,10 @@ def parse_png(b: bytes) -> Optional[dict]:
                 return None
             if color_type not in _PNG_CHANNELS:
                 return None
+        elif ctype == b"PLTE":
+            # 1..256 RGB triples; a malformed PLTE demotes to header-only
+            if clen % 3 == 0 and 3 <= clen <= 768:
+                palette = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -253,8 +266,9 @@ def parse_png(b: bytes) -> Optional[dict]:
         "channels": channels,
         "bit_depth": bit_depth,
     }
-    if bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6) and idat:
-        stride = width * channels
+    decodable = bit_depth == 8 and interlace == 0 and idat
+    if decodable and (color_type in (0, 2, 4, 6) or palette is not None):
+        stride = width * channels  # palette: channels=1, one index byte
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
@@ -262,9 +276,21 @@ def parse_png(b: bytes) -> Optional[dict]:
         if len(raw) != height * (stride + 1):
             return meta
         try:
-            meta["pixels"] = _png_unfilter(raw, height, stride, channels)
+            pixels = _png_unfilter(raw, height, stride, channels)
         except ValueError:
             return meta
+        if color_type == 3:
+            # index -> RGB lookup; out-of-range index = corrupt, demote
+            n_entries = len(palette) // 3
+            if any(p >= n_entries for p in pixels):
+                return meta
+            pixels = b"".join(
+                palette[3 * p : 3 * p + 3] for p in pixels
+            )
+            channels = 3
+            stride = width * 3
+            meta["channels"] = 3
+        meta["pixels"] = pixels
         meta["row_bytes"] = stride
         meta["top_down"] = True
     return meta
@@ -354,12 +380,28 @@ def parse_avi(b: bytes) -> Optional[dict]:
     usec_per_frame = total_frames_hdr = None
     compression = None
     bpp = None
+    video_stream = None  # 0-based strl index of the first 'vids' stream
     frames = []
+
+    def walk_movi(start, stop):
+        # frame chunks may be wrapped in 'rec ' grouping LISTs (the
+        # interleave unit real muxers emit) — recurse into those; only
+        # collect chunks belonging to the parsed video stream, so an
+        # audio '01wb' (or a second video stream) never pollutes the
+        # frame timeline the strf metadata describes
+        for c2, b2, s2 in _riff_children(b, start, stop):
+            if c2 == b"LIST" and s2 >= 4 and b[b2 : b2 + 4] == b"rec ":
+                walk_movi(b2 + 4, b2 + s2)
+            elif c2[2:4] in (b"db", b"dc") and c2[:2].isdigit():
+                if video_stream is not None and int(c2[:2]) == video_stream:
+                    frames.append((b2, s2))
+
     for cid, body, csize in _riff_children(b, 12, end):
         if cid != b"LIST" or csize < 4:
             continue
         form = b[body : body + 4]
         if form == b"hdrl":
+            stream_idx = -1
             for c2, b2, s2 in _riff_children(b, body + 4, body + csize):
                 if c2 == b"avih" and s2 >= 40:
                     usec_per_frame = int.from_bytes(b[b2 : b2 + 4], "little")
@@ -367,22 +409,27 @@ def parse_avi(b: bytes) -> Optional[dict]:
                     width = int.from_bytes(b[b2 + 32 : b2 + 36], "little")
                     height = int.from_bytes(b[b2 + 36 : b2 + 40], "little")
                 elif c2 == b"LIST" and s2 >= 4 and b[b2 : b2 + 4] == b"strl":
+                    stream_idx += 1
+                    fcc_type = None
                     for c3, b3, s3 in _riff_children(b, b2 + 4, b2 + s2):
-                        if (
+                        if c3 == b"strh" and s3 >= 4:
+                            fcc_type = b[b3 : b3 + 4]
+                        elif (
                             c3 == b"strf"
                             and s3 >= 40
-                            and compression is None
+                            and fcc_type == b"vids"
+                            and video_stream is None
                         ):
-                            # BITMAPINFOHEADER of the first video stream
+                            # BITMAPINFOHEADER of the first VIDEO stream
+                            # only — an audio strl's strf is a
+                            # WAVEFORMAT(EXTENSIBLE), not a DIB header
+                            video_stream = stream_idx
                             bpp = int.from_bytes(b[b3 + 14 : b3 + 16], "little")
                             compression = int.from_bytes(
                                 b[b3 + 16 : b3 + 20], "little"
                             )
         elif form == b"movi":
-            for c2, b2, s2 in _riff_children(b, body + 4, body + csize):
-                # ##db (uncompressed DIB) / ##dc (compressed) video chunks
-                if c2[2:4] in (b"db", b"dc") and c2[:2].isdigit():
-                    frames.append((b2, s2))
+            walk_movi(body + 4, body + csize)
     if width is None or not frames:
         return None
     if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):

@@ -6,14 +6,16 @@ as Arrow-batched Pandas functions over ``mapInPandas`` — the payload never
 round-trips through Python row objects, batches stream through Arrow, and
 the transform is map-only (zero shuffles).
 
-The decode step is REAL for the codec-less container formats pure Python
-can parse exactly — BMP, binary PPM/PGM, and WAV (``operators/codecs.py``):
-width/height/channels/sample-rate/duration come from the actual header
-bytes, and resize operates on the actual pixel grid. Payloads no strict
-parser accepts (including compressed formats — JPEG/PNG/MP3 need codec
-libraries this container doesn't ship) fall back to deterministic
-byte-derived features tagged ``codec='raw'``, so the operator is total
-over arbitrary binary and oracle-checkable on any corpus.
+The decode step is REAL for the formats pure Python can parse exactly
+(``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (8-bit
+non-interlaced gray/RGB/GA/RGBA and PLTE-palette — actual pixels via
+zlib + row unfilters), and the AVI container (real ``movi`` frame
+boundaries for the video stream). JPEG parses header-only (SOF
+dimensions; entropy decode needs a codec library), as do PNG 16-bit /
+interlaced variants. Payloads no strict parser accepts (MP3, H.264
+streams, arbitrary bytes) fall back to deterministic byte-derived
+features tagged ``codec='raw'``, so the operator is total over
+arbitrary binary and oracle-checkable on any corpus.
 """
 
 from __future__ import annotations

@@ -581,3 +581,201 @@ def test_sample_frames_container_aware(spark):
     assert (dec[1].codec, dec[1].width, dec[1].height, dec[1].n_samples) == (
         "avi", 4, 3, 6,
     )
+
+
+# -- PNG palette / AVI stream-awareness (round 7) ----------------------------
+
+
+def make_png_palette(pixels: np.ndarray, filters=None) -> bytes:
+    """Palette (color type 3) PNG encoder: unique RGB colors -> PLTE,
+    one index byte per pixel through the same forward row filtering the
+    truecolor builder uses."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3
+    flat = pixels.reshape(-1, 3)
+    colors = sorted({tuple(int(v) for v in p) for p in flat})
+    assert len(colors) <= 256
+    lut = {col: i for i, col in enumerate(colors)}
+    idx = np.array([lut[tuple(int(v) for v in p)] for p in flat],
+                   dtype=np.uint8).reshape(h, w)
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        row = idx[y].astype(np.int16)
+        f = filters[y]
+        enc = bytearray([f])
+        for i in range(w):
+            a = int(row[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            cc = int(prev[i - 1]) if i >= 1 else 0
+            raw = int(row[i])
+            if f == 0:
+                v = raw
+            elif f == 1:
+                v = raw - a
+            elif f == 2:
+                v = raw - b
+            elif f == 3:
+                v = raw - ((a + b) >> 1)
+            else:
+                v = raw - _paeth(a, b, cc)
+            enc.append(v & 0xFF)
+        out += enc
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    plte = b"".join(bytes(col) for col in colors)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_palette_decodes_to_rgb():
+    """A PLTE-indexed PNG must decode to the SAME RGB pixel grid as the
+    truecolor encoding of the same image, through every filter type."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (7, 5, 3)).astype(np.uint8)
+    pal = codecs.parse_png(make_png_palette(img, filters=[0, 1, 2, 3, 4, 1, 2]))
+    rgb = codecs.parse_png(make_png(img, filters=[4, 3, 2, 1, 0, 2, 4]))
+    assert pal is not None and "pixels" in pal and pal["channels"] == 3
+    assert pal["row_bytes"] == 5 * 3
+    assert pal["pixels"] == rgb["pixels"]
+    # palette without PLTE-decodable depth stays header-only but valid
+    assert pal["codec"] == "png" and (pal["width"], pal["height"]) == (5, 7)
+
+
+def test_png_palette_dhash_equals_rgb(spark):
+    """Same image through palette-PNG, truecolor-PNG and BMP containers
+    must produce the SAME perceptual dhash."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (12, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_png_palette(img))),
+            (2, bytearray(make_png(img))),
+            (3, bytearray(make_bmp(img))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: (r.dhash, r.codec) for r in
+            multimodal.image_dhash(df).collect()}
+    assert rows[1][1] == "png" and rows[2][1] == "png" and rows[3][1] == "bmp"
+    assert rows[1][0] == rows[2][0] == rows[3][0]
+
+
+def test_png_palette_fuzz_total():
+    rng_img = np.random.RandomState(3)
+    base = make_png_palette(rng_img.randint(0, 255, (5, 4, 3)).astype(np.uint8))
+    for cut in range(len(base)):
+        r = codecs.sniff_media(bytes(base[:cut]))
+        assert r is None or isinstance(r, dict)
+    import random
+
+    rng = random.Random(17)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        r = codecs.sniff_media(bytes(bb))
+        assert r is None or isinstance(r, dict)
+
+
+def make_avi_multi(w=4, h=3, usec_per_frame=40000, audio_first=True,
+                   rec_wrap=False, video_frames=None, audio_chunks=None):
+    """AVI with an audio stream AND a video stream, optionally with the
+    movi frames wrapped in 'rec ' grouping LISTs (the interleave unit)."""
+    video_frames = video_frames or [bytes([i]) * 36 for i in range(4)]
+    audio_chunks = audio_chunks or [b"\xaa" * 32, b"\xbb" * 32]
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form, body):
+        return chunk(b"LIST", form + body)
+
+    avih = struct.pack(
+        "<10I", usec_per_frame, 0, 0, 0, len(video_frames), 0, 2, 0, w, h
+    ) + bytes(16)
+    strh_a = (
+        b"auds" + b"\x01\x00\x00\x00" + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 16000, 0, 0, 0) + bytes(8)
+    )
+    # a 40-byte WAVEFORMATEXTENSIBLE-ish strf: at DIB offsets 14/16 this
+    # carries garbage that a fccType-blind parser would read as bpp=0xDEAD
+    # and compression=0xFEEDBEEF
+    strf_a = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + \
+        b"\xad\xde" + b"\xef\xbe\xed\xfe" + bytes(40 - 22)
+    strh_v = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, len(video_frames), 0, 0, 0
+        ) + bytes(8)
+    )
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    strl_a = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+    strl_v = lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+    order = (strl_a + strl_v) if audio_first else (strl_v + strl_a)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + order)
+    vid_id = b"01" if audio_first else b"00"
+    aud_id = b"00" if audio_first else b"01"
+    pieces = []
+    for i, f in enumerate(video_frames):
+        group = chunk(vid_id + b"db", f)
+        if i < len(audio_chunks):
+            group += chunk(aud_id + b"wb", audio_chunks[i])
+        pieces.append(lst(b"rec ", group) if rec_wrap else group)
+    movi = lst(b"movi", b"".join(pieces))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("audio_first", [True, False])
+@pytest.mark.parametrize("rec_wrap", [True, False])
+def test_avi_audio_stream_and_rec_lists(audio_first, rec_wrap):
+    """The strf must be read from the 'vids' strl only (an audio-first
+    AVI's WAVEFORMAT strf is NOT a DIB header), frames must be filtered
+    to the video stream's number, and 'rec '-wrapped frames must still
+    be found."""
+    frames = [bytes([50 + i]) * 36 for i in range(4)]
+    b = make_avi_multi(audio_first=audio_first, rec_wrap=rec_wrap,
+                       video_frames=frames)
+    m = codecs.parse_avi(b)
+    assert m is not None, (audio_first, rec_wrap)
+    assert (m["width"], m["height"]) == (4, 3)
+    assert m["compression"] == 0 and m["bits_per_pixel"] == 24
+    assert m["channels"] == 3
+    assert m["n_frames"] == 4
+    got = [b[o : o + s] for o, s in m["frames"]]
+    assert got == frames  # audio '..wb' chunks never enter the timeline
+    assert m["duration_ms"] == 4 * 40
+
+
+def test_avi_multi_fuzz_total():
+    base = make_avi_multi(rec_wrap=True)
+    for cut in range(len(base)):
+        r = codecs.sniff_media(bytes(base[:cut]))
+        assert r is None or isinstance(r, dict)
+    import random
+
+    rng = random.Random(23)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        r = codecs.sniff_media(bytes(bb))
+        assert r is None or isinstance(r, dict)
