@@ -929,6 +929,187 @@ SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
 """
 
 
+IVFPQ_CELLS, IVFPQ_PROBE, IVFPQ_CITERS = 16, 4, 3
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ ANN (Jégou et al. §IV, IVFADC): coarse-quantize the
+    corpus into 16 cells (exact-decimal Lloyd — pq_index with one
+    whole-vector subspace), PQ-encode the RESIDUALS (8 subspaces × 32
+    centroids), probe 4 cells per query and ADC-score only those cells'
+    codes — scored rows ∝ n_probe/k_cells of the corpus, the sub-linear
+    shape flat PQ lacks."""
+    return similarity.ivfpq_ann_topk(
+        _table(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=10,
+        k_cells=IVFPQ_CELLS,
+        n_probe=IVFPQ_PROBE,
+        m=PQ_M,
+        n_centroids=PQ_K,
+        iters=PQ_ITERS,
+        coarse_iters=IVFPQ_CITERS,
+    )
+
+
+def _pq_lloyd_parts(prefix: str, src: str, m: int, k: int, iters: int, dim: int):
+    """Unrolled exact-decimal PQ-Lloyd CTE layers over ``src`` (a
+    relation with vec_id + embedding DOUBLE[]), mirroring
+    similarity.pq_index with a name prefix so the IVF-PQ oracle can run
+    TWO instances (coarse m=1 quantizer + residual product quantizer)
+    in one statement. Emits {p}subv, {p}seed, {p}c0 … {p}c{iters} and
+    assignments {p}a1 … {p}a{iters+1} (the last one against the final
+    codebook)."""
+    p = prefix
+    sub_d = dim // m
+    dist2 = (
+        f"list_sum(list_transform(range(1, {sub_d}+1),"
+        f" j -> (v.sv[j] - c.c[j]) * (v.sv[j] - c.c[j])))"
+    )
+    parts = [
+        f"""{p}subv AS MATERIALIZED (
+  SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(0, {m}),
+             s -> {{'sub': s,
+                    'sv': embedding[s*{sub_d}+1 : s*{sub_d}+{sub_d}]}})) AS u
+    FROM {src})
+),
+{p}seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster FROM (
+    SELECT vec_id FROM {src} ORDER BY md5(vec_id::varchar) LIMIT {k})
+),
+{p}c0 AS MATERIALIZED (
+  SELECT v.sub, d.cluster, v.sv AS c
+  FROM {p}seed d JOIN {p}subv v USING (vec_id)
+)"""
+    ]
+    for it in range(1, iters + 2):  # iters updates + the final assign
+        prev = f"{p}c{it - 1}"
+        parts.append(
+            f"""{p}a{it} AS MATERIALIZED (
+  SELECT vec_id, sub, cluster, sv FROM (
+    SELECT v.vec_id, v.sub, c.cluster, v.sv,
+           row_number() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {dist2}, c.cluster) AS rn
+    FROM {p}subv v JOIN {prev} c ON v.sub = c.sub
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= iters:
+            parts.append(
+                f"""{p}m{it} AS (
+  SELECT sub, cluster, list(mv ORDER BY dim) AS c FROM (
+    SELECT sub, cluster, u.dim AS dim,
+           round(sum(u.v::DECIMAL(30,15)) / count(*), 12)::DOUBLE AS mv
+    FROM (SELECT sub, cluster,
+                 unnest(list_transform(range(1, {sub_d}+1),
+                        j -> {{'dim': j-1, 'v': sv[j]}})) AS u
+          FROM {p}a{it})
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+{p}c{it} AS MATERIALIZED (
+  SELECT p.sub, p.cluster, coalesce(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN {p}m{it} m ON p.sub = m.sub AND p.cluster = m.cluster
+)"""
+            )
+    return parts
+
+
+def _oracle_ann_ivfpq(
+    k_cells: int = IVFPQ_CELLS,
+    n_probe: int = IVFPQ_PROBE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    coarse_iters: int = IVFPQ_CITERS,
+    dim: int = 64,
+) -> str:
+    """CTE composition of the two oracled halves: coarse exact-decimal
+    Lloyd (the PQ machinery with one whole-vector subspace) → residual
+    subtraction (plain double arithmetic over bit-identical arrays) →
+    residual PQ Lloyd → per-query cell probing (d2, cell ties — the
+    driver's sorted() order) → ADC with the round-12 decimal folds and
+    the fixed-order cos expression of ivfpq_ann_topk."""
+    sub_d = dim // m
+    parts = [
+        f"emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS embedding"
+        f" FROM embeddings)"
+    ]
+    parts += _pq_lloyd_parts("cq", "emb", 1, k_cells, coarse_iters, dim)
+    parts.append(
+        f"""cellof AS MATERIALIZED (
+  SELECT vec_id, cluster AS cell FROM cqa{coarse_iters + 1}
+),
+ccent AS MATERIALIZED (
+  SELECT cluster AS cell, c FROM cqc{coarse_iters}
+),
+res AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim}+1), j -> e.embedding[j] - c.c[j])
+           AS embedding
+  FROM emb e JOIN cellof o USING (vec_id) JOIN ccent c ON o.cell = c.cell
+)"""
+    )
+    parts += _pq_lloyd_parts("pq", "res", m, k, iters, dim)
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    parts.append(
+        f"""qt AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_dot_product(embedding, embedding)) AS qnorm
+  FROM emb WHERE vec_id IN ({qids})
+),
+probed AS (
+  SELECT query_id, cell, qv, qnorm FROM (
+    SELECT t.query_id, c.cell, t.qv, t.qnorm,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY
+             list_sum(list_transform(range(1, {dim}+1),
+               j -> (t.qv[j] - c.c[j]) * (t.qv[j] - c.c[j]))), c.cell) AS rn
+    FROM qt t CROSS JOIN ccent c
+  ) WHERE rn <= {n_probe}
+),
+tbl AS (
+  SELECT p.query_id, p.cell, c.sub, c.cluster,
+         list_dot_product(p.qv[c.sub*{sub_d}+1 : c.sub*{sub_d}+{sub_d}], c.c) AS dotq,
+         list_dot_product(cc.c[c.sub*{sub_d}+1 : c.sub*{sub_d}+{sub_d}], c.c) AS crossd,
+         list_dot_product(c.c, c.c) AS cn2,
+         list_dot_product(p.qv, cc.c) AS qdotc,
+         list_dot_product(cc.c, cc.c) AS cc2,
+         p.qnorm
+  FROM probed p JOIN ccent cc ON p.cell = cc.cell CROSS JOIN pqc{iters} c
+),
+sc AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id,
+         sum(round(t.dotq, 12)::DECIMAL(30,15)) AS sdot,
+         sum(round(t.crossd, 12)::DECIMAL(30,15)) AS scross,
+         sum(round(t.cn2, 12)::DECIMAL(30,15)) AS sn2,
+         any_value(t.qdotc) AS qdotc, any_value(t.cc2) AS cc2,
+         any_value(t.qnorm) AS qnorm
+  FROM pqa{iters + 1} a
+  JOIN cellof o ON a.vec_id = o.vec_id
+  JOIN tbl t ON o.cell = t.cell AND a.sub = t.sub AND a.cluster = t.cluster
+  WHERE a.vec_id <> t.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         round(((qdotc + sdot::DOUBLE)
+                / (qnorm * sqrt(cc2 + 2.0 * scross::DOUBLE + sn2::DOUBLE))
+               )::DECIMAL(30,10), 6)::double AS cos
+  FROM sc
+)"""
+    )
+    return f"""
+WITH {", ".join(parts)}
+SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM ranked
+) WHERE rank <= 10
+"""
+
+
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document/embedding clustering deliverable: the per-vector k-means
     cluster assignment after 3 deterministic Lloyd iterations — the
@@ -3726,7 +3907,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) stalest oracled entries (no driver row since r3)
+        # A) the r6 verdict's rotation-debt group: the 16 group-F
+        #    deferrals (stale since r4) + first driver rows for the 3
+        #    never-boarded entries. events_percentiles_approx and
+        #    multimodal_dhash are rows-only BY DESIGN (docstrings name
+        #    the reason + compensating pytest) -- boarded per the r6
+        #    verdict's explicit direction; the judge sees the weaker
+        #    check class.
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "text_redact": q_text_redact,
+        "dedup_simhash": q_dedup_simhash,
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
+        "ngram_freq": q_ngram_freq,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "events_json": q_events_json,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "corpus_mix": q_corpus_mix,
+        "events_percentiles_approx": q_events_percentiles_approx,
+        "text_collocations": q_text_collocations,
+        "dedup_incremental": q_dedup_incremental,
+        "multimodal_dhash": q_multimodal_dhash,
+        # B) new or value/plan-changed this round: the IVF x PQ
+        #    composition (new), corpus_mix_temperature (w snapped to 12
+        #    decimals -- values moved), text_bpe_encode1k (trainer
+        #    collect now bounded -- values proven unchanged, plan
+        #    changed)
+        "ann_ivfpq": q_ann_ivfpq,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "text_bpe_encode1k": q_text_bpe_encode1k,
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # D) r5-boarded entries due by r8 under the 3-round SLA --
+        #    touched-subsystem first (BPE trainer, codecs, similarity
+        #    files changed this round), 19 of 39; the remaining 20
+        #    (the TPC-H group + page_reconstruct_bss, dataset_card,
+        #    text_quality_filter) are the r8 head
+        "text_bpe": q_text_bpe,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
+        "multimodal_decode": q_multimodal_decode,
+        "ann_int8": q_ann_int8,
+        "knn_graph": q_knn_graph,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_trending": q_events_trending,
+        "events_anomalies": q_events_anomalies,
+        "events_attribution": q_events_attribution,
+        "events_gapfill_by_type": q_events_gapfill_by_type,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "window_timeline": q_window_timeline,
+        "window_rolling": q_window_rolling,
+        "grouping_sets": q_grouping_sets,
+        "pivot_orders": q_pivot_orders,
+        "page_integrity": q_page_integrity,
+        "pruned_read": q_pruned_read,
+        "source_overlap": q_source_overlap,
+        "profile_lineitem": q_profile_lineitem,
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # E) r8 head: the rest of the r5-boarded group (due r8)
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "page_reconstruct_bss": q_page_reconstruct_bss,
+        "dataset_card": q_dataset_card,
+        "text_quality_filter": q_text_quality_filter,
+        # F) r6-boarded entries (due r9)
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
@@ -3737,18 +4008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "set_ops": q_set_ops,
         "scalar_functions": q_scalar_functions,
-        # B) new this round
-        "text_bpe_encode1k": q_text_bpe_encode1k,
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
         "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
-        "corpus_mix_temperature": q_corpus_mix_temperature,
         "ann_pq": q_ann_pq,
-        # C) the r5 red (double-rounding), fixed r6 -- prove green
         "tpch_q11": q_tpch_q11,
-        # D) two-rounds-old entries (r4 rows), rounding-sweep-touched
-        #    prioritized
         "text_logprob": q_text_logprob,
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
@@ -3772,79 +4037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
-        # E) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # F) unchanged-since-r4-green, deferred one round (r7 head)
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "text_redact": q_text_redact,
-        "dedup_simhash": q_dedup_simhash,
-        "hash_split": q_hash_split,
-        "sample_per_group": q_sample_per_group,
-        "pack_sequences": q_pack_sequences,
-        "ngram_freq": q_ngram_freq,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "events_json": q_events_json,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "corpus_mix": q_corpus_mix,
-        "text_collocations": q_text_collocations,
-        "dedup_incremental": q_dedup_incremental,
-        # G) rows-only entries (no oracle by design; pytest-compensated)
+        # G) rows-only entry not boarded this round (r8 candidate)
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        "multimodal_dhash": q_multimodal_dhash,
-        "events_percentiles_approx": q_events_percentiles_approx,
-        # H) r5-boarded green entries rotating to the tail
-        "tpch_q4": q_tpch_q4,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "window_timeline": q_window_timeline,
-        "grouping_sets": q_grouping_sets,
-        "pivot_orders": q_pivot_orders,
-        "events_gapfill_by_type": q_events_gapfill_by_type,
-        "events_attribution": q_events_attribution,
-        "page_integrity": q_page_integrity,
-        "ann_int8": q_ann_int8,
-        "events_trending": q_events_trending,
-        "text_bpe": q_text_bpe,
-        "text_bpe_tokenize": q_text_bpe_tokenize,
-        "pruned_read": q_pruned_read,
-        "source_overlap": q_source_overlap,
-        "events_anomalies": q_events_anomalies,
-        "profile_lineitem": q_profile_lineitem,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "page_reconstruct_bss": q_page_reconstruct_bss,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "window_rolling": q_window_rolling,
-        "text_quality_filter": q_text_quality_filter,
-        "knn_graph": q_knn_graph,
-        "dataset_card": q_dataset_card,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -3918,6 +4112,7 @@ def oracle_sql() -> dict[str, str]:
         "text_logprob2": O_TEXT_LOGPROB2,
         "corpus_mix_temperature": O_CORPUS_MIX_TEMPERATURE,
         "ann_pq": _oracle_ann_pq(),
+        "ann_ivfpq": _oracle_ann_ivfpq(),
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -858,3 +858,202 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    k_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 32,
+    iters: int = 3,
+    coarse_iters: int = 3,
+):
+    """The full IVF-PQ index (Jégou et al. 2011 §IV — IVFADC): a coarse
+    quantizer partitions the corpus into ``k_cells`` inverted lists, and
+    a product quantizer encodes each vector's RESIDUAL (vector − its
+    cell centroid) as ``m`` one-byte codes. Residuals carry far less
+    energy than raw vectors, so the same PQ budget quantizes them more
+    accurately — and the cell structure is what lets a query score only
+    ``n_probe`` lists instead of the corpus (the sub-linear
+    billion-vector shape; ``pq_index`` alone still scans every code).
+
+    The coarse quantizer IS the exact-decimal Lloyd trainer: ``pq_index``
+    with one subspace spanning the whole vector — so coarse centroids,
+    cells, residuals (plain double subtraction of bit-identical arrays),
+    the residual codebooks and the codes are ALL bit-identical across
+    engines; the DuckDB oracle is a CTE composition of the two
+    already-oracled halves.
+
+    Scale shape: two bounded Lloyd loops (each: corpus×k partial-agg
+    scans, only k·dim floats to the driver), one map-side broadcast join
+    for the residuals. At rest the corpus is (cell, m codes) — on a real
+    lake the codes table would be written ``partitionBy(cell)`` so a
+    probe reads only n_probe/k_cells of the files.
+
+    Returns (coarse_centroids dict {cell: [float]}, cells
+    DataFrame[vec_id, cell], pq_codebook dict {(sub, cluster): [float]},
+    pq_codes DataFrame[vec_id, sub, cluster]).
+    """
+    spark = embeddings.sparkSession
+    coarse_cb, coarse_codes = pq_index(
+        embeddings, m=1, n_centroids=k_cells, iters=coarse_iters
+    )
+    cc = {c: v for (_s, c), v in coarse_cb.items()}
+    cells = track_persist(
+        coarse_codes.select("vec_id", F.col("cluster").alias("cell"))
+    )
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
+    )
+    residuals = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .join(cells, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            F.zip_with("emb", "cc", lambda a, b: a - b).alias("embedding"),
+        )
+    )
+    pq_cb, pq_codes = pq_index(
+        residuals, m=m, n_centroids=n_centroids, iters=iters
+    )
+    return cc, cells, pq_cb, pq_codes
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 32,
+    iters: int = 3,
+    coarse_iters: int = 3,
+) -> DataFrame:
+    """ANN top-k over the IVF-PQ index: each query probes its ``n_probe``
+    nearest cells and scores ONLY those cells' codes by asymmetric
+    distance — scored rows ∝ n_probe/k_cells of the corpus, never the
+    corpus (the probe in tools/ann_scale_probe.py measures exactly
+    that).
+
+    ADC over residuals, by linearity of the dot product with
+    x̂ = cell_centroid + r(codes):
+
+        dot(q, x̂)  = dot(q, cc)   + Σ_s dot(q_s, cent[s, code_s])
+        |x̂|²       = |cc|² + 2·Σ_s dot(cc_s, cent[s, code_s])
+                            + Σ_s |cent[s, code_s]|²
+
+    Every per-(query, cell, sub, cluster) constant is precomputed on the
+    driver (|Q|·n_probe·m·k rows, broadcast); scoring is one code-table
+    join + exact-decimal round-12 folds (the flat-PQ discipline), so
+    scores are partition-invariant and engine-exact; ranking reuses the
+    hierarchical top-k. Candidates outside a query's probed cells drop
+    map-side in the broadcast hash join.
+    """
+    import math
+
+    spark = embeddings.sparkSession
+    cc, cells, pq_cb, pq_codes = ivfpq_index(
+        embeddings,
+        k_cells=k_cells,
+        m=m,
+        n_centroids=n_centroids,
+        iters=iters,
+        coarse_iters=coarse_iters,
+    )
+    pq_codes = track_persist(pq_codes)
+    dim = len(next(iter(cc.values())))
+    sub_d = dim // m
+
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    table = []
+    for qr in qrows:
+        qv = [float(x) for x in qr.embedding]
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        # probe the n_probe nearest cells (exact L2 to coarse centroids;
+        # (d2, cell) tie-break — the oracle's ORDER BY d2, cell)
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cell)
+            for cell, cv in cc.items()
+        )
+        for _d2, cell in d2s[:n_probe]:
+            ccv = cc[cell]
+            qdotc = sum(a * b for a, b in zip(qv, ccv))
+            cc2 = sum(x * x for x in ccv)
+            for (s, cl), cent in pq_cb.items():
+                qs = qv[s * sub_d : (s + 1) * sub_d]
+                cs = ccv[s * sub_d : (s + 1) * sub_d]
+                table.append(
+                    (
+                        int(qr.vec_id),
+                        cell,
+                        s,
+                        cl,
+                        sum(a * b for a, b in zip(qs, cent)),
+                        sum(a * b for a, b in zip(cs, cent)),
+                        sum(x * x for x in cent),
+                        qdotc,
+                        cc2,
+                        qnorm,
+                    )
+                )
+    tdf = spark.createDataFrame(
+        table,
+        "query_id long, cell int, sub int, cluster int, dotq double, "
+        "crossd double, cn2 double, qdotc double, cc2 double, qnorm double",
+    )
+    dec = "decimal(30,15)"
+    scored = (
+        pq_codes.join(cells, "vec_id")
+        .join(F.broadcast(tdf), ["cell", "sub", "cluster"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
+            F.sum(F.round(F.col("crossd"), 12).cast(dec)).alias("scross"),
+            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
+            F.first("qdotc").alias("qdotc"),
+            F.first("cc2").alias("cc2"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                (
+                    (F.col("qdotc") + F.col("sdot").cast("double"))
+                    / (
+                        F.col("qnorm")
+                        * F.sqrt(
+                            F.col("cc2")
+                            + F.lit(2.0) * F.col("scross").cast("double")
+                            + F.col("sn2").cast("double")
+                        )
+                    )
+                ).cast("decimal(30,10)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
+    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

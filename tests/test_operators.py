@@ -839,3 +839,82 @@ def test_pq_recall_floor(spark):
         for r in pq_ann_topk(e, [0, 1, 2, 3, 4], k=10, n_centroids=32).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_ivfpq_adc_equals_reconstruction(spark):
+    """IVF-PQ ADC invariant: a query's score against a vector must equal
+    the exact cosine between the query and cell_centroid + PQ-decoded
+    residual — the two-term lookup sum is dot(q, x̂) by linearity."""
+    import math
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = 8
+    cc, cells, pq_cb, pq_codes = ivfpq_index(
+        e, k_cells=16, m=m, n_centroids=32, iters=2, coarse_iters=2
+    )
+    cellof = {r.vec_id: r.cell for r in cells.collect()}
+    recon = {}
+    for r in pq_codes.collect():
+        recon.setdefault(r.vec_id, {})[r.sub] = pq_cb[(r.sub, r.cluster)]
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding] for r in e.collect()
+    }
+    out = ivfpq_ann_topk(
+        e, [0, 1], k=5, k_cells=16, n_probe=16, m=m, n_centroids=32,
+        iters=2, coarse_iters=2,
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        q = emb[r.query_id]
+        xh = [
+            b + c
+            for b, c in zip(
+                cc[cellof[r.neighbor_id]],
+                [x for s in range(m) for x in recon[r.neighbor_id][s]],
+            )
+        ]
+        dot = sum(a * b for a, b in zip(q, xh))
+        qn = math.sqrt(sum(x * x for x in q))
+        rn = math.sqrt(sum(x * x for x in xh))
+        assert abs(r.cos - dot / (qn * rn)) < 1e-5, (r, dot / (qn * rn))
+
+
+def test_ivfpq_probes_only_nearest_cells_and_recall_floor(spark):
+    """Sub-linearity contract: every returned neighbor must lie in one
+    of its query's n_probe nearest cells (candidates outside probed
+    cells are never scored), and recall at the board parameters must
+    hold the flat-PQ floor (measured 0.22 vs flat PQ's 0.32 on the
+    noise-heavy synthetic corpus — the nprobe/k_cells=1/4 scan pays a
+    modest recall cost for a 4x candidate reduction)."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_ann_topk,
+        ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    cc, cells, _, _ = ivfpq_index(e, k_cells=16, m=8, n_centroids=32)
+    cellof = {r.vec_id: r.cell for r in cells.collect()}
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in e.filter(e.vec_id.isin(qids)).collect()}
+    probed = {}
+    for qid in qids:
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(emb[qid], cv)), cell)
+            for cell, cv in cc.items()
+        )
+        probed[qid] = {cell for _d, cell in d2s[:4]}
+    out = ivfpq_ann_topk(e, qids, k=10, k_cells=16, n_probe=4,
+                         m=8, n_centroids=32).collect()
+    for r in out:
+        assert cellof[r.neighbor_id] in probed[r.query_id], r
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(e, qids, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(approx & exact) / len(exact) >= 0.2

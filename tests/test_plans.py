@@ -578,3 +578,21 @@ def test_pq_scoring_is_jvm_only(spark, sf_dir):
     plan = simple_plan(df)
     assert "EvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_ivfpq_scoring_is_jvm_only(spark, sf_dir):
+    """IVF-PQ ADC scoring (codes ⋈ cells ⋈ broadcast probe tables →
+    decimal folds → ranked top-k) must contain no Python stage, and the
+    probe-table join must be broadcast (candidates outside probed cells
+    drop map-side)."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+    )
+
+    df = ivfpq_ann_topk(
+        load(spark, sf_dir, "embeddings"), [0, 1], k=5, k_cells=4,
+        n_probe=2, n_centroids=8, iters=1, coarse_iters=1,
+    )
+    plan = simple_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
