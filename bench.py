@@ -61,6 +61,7 @@ def main() -> None:
         "dedup_embedding",
         "ann_topk",
         "ann_int8",
+        "ann_ivfpq",
         "text_stats",
         "text_langid",
         "text_tokens",

@@ -775,7 +775,8 @@ def stream_substring_novelty(
     keeps the first arrival — the replay test asserts SET equality of
     surviving span hashes plus the duplicated-window count.
     """
-    from ..functions import hash60, tokens
+    from ..functions import tokens
+    from ..operators.dedup import token_hashes, window_hashes
 
     stream = (
         spark.readStream.format("parquet")
@@ -784,16 +785,12 @@ def stream_substring_novelty(
         .load(docs_path)
     )
     toks = tokens(F.col("text"))
-    n = F.size(toks)
-    wins = F.when(
-        n >= window,
-        F.transform(
-            F.sequence(F.lit(1), n - window + 1),
-            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, window))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    hashed = stream.select(
+        "doc_id", F.size(toks).alias("n_tokens"), token_hashes(toks).alias("th")
+    )
+    wins = window_hashes(F.col("th"), F.col("n_tokens"), window)
     return (
-        stream.select("doc_id", F.posexplode(wins).alias("pos", "h"))
+        hashed.select("doc_id", F.posexplode(wins).alias("pos", "h"))
         .dropDuplicates(["h"])
     )
 
