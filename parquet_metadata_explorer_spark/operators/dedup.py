@@ -839,6 +839,65 @@ def substring_dedup(documents: DataFrame, window: int = 20) -> DataFrame:
     )
 
 
+def line_dedup_incremental(
+    documents: DataFrame, seen_line_fps: DataFrame, delimiter: str = "\n"
+):
+    """Incremental twin of ``line_dedup``: dedup TODAY'S arrivals only,
+    against a persisted line-fingerprint catalog from previous runs — a
+    line is kept iff its md5 is absent from the catalog AND it is the
+    batch-local first occurrence (min (doc_id, line_no), the batch must
+    self-dedup too). When batches are processed in ascending doc_id
+    order this composes EXACTLY to the batch operator's global
+    first-occurrence semantics (pytest-replayed on a 3-batch split).
+
+    Scale shape: the catalog join is one shuffle on the uniform md5 key
+    (AQE-splittable), the batch arg-min is the same partial-aggregating
+    ``min(struct)`` as the batch operator, and nothing reprocesses
+    history — the CDC property. ``seen_line_fps`` needs one column
+    ``fp``. Returns (cleaned docs DataFrame — the batch operator's
+    (doc_id, n_lines, n_kept, cleaned_text) —, new line fps to append
+    to the catalog).
+    """
+    import re as _re
+
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), _re.escape(delimiter), -1)).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("fp", F.md5("line"))
+    seen = seen_line_fps.select("fp").distinct().withColumn("seen", F.lit(True))
+    flagged = lines.join(seen, "fp", "left")
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    joined = flagged.join(firsts, "line")
+    kept = (
+        F.col("seen").isNull()
+        & (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("line_no") == F.col("first.line_no"))
+    )
+    cleaned = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("line_no", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                delimiter,
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "cleaned_text")
+    )
+    new_fps = flagged.filter(F.col("seen").isNull()).select("fp").distinct()
+    return cleaned, new_fps
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame, seen_fingerprints: DataFrame
 ) -> DataFrame:

@@ -309,3 +309,92 @@ def preparation_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("stage_no")
+
+
+def initial_prepare_state(spark) -> dict:
+    """Empty catalogs for ``prepare_corpus_increment`` — in production
+    each is a metadata-plane table the pipeline appends to per run."""
+    return {
+        "line_fps": spark.createDataFrame([], "fp string"),
+        "exact_fps": spark.createDataFrame([], "fp string"),
+        "source_counts": spark.createDataFrame(
+            [], "source string, n_docs long"
+        ),
+    }
+
+
+def prepare_corpus_increment(
+    new_docs: DataFrame,
+    benchmark: DataFrame,
+    state: dict,
+    min_quality: float = 0.4,
+    contamination_threshold: float = 0.5,
+    key: str = "source",
+) -> tuple:
+    """One CDC run of the preparation pipeline: process TODAY'S arrivals
+    only, against persisted catalogs from previous runs — the
+    refreshing-corpus shape where history is never reprocessed.
+
+        quality gate (stateless) → incremental line dedup (line-fp
+        catalog) → incremental exact dedup (doc-fp catalog) →
+        decontamination (stateless) → per-source count catalog update
+
+    When batches arrive in ascending doc_id order, the composition of
+    per-batch runs is EXACTLY the batch pipeline on the union (the
+    catalogs carry the cross-batch first-occurrence decisions;
+    pytest-replayed set-equal on a 3-batch split). Temperature mixing
+    is deliberately NOT baked into the per-batch output: rates depend
+    on the full corpus distribution, so the mix is a deterministic
+    policy view — ``temperature_mix(prepared, counts=state
+    ["source_counts"])`` — re-derived from the count catalog after each
+    run, a source-count-sized join over already-prepared docs, never a
+    reprocess.
+
+    Returns ``(prepared_batch, new_state)`` — the surviving documents
+    of this batch (doc_id, text), and the updated catalogs the caller
+    persists for the next run (in production: append-only metadata
+    tables; the count merge is a partial-aggregating groupBy over
+    source-count-sized frames).
+    """
+    from .dedup import incremental_exact_dedup, line_dedup_incremental
+    from .text import decontaminate, quality_filter
+
+    rule_keep = quality_filter(new_docs).filter(F.col("keep")).select("doc_id")
+    score_keep = (
+        text_stats(new_docs)
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    kept_q = new_docs.join(rule_keep, "doc_id", "left_semi").join(
+        score_keep, "doc_id", "left_semi"
+    )
+    cleaned_full, new_line_fps = line_dedup_incremental(
+        kept_q, state["line_fps"]
+    )
+    cleaned = cleaned_full.select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    ).filter(F.length(F.trim("text")) > 0)
+    survivors = incremental_exact_dedup(cleaned, state["exact_fps"])
+    unique = cleaned.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    contaminated = (
+        decontaminate(unique, benchmark, threshold=contamination_threshold)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    final = unique.join(contaminated, "doc_id", "left_anti")
+    counts_delta = (
+        final.join(new_docs.select("doc_id", key), "doc_id")
+        .groupBy(F.col(key).alias("source"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    new_state = {
+        "line_fps": state["line_fps"].unionByName(new_line_fps).distinct(),
+        "exact_fps": state["exact_fps"].unionByName(
+            survivors.select("fp")
+        ),
+        "source_counts": state["source_counts"]
+        .unionByName(counts_delta)
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs")),
+    }
+    return final, new_state

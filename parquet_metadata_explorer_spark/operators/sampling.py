@@ -156,6 +156,7 @@ def temperature_rates(
     alpha: float = 0.5,
     budget_docs: int | None = None,
     key: str = "source",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source keep rates for temperature-scaled mixing (the
     XLM/mT5 recipe): sample sources proportional to p_s^alpha so
@@ -174,11 +175,19 @@ def temperature_rates(
     rate fixed-order double math over engine-identical inputs.
 
     Returns (source, n_docs, q, rate) — q the temperature-scaled target
-    share, rate the per-document keep probability.
+    share, rate the per-document keep probability. Pass ``counts``
+    (source, n_docs) to derive rates from a PERSISTED count catalog
+    instead of scanning ``documents`` — the incremental-pipeline path,
+    where per-source counts are metadata-plane state updated per run.
     """
-    counts = documents.groupBy(F.col(key).alias("source")).agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
+    if counts is None:
+        counts = documents.groupBy(F.col(key).alias("source")).agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+    else:
+        counts = counts.select(
+            F.col("source"), F.col("n_docs").cast("long").alias("n_docs")
+        )
     total = counts.agg(F.sum("n_docs").alias("n_total"))
     w = F.round(
         F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha))), 12
@@ -203,13 +212,18 @@ def temperature_mix(
     budget_docs: int | None = None,
     key: str = "source",
     salt: str = "tmix",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Apply ``temperature_rates`` deterministically: keep a document
     when its salted md5 u01 falls under its source's rate — the same
     RNG-free keep rule as ``mix_by_source``, with the fractions DERIVED
     from the corpus instead of supplied. The rate table is broadcast
-    (source-count-sized); the filter is map-side."""
-    rates = temperature_rates(documents, alpha, budget_docs, key)
+    (source-count-sized); the filter is map-side. ``counts`` routes the
+    rate derivation to a persisted count catalog (incremental mode);
+    because the keep rule is deterministic and stateless given rates,
+    re-applying the mix after a catalog update is a cheap idempotent
+    filter — no document reprocessing."""
+    rates = temperature_rates(documents, alpha, budget_docs, key, counts=counts)
     u01 = hash60(
         F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
     ) / F.lit(float(2**60))

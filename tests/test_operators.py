@@ -918,3 +918,65 @@ def test_ivfpq_probes_only_nearest_cells_and_recall_floor(spark):
              for r in cosine_topk(e, qids, k=10).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in out}
     assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
+    """CDC composition: three doc_id-ordered batches through
+    prepare_corpus_increment (persisted line-fp / doc-fp / count
+    catalogs) must reproduce the batch pipeline on the full corpus
+    EXACTLY — surviving (doc_id, text) pairs, the per-source count
+    catalog, and the temperature-mixed view derived from it."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        initial_prepare_state,
+        prepare_corpus_increment,
+        preparation_stages,
+    )
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 17 = 3").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    state = initial_prepare_state(spark)
+    outs = []
+    for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+        batch = docs
+        if lo is not None:
+            batch = batch.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("doc_id") < hi)
+        final, state = prepare_corpus_increment(batch, bench, state)
+        # persist catalogs like a real run would (and cut lineage)
+        state = {k: v.localCheckpoint() for k, v in state.items()}
+        outs.append({(r.doc_id, r.text) for r in final.collect()})
+    incremental = set().union(*outs)
+    assert outs[0] and (outs[0] | outs[1] | outs[2]) == incremental
+
+    batch_final = preparation_stages(docs, bench)["after_decontamination"]
+    expected = {(r.doc_id, r.text) for r in batch_final.collect()}
+    assert incremental == expected
+
+    # the count catalog equals the batch per-source counts
+    got_counts = {(r.source, r.n_docs) for r in state["source_counts"].collect()}
+    exp_counts = {
+        (r.source, r.n_docs)
+        for r in batch_final.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
+    }
+    assert got_counts == exp_counts
+
+    # mixing as a policy view over the catalog == batch temperature_mix
+    prepared = batch_final.join(docs.select("doc_id", "source"), "doc_id")
+    via_catalog = {
+        r.doc_id
+        for r in temperature_mix(
+            prepared, counts=state["source_counts"]
+        ).collect()
+    }
+    direct = {r.doc_id for r in temperature_mix(prepared).collect()}
+    assert via_catalog == direct and 0 < len(direct) < len(expected)
