@@ -1915,10 +1915,62 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the sketch has no bit-identical DuckDB twin; rank-error
-    # bounds vs the exact operator are asserted in
-    # tests/test_streaming.py::test_approx_percentiles_within_rank_error
+    # rows-only: the GK sketch has no bit-identical DuckDB twin;
+    # rank-error bounds vs the exact operator are asserted in
+    # tests/test_streaming.py::test_approx_percentiles_within_rank_error.
+    # events_percentiles_hist is the ORACLED approximate-percentile
+    # path (deterministic histogram sketch, hash-compare-able).
     return ev.value_percentiles_approx(ev.load_events(spark, sf_dir))
+
+
+PCTL_HIST_BUCKETS = 2048
+
+
+def q_events_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the deterministic fixed-width
+    histogram sketch (bounded mergeable state like approx_percentile,
+    but engine-exact — the sketch itself sits on the hash board)."""
+    return ev.value_percentiles_histogram(
+        ev.load_events(spark, sf_dir), n_buckets=PCTL_HIST_BUCKETS
+    )
+
+
+def _o_pctl_hist(b: int = PCTL_HIST_BUCKETS) -> str:
+    cols = []
+    for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        t = f"greatest(1, ceil({p} * n_values)::BIGINT)"
+        est = (
+            f"CASE WHEN hi > lo THEN lo + ((hi - lo) / {float(b)}) * "
+            f"(bucket + ({t} - (cum - cnt))::DOUBLE / cnt::DOUBLE) "
+            f"ELSE lo END"
+        )
+        hit = f"cum >= {t} AND (cum - cnt) < {t}"
+        cols.append(
+            f"{_d_round(f'max(CASE WHEN {hit} THEN {est} END)', 6)} AS {name}"
+        )
+    return f"""
+WITH vals AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+rng AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+               count(*)::BIGINT AS n_values
+        FROM vals GROUP BY 1),
+bucketed AS (
+  SELECT v.event_type,
+         CASE WHEN r.hi > r.lo
+              THEN least(floor((v.value - r.lo) / ((r.hi - r.lo) / {float(b)}))::BIGINT,
+                         {b - 1})
+              ELSE 0 END AS bucket
+  FROM vals v JOIN rng r USING (event_type)
+),
+counts AS (SELECT event_type, bucket, count(*)::BIGINT AS cnt
+           FROM bucketed GROUP BY 1, 2),
+laid AS (
+  SELECT c.event_type, c.bucket, c.cnt, r.lo, r.hi, r.n_values,
+         sum(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.bucket) AS cum
+  FROM counts c JOIN rng r USING (event_type)
+)
+SELECT event_type, any_value(n_values) AS n_values, {", ".join(cols)}
+FROM laid GROUP BY 1
+"""
 
 
 O_EVENTS_PERCENTILES = """
@@ -3950,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    collect now bounded -- values proven unchanged, plan
         #    changed)
         "ann_ivfpq": q_ann_ivfpq,
+        "events_percentiles_hist": q_events_percentiles_hist,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "text_bpe_encode1k": q_text_bpe_encode1k,
         # C) reference-parity contract (always boarded)
@@ -3985,9 +4038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_integrity": q_page_integrity,
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
-        "profile_lineitem": q_profile_lineitem,
         # -- tail: sf0.001 local-parity coverage this round ----------
-        # E) r8 head: the rest of the r5-boarded group (due r8)
+        # E) r8 head: the rest of the r5-boarded group (due r8;
+        #    profile_lineitem displaced from slot 50 by the new
+        #    events_percentiles_hist — deadline unchanged)
+        "profile_lineitem": q_profile_lineitem,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
@@ -4124,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_temperature": O_CORPUS_MIX_TEMPERATURE,
         "ann_pq": _oracle_ann_pq(),
         "ann_ivfpq": _oracle_ann_ivfpq(),
+        "events_percentiles_hist": _o_pctl_hist(),
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -477,3 +477,42 @@ def test_stream_substring_novelty_matches_batch(spark, sf_dir):
     # survivors = distinct hashes = total occurrences − duplicates
     assert len(streamed) == total_windows - dup_windows
     assert len({r.h for r in streamed}) == len(streamed)
+
+
+def test_histogram_percentiles_within_value_error(spark, sf_dir):
+    """The histogram sketch's actual guarantee: the estimate for
+    quantile q lives in the bucket CONTAINING the ceil(q·n)-th order
+    statistic, so it is within one bucket width of that order statistic
+    (NOT of the interpolated percentile_cont value — in a sparse tail
+    the two rank conventions straddle different values). Verified per
+    event type against exactly sorted values."""
+    import math
+
+    from parquet_metadata_explorer_spark.streaming.events import (
+        load_events,
+        value_percentiles,
+        value_percentiles_histogram,
+    )
+
+    ev = load_events(spark, sf_dir)
+    hist = {r.event_type: r for r in
+            value_percentiles_histogram(ev, n_buckets=2048).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert set(vals) == set(hist)
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        width = (vs[-1] - vs[0]) / 2048
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v_t = vs[max(1, math.ceil(p * n)) - 1]
+            est = getattr(hist[et], col)
+            assert abs(est - v_t) <= width + 1e-9, (et, col, est, v_t, width)
+        assert hist[et].n_values == n
+    # and the sketch is close to the exact interpolated percentiles in
+    # dense regions (p50 of every group here)
+    exact = {r.event_type: r.p50 for r in value_percentiles(ev).collect()}
+    for et in exact:
+        width = (vals[et][-1] - vals[et][0]) / 2048
+        assert abs(hist[et].p50 - exact[et]) <= 3 * width + 1e-9
