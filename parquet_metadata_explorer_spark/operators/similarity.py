@@ -1057,3 +1057,169 @@ def ivfpq_ann_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    k_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 32,
+    iters: int = 3,
+    coarse_iters: int = 3,
+) -> None:
+    """Materialize the IVF-PQ index to the lake, codes partitioned BY
+    CELL — the layout that turns cell probing into FILE-LEVEL partition
+    pruning: a query touching n_probe of k_cells cells opens only those
+    cells' parquet files, so the scan itself (not just the join output)
+    is n_probe/k_cells of the corpus. Codes pack to one row per vector
+    (m one-byte clusters); the coarse centroids and PQ codebooks are
+    tiny sidecar tables. Everything stored is integers or exact
+    doubles, so a probe from disk reproduces the in-memory scorer's
+    output BIT-identically (pytest-asserted)."""
+    spark = embeddings.sparkSession
+    cc, cells, pq_cb, pq_codes = ivfpq_index(
+        embeddings,
+        k_cells=k_cells,
+        m=m,
+        n_centroids=n_centroids,
+        iters=iters,
+        coarse_iters=coarse_iters,
+    )
+    codes = (
+        pq_codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .join(cells, "vec_id")
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(c, v) for c, v in sorted(cc.items())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(pq_cb.items())],
+        "sub int, cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC top-k against a MATERIALIZED IVF-PQ index (no training, no
+    embedding scan): load the sidecar centroid tables (driver-sized),
+    pick each query's n_probe nearest cells, and scan ONLY those cells'
+    code partitions — ``cell IN (...)`` reaches the parquet source as a
+    partition filter, so unprobed cells' files are never opened
+    (file-pruning asserted in pytest via input_file_name). Scoring is
+    the exact arithmetic of ``ivfpq_ann_topk``, so results match the
+    in-memory path bit-for-bit. ``queries`` needs (vec_id, embedding).
+    """
+    import math
+
+    cc = {
+        r.cell: [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{path}/coarse").collect()
+    }
+    pq_cb = {
+        (r.sub, r.cluster): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    }
+    dim = len(next(iter(cc.values())))
+    m = max(s for s, _c in pq_cb) + 1
+    sub_d = dim // m
+
+    table = []
+    probed_cells = set()
+    for qr in queries.select("vec_id", "embedding").collect():
+        qv = [float(x) for x in qr.embedding]
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cell)
+            for cell, cv in cc.items()
+        )
+        for _d2, cell in d2s[:n_probe]:
+            probed_cells.add(cell)
+            ccv = cc[cell]
+            qdotc = sum(a * b for a, b in zip(qv, ccv))
+            cc2 = sum(x * x for x in ccv)
+            for (s, cl), cent in pq_cb.items():
+                qs = qv[s * sub_d : (s + 1) * sub_d]
+                cs = ccv[s * sub_d : (s + 1) * sub_d]
+                table.append(
+                    (
+                        int(qr.vec_id), cell, s, cl,
+                        sum(a * b for a, b in zip(qs, cent)),
+                        sum(a * b for a, b in zip(cs, cent)),
+                        sum(x * x for x in cent),
+                        qdotc, cc2, qnorm,
+                    )
+                )
+    tdf = spark.createDataFrame(
+        table,
+        "query_id long, cell int, sub int, cluster int, dotq double, "
+        "crossd double, cn2 double, qdotc double, cc2 double, qnorm double",
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(sorted(probed_cells))
+    )
+    exploded = codes.select(
+        "vec_id",
+        "cell",
+        F.posexplode("codes").alias("sub", "cluster"),
+    )
+    dec = "decimal(30,15)"
+    scored = (
+        exploded.join(F.broadcast(tdf), ["cell", "sub", "cluster"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
+            F.sum(F.round(F.col("crossd"), 12).cast(dec)).alias("scross"),
+            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
+            F.first("qdotc").alias("qdotc"),
+            F.first("cc2").alias("cc2"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                (
+                    (F.col("qdotc") + F.col("sdot").cast("double"))
+                    / (
+                        F.col("qnorm")
+                        * F.sqrt(
+                            F.col("cc2")
+                            + F.lit(2.0) * F.col("scross").cast("double")
+                            + F.col("sn2").cast("double")
+                        )
+                    )
+                ).cast("decimal(30,10)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
+    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
