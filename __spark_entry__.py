@@ -1390,21 +1390,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_substring(w: int = SUBSTR_WINDOW) -> str:
-    # double-lane Rabin-Karp over per-token hashes — the EXACT integer
-    # arithmetic of dedup.window_hashes, so every hash is bit-identical
-    lanes = []
-    for m, b in dedup._RK_LANES:
-        pows = ", ".join(str(pow(b, w - 1 - j, m)) for j in range(w))
-        lanes.append(
-            f"(list_sum(list_transform(range(0, {w}),"
-            f" j -> ((th[i+j] % {m}) * ([{pows}])[j+1]) % {m})) % {m})"
-        )
-    h = f"{lanes[0]} * 2147483648 + {lanes[1]}"
+    h = _d_hash60(f"array_to_string(t[i:i+{w-1}], ' ')")
     return f"""
 WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
-base AS (SELECT doc_id, length(t)::BIGINT AS n_tokens,
-                list_transform(t, tok -> {_d_hash60('tok')}) AS th
-         FROM toks),
+base AS (SELECT doc_id, length(t)::BIGINT AS n_tokens, t FROM toks),
 wins AS (
   SELECT doc_id, u.i - 1 AS pos, u.h AS h
   FROM (

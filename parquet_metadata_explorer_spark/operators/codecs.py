@@ -2,12 +2,12 @@
 
 Real decoders for the formats a pure-Python environment can handle
 exactly — BMP (Windows DIB), binary PPM/PGM (netpbm), WAV (RIFF/PCM),
-and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters)
-for 8-bit non-interlaced gray/RGB/gray+alpha/RGBA and PLTE-indexed
-palette images — so ``multimodal.decode_features``, ``resize_binary``
-and ``image_dhash`` work on actual pixel grids. JPEG parses header-only
-(SOF dimensions/channels; entropy decode genuinely needs a codec
-library), as do PNG 16-bit/interlaced variants. AVI parses the RIFF
+and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters
++ Adam7 deinterlacing) for 8- and 16-bit gray/RGB/gray+alpha/RGBA and
+8-bit PLTE-indexed palette images — so ``multimodal.decode_features``,
+``resize_binary`` and ``image_dhash`` work on actual pixel grids. JPEG
+parses header-only (SOF dimensions/channels; entropy decode genuinely
+needs a codec library), as do sub-byte-depth PNGs. AVI parses the RIFF
 container (avih dims/timing + real ``movi`` frame boundaries for the
 video stream) so frame sampling is container-aware. Payloads no strict
 parser accepts fall back to the deterministic byte-derived features, so
@@ -205,16 +205,61 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_adam7(raw: bytes, width: int, height: int, pixbytes: int) -> bytes:
+    """Deinterlace an Adam7 stream: each of the seven passes is an
+    independently-filtered sub-image (its own per-row filter bytes,
+    filtered against ITS OWN previous row); unfilter each pass, then
+    scatter its pixels to their (x0 + i·dx, y0 + j·dy) grid positions.
+    Raises ValueError on a length mismatch or bad filter byte."""
+    out = bytearray(width * height * pixbytes)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * pixbytes
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("short adam7 pass")
+        sub = _png_unfilter(raw[pos : pos + need], ph, stride, pixbytes)
+        pos += need
+        for j in range(ph):
+            row = (y0 + j * dy) * width
+            for i in range(pw):
+                dst = (row + x0 + i * dx) * pixbytes
+                src = (j * pw + i) * pixbytes
+                out[dst : dst + pixbytes] = sub[src : src + pixbytes]
+    if pos != len(raw):
+        raise ValueError("adam7 trailing bytes")
+    return bytes(out)
+
+
 def parse_png(b: bytes) -> Optional[dict]:
     """PNG: signature + chunk walk. Dimensions/channels from IHDR for any
     structurally-valid PNG; REAL pixels (stdlib zlib inflate + the five
-    row unfilters) for the common 8-bit non-interlaced color types
-    (gray / RGB / gray+alpha / RGBA) AND 8-bit PLTE-indexed palette
-    images (indices decoded like a 1-channel grid, then looked up to
-    RGB — the decoded grid is channels=3, identical to the same image
-    encoded as truecolor; tRNS transparency is ignored, color only).
-    16-bit, interlaced and sub-byte-depth palette files parse
-    header-only — dimensions without a ``pixels`` key."""
+    row unfilters) for the non-sub-byte color types:
+
+    - 8-bit gray / RGB / gray+alpha / RGBA, sequential AND Adam7
+      interlaced (the seven passes unfilter independently and scatter
+      into the full grid);
+    - 8-bit PLTE-indexed palette (indices decoded like a 1-channel
+      grid, then looked up to RGB — the decoded grid is channels=3,
+      identical to the same image encoded as truecolor; tRNS
+      transparency is ignored, color only);
+    - 16-bit gray / RGB / gray+alpha / RGBA (sequential or interlaced),
+      downscaled to 8 bits via the high byte of each big-endian sample
+      (the standard approximation; ``bit_depth`` still reports 16).
+
+    Sub-byte depths (1/2/4-bit) parse header-only — dimensions without
+    a ``pixels`` key."""
     import zlib
 
     if b[: len(_PNG_SIG)] != _PNG_SIG or len(b) < 33:
@@ -266,19 +311,31 @@ def parse_png(b: bytes) -> Optional[dict]:
         "channels": channels,
         "bit_depth": bit_depth,
     }
-    decodable = bit_depth == 8 and interlace == 0 and idat
-    if decodable and (color_type in (0, 2, 4, 6) or palette is not None):
-        stride = width * channels  # palette: channels=1, one index byte
+    decodable = idat and (
+        (bit_depth == 8 and (color_type in (0, 2, 4, 6) or palette is not None))
+        or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+    )
+    if decodable:
+        bps = bit_depth // 8  # bytes per sample
+        pixbytes = channels * bps
+        stride = width * pixbytes  # palette: channels=1, one index byte
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return meta  # header-only when the stream is corrupt
-        if len(raw) != height * (stride + 1):
-            return meta
         try:
-            pixels = _png_unfilter(raw, height, stride, channels)
+            if interlace == 0:
+                if len(raw) != height * (stride + 1):
+                    return meta
+                pixels = _png_unfilter(raw, height, stride, pixbytes)
+            else:
+                pixels = _png_adam7(raw, width, height, pixbytes)
         except ValueError:
             return meta
+        if bit_depth == 16:
+            # high byte of each big-endian 16-bit sample -> 8-bit grid
+            pixels = pixels[::2]
+            stride = width * channels
         if color_type == 3:
             # index -> RGB lookup; out-of-range index = corrupt, demote
             n_entries = len(palette) // 3

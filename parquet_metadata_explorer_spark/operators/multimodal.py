@@ -7,12 +7,12 @@ round-trips through Python row objects, batches stream through Arrow, and
 the transform is map-only (zero shuffles).
 
 The decode step is REAL for the formats pure Python can parse exactly
-(``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (8-bit
-non-interlaced gray/RGB/GA/RGBA and PLTE-palette — actual pixels via
-zlib + row unfilters), and the AVI container (real ``movi`` frame
-boundaries for the video stream). JPEG parses header-only (SOF
-dimensions; entropy decode needs a codec library), as do PNG 16-bit /
-interlaced variants. Payloads no strict parser accepts (MP3, H.264
+(``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (8/16-bit
+gray/RGB/GA/RGBA — sequential and Adam7 interlaced — plus PLTE-palette,
+actual pixels via zlib + row unfilters), and the AVI container (real
+``movi`` frame boundaries for the video stream). JPEG parses
+header-only (SOF dimensions; entropy decode needs a codec library), as
+do sub-byte-depth PNGs. Payloads no strict parser accepts (MP3, H.264
 streams, arbitrary bytes) fall back to deterministic byte-derived
 features tagged ``codec='raw'``, so the operator is total over
 arbitrary binary and oracle-checkable on any corpus.

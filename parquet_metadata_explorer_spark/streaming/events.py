@@ -852,7 +852,7 @@ def stream_substring_novelty(
     surviving span hashes plus the duplicated-window count.
     """
     from ..functions import tokens
-    from ..operators.dedup import token_hashes, window_hashes
+    from ..operators.dedup import window_hashes
 
     stream = (
         spark.readStream.format("parquet")
@@ -861,12 +861,12 @@ def stream_substring_novelty(
         .load(docs_path)
     )
     toks = tokens(F.col("text"))
-    hashed = stream.select(
-        "doc_id", F.size(toks).alias("n_tokens"), token_hashes(toks).alias("th")
+    tokenized = stream.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n_tokens")
     )
-    wins = window_hashes(F.col("th"), F.col("n_tokens"), window)
+    wins = window_hashes(F.col("t"), F.col("n_tokens"), window)
     return (
-        hashed.select("doc_id", F.posexplode(wins).alias("pos", "h"))
+        tokenized.select("doc_id", F.posexplode(wins).alias("pos", "h"))
         .dropDuplicates(["h"])
     )
 

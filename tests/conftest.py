@@ -1,14 +1,22 @@
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 
 SF_SMALL = "/root/testdata/sf0.001"
 
+# Partition-invariance sweeps replay the suite at a different
+# parallelism (e.g. PQX_TEST_CORES=32 PQX_TEST_SHUFFLE=32) — results
+# must be identical, the repo's determinism contract.
+_CORES = os.environ.get("PQX_TEST_CORES", "4")
+_SHUFFLE = os.environ.get("PQX_TEST_SHUFFLE", "4")
+
 
 @pytest.fixture(scope="session")
 def spark():
     spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
+        SparkSession.builder.master(f"local[{_CORES}]")
+        .config("spark.sql.shuffle.partitions", _SHUFFLE)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -779,3 +779,133 @@ def test_avi_multi_fuzz_total():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         r = codecs.sniff_media(bytes(bb))
         assert r is None or isinstance(r, dict)
+
+
+# -- PNG 16-bit / Adam7 interlaced (round 7) ---------------------------------
+
+
+def _fwd_filter(rows, bpp, filters):
+    """Forward-filter a list of equal-length byte rows (one PNG pass)."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        enc = bytearray([f])
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if f == 0 else a if f == 1 else b if f == 2
+                else ((a + b) >> 1) if f == 3 else _paeth(a, b, c)
+            )
+            enc.append((row[i] - pred) & 0xFF)
+        out += enc
+        prev = bytes(row)
+    return out
+
+
+def _png_chunks(ihdr_body, idat_raw, extra=()):
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    for tag, body in extra:
+        out += chunk(tag, body)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def make_png16(pixels: np.ndarray, filters=(0, 1, 2, 3, 4)) -> bytes:
+    """16-bit PNG whose samples are v*257 (big-endian bytes (v, v)) —
+    the high byte round-trips the 8-bit grid exactly."""
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for v in pixels[y].reshape(-1):
+            row += bytes([int(v), int(v)])
+        rows.append(bytes(row))
+    raw = _fwd_filter(rows, c * 2, list(filters))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return _png_chunks(ihdr, raw)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png_interlaced(pixels: np.ndarray, depth: int = 8) -> bytes:
+    """Adam7-interlaced PNG (8- or 16-bit), each pass independently
+    forward-filtered with a mix of filter types."""
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bps = depth // 8
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows = []
+        for j in range(ph):
+            row = bytearray()
+            for i in range(pw):
+                for v in pixels[y0 + j * dy, x0 + i * dx]:
+                    row += bytes([int(v)] * bps)
+            rows.append(bytes(row))
+        raw += _fwd_filter(rows, c * bps, [0, 2, 1, 4, 3])
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    return _png_chunks(ihdr, bytes(raw))
+
+
+def test_png16_decodes_high_byte_grid():
+    rng = np.random.RandomState(19)
+    for c in (1, 3, 4):
+        img = rng.randint(0, 255, (6, 5, c)).astype(np.uint8)
+        m16 = codecs.parse_png(make_png16(img))
+        m8 = codecs.parse_png(make_png(img, filters=[3, 4, 0, 1, 2, 4]))
+        assert m16 is not None and m16["bit_depth"] == 16
+        assert m16["row_bytes"] == 5 * c
+        assert m16["pixels"] == m8["pixels"], c
+
+
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize("depth", [8, 16])
+def test_png_interlaced_equals_sequential(c, depth):
+    rng = np.random.RandomState(29 + c + depth)
+    img = rng.randint(0, 255, (11, 9, c)).astype(np.uint8)
+    inter = codecs.parse_png(make_png_interlaced(img, depth=depth))
+    seq = codecs.parse_png(make_png(img, filters=[4, 2, 3, 1, 0] * 3)[: 10**9])
+    assert inter is not None and "pixels" in inter, (c, depth)
+    assert inter["pixels"] == seq["pixels"], (c, depth)
+    # tiny image exercising passes that are empty
+    tiny = rng.randint(0, 255, (2, 2, c)).astype(np.uint8)
+    t = codecs.parse_png(make_png_interlaced(tiny, depth=depth))
+    ts = codecs.parse_png(make_png(tiny))
+    assert t["pixels"] == ts["pixels"]
+
+
+def test_png16_interlaced_fuzz_total():
+    rng_img = np.random.RandomState(31)
+    img = rng_img.randint(0, 255, (7, 6, 3)).astype(np.uint8)
+    for base in (make_png16(img), make_png_interlaced(img, depth=16)):
+        for cut in range(0, len(base), 3):
+            r = codecs.sniff_media(bytes(base[:cut]))
+            assert r is None or isinstance(r, dict)
+        import random
+
+        rng = random.Random(37)
+        for _ in range(200):
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            r = codecs.sniff_media(bytes(bb))
+            assert r is None or isinstance(r, dict)
