@@ -656,7 +656,11 @@ def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame
 
 
 def pq_index(
-    embeddings: DataFrame, m: int = 8, n_centroids: int = 16, iters: int = 3
+    embeddings: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
 ):
     """Product-quantization codebooks + codes (the encoding half of
     IVF-PQ, Jégou et al. 2011): split each vector into ``m`` subvectors,
@@ -683,7 +687,10 @@ def pq_index(
     """
     spark = embeddings.sparkSession
     e = track_persist(ensure_parallelism(embeddings.select("vec_id", "embedding")))
-    dim = len(e.select("embedding").first()[0])
+    if dim is None:
+        # one schema-probe job; callers that know the width pass it
+        # (ivfpq_index: saves materializing the residual pipeline once)
+        dim = len(e.select("embedding").first()[0])
     assert dim % m == 0, (dim, m)
     sub_d = dim // m
 
@@ -899,6 +906,7 @@ def ivfpq_index(
         embeddings, m=1, n_centroids=k_cells, iters=coarse_iters
     )
     cc = {c: v for (_s, c), v in coarse_cb.items()}
+    dim = len(next(iter(cc.values())))
     cells = track_persist(
         coarse_codes.select("vec_id", F.col("cluster").alias("cell"))
     )
@@ -917,7 +925,7 @@ def ivfpq_index(
         )
     )
     pq_cb, pq_codes = pq_index(
-        residuals, m=m, n_centroids=n_centroids, iters=iters
+        residuals, m=m, n_centroids=n_centroids, iters=iters, dim=dim
     )
     return cc, cells, pq_cb, pq_codes
 
