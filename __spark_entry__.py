@@ -1611,6 +1611,67 @@ _PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]
 _PROFILE_STR = ["l_returnflag", "l_linestatus"]
 
 
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing: bigram-LM-score every document, split
+    each language at its perplexity terciles, label head/middle/tail —
+    the keep/downweight/drop assignment of the CCNet pipeline, composed
+    from two already-oracled pieces (text_logprob2 + the exact
+    percentile identity)."""
+    return text.ccnet_buckets(_table(spark, sf_dir, "documents"))
+
+
+O_TEXT_CCNET = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+stream AS MATERIALIZED (
+  SELECT doc_id, i AS pos, t[i] AS tok,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev
+  FROM toks, unnest(range(1, len(t)+1)) AS z(i)
+),
+uni AS MATERIALIZED (SELECT tok, count(*) AS cu FROM stream GROUP BY 1),
+tot AS (SELECT sum(cu) AS n_total FROM uni),
+bi AS MATERIALIZED (
+  SELECT prev AS b_prev, tok AS b_tok, count(*) AS cb
+  FROM stream WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+lp AS (
+  SELECT s.doc_id,
+         round(CASE
+                 WHEN s.prev IS NULL THEN ln(u.cu::DOUBLE / tot.n_total)
+                 WHEN b.cb IS NOT NULL THEN ln(b.cb::DOUBLE / pu.cu)
+                 ELSE ln(0.4::DOUBLE * u.cu / tot.n_total)
+               END, 12)::DECIMAL(30,15) AS lp
+  FROM stream s
+  JOIN uni u USING (tok)
+  LEFT JOIN bi b ON s.prev = b.b_prev AND s.tok = b.b_tok
+  LEFT JOIN uni pu ON s.prev = pu.tok
+  CROSS JOIN tot
+),
+perdoc AS (
+  SELECT doc_id,
+         round(exp(-((sum(lp) / count(*))::DOUBLE))::DECIMAL(30,10), 4)::double AS ppl
+  FROM lp GROUP BY doc_id
+),
+withlang AS (
+  SELECT p.doc_id, p.ppl, d.lang FROM perdoc p JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang, quantile_cont(ppl, 1.0/3) AS p33, quantile_cont(ppl, 2.0/3) AS p66
+  FROM withlang GROUP BY 1
+),
+lab AS (
+  SELECT w.lang,
+         CASE WHEN w.ppl <= c.p33 THEN 'head'
+              WHEN w.ppl <= c.p66 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         w.ppl
+  FROM withlang w JOIN cuts c USING (lang)
+)
+SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+       round((sum(ppl::DECIMAL(30,10)) / count(*))::DOUBLE::DECIMAL(30,10), 4)::double AS avg_ppl
+FROM lab GROUP BY 1, 2
+"""
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profiler over the fact table."""
     from parquet_metadata_explorer_spark.operators.reports import profile_columns
@@ -3992,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    changed)
         "ann_ivfpq": q_ann_ivfpq,
         "events_percentiles_hist": q_events_percentiles_hist,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "text_bpe_encode1k": q_text_bpe_encode1k,
         # C) reference-parity contract (always boarded)
@@ -4026,11 +4088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
         "pruned_read": q_pruned_read,
-        "source_overlap": q_source_overlap,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # E) r8 head: the rest of the r5-boarded group (due r8;
-        #    profile_lineitem displaced from slot 50 by the new
-        #    events_percentiles_hist — deadline unchanged)
+        #    profile_lineitem and source_overlap displaced from the
+        #    board by the new events_percentiles_hist and
+        #    text_ccnet_buckets rows — deadlines unchanged)
+        "source_overlap": q_source_overlap,
         "profile_lineitem": q_profile_lineitem,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -4169,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _oracle_ann_pq(),
         "ann_ivfpq": _oracle_ann_ivfpq(),
         "events_percentiles_hist": _o_pctl_hist(),
+        "text_ccnet_buckets": O_TEXT_CCNET,
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -1113,3 +1113,47 @@ def collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def ccnet_buckets(documents: DataFrame, key: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the bigram LM (``bigram_logprob_score``), split
+    each language at its perplexity terciles, and label documents
+    head / middle / tail — the bucket assignment CCNet uses to keep,
+    downweight, or drop web text by LM fit. A composition of two
+    already-oracled pieces: the LM scores and the engine-exact
+    percentile split (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the boarded events_percentiles identity).
+
+    Scale shape: the LM is corpus-sublinear (vocab/bigram count
+    tables); the tercile cut buffers ONE double per document per
+    language inside exact ``percentile`` — at extreme per-language doc
+    counts swap the cut derivation for the bounded-memory
+    ``value_percentiles_histogram`` sketch (same engine-exact
+    discipline); the bucket label itself is a broadcast cut-table join,
+    map-side. Output per (lang, bucket): n_docs, avg_ppl (exact
+    decimal mean).
+    """
+    scores = bigram_logprob_score(documents)
+    joined = scores.join(
+        documents.select("doc_id", F.col(key).alias("lang")), "doc_id"
+    )
+    cuts = joined.groupBy("lang").agg(
+        F.percentile(F.col("ppl"), F.lit(1.0 / 3)).alias("p33"),
+        F.percentile(F.col("ppl"), F.lit(2.0 / 3)).alias("p66"),
+    )
+    lab = joined.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.col("p33"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("p66"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return lab.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _round_dec(
+            (
+                F.sum(F.col("ppl").cast("decimal(30,10)")) / F.count("*")
+            ).cast("double"),
+            4,
+        ).alias("avg_ppl"),
+    )

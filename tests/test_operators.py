@@ -1027,3 +1027,31 @@ def test_ivfpq_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     assert touched and touched < all_files
     plan = probed_cells._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ccnet_buckets_semantics(spark, sf_dir):
+    """Per language: tercile sizes within one doc of n/3, and mean
+    perplexity strictly ordered head < middle < tail (the CCNet
+    keep/downweight/drop signal)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = text.ccnet_buckets(docs).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, buckets in by_lang.items():
+        n = totals[lang]
+        assert sum(b.n_docs for b in buckets.values()) == n
+        if n >= 3:
+            assert set(buckets) == {"head", "middle", "tail"}, (lang, buckets)
+            for b in buckets.values():
+                # quantile_cont terciles with ties can wobble by a doc
+                assert abs(b.n_docs - n / 3) <= max(2, 0.2 * n), (lang, b)
+            assert (
+                buckets["head"].avg_ppl
+                < buckets["middle"].avg_ppl
+                < buckets["tail"].avg_ppl
+            ), (lang, buckets)
