@@ -398,3 +398,99 @@ def prepare_corpus_increment(
         .agg(F.sum("n_docs").cast("long").alias("n_docs")),
     }
     return final, new_state
+
+
+_STATE_SCHEMAS = {
+    "line_fps": "fp string",
+    "exact_fps": "fp string",
+    "source_counts": "source string, n_docs long",
+}
+
+
+def load_prepare_state(spark, state_dir: str) -> tuple:
+    """Load the newest persisted catalog version under ``state_dir``
+    (versioned ``v=N`` subdirectories — each run writes a NEW version
+    and flips the pointer file, so a crashed run never corrupts the
+    previous catalogs). Returns (state dict, version)."""
+    import os
+
+    ptr = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return initial_prepare_state(spark), 0
+    with open(ptr) as f:
+        v = int(f.read().strip())
+    state = {
+        name: spark.read.schema(schema).parquet(
+            os.path.join(state_dir, f"v={v}", name)
+        )
+        for name, schema in _STATE_SCHEMAS.items()
+    }
+    return state, v
+
+
+def save_prepare_state(state: dict, state_dir: str, version: int) -> None:
+    """Write the catalogs as version ``version`` and flip CURRENT."""
+    import os
+
+    for name in _STATE_SCHEMAS:
+        state[name].write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={version}", name)
+        )
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+
+def stream_prepare_corpus(
+    spark,
+    docs_path: str,
+    benchmark: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    min_quality: float = 0.4,
+    contamination_threshold: float = 0.5,
+    key: str = "source",
+    max_files_per_trigger: int = 1,
+):
+    """The CDC pipeline as an actual Structured Streaming job: documents
+    arrive as files land; each micro-batch runs
+    ``prepare_corpus_increment`` against the parquet-backed catalogs
+    (``foreachBatch`` — the standard pattern for stateful sinks Spark's
+    built-in state store doesn't model), appends its survivors to
+    ``out_dir``, and commits a NEW catalog version (crash-safe: the
+    CURRENT pointer flips only after the version is fully written; a
+    replayed micro-batch rebuilds the same version id, and re-screened
+    docs dedupe against the catalogs by construction).
+
+    When files land in ascending doc_id order the accumulated output is
+    EXACTLY the batch pipeline on the union (the incremental replay
+    contract); otherwise first-arrival wins, the streaming-twin caveat
+    shared with stream_line_dedup. Returns the StreamingQuery.
+    """
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+
+    def handle(batch_df, batch_id):
+        state, v = load_prepare_state(spark, state_dir)
+        final, new_state = prepare_corpus_increment(
+            batch_df,
+            benchmark,
+            state,
+            min_quality=min_quality,
+            contamination_threshold=contamination_threshold,
+            key=key,
+        )
+        final.write.mode("append").parquet(out_dir)
+        save_prepare_state(new_state, state_dir, v + 1)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .start()
+    )

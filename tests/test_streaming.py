@@ -516,3 +516,66 @@ def test_histogram_percentiles_within_value_error(spark, sf_dir):
     for et in exact:
         width = (vals[et][-1] - vals[et][0]) / 2048
         assert abs(hist[et].p50 - exact[et]) <= 3 * width + 1e-9
+
+
+def test_stream_prepare_corpus_replays_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch CDC pipeline over files landing in doc_id order
+    must accumulate EXACTLY the batch pipeline's output, with the
+    catalog state surviving across micro-batches via the versioned
+    parquet store."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        load_prepare_state,
+        preparation_stages,
+        stream_prepare_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 17 = 3").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    src = str(tmp_path / "arrivals")
+    for i, (lo, hi) in enumerate(((None, cut1), (cut1, cut2), (cut2, None))):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        b.coalesce(1).write.parquet(f"{src}/batch={i}")
+    # one flat dir of files named in arrival order
+    import glob as _glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        part = _glob.glob(f"{src}/batch={i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:03d}.parquet")
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "prepared")
+    q = stream_prepare_corpus(spark, flat, bench, state_dir, out_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.text) for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r.doc_id, r.text)
+        for r in preparation_stages(docs, bench)["after_decontamination"].collect()
+    }
+    assert got == expected
+    # three committed catalog versions, counts catalog = batch counts
+    state, v = load_prepare_state(spark, state_dir)
+    assert v == 3
+    got_counts = {(r.source, r.n_docs) for r in state["source_counts"].collect()}
+    exp_counts = {
+        (r.source, r.n_docs)
+        for r in preparation_stages(docs, bench)["after_decontamination"]
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
+    }
+    assert got_counts == exp_counts
