@@ -234,3 +234,32 @@ def temperature_mix(
         .filter(u01 < F.col("rate"))
         .drop("rate")
     )
+
+
+def temperature_mix_by_tokens(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+    key: str = "source",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature mixing with shares and budget measured in TOKENS —
+    the unit training mixtures are actually specified in (a source of
+    few huge documents should not outweigh one of many small ones).
+    Derives per-source token mass with the whitespace tokenizer and
+    routes it through ``temperature_rates``' count-catalog path; the
+    md5 keep rule still decides whole documents, and because u01 is
+    independent of document length the EXPECTED kept token mass per
+    source is budget·q_s (asserted in pytest). One extra corpus-scan
+    aggregation (map-side token counting, partial-agg shuffle on the
+    source key)."""
+    from ..functions import tokens
+
+    mass = (
+        documents.select(key, F.size(tokens(F.col("text"))).alias("tk"))
+        .groupBy(F.col(key).alias("source"))
+        .agg(F.sum("tk").cast("long").alias("n_docs"))
+    )
+    return temperature_mix(
+        documents, alpha, budget_tokens, key, salt, counts=mass
+    )

@@ -1055,3 +1055,44 @@ def test_ccnet_buckets_semantics(spark, sf_dir):
                 < buckets["middle"].avg_ppl
                 < buckets["tail"].avg_ppl
             ), (lang, buckets)
+
+
+def test_temperature_mix_by_tokens_rebalances_mass(spark):
+    """Token-mass mixing: a source of few HUGE docs must be downweighted
+    by its token share (doc-count mixing would barely touch it), and
+    kept token mass per source must land near budget*q."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        temperature_mix_by_tokens,
+        temperature_rates,
+    )
+
+    rows = [(i, "big", "tok " * 400) for i in range(50)]  # 20k tokens
+    rows += [(100 + i, "small", "tok tok tok tok") for i in range(200)]  # 800
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mass = (
+        docs.selectExpr("source", "size(split(trim(text), ' +')) tk")
+        .groupBy(F.col("source").alias("source"))
+        .agg(F.sum("tk").cast("long").alias("n_docs"))
+    )
+    rates = {
+        r.source: r
+        for r in temperature_rates(docs, alpha=0.5, counts=mass).collect()
+    }
+    # token share of 'big' is ~0.96 -> sqrt scaling drops its rate < 1,
+    # 'small' caps at 1
+    assert rates["small"].rate == 1.0
+    assert rates["big"].rate < 1.0
+    kept = temperature_mix_by_tokens(docs, alpha=0.5)
+    kept_mass = {
+        r.source: r.m
+        for r in kept.selectExpr("source", "size(split(trim(text), ' +')) tk")
+        .groupBy("source")
+        .agg(F.sum("tk").alias("m"))
+        .collect()
+    }
+    total = sum(r.n_docs for r in mass.collect())
+    for s in ("big", "small"):
+        expected = rates[s].q * total if rates[s].rate < 1.0 else (
+            mass.filter(F.col("source") == s).first().n_docs
+        )
+        assert abs(kept_mass[s] - expected) / expected < 0.25, (s, kept_mass, expected)
