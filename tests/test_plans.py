@@ -596,3 +596,26 @@ def test_ivfpq_scoring_is_jvm_only(spark, sf_dir):
     plan = simple_plan(df)
     assert "EvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_histogram_percentiles_plan_jvm_only(spark, sf_dir):
+    """The histogram sketch must be pure JVM (two partial-agg shuffles +
+    broadcast range join), no Python stage."""
+    from parquet_metadata_explorer_spark.streaming.events import (
+        load_events,
+        value_percentiles_histogram,
+    )
+
+    plan = simple_plan(value_percentiles_histogram(load_events(spark, sf_dir)))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_ccnet_buckets_plan_broadcast_cuts(spark, sf_dir):
+    """The tercile cut table (one row per language) must broadcast; the
+    LM scoring underneath stays Python-free."""
+    from parquet_metadata_explorer_spark.operators.text import ccnet_buckets
+
+    plan = simple_plan(ccnet_buckets(load(spark, sf_dir, "documents")))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
