@@ -85,3 +85,22 @@ def test_all_queries_have_entries():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py headline query must exist in the registry — a
+    renamed entry must not silently break the driver's bench run."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path("/root/repo/bench.py").read_text()
+    tree = ast.parse(src)
+    headline = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "headline" for t in node.targets
+        ):
+            headline = [ast.literal_eval(e) for e in node.value.elts]
+    assert headline, "bench.py headline list not found"
+    missing = [n for n in headline if n not in QUERIES]
+    assert not missing, missing
