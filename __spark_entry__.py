@@ -1611,6 +1611,63 @@ _PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_partkey"]
 _PROFILE_STR = ["l_returnflag", "l_linestatus"]
 
 
+HLL_B = 12
+
+
+def q_text_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary size via the DETERMINISTIC HyperLogLog sketch
+    (operators/sketches.py) — the engine-exact twin of
+    approx_count_distinct: md5-bucketed registers, round-12 exact-
+    decimal fold, so the ESTIMATE itself sits on the hash board; exact
+    distinct alongside shows the ~1.6% (m=4096) accuracy."""
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    from parquet_metadata_explorer_spark.functions import tokens
+
+    toks = _table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hll = hll_distinct(toks, "tok", b=HLL_B)
+    exact = toks.agg(F.count_distinct("tok").cast("long").alias("n_exact"))
+    return hll.crossJoin(F.broadcast(exact))
+
+
+def _o_vocab_hll(b: int = HLL_B) -> str:
+    m = 1 << b
+    tail = 60 - b
+    mask = (1 << tail) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH toks AS (SELECT unnest({D_TOKS}) AS tok FROM documents),
+h AS (SELECT {_d_hash60('tok')} AS hv FROM toks WHERE tok IS NOT NULL),
+r AS (
+  SELECT hv >> {tail} AS bucket,
+         CASE WHEN (hv & {mask}) = 0 THEN {tail + 1}
+              ELSE {tail} - length(bin(hv & {mask})) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS M FROM r GROUP BY 1),
+f AS (
+  SELECT count(*)::BIGINT AS n_used,
+         sum(round(pow(0.5, M), 12)::DECIMAL(30,15)) AS s_present
+  FROM regs
+),
+e AS (
+  SELECT n_used,
+         {alpha!r}::DOUBLE * {float(m)!r}::DOUBLE * {float(m)!r}::DOUBLE
+           / (s_present::DOUBLE + ({m} - n_used)::DOUBLE) AS e_raw,
+         {m} - n_used AS v
+  FROM f
+)
+SELECT {m}::BIGINT AS m, n_used,
+       {_d_round(f"CASE WHEN e_raw <= {2.5 * m!r}::DOUBLE AND v > 0 THEN {float(m)!r}::DOUBLE * round(ln({float(m)!r}::DOUBLE / v::DOUBLE), 12) ELSE e_raw END", 4)} AS estimate,
+       (SELECT count(DISTINCT tok) FROM toks WHERE tok IS NOT NULL)::BIGINT AS n_exact
+FROM e
+"""
+
+
 def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing: bigram-LM-score every document, split
     each language at its perplexity terciles, label head/middle/tail —
@@ -4054,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "events_percentiles_hist": q_events_percentiles_hist,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "text_vocab_hll": q_text_vocab_hll,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "text_bpe_encode1k": q_text_bpe_encode1k,
         # C) reference-parity contract (always boarded)
@@ -4087,12 +4145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
-        "pruned_read": q_pruned_read,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # E) r8 head: the rest of the r5-boarded group (due r8;
-        #    profile_lineitem and source_overlap displaced from the
-        #    board by the new events_percentiles_hist and
-        #    text_ccnet_buckets rows — deadlines unchanged)
+        #    pruned_read, source_overlap and profile_lineitem displaced
+        #    from the board by the new events_percentiles_hist,
+        #    text_ccnet_buckets and text_vocab_hll rows — deadlines
+        #    unchanged)
+        "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
         "profile_lineitem": q_profile_lineitem,
         "tpch_q2": q_tpch_q2,
@@ -4233,6 +4292,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _oracle_ann_ivfpq(),
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
+        "text_vocab_hll": _o_vocab_hll(),
         "events_anomalies": O_EVENTS_ANOMALIES,
         "profile_lineitem": _oracle_profile(),
         "events_gapfill_interp": O_EVENTS_GAPFILL_INTERP,

@@ -1096,3 +1096,30 @@ def test_temperature_mix_by_tokens_rebalances_mass(spark):
             mass.filter(F.col("source") == s).first().n_docs
         )
         assert abs(kept_mass[s] - expected) / expected < 0.25, (s, kept_mass, expected)
+
+
+def test_hll_distinct_accuracy_and_invariance(spark):
+    """The deterministic HLL: (a) within ~3 standard errors (1.04/√4096
+    ≈ 1.6%) of the true cardinality in the raw-estimator regime, (b)
+    completely insensitive to duplication (a sketch over 3 copies is
+    identical), (c) near-exact in the linear-counting regime."""
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    big = spark.range(50_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    est = hll_distinct(big, "val").first()
+    assert est.m == 4096
+    assert abs(est.estimate - 50_000) / 50_000 < 0.05, est
+    tripled = big.union(big).union(big)
+    est3 = hll_distinct(tripled, "val").first()
+    assert (est3.m, est3.n_used, est3.estimate) == (
+        est.m, est.n_used, est.estimate,
+    )
+    small = spark.range(200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("val")
+    )
+    est_s = hll_distinct(small, "val").first()
+    assert abs(est_s.estimate - 200) / 200 < 0.05, est_s
