@@ -3,11 +3,13 @@
 Real decoders for the formats a pure-Python environment can handle
 exactly — BMP (Windows DIB), binary PPM/PGM (netpbm), WAV (RIFF/PCM),
 and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters
-+ Adam7 deinterlacing) for 8- and 16-bit gray/RGB/gray+alpha/RGBA and
-8-bit PLTE-indexed palette images — so ``multimodal.decode_features``,
-``resize_binary`` and ``image_dhash`` work on actual pixel grids. JPEG
-parses header-only (SOF dimensions/channels; entropy decode genuinely
-needs a codec library), as do sub-byte-depth PNGs. AVI parses the RIFF
++ Adam7 deinterlacing + sub-byte bit unpacking) for EVERY legal
+depth/color combination — 1/2/4/8/16-bit gray, 8/16-bit
+RGB/gray+alpha/RGBA, 1/2/4/8-bit PLTE palette — so
+``multimodal.decode_features``, ``resize_binary`` and ``image_dhash``
+work on actual pixel grids. JPEG parses header-only (SOF
+dimensions/channels; entropy decode genuinely needs a codec
+library). AVI parses the RIFF
 container (avih dims/timing + real ``movi`` frame boundaries for the
 video stream) so frame sampling is container-aware. Payloads no strict
 parser accepts fall back to the deterministic byte-derived features, so
@@ -212,11 +214,28 @@ _ADAM7 = (
 )
 
 
-def _png_adam7(raw: bytes, width: int, height: int, pixbytes: int) -> bytes:
+def _unpack_bits(row: bytes, width: int, depth: int) -> bytes:
+    """Expand a bit-packed PNG row (MSB-first, depth 1/2/4) to one byte
+    per sample; trailing pad bits in the last byte are discarded."""
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for i in range(width):
+        b = row[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i] = (b >> shift) & mask
+    return bytes(out)
+
+
+def _png_adam7(
+    raw: bytes, width: int, height: int, pixbytes: int, depth: int = 8
+) -> bytes:
     """Deinterlace an Adam7 stream: each of the seven passes is an
     independently-filtered sub-image (its own per-row filter bytes,
     filtered against ITS OWN previous row); unfilter each pass, then
     scatter its pixels to their (x0 + i·dx, y0 + j·dy) grid positions.
+    For sub-byte depths each pass's rows are bit-packed with per-row
+    padding (pixbytes must be 1; samples unpack before the scatter).
     Raises ValueError on a length mismatch or bad filter byte."""
     out = bytearray(width * height * pixbytes)
     pos = 0
@@ -225,18 +244,28 @@ def _png_adam7(raw: bytes, width: int, height: int, pixbytes: int) -> bytes:
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * pixbytes
+        if depth >= 8:
+            stride = pw * pixbytes
+            fbpp = pixbytes
+        else:
+            stride = (pw * depth + 7) // 8
+            fbpp = 1
         need = ph * (stride + 1)
         if pos + need > len(raw):
             raise ValueError("short adam7 pass")
-        sub = _png_unfilter(raw[pos : pos + need], ph, stride, pixbytes)
+        sub = _png_unfilter(raw[pos : pos + need], ph, stride, fbpp)
         pos += need
         for j in range(ph):
+            srow = (
+                sub[j * stride : (j + 1) * stride]
+                if depth >= 8
+                else _unpack_bits(sub[j * stride : (j + 1) * stride], pw, depth)
+            )
+            spix = pixbytes if depth >= 8 else 1
             row = (y0 + j * dy) * width
             for i in range(pw):
                 dst = (row + x0 + i * dx) * pixbytes
-                src = (j * pw + i) * pixbytes
-                out[dst : dst + pixbytes] = sub[src : src + pixbytes]
+                out[dst : dst + pixbytes] = srow[i * spix : (i + 1) * spix]
     if pos != len(raw):
         raise ValueError("adam7 trailing bytes")
     return bytes(out)
@@ -256,10 +285,13 @@ def parse_png(b: bytes) -> Optional[dict]:
       transparency is ignored, color only);
     - 16-bit gray / RGB / gray+alpha / RGBA (sequential or interlaced),
       downscaled to 8 bits via the high byte of each big-endian sample
-      (the standard approximation; ``bit_depth`` still reports 16).
+      (the standard approximation; ``bit_depth`` still reports 16);
+    - sub-byte 1/2/4-bit gray (samples expanded to the 8-bit range) and
+      1/2/4-bit palette (bit-packed indices unpacked, then the PLTE
+      lookup), sequential or interlaced.
 
-    Sub-byte depths (1/2/4-bit) parse header-only — dimensions without
-    a ``pixels`` key."""
+    Every legal IHDR depth/color combination therefore decodes real
+    pixels."""
     import zlib
 
     if b[: len(_PNG_SIG)] != _PNG_SIG or len(b) < 33:
@@ -314,11 +346,20 @@ def parse_png(b: bytes) -> Optional[dict]:
     decodable = idat and (
         (bit_depth == 8 and (color_type in (0, 2, 4, 6) or palette is not None))
         or (bit_depth == 16 and color_type in (0, 2, 4, 6))
+        or (
+            bit_depth in (1, 2, 4)
+            and (color_type == 0 or (color_type == 3 and palette is not None))
+        )
     )
     if decodable:
-        bps = bit_depth // 8  # bytes per sample
-        pixbytes = channels * bps
-        stride = width * pixbytes  # palette: channels=1, one index byte
+        if bit_depth >= 8:
+            pixbytes = channels * (bit_depth // 8)
+            stride = width * pixbytes  # palette: channels=1, 1 index byte
+        else:
+            # bit-packed gray or palette rows, one filter byte each;
+            # the filter delta unit is one byte (PNG spec: bpp rounds up)
+            pixbytes = 1
+            stride = (width * bit_depth + 7) // 8
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
@@ -327,15 +368,34 @@ def parse_png(b: bytes) -> Optional[dict]:
             if interlace == 0:
                 if len(raw) != height * (stride + 1):
                     return meta
-                pixels = _png_unfilter(raw, height, stride, pixbytes)
+                pixels = _png_unfilter(
+                    raw, height, stride, pixbytes if bit_depth >= 8 else 1
+                )
+                if bit_depth < 8:
+                    pixels = b"".join(
+                        _unpack_bits(
+                            pixels[y * stride : (y + 1) * stride],
+                            width,
+                            bit_depth,
+                        )
+                        for y in range(height)
+                    )
             else:
-                pixels = _png_adam7(raw, width, height, pixbytes)
+                pixels = _png_adam7(
+                    raw, width, height, pixbytes, depth=bit_depth
+                )
         except ValueError:
             return meta
         if bit_depth == 16:
             # high byte of each big-endian 16-bit sample -> 8-bit grid
             pixels = pixels[::2]
             stride = width * channels
+        elif bit_depth < 8:
+            stride = width  # one sample byte per pixel after unpacking
+            if color_type == 0:
+                # expand 1/2/4-bit gray to the 8-bit range
+                full = (1 << bit_depth) - 1
+                pixels = bytes(v * 255 // full for v in pixels)
         if color_type == 3:
             # index -> RGB lookup; out-of-range index = corrupt, demote
             n_entries = len(palette) // 3

@@ -7,12 +7,13 @@ round-trips through Python row objects, batches stream through Arrow, and
 the transform is map-only (zero shuffles).
 
 The decode step is REAL for the formats pure Python can parse exactly
-(``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (8/16-bit
-gray/RGB/GA/RGBA — sequential and Adam7 interlaced — plus PLTE-palette,
-actual pixels via zlib + row unfilters), and the AVI container (real
+(``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (EVERY legal
+depth/color combination — 1/2/4/8/16-bit gray, 8/16-bit RGB/GA/RGBA,
+1/2/4/8-bit palette, sequential and Adam7 interlaced — actual pixels
+via zlib + row unfilters + bit unpacking), and the AVI container (real
 ``movi`` frame boundaries for the video stream). JPEG parses
-header-only (SOF dimensions; entropy decode needs a codec library), as
-do sub-byte-depth PNGs. Payloads no strict parser accepts (MP3, H.264
+header-only (SOF dimensions; entropy decode needs a codec library).
+Payloads no strict parser accepts (MP3, H.264
 streams, arbitrary bytes) fall back to deterministic byte-derived
 features tagged ``codec='raw'``, so the operator is total over
 arbitrary binary and oracle-checkable on any corpus.

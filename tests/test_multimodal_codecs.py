@@ -909,3 +909,99 @@ def test_png16_interlaced_fuzz_total():
                 bb[rng.randrange(len(bb))] = rng.randrange(256)
             r = codecs.sniff_media(bytes(bb))
             assert r is None or isinstance(r, dict)
+
+
+# -- PNG sub-byte depths (round 7) -------------------------------------------
+
+
+def _pack_bits(samples, depth):
+    per = 8 // depth
+    row = bytearray((len(samples) * depth + 7) // 8)
+    for i, v in enumerate(samples):
+        row[i // per] |= int(v) << (8 - depth * (i % per + 1))
+    return bytes(row)
+
+
+def make_png_subbyte(samples2d, depth, ctype, palette=None, interlace=False):
+    """1/2/4-bit PNG from a 2-D sample grid (gray levels or palette
+    indices), bit-packed rows, per-row/pass forward filtering."""
+    h = len(samples2d)
+    w = len(samples2d[0])
+
+    def pack_pass(rows):
+        packed = [_pack_bits(r, depth) for r in rows]
+        return _fwd_filter(packed, 1, [0, 2, 1, 2, 0])
+
+    if not interlace:
+        raw = pack_pass(samples2d)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = [
+                [samples2d[y0 + j * dy][x0 + i * dx] for i in range(pw)]
+                for j in range(ph)
+            ]
+            raw += pack_pass(rows)
+        raw = bytes(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    extra = [(b"PLTE", palette)] if palette is not None else []
+    return _png_chunks(ihdr, bytes(raw), extra=extra)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_subbyte_gray(depth, interlace):
+    """Sub-byte gray must decode to the same 8-bit grid as the 8-bit
+    encoding of the scaled values."""
+    rng = np.random.RandomState(41 + depth)
+    full = (1 << depth) - 1
+    levels = rng.randint(0, full + 1, (9, 11))
+    m = codecs.parse_png(
+        make_png_subbyte(levels.tolist(), depth, 0, interlace=interlace)
+    )
+    assert m is not None and "pixels" in m, (depth, interlace)
+    assert m["channels"] == 1 and m["row_bytes"] == 11
+    expected = (levels * 255 // full).astype(np.uint8)
+    ref = codecs.parse_png(make_png(expected[..., None], filters=[0] * 9))
+    assert m["pixels"] == ref["pixels"], (depth, interlace)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_subbyte_palette(interlace):
+    """4-bit palette must decode to the same RGB grid as truecolor."""
+    rng = np.random.RandomState(47)
+    colors = rng.randint(0, 255, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (7, 10))
+    img = colors[idx]
+    plte = b"".join(bytes(c) for c in colors)
+    m = codecs.parse_png(
+        make_png_subbyte(idx.tolist(), 4, 3, palette=plte,
+                         interlace=interlace)
+    )
+    ref = codecs.parse_png(make_png(img, filters=[1, 2, 3, 4, 0, 2, 1]))
+    assert m is not None and "pixels" in m, interlace
+    assert m["channels"] == 3 and m["row_bytes"] == 30
+    assert m["pixels"] == ref["pixels"], interlace
+
+
+def test_png_subbyte_fuzz_total():
+    rng_img = np.random.RandomState(53)
+    idx = rng_img.randint(0, 2, (6, 9))
+    base = make_png_subbyte(idx.tolist(), 1, 0, interlace=True)
+    for cut in range(len(base)):
+        r = codecs.sniff_media(bytes(base[:cut]))
+        assert r is None or isinstance(r, dict)
+    import random
+
+    rng = random.Random(59)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        r = codecs.sniff_media(bytes(bb))
+        assert r is None or isinstance(r, dict)
