@@ -1657,7 +1657,7 @@ f AS (
 e AS (
   SELECT n_used,
          {alpha!r}::DOUBLE * {float(m)!r}::DOUBLE * {float(m)!r}::DOUBLE
-           / (s_present::DOUBLE + ({m} - n_used)::DOUBLE) AS e_raw,
+           / (coalesce(s_present::DOUBLE, 0.0) + ({m} - n_used)::DOUBLE) AS e_raw,
          {m} - n_used AS v
   FROM f
 )

@@ -157,7 +157,8 @@ def parse_wav(b: bytes) -> Optional[dict]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> channels (3 = palette, parsed header-only)
+# color type -> STORED channels (palette type 3 stores 1 index/pixel;
+# parse_png reports the logical count 3 in its metadata)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -340,7 +341,10 @@ def parse_png(b: bytes) -> Optional[dict]:
         "codec": "png",
         "width": width,
         "height": height,
-        "channels": channels,
+        # palette images always report the LOGICAL channel count (3):
+        # header-only and decoded paths agree whether or not the pixel
+        # decode succeeds (the stored stream is 1 index/pixel either way)
+        "channels": 3 if color_type == 3 else channels,
         "bit_depth": bit_depth,
     }
     decodable = idat and (
@@ -406,7 +410,6 @@ def parse_png(b: bytes) -> Optional[dict]:
             )
             channels = 3
             stride = width * 3
-            meta["channels"] = 3
         meta["pixels"] = pixels
         meta["row_bytes"] = stride
         meta["top_down"] = True

@@ -428,18 +428,38 @@ def load_prepare_state(spark, state_dir: str) -> tuple:
     return state, v
 
 
-def save_prepare_state(state: dict, state_dir: str, version: int) -> None:
-    """Write the catalogs as version ``version`` and flip CURRENT."""
+def save_prepare_state(
+    state: dict, state_dir: str, version: int, batch_id: int = None
+) -> None:
+    """Write the catalogs as version ``version`` and flip CURRENT.
+    ``batch_id`` (streaming use) is recorded inside the version dir
+    BEFORE the flip, so a replayed micro-batch can detect that this
+    version already absorbed it."""
     import os
 
     for name in _STATE_SCHEMAS:
         state[name].write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v={version}", name)
         )
+    if batch_id is not None:
+        with open(os.path.join(state_dir, f"v={version}", "BATCH"), "w") as f:
+            f.write(str(batch_id))
     tmp = os.path.join(state_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+
+def committed_batch_id(state_dir: str, version: int):
+    """The streaming batch_id absorbed by catalog ``version`` (None for
+    batch-mode versions or v=0)."""
+    import os
+
+    p = os.path.join(state_dir, f"v={version}", "BATCH")
+    if version <= 0 or not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
 
 
 def stream_prepare_corpus(
@@ -452,16 +472,21 @@ def stream_prepare_corpus(
     contamination_threshold: float = 0.5,
     key: str = "source",
     max_files_per_trigger: int = 1,
+    checkpoint_dir: str = None,
 ):
     """The CDC pipeline as an actual Structured Streaming job: documents
     arrive as files land; each micro-batch runs
     ``prepare_corpus_increment`` against the parquet-backed catalogs
     (``foreachBatch`` — the standard pattern for stateful sinks Spark's
-    built-in state store doesn't model), appends its survivors to
-    ``out_dir``, and commits a NEW catalog version (crash-safe: the
-    CURRENT pointer flips only after the version is fully written; a
-    replayed micro-batch rebuilds the same version id, and re-screened
-    docs dedupe against the catalogs by construction).
+    built-in state store doesn't model), overwrites its survivors into
+    the batch-keyed partition ``out_dir/batch={batch_id}``, and commits
+    a NEW catalog version recording the batch_id (crash-safe AND
+    idempotent: the CURRENT pointer flips only after the version is
+    fully written, so a replay BEFORE the flip recomputes against the
+    same catalogs and overwrites the same partition with identical
+    rows, while a replay AFTER the flip sees its batch_id already
+    committed and skips — no duplicate output, no extra version bump,
+    in either crash window).
 
     When files land in ascending doc_id order the accumulated output is
     EXACTLY the batch pipeline on the union (the incremental replay
@@ -478,6 +503,9 @@ def stream_prepare_corpus(
 
     def handle(batch_df, batch_id):
         state, v = load_prepare_state(spark, state_dir)
+        done = committed_batch_id(state_dir, v)
+        if done is not None and batch_id <= done:
+            return  # replay of an already-committed micro-batch
         final, new_state = prepare_corpus_increment(
             batch_df,
             benchmark,
@@ -486,11 +514,13 @@ def stream_prepare_corpus(
             contamination_threshold=contamination_threshold,
             key=key,
         )
-        final.write.mode("append").parquet(out_dir)
-        save_prepare_state(new_state, state_dir, v + 1)
+        final.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        save_prepare_state(new_state, state_dir, v + 1, batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .option(
+            "checkpointLocation", checkpoint_dir or f"{state_dir}/_checkpoint"
+        )
         .start()
     )

@@ -64,7 +64,10 @@ def hll_distinct(df: DataFrame, col, b: int = 12) -> DataFrame:
             F.round(F.pow(F.lit(0.5), F.col("M")), 12).cast("decimal(30,15)")
         ).alias("s_present"),
     )
-    s_total = F.col("s_present").cast("double") + (
+    # coalesce: empty/all-null input leaves sum() NULL; 0 routes the
+    # fold into the V=m linear-counting branch -> estimate = 0, keeping
+    # the numeric-estimate contract on the empty edge (r7 advice)
+    s_total = F.coalesce(F.col("s_present").cast("double"), F.lit(0.0)) + (
         F.lit(m) - F.col("n_used")
     ).cast("double")
     e_raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) / s_total

@@ -659,6 +659,27 @@ def test_parse_png_palette_decodes_to_rgb():
     assert pal["codec"] == "png" and (pal["width"], pal["height"]) == (5, 7)
 
 
+def test_png_palette_header_only_reports_logical_channels():
+    """A palette PNG whose IDAT is corrupt demotes to header-only — and
+    must still report channels=3 (the logical color count), identical to
+    the decoded path, so the same file never flips between 1 and 3
+    channels based on decodability (r7 advice)."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 255, (4, 6, 3)).astype(np.uint8)
+    good = make_png_palette(img)
+    decoded = codecs.parse_png(good)
+    assert decoded["channels"] == 3 and "pixels" in decoded
+    # corrupt the zlib stream inside IDAT, keeping the chunk walk valid
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    for i in range(idat_at + 4, idat_at + 12):
+        bad[i] ^= 0xFF
+    hdr = codecs.parse_png(bytes(bad))
+    assert hdr is not None and "pixels" not in hdr
+    assert hdr["channels"] == 3
+    assert (hdr["width"], hdr["height"]) == (6, 4)
+
+
 def test_png_palette_dhash_equals_rgb(spark):
     """Same image through palette-PNG, truecolor-PNG and BMP containers
     must produce the SAME perceptual dhash."""

@@ -1123,3 +1123,11 @@ def test_hll_distinct_accuracy_and_invariance(spark):
     )
     est_s = hll_distinct(small, "val").first()
     assert abs(est_s.estimate - 200) / 200 < 0.05, est_s
+    # empty and all-null inputs: V=m linear counting must yield the
+    # numeric estimate 0, not NULL (r7 advice)
+    empty = spark.createDataFrame([], "val string")
+    est_e = hll_distinct(empty, "val").first()
+    assert (est_e.n_used, float(est_e.estimate)) == (0, 0.0), est_e
+    nulls = spark.createDataFrame([(None,), (None,)], "val string")
+    est_n = hll_distinct(nulls, "val").first()
+    assert (est_n.n_used, float(est_n.estimate)) == (0, 0.0), est_n

@@ -579,3 +579,25 @@ def test_stream_prepare_corpus_replays_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_counts == exp_counts
+    # idempotency: a full replay against a FRESH checkpoint re-delivers
+    # batches 0..2; each sees its batch_id already committed in the
+    # catalog version and skips — output, counts and version unchanged
+    # (the r7-advice crash-window contract)
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        committed_batch_id,
+        stream_prepare_corpus as _spc,
+    )
+
+    assert committed_batch_id(state_dir, v) == 2
+    q2 = _spc(
+        spark, flat, bench, state_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        (r.doc_id, r.text) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == expected
+    _, v2 = load_prepare_state(spark, state_dir)
+    assert v2 == 3
