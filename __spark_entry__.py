@@ -1672,8 +1672,10 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing: bigram-LM-score every document, split
     each language at its perplexity terciles, label head/middle/tail —
     the keep/downweight/drop assignment of the CCNet pipeline, composed
-    from two already-oracled pieces (text_logprob2 + the exact
-    percentile identity)."""
+    from two already-oracled pieces (text_logprob2 + the bounded-memory
+    histogram-sketch cut, the DEFAULT since r8 so a dominant language
+    never buffers one double per document; the oracle replays the same
+    round-6 sketch arithmetic)."""
     return text.ccnet_buckets(_table(spark, sf_dir, "documents"))
 
 
@@ -1711,9 +1713,29 @@ perdoc AS (
 withlang AS (
   SELECT p.doc_id, p.ppl, d.lang FROM perdoc p JOIN documents d USING (doc_id)
 ),
-cuts AS (
-  SELECT lang, quantile_cont(ppl, 1.0/3) AS p33, quantile_cont(ppl, 2.0/3) AS p66
+rng2 AS (
+  SELECT lang, min(ppl) AS lo, max(ppl) AS hi, count(*)::BIGINT AS n_values
   FROM withlang GROUP BY 1
+),
+bkt AS (
+  SELECT w.lang,
+         CASE WHEN r.hi > r.lo
+              THEN least(floor((w.ppl - r.lo) / ((r.hi - r.lo) / 2048.0))::BIGINT,
+                         2047)
+              ELSE 0 END AS bucket
+  FROM withlang w JOIN rng2 r USING (lang)
+),
+bcounts AS (SELECT lang, bucket, count(*)::BIGINT AS cnt FROM bkt GROUP BY 1, 2),
+laid AS (
+  SELECT c.lang, c.bucket, c.cnt, r.lo, r.hi, r.n_values,
+         sum(c.cnt) OVER (PARTITION BY c.lang ORDER BY c.bucket) AS cum
+  FROM bcounts c JOIN rng2 r USING (lang)
+),
+-- the bounded-memory histogram-sketch tercile cut (the Spark default;
+-- same arithmetic as histogram_group_quantiles, round-6 snapped)
+cuts AS (
+  SELECT lang, round((max(CASE WHEN cum >= greatest(1, ceil(0.3333333333333333 * n_values)::BIGINT) AND (cum - cnt) < greatest(1, ceil(0.3333333333333333 * n_values)::BIGINT) THEN CASE WHEN hi > lo THEN lo + ((hi - lo) / 2048.0) * (bucket + (greatest(1, ceil(0.3333333333333333 * n_values)::BIGINT) - (cum - cnt))::DOUBLE / cnt::DOUBLE) ELSE lo END END))::DECIMAL(30,10), 6)::double AS p33, round((max(CASE WHEN cum >= greatest(1, ceil(0.6666666666666666 * n_values)::BIGINT) AND (cum - cnt) < greatest(1, ceil(0.6666666666666666 * n_values)::BIGINT) THEN CASE WHEN hi > lo THEN lo + ((hi - lo) / 2048.0) * (bucket + (greatest(1, ceil(0.6666666666666666 * n_values)::BIGINT) - (cum - cnt))::DOUBLE / cnt::DOUBLE) ELSE lo END END))::DECIMAL(30,10), 6)::double AS p66
+  FROM laid GROUP BY 1
 ),
 lab AS (
   SELECT w.lang,

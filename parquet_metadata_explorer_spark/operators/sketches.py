@@ -81,3 +81,84 @@ def hll_distinct(df: DataFrame, col, b: int = 12) -> DataFrame:
         "n_used",
         _round_dec(est, 4).alias("estimate"),
     )
+
+
+def histogram_group_quantiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    quantiles,
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram sketch —
+    the generic core of ``value_percentiles_histogram`` (which delegates
+    here), reusable wherever an exact per-group ``percentile`` would
+    buffer one value per row in a single aggregation state (the CCNet
+    tercile cut over a billion-doc language).
+
+    ``quantiles`` is a list of ``(fraction, out_name)``. Scale shape:
+    two partial-aggregating shuffles — per-group (min, max, n), tiny and
+    broadcast back, then per-(group, bucket) counts bounded by
+    ``n_buckets`` per group and mergeable. The estimate for fraction q
+    is linear interpolation inside the first bucket whose cumulative
+    count reaches rank max(1, ceil(q*n)); value error <=
+    (max-min)/n_buckets. Every step is integer counts plus fixed-order
+    double arithmetic snapped to 6 decimals, so a DuckDB twin
+    reproduces each estimate bit-for-bit and compositions stay on the
+    hash-compare board. Returns one row per group:
+    (group, n_values, *out_names).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    base = (
+        df.filter(F.col(value).isNotNull())
+        .select(F.col(group).alias("g"), F.col(value).alias("v"))
+    )
+    rng = base.groupBy("g").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("v").cast("long").alias("n_values"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+    bucketed = base.join(F.broadcast(rng), "g").withColumn(
+        "bucket",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(B - 1),
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    counts = bucketed.groupBy("g", "bucket").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("n_values").alias("n_values"),
+    )
+    w = Window.partitionBy("g").orderBy("bucket")
+    cum = F.sum("cnt").over(w)
+    laid = counts.select(
+        "g", "bucket", "cnt", "lo", "hi", "n_values",
+        cum.alias("cum"), (cum - F.col("cnt")).alias("cb"),
+    )
+    width2 = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+    aggs = [F.first("n_values").alias("n_values")]
+    for p, name in quantiles:
+        t = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(p)) * F.col("n_values")).cast("long"),
+        )
+        est = F.when(
+            F.col("hi") > F.col("lo"),
+            F.col("lo")
+            + width2
+            * (
+                F.col("bucket")
+                + (t - F.col("cb")).cast("double") / F.col("cnt").cast("double")
+            ),
+        ).otherwise(F.col("lo"))
+        hit = (F.col("cum") >= t) & (F.col("cb") < t)
+        aggs.append(_round_dec(F.max(F.when(hit, est)), 6).alias(name))
+    return laid.groupBy("g").agg(*aggs).withColumnRenamed("g", group)

@@ -1115,33 +1115,51 @@ def collocations(
     )
 
 
-def ccnet_buckets(documents: DataFrame, key: str = "lang") -> DataFrame:
+def ccnet_buckets(
+    documents: DataFrame,
+    key: str = "lang",
+    exact_cuts: bool = False,
+    n_buckets: int = 2048,
+) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document with the bigram LM (``bigram_logprob_score``), split
     each language at its perplexity terciles, and label documents
     head / middle / tail — the bucket assignment CCNet uses to keep,
     downweight, or drop web text by LM fit. A composition of two
-    already-oracled pieces: the LM scores and the engine-exact
-    percentile split (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
-    the boarded events_percentiles identity).
+    already-oracled pieces: the LM scores and the tercile cut.
 
     Scale shape: the LM is corpus-sublinear (vocab/bigram count
-    tables); the tercile cut buffers ONE double per document per
-    language inside exact ``percentile`` — at extreme per-language doc
-    counts swap the cut derivation for the bounded-memory
-    ``value_percentiles_histogram`` sketch (same engine-exact
-    discipline); the bucket label itself is a broadcast cut-table join,
-    map-side. Output per (lang, bucket): n_docs, avg_ppl (exact
-    decimal mean).
+    tables); the DEFAULT tercile cut comes from the bounded-memory
+    histogram sketch (``sketches.histogram_group_quantiles`` — two
+    partial-aggregating shuffles, ≤ ``n_buckets`` counts per language,
+    cut error ≤ (max−min)/n_buckets, engine-exact round-6 arithmetic),
+    so a billion-doc dominant language never buffers one double per
+    document in a single aggregation state. ``exact_cuts=True`` opts
+    back into exact ``percentile`` (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the boarded events_percentiles identity) for
+    bounded per-language counts. The bucket label itself is a broadcast
+    cut-table join, map-side, either way. Output per (lang, bucket):
+    n_docs, avg_ppl (exact decimal mean).
     """
+    from .sketches import histogram_group_quantiles
+
     scores = bigram_logprob_score(documents)
     joined = scores.join(
         documents.select("doc_id", F.col(key).alias("lang")), "doc_id"
     )
-    cuts = joined.groupBy("lang").agg(
-        F.percentile(F.col("ppl"), F.lit(1.0 / 3)).alias("p33"),
-        F.percentile(F.col("ppl"), F.lit(2.0 / 3)).alias("p66"),
-    )
+    if exact_cuts:
+        cuts = joined.groupBy("lang").agg(
+            F.percentile(F.col("ppl"), F.lit(1.0 / 3)).alias("p33"),
+            F.percentile(F.col("ppl"), F.lit(2.0 / 3)).alias("p66"),
+        )
+    else:
+        cuts = histogram_group_quantiles(
+            joined,
+            "lang",
+            "ppl",
+            [(1.0 / 3, "p33"), (2.0 / 3, "p66")],
+            n_buckets=n_buckets,
+        ).drop("n_values")
     lab = joined.join(F.broadcast(cuts), "lang").withColumn(
         "bucket",
         F.when(F.col("ppl") <= F.col("p33"), F.lit("head"))

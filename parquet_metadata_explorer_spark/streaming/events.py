@@ -164,7 +164,10 @@ def value_percentiles_histogram(
     """Approximate per-type percentiles via a fixed-width HISTOGRAM
     sketch — the deterministic, engine-exact alternative to
     ``value_percentiles_approx``'s Greenwald-Khanna sketch (whose
-    internals no second engine can replay bit-for-bit).
+    internals no second engine can replay bit-for-bit). The sketch core
+    lives in ``operators.sketches.histogram_group_quantiles`` (same
+    arithmetic, generic over group/value/fractions); this is the
+    events-shaped entry point with the p50/p90/p99 monitoring columns.
 
     Two partial-aggregating shuffles: (1) per-group (min, max, n) —
     tiny, broadcast back; (2) per-(group, bucket) counts — state
@@ -177,61 +180,17 @@ def value_percentiles_histogram(
     reproduces the output EXACTLY — unlike approx_percentile, this
     sketch can sit on the hash-compare board.
     """
-    B = int(n_buckets)
-    rng = events.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.count("value").cast("long").alias("n_values"),
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        histogram_group_quantiles,
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
-    bucketed = (
-        events.filter(F.col("value").isNotNull())
-        .join(F.broadcast(rng), "event_type")
-        .withColumn(
-            "bucket",
-            F.when(
-                F.col("hi") > F.col("lo"),
-                F.least(
-                    F.floor((F.col("value") - F.col("lo")) / width),
-                    F.lit(B - 1),
-                ),
-            ).otherwise(F.lit(0)).cast("long"),
-        )
+
+    return histogram_group_quantiles(
+        events,
+        "event_type",
+        "value",
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
+        n_buckets=n_buckets,
     )
-    counts = bucketed.groupBy("event_type", "bucket").agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.first("lo").alias("lo"),
-        F.first("hi").alias("hi"),
-        F.first("n_values").alias("n_values"),
-    )
-    w = Window.partitionBy("event_type").orderBy("bucket")
-    cum = F.sum("cnt").over(w)
-    cb = cum - F.col("cnt")
-    laid = counts.select(
-        "event_type", "bucket", "cnt", "lo", "hi", "n_values",
-        cum.alias("cum"), cb.alias("cb"),
-    )
-    width2 = (F.col("hi") - F.col("lo")) / F.lit(float(B))
-    aggs = [F.first("n_values").alias("n_values")]
-    for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-        t = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(F.lit(p) * F.col("n_values")).cast("long"),
-        )
-        est = F.when(
-            F.col("hi") > F.col("lo"),
-            F.col("lo")
-            + width2
-            * (
-                F.col("bucket")
-                + (t - F.col("cb")).cast("double") / F.col("cnt").cast("double")
-            ),
-        ).otherwise(F.col("lo"))
-        hit = (F.col("cum") >= t) & (F.col("cb") < t)
-        aggs.append(
-            _round_dec(F.max(F.when(hit, est)), 6).alias(name)
-        )
-    return laid.groupBy("event_type").agg(*aggs)
 
 
 def _session_ids(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

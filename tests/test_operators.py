@@ -1057,6 +1057,73 @@ def test_ccnet_buckets_semantics(spark, sf_dir):
             ), (lang, buckets)
 
 
+def test_ccnet_buckets_sketch_cut_bounds(spark, sf_dir):
+    """The default (histogram-sketch) tercile cut must honor the
+    sketch's guarantee — each cut within one bucket width of the
+    rank-ceil(q*n) order statistic — and the resulting per-bucket sizes
+    may drift from the exact-percentile opt-in only by the number of
+    docs inside the cut-disagreement windows (the bucket-width flip
+    population)."""
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        histogram_group_quantiles,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bigram_logprob_score,
+        ccnet_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = bigram_logprob_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    ppl = {}
+    for r in joined.select("lang", "ppl").collect():
+        ppl.setdefault(r.lang, []).append(r.ppl)
+    import math
+
+    cuts = {
+        r.lang: (r.p33, r.p66)
+        for r in histogram_group_quantiles(
+            joined, "lang", "ppl", [(1.0 / 3, "p33"), (2.0 / 3, "p66")]
+        ).collect()
+    }
+    exacts = {
+        r.lang: (r.p33, r.p66)
+        for r in joined.groupBy("lang").agg(
+            F.percentile("ppl", F.lit(1.0 / 3)).alias("p33"),
+            F.percentile("ppl", F.lit(2.0 / 3)).alias("p66"),
+        ).collect()
+    }
+    windows = {}
+    for lang, vals in ppl.items():
+        vals.sort()
+        n = len(vals)
+        width = (vals[-1] - vals[0]) / 2048
+        for q, cut in zip((1.0 / 3, 2.0 / 3), cuts[lang]):
+            rank_stat = vals[max(1, math.ceil(q * n)) - 1]
+            assert abs(cut - rank_stat) <= width + 1e-9, (
+                lang, q, cut, rank_stat, width,
+            )
+        # docs that can flip label: ppl between the sketch cut and the
+        # exact-percentile cut (inclusive), per cut
+        flips = 0
+        for cut, ex in zip(cuts[lang], exacts[lang]):
+            lo, hi = min(cut, ex), max(cut, ex)
+            flips += sum(1 for v in vals if lo <= v <= hi)
+        windows[lang] = flips
+    sk = {
+        (r.lang, r.bucket): r.n_docs for r in ccnet_buckets(docs).collect()
+    }
+    exact = {
+        (r.lang, r.bucket): r.n_docs
+        for r in ccnet_buckets(docs, exact_cuts=True).collect()
+    }
+    for lang in ppl:
+        for bucket in ("head", "middle", "tail"):
+            d = abs(sk.get((lang, bucket), 0) - exact.get((lang, bucket), 0))
+            assert d <= windows[lang], (lang, bucket, d, windows[lang])
+
+
 def test_temperature_mix_by_tokens_rebalances_mass(spark):
     """Token-mass mixing: a source of few HUGE docs must be downweighted
     by its token share (doc-count mixing would barely touch it), and
