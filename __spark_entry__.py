@@ -929,16 +929,19 @@ SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
 """
 
 
-IVFPQ_CELLS, IVFPQ_PROBE, IVFPQ_CITERS = 16, 4, 3
+IVFPQ_CELLS, IVFPQ_PROBE, IVFPQ_CITERS, IVFPQ_RERANK = 16, 8, 3, 80
 
 
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF-PQ ANN (Jégou et al. §IV, IVFADC): coarse-quantize the
-    corpus into 16 cells (exact-decimal Lloyd — pq_index with one
-    whole-vector subspace), PQ-encode the RESIDUALS (8 subspaces × 32
-    centroids), probe 4 cells per query and ADC-score only those cells'
-    codes — scored rows ∝ n_probe/k_cells of the corpus, the sub-linear
-    shape flat PQ lacks."""
+    """Full IVF-PQ ANN with IVFADC-R refinement (Jégou et al. §IV-V):
+    coarse-quantize the corpus into 16 cells (exact-decimal Lloyd —
+    pq_index with one whole-vector subspace), PQ-encode the RESIDUALS
+    (8 subspaces × 32 centroids), probe 8 cells per query, ADC-score
+    only those cells' codes, then exact-rerank the top-80 candidates
+    against the original vectors (candidate-bounded, one map-side
+    corpus pass). Recall 0.74 at these params vs 0.22 ADC-only
+    (ARCHITECTURE.md probe table); scored rows stay ∝ n_probe/k_cells
+    of the corpus, the sub-linear shape flat PQ lacks."""
     return similarity.ivfpq_ann_topk(
         _table(spark, sf_dir, "embeddings"),
         ANN_QUERY_IDS,
@@ -949,6 +952,55 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=PQ_K,
         iters=PQ_ITERS,
         coarse_iters=IVFPQ_CITERS,
+        rerank=IVFPQ_RERANK,
+    )
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf_dir work location for the materialized
+    IVF-PQ index (training is deterministic, so a cached index is
+    bit-identical to a fresh build — pytest proves disk ≡ memory)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/pqx_ivfpq_{tag}"
+
+
+def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-index serving path: codes written
+    partitionBy(cell) (write_ivfpq_index — built once per sf_dir and
+    reused, so repeat timings measure SERVE latency, not training),
+    then ADC top-k from disk via ivfpq_probe_topk — ``cell IN``
+    reaches the parquet source as a partition filter, so the scan
+    itself opens only n_probe/k_cells of the code files. Same
+    operating point (probe 8, rerank 80) and bit-identical scores to
+    ann_ivfpq by construction, so the two rows share one oracle."""
+    import os
+
+    path = _ivfpq_index_path(sf_dir)
+    emb = _table(spark, sf_dir, "embeddings")
+    if not os.path.exists(f"{path}/codes/_SUCCESS"):
+        similarity.write_ivfpq_index(
+            emb,
+            path,
+            k_cells=IVFPQ_CELLS,
+            m=PQ_M,
+            n_centroids=PQ_K,
+            iters=PQ_ITERS,
+            coarse_iters=IVFPQ_CITERS,
+        )
+    queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return similarity.ivfpq_probe_topk(
+        spark,
+        path,
+        queries,
+        k=10,
+        n_probe=IVFPQ_PROBE,
+        rerank=IVFPQ_RERANK,
+        embeddings=emb,
     )
 
 
@@ -1025,6 +1077,7 @@ def _oracle_ann_ivfpq(
     iters: int = PQ_ITERS,
     coarse_iters: int = IVFPQ_CITERS,
     dim: int = 64,
+    rerank: int = IVFPQ_RERANK,
 ) -> str:
     """CTE composition of the two oracled halves: coarse exact-decimal
     Lloyd (the PQ machinery with one whole-vector subspace) → residual
@@ -1100,12 +1153,37 @@ ranked AS (
   FROM sc
 )"""
     )
+    if rerank:
+        # IVFADC-R refinement: exact cosine over the top-C ADC
+        # candidates (list_dot_product = the Spark fold, round-6 snap)
+        parts.append(
+            f"""cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM ranked
+  ) WHERE rn <= {rerank}
+),
+refined AS (
+  SELECT c.query_id, c.neighbor_id,
+         round((list_dot_product(n.embedding, q.qv)
+                / (q.qnorm * sqrt(list_dot_product(n.embedding, n.embedding)))
+               )::DECIMAL(30,10), 6)::double AS cos
+  FROM cand c
+  JOIN emb n ON c.neighbor_id = n.vec_id
+  JOIN qt q ON c.query_id = q.query_id
+)"""
+        )
+        final = "refined"
+    else:
+        final = "ranked"
     return f"""
 WITH {", ".join(parts)}
 SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
-  FROM ranked
+  FROM {final}
 ) WHERE rank <= 10
 """
 
@@ -4099,80 +4177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) the r6 verdict's rotation-debt group: the 16 group-F
-        #    deferrals (stale since r4) + first driver rows for the 3
-        #    never-boarded entries. events_percentiles_approx and
-        #    multimodal_dhash are rows-only BY DESIGN (docstrings name
-        #    the reason + compensating pytest) -- boarded per the r6
-        #    verdict's explicit direction; the judge sees the weaker
-        #    check class.
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "text_redact": q_text_redact,
-        "dedup_simhash": q_dedup_simhash,
-        "hash_split": q_hash_split,
-        "sample_per_group": q_sample_per_group,
-        "pack_sequences": q_pack_sequences,
-        "ngram_freq": q_ngram_freq,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "events_json": q_events_json,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "corpus_mix": q_corpus_mix,
-        "events_percentiles_approx": q_events_percentiles_approx,
-        "text_collocations": q_text_collocations,
-        "dedup_incremental": q_dedup_incremental,
-        "multimodal_dhash": q_multimodal_dhash,
-        # B) new or value/plan-changed this round: the IVF x PQ
-        #    composition (new), corpus_mix_temperature (w snapped to 12
-        #    decimals -- values moved), text_bpe_encode1k (trainer
-        #    collect now bounded -- values proven unchanged, plan
-        #    changed)
-        "ann_ivfpq": q_ann_ivfpq,
-        "events_percentiles_hist": q_events_percentiles_hist,
-        "text_ccnet_buckets": q_text_ccnet_buckets,
-        "text_vocab_hll": q_text_vocab_hll,
-        "corpus_mix_temperature": q_corpus_mix_temperature,
-        "text_bpe_encode1k": q_text_bpe_encode1k,
-        # C) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # D) r5-boarded entries due by r8 under the 3-round SLA --
-        #    touched-subsystem first (BPE trainer, codecs, similarity
-        #    files changed this round), 19 of 39; the remaining 20
-        #    (the TPC-H group + page_reconstruct_bss, dataset_card,
-        #    text_quality_filter) are the r8 head
-        "text_bpe": q_text_bpe,
-        "text_bpe_tokenize": q_text_bpe_tokenize,
-        "multimodal_decode": q_multimodal_decode,
-        "ann_int8": q_ann_int8,
-        "knn_graph": q_knn_graph,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_trending": q_events_trending,
-        "events_anomalies": q_events_anomalies,
-        "events_attribution": q_events_attribution,
-        "events_gapfill_by_type": q_events_gapfill_by_type,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "window_timeline": q_window_timeline,
-        "window_rolling": q_window_rolling,
-        "grouping_sets": q_grouping_sets,
-        "pivot_orders": q_pivot_orders,
-        "page_integrity": q_page_integrity,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # E) r8 head: the rest of the r5-boarded group (due r8;
-        #    pruned_read, source_overlap and profile_lineitem displaced
-        #    from the board by the new events_percentiles_hist,
-        #    text_ccnet_buckets and text_vocab_hll rows — deadlines
-        #    unchanged)
+        # A) the committed r8 SLA head: the 23 r5-boarded entries whose
+        #    3-round freshness deadline is THIS round (SURVEY §2.4's own
+        #    list), plus the first driver row for
+        #    text_decontaminate_bloom (rows-only BY DESIGN — split-block
+        #    bloom internals no second engine replays; docstring names
+        #    the compensating pytest)
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
         "profile_lineitem": q_profile_lineitem,
@@ -4196,7 +4206,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct_bss": q_page_reconstruct_bss,
         "dataset_card": q_dataset_card,
         "text_quality_filter": q_text_quality_filter,
-        # F) r6-boarded entries (due r9)
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        # B) new or value/plan-changed this round: ann_ivfpq moved to
+        #    the IVFADC-R operating point (probe 8 + exact rerank 80,
+        #    recall 0.22 -> 0.74 — values changed); ann_ivfpq_probe is
+        #    the NEW materialized-index serving row (same oracle, disk
+        #    round-trip); text_ccnet_buckets' tercile cut is now the
+        #    bounded-memory histogram sketch (values changed)
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_probe": q_ann_ivfpq_probe,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # D) r6-boarded entries due r9, pulled forward into the spare
+        #    slots (14 of 39)
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
@@ -4211,6 +4242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_content_scan": q_page_content_scan,
         "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # E) remaining r6-boarded entries (due r9 — the committed r9
+        #    head, with group D's 14 already re-boarded this round)
         "ann_pq": q_ann_pq,
         "tpch_q11": q_tpch_q11,
         "text_logprob": q_text_logprob,
@@ -4236,8 +4270,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
-        # G) rows-only entry not boarded this round (r8 candidate)
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        # F) r7-boarded entries (due r10)
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "text_redact": q_text_redact,
+        "dedup_simhash": q_dedup_simhash,
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
+        "ngram_freq": q_ngram_freq,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "events_json": q_events_json,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "corpus_mix": q_corpus_mix,
+        "events_percentiles_approx": q_events_percentiles_approx,
+        "text_collocations": q_text_collocations,
+        "dedup_incremental": q_dedup_incremental,
+        "multimodal_dhash": q_multimodal_dhash,
+        "events_percentiles_hist": q_events_percentiles_hist,
+        "text_vocab_hll": q_text_vocab_hll,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "text_bpe_encode1k": q_text_bpe_encode1k,
+        "text_bpe": q_text_bpe,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
+        "multimodal_decode": q_multimodal_decode,
+        "ann_int8": q_ann_int8,
+        "knn_graph": q_knn_graph,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_trending": q_events_trending,
+        "events_anomalies": q_events_anomalies,
+        "events_attribution": q_events_attribution,
+        "events_gapfill_by_type": q_events_gapfill_by_type,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "window_timeline": q_window_timeline,
+        "window_rolling": q_window_rolling,
+        "grouping_sets": q_grouping_sets,
+        "pivot_orders": q_pivot_orders,
+        "page_integrity": q_page_integrity,
     }
 
 
@@ -4312,6 +4384,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_temperature": O_CORPUS_MIX_TEMPERATURE,
         "ann_pq": _oracle_ann_pq(),
         "ann_ivfpq": _oracle_ann_ivfpq(),
+        # bit-identical to ann_ivfpq by construction (disk round-trip)
+        "ann_ivfpq_probe": _oracle_ann_ivfpq(),
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
         "text_vocab_hll": _o_vocab_hll(),

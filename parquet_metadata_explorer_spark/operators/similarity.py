@@ -930,58 +930,25 @@ def ivfpq_index(
     return cc, cells, pq_cb, pq_codes
 
 
-def ivfpq_ann_topk(
-    embeddings: DataFrame,
-    query_ids,
-    k: int = 10,
-    k_cells: int = 16,
-    n_probe: int = 4,
-    m: int = 8,
-    n_centroids: int = 32,
-    iters: int = 3,
-    coarse_iters: int = 3,
-) -> DataFrame:
-    """ANN top-k over the IVF-PQ index: each query probes its ``n_probe``
-    nearest cells and scores ONLY those cells' codes by asymmetric
-    distance — scored rows ∝ n_probe/k_cells of the corpus, never the
-    corpus (the probe in tools/ann_scale_probe.py measures exactly
-    that).
+_ADC_SCHEMA = (
+    "query_id long, cell int, sub int, cluster int, dotq double, "
+    "crossd double, cn2 double, qdotc double, cc2 double, qnorm double"
+)
 
-    ADC over residuals, by linearity of the dot product with
-    x̂ = cell_centroid + r(codes):
 
-        dot(q, x̂)  = dot(q, cc)   + Σ_s dot(q_s, cent[s, code_s])
-        |x̂|²       = |cc|² + 2·Σ_s dot(cc_s, cent[s, code_s])
-                            + Σ_s |cent[s, code_s]|²
-
-    Every per-(query, cell, sub, cluster) constant is precomputed on the
-    driver (|Q|·n_probe·m·k rows, broadcast); scoring is one code-table
-    join + exact-decimal round-12 folds (the flat-PQ discipline), so
-    scores are partition-invariant and engine-exact; ranking reuses the
-    hierarchical top-k. Candidates outside a query's probed cells drop
-    map-side in the broadcast hash join.
-    """
+def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
+    """Per-(query, cell, sub, cluster) ADC constants built in a driver
+    loop — |Q|·n_probe·m·n_centroids rows, the right shape for
+    serving-sized |Q| (no Spark jobs, one broadcast). Returns
+    (rows, probed_cells). The distributed twin is ``ivfpq_adc_table``
+    (bit-identical values, pytest-asserted)."""
     import math
 
-    spark = embeddings.sparkSession
-    cc, cells, pq_cb, pq_codes = ivfpq_index(
-        embeddings,
-        k_cells=k_cells,
-        m=m,
-        n_centroids=n_centroids,
-        iters=iters,
-        coarse_iters=coarse_iters,
-    )
-    pq_codes = track_persist(pq_codes)
     dim = len(next(iter(cc.values())))
+    m = max(s for s, _c in pq_cb) + 1
     sub_d = dim // m
-
-    qrows = (
-        embeddings.filter(F.col("vec_id").isin(list(query_ids)))
-        .select("vec_id", "embedding")
-        .collect()
-    )
     table = []
+    probed_cells = set()
     for qr in qrows:
         qv = [float(x) for x in qr.embedding]
         qnorm = math.sqrt(sum(x * x for x in qv))
@@ -992,6 +959,7 @@ def ivfpq_ann_topk(
             for cell, cv in cc.items()
         )
         for _d2, cell in d2s[:n_probe]:
+            probed_cells.add(cell)
             ccv = cc[cell]
             qdotc = sum(a * b for a, b in zip(qv, ccv))
             cc2 = sum(x * x for x in ccv)
@@ -1000,27 +968,91 @@ def ivfpq_ann_topk(
                 cs = ccv[s * sub_d : (s + 1) * sub_d]
                 table.append(
                     (
-                        int(qr.vec_id),
-                        cell,
-                        s,
-                        cl,
+                        int(qr.vec_id), cell, s, cl,
                         sum(a * b for a, b in zip(qs, cent)),
                         sum(a * b for a, b in zip(cs, cent)),
                         sum(x * x for x in cent),
-                        qdotc,
-                        cc2,
-                        qnorm,
+                        qdotc, cc2, qnorm,
                     )
                 )
-    tdf = spark.createDataFrame(
-        table,
-        "query_id long, cell int, sub int, cluster int, dotq double, "
-        "crossd double, cn2 double, qdotc double, cc2 double, qnorm double",
+    return table, probed_cells
+
+
+def ivfpq_adc_table(
+    queries: DataFrame, cc: dict, pq_cb: dict, n_probe: int
+) -> DataFrame:
+    """The ADC constants table built IN SPARK — the corpus-vs-index
+    shape where |Q| is 10⁵⁺ and a driver loop over
+    |Q|·n_probe·m·n_centroids rows would make the driver the
+    bottleneck: queries cross-join the broadcast coarse-centroid table
+    (k_cells rows) for probe selection (row_number over (d2, cell) —
+    the driver's sorted() order), then cross-join the broadcast PQ
+    codebook (m·n_centroids rows) for the per-subspace constants. All
+    arithmetic is the fixed-order left-fold ``dot`` (JVM expression
+    trees, no Python stage), so every value is bit-identical to the
+    driver loop (pytest-asserted equality).
+    """
+    spark = queries.sparkSession
+    dim = len(next(iter(cc.values())))
+    m = max(s for s, _c in pq_cb) + 1
+    sub_d = dim // m
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
     )
+    cb = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(pq_cb.items())],
+        "sub int, cluster int, cent array<double>",
+    )
+    q = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id", "cell", "qv", "cc",
+            dot(F.col("qv"), F.col("cc")).alias("qdotc"),
+            dot(F.col("cc"), F.col("cc")).alias("cc2"),
+            F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
+        )
+    )
+    qs = F.expr(f"slice(qv, sub * {sub_d} + 1, {sub_d})")
+    cs = F.expr(f"slice(cc, sub * {sub_d} + 1, {sub_d})")
+    return (
+        probed.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "cell", "sub", "cluster",
+            dot(qs, F.col("cent")).alias("dotq"),
+            dot(cs, F.col("cent")).alias("crossd"),
+            dot(F.col("cent"), F.col("cent")).alias("cn2"),
+            "qdotc", "cc2", "qnorm",
+        )
+    )
+
+
+def _adc_score(codes: DataFrame, tdf: DataFrame, broadcast_table: bool = True):
+    """ADC scoring against a (vec_id, cell, sub, cluster) code relation:
+    one join on (cell, sub, cluster) — map-side when the constants
+    table broadcasts — then the round-12 exact-decimal folds and the
+    fixed-order cos expression shared by the in-memory and from-disk
+    paths."""
+    t = F.broadcast(tdf) if broadcast_table else tdf
     dec = "decimal(30,15)"
-    scored = (
-        pq_codes.join(cells, "vec_id")
-        .join(F.broadcast(tdf), ["cell", "sub", "cluster"])
+    return (
+        codes.join(t, ["cell", "sub", "cluster"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(
@@ -1049,6 +1081,12 @@ def ivfpq_ann_topk(
             ).cast("double"),
         )
     )
+
+
+def _hier_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Hierarchical top-k: bucketed local prune caps the global
+    per-query window at 32·k rows (the int8 path's shape); (cos desc,
+    neighbor_id) tie-break everywhere."""
     w_local = Window.partitionBy(
         "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
     ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -1065,6 +1103,132 @@ def ivfpq_ann_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _exact_rerank(
+    candidates: DataFrame, embeddings: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """IVFADC-R re-ranking (Jégou et al. 2011 §V, with the refinement
+    data being the ORIGINAL vectors in the lake rather than a stored
+    residual code): the top-C ADC candidates per query are re-scored by
+    EXACT cosine and re-ranked. Candidate-bounded — the |Q|·C candidate
+    list broadcasts into ONE map-side scan of the vector table (no
+    corpus shuffle, no corpus-sized window), so the refinement costs a
+    corpus scan plus |Q|·C exact dot products regardless of k_cells or
+    n_probe. Arithmetic is the fixed-order ``dot`` fold with the
+    round-6 decimal snap, so the oracle replays it exactly."""
+    qdf = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    nv = embeddings.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    exact = (
+        nv.join(F.broadcast(candidates.select("query_id", "neighbor_id")),
+                "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                (
+                    dot(F.col("nv"), F.col("qv"))
+                    / (F.col("qnorm") * F.sqrt(dot(F.col("nv"), F.col("nv"))))
+                ).cast("decimal(30,10)"),
+                6,
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 32,
+    iters: int = 3,
+    coarse_iters: int = 3,
+    rerank: int = 0,
+    table_mode: str = "auto",
+) -> DataFrame:
+    """ANN top-k over the IVF-PQ index: each query probes its ``n_probe``
+    nearest cells and scores ONLY those cells' codes by asymmetric
+    distance — scored rows ∝ n_probe/k_cells of the corpus, never the
+    corpus (the probe in tools/ann_scale_probe.py measures exactly
+    that).
+
+    ADC over residuals, by linearity of the dot product with
+    x̂ = cell_centroid + r(codes):
+
+        dot(q, x̂)  = dot(q, cc)   + Σ_s dot(q_s, cent[s, code_s])
+        |x̂|²       = |cc|² + 2·Σ_s dot(cc_s, cent[s, code_s])
+                            + Σ_s |cent[s, code_s]|²
+
+    The per-(query, cell, sub, cluster) constants table is built on the
+    driver for serving-sized |Q| (broadcast) and IN SPARK via
+    ``ivfpq_adc_table`` for corpus-sized query batches
+    (``table_mode="auto"`` switches at 1024 queries; values are
+    bit-identical either way). Scoring is one code-table join +
+    exact-decimal round-12 folds (the flat-PQ discipline), so scores
+    are partition-invariant and engine-exact; ranking reuses the
+    hierarchical top-k. ``rerank=C`` enables IVFADC-R refinement: the
+    top-C ADC candidates per query are re-scored by exact cosine
+    against the original vectors (candidate-bounded, no corpus scan
+    beyond one map-side pass) and the final top-k is exact-ranked —
+    the recall lever that costs |Q|·C dot products instead of more
+    probes.
+    """
+    spark = embeddings.sparkSession
+    cc, cells, pq_cb, pq_codes = ivfpq_index(
+        embeddings,
+        k_cells=k_cells,
+        m=m,
+        n_centroids=n_centroids,
+        iters=iters,
+        coarse_iters=coarse_iters,
+    )
+    pq_codes = track_persist(pq_codes)
+    codes = pq_codes.join(cells, "vec_id")
+    queries = embeddings.filter(
+        F.col("vec_id").isin(list(query_ids))
+    ).select("vec_id", "embedding")
+
+    mode = table_mode
+    if mode == "auto":
+        mode = "driver" if len(list(query_ids)) <= 1024 else "distributed"
+    if mode == "driver":
+        table, _probed = _adc_driver_rows(
+            queries.collect(), cc, pq_cb, n_probe
+        )
+        scored = _adc_score(
+            codes, spark.createDataFrame(table, _ADC_SCHEMA),
+            broadcast_table=True,
+        )
+    else:
+        scored = _adc_score(
+            codes, ivfpq_adc_table(queries, cc, pq_cb, n_probe),
+            broadcast_table=False,
+        )
+    if rerank:
+        return _exact_rerank(
+            _hier_topk(scored, int(rerank)), embeddings, queries, k
+        )
+    return _hier_topk(scored, k)
 
 
 def write_ivfpq_index(
@@ -1121,6 +1285,8 @@ def ivfpq_probe_topk(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    rerank: int = 0,
+    embeddings: DataFrame = None,
 ) -> DataFrame:
     """ADC top-k against a MATERIALIZED IVF-PQ index (no training, no
     embedding scan): load the sidecar centroid tables (driver-sized),
@@ -1130,9 +1296,10 @@ def ivfpq_probe_topk(
     (file-pruning asserted in pytest via input_file_name). Scoring is
     the exact arithmetic of ``ivfpq_ann_topk``, so results match the
     in-memory path bit-for-bit. ``queries`` needs (vec_id, embedding).
+    ``rerank=C`` adds the IVFADC-R exact refinement and requires
+    ``embeddings`` (the original vector table) — the serving shape
+    where the lake keeps both the code partitions and the raw vectors.
     """
-    import math
-
     cc = {
         r.cell: [float(x) for x in r.centroid]
         for r in spark.read.parquet(f"{path}/coarse").collect()
@@ -1141,41 +1308,10 @@ def ivfpq_probe_topk(
         (r.sub, r.cluster): [float(x) for x in r.centroid]
         for r in spark.read.parquet(f"{path}/codebook").collect()
     }
-    dim = len(next(iter(cc.values())))
-    m = max(s for s, _c in pq_cb) + 1
-    sub_d = dim // m
-
-    table = []
-    probed_cells = set()
-    for qr in queries.select("vec_id", "embedding").collect():
-        qv = [float(x) for x in qr.embedding]
-        qnorm = math.sqrt(sum(x * x for x in qv))
-        d2s = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cell)
-            for cell, cv in cc.items()
-        )
-        for _d2, cell in d2s[:n_probe]:
-            probed_cells.add(cell)
-            ccv = cc[cell]
-            qdotc = sum(a * b for a, b in zip(qv, ccv))
-            cc2 = sum(x * x for x in ccv)
-            for (s, cl), cent in pq_cb.items():
-                qs = qv[s * sub_d : (s + 1) * sub_d]
-                cs = ccv[s * sub_d : (s + 1) * sub_d]
-                table.append(
-                    (
-                        int(qr.vec_id), cell, s, cl,
-                        sum(a * b for a, b in zip(qs, cent)),
-                        sum(a * b for a, b in zip(cs, cent)),
-                        sum(x * x for x in cent),
-                        qdotc, cc2, qnorm,
-                    )
-                )
-    tdf = spark.createDataFrame(
-        table,
-        "query_id long, cell int, sub int, cluster int, dotq double, "
-        "crossd double, cn2 double, qdotc double, cc2 double, qnorm double",
+    table, probed_cells = _adc_driver_rows(
+        queries.select("vec_id", "embedding").collect(), cc, pq_cb, n_probe
     )
+    tdf = spark.createDataFrame(table, _ADC_SCHEMA)
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(sorted(probed_cells))
     )
@@ -1184,50 +1320,11 @@ def ivfpq_probe_topk(
         "cell",
         F.posexplode("codes").alias("sub", "cluster"),
     )
-    dec = "decimal(30,15)"
-    scored = (
-        exploded.join(F.broadcast(tdf), ["cell", "sub", "cluster"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
-            F.sum(F.round(F.col("crossd"), 12).cast(dec)).alias("scross"),
-            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
-            F.first("qdotc").alias("qdotc"),
-            F.first("cc2").alias("cc2"),
-            F.first("qnorm").alias("qnorm"),
+    scored = _adc_score(exploded, tdf, broadcast_table=True)
+    if rerank:
+        if embeddings is None:
+            raise ValueError("rerank requires the original embeddings table")
+        return _exact_rerank(
+            _hier_topk(scored, int(rerank)), embeddings, queries, k
         )
-        .withColumn(
-            "cos",
-            F.round(
-                (
-                    (F.col("qdotc") + F.col("sdot").cast("double"))
-                    / (
-                        F.col("qnorm")
-                        * F.sqrt(
-                            F.col("cc2")
-                            + F.lit(2.0) * F.col("scross").cast("double")
-                            + F.col("sn2").cast("double")
-                        )
-                    )
-                ).cast("decimal(30,10)"),
-                6,
-            ).cast("double"),
-        )
-    )
-    w_local = Window.partitionBy(
-        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
-    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    w_global = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= k)
-        .withColumn("rank", F.row_number().over(w_global))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "cos",
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _hier_topk(scored, k)

@@ -887,10 +887,11 @@ def test_ivfpq_adc_equals_reconstruction(spark):
 def test_ivfpq_probes_only_nearest_cells_and_recall_floor(spark):
     """Sub-linearity contract: every returned neighbor must lie in one
     of its query's n_probe nearest cells (candidates outside probed
-    cells are never scored), and recall at the board parameters must
-    hold the flat-PQ floor (measured 0.22 vs flat PQ's 0.32 on the
-    noise-heavy synthetic corpus — the nprobe/k_cells=1/4 scan pays a
-    modest recall cost for a 4x candidate reduction)."""
+    cells are never scored — the rerank only re-scores them), and
+    recall at the BOARD operating point (n_probe=8 + IVFADC-R exact
+    rerank of the top 80) must clear 0.5 (measured 0.74 on the
+    noise-heavy synthetic corpus vs 0.22 ADC-only — the rerank is the
+    recall lever; the full probe grid is in ARCHITECTURE.md)."""
     from parquet_metadata_explorer_spark.operators.similarity import (
         cosine_topk,
         ivfpq_ann_topk,
@@ -909,15 +910,55 @@ def test_ivfpq_probes_only_nearest_cells_and_recall_floor(spark):
             (sum((a - b) * (a - b) for a, b in zip(emb[qid], cv)), cell)
             for cell, cv in cc.items()
         )
-        probed[qid] = {cell for _d, cell in d2s[:4]}
-    out = ivfpq_ann_topk(e, qids, k=10, k_cells=16, n_probe=4,
-                         m=8, n_centroids=32).collect()
+        probed[qid] = {cell for _d, cell in d2s[:8]}
+    out = ivfpq_ann_topk(e, qids, k=10, k_cells=16, n_probe=8,
+                         m=8, n_centroids=32, rerank=80).collect()
     for r in out:
         assert cellof[r.neighbor_id] in probed[r.query_id], r
     exact = {(r.query_id, r.neighbor_id)
              for r in cosine_topk(e, qids, k=10).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in out}
-    assert len(approx & exact) / len(exact) >= 0.2
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivfpq_adc_table_distributed_equals_driver(spark):
+    """The Spark-built ADC constants table must equal the driver loop
+    BIT-for-bit (same fixed-order folds) with no Python stage in its
+    plan — the corpus-sized-|Q| path of the r7 verdict."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        _ADC_SCHEMA,
+        _adc_driver_rows,
+        ivfpq_adc_table,
+        ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    cc, _cells, pq_cb, _codes = ivfpq_index(e, k_cells=16, m=8, n_centroids=32)
+    queries = e.filter(e.vec_id.isin(qids)).select("vec_id", "embedding")
+    drv, _ = _adc_driver_rows(queries.collect(), cc, pq_cb, 4)
+    dist = ivfpq_adc_table(queries, cc, pq_cb, 4)
+    a = sorted(map(tuple, spark.createDataFrame(drv, _ADC_SCHEMA).collect()))
+    b = sorted(map(tuple, dist.collect()))
+    assert a == b
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # the big-|Q| scorer accepts the distributed table end-to-end
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+    )
+
+    via_dist = ivfpq_ann_topk(
+        e, qids, k=5, k_cells=16, n_probe=4, m=8, n_centroids=32,
+        table_mode="distributed",
+    )
+    via_drv = ivfpq_ann_topk(
+        e, qids, k=5, k_cells=16, n_probe=4, m=8, n_centroids=32,
+        table_mode="driver",
+    )
+    assert sorted(map(tuple, via_dist.collect())) == sorted(
+        map(tuple, via_drv.collect())
+    )
 
 
 def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
@@ -1005,6 +1046,14 @@ def test_ivfpq_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     disk = ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3)
     mem = ivfpq_ann_topk(e, qids, k=10, n_probe=3, **params)
     assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
+    # IVFADC-R refinement from disk must equal the in-memory rerank too
+    disk_r = ivfpq_probe_topk(
+        spark, path, queries, k=10, n_probe=3, rerank=30, embeddings=e
+    )
+    mem_r = ivfpq_ann_topk(e, qids, k=10, n_probe=3, rerank=30, **params)
+    assert sorted(map(tuple, disk_r.collect())) == sorted(
+        map(tuple, mem_r.collect())
+    )
 
     # pruning: the probed scan must touch fewer files than the index has
     all_files = {
