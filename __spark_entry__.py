@@ -963,7 +963,10 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key on the TRAINING params too: a params change must never serve
+    # from a stale cached index
+    key = f"{sf_dir}|{IVFPQ_CELLS}|{PQ_M}|{PQ_K}|{PQ_ITERS}|{IVFPQ_CITERS}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/pqx_ivfpq_{tag}"
 
 

@@ -62,6 +62,7 @@ def main() -> None:
         "ann_topk",
         "ann_int8",
         "ann_ivfpq",
+        "ann_ivfpq_probe",
         "text_stats",
         "text_langid",
         "text_tokens",
@@ -120,6 +121,12 @@ def main() -> None:
     for name in headline:
         fn = queries[name]
         runs[name] = []
+        if name == "ann_ivfpq_probe":
+            # serve-latency row: pre-build the per-sf cached index once,
+            # untimed, so all three timed runs probe from disk (the
+            # separate ann_ivfpq_build row times the build)
+            fn(spark, sf_dir).count()
+            spark.catalog.clearCache()
         # best-of-3 since r5: the container's throttle bursts were observed
         # inflating BOTH runs of a best-of-2 pair (isolated re-runs settle
         # at the steady-state number on the 2nd-3rd attempt; BASELINE.md)
@@ -133,6 +140,38 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = min(runs[name])
         print(f"# {name}: {timings[name]:.3f}s best of {runs[name]} ({n} rows)", file=sys.stderr)
+
+    # IVF-PQ build row: training + code materialization to a fresh path
+    # each run — the other half of the build/serve split (the probe row
+    # above is pure serve). Uses the board operating-point parameters.
+    import shutil
+    import tempfile
+
+    from parquet_metadata_explorer_spark.operators import similarity
+
+    emb = entrymod._table(spark, sf_dir, "embeddings")
+    runs["ann_ivfpq_build"] = []
+    for _ in range(3):
+        bpath = tempfile.mkdtemp(prefix="pqx_bench_ivfpq_") + "/ix"
+        t0 = time.monotonic()
+        similarity.write_ivfpq_index(
+            emb,
+            bpath,
+            k_cells=entrymod.IVFPQ_CELLS,
+            m=entrymod.PQ_M,
+            n_centroids=entrymod.PQ_K,
+            iters=entrymod.PQ_ITERS,
+            coarse_iters=entrymod.IVFPQ_CITERS,
+        )
+        runs["ann_ivfpq_build"].append(round(time.monotonic() - t0, 3))
+        shutil.rmtree(os.path.dirname(bpath), ignore_errors=True)
+        spark.catalog.clearCache()
+    timings["ann_ivfpq_build"] = min(runs["ann_ivfpq_build"])
+    print(
+        f"# ann_ivfpq_build: {timings['ann_ivfpq_build']:.3f}s best of "
+        f"{runs['ann_ivfpq_build']}",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
