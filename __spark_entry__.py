@@ -1191,6 +1191,66 @@ SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
 """
 
 
+SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_THRESHOLD = 16, 3, 0.45
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup: k-means clusters (exact-decimal
+    Lloyd) bound the pair space, within-cluster exact cosine ≥ 0.45
+    (the embedding-dedup board threshold on the noisy synthetic
+    vectors) connects semantic groups transitively, min vec_id of each
+    group survives — the composition the r7 verdict asked for, built
+    entirely from already-oracled pieces (cluster_assign's Lloyd chain
+    + dedup_embedding's exact-cosine verify + dedup_clusters'
+    components)."""
+    return dedup.semantic_duplicates(
+        _table(spark, sf_dir, "embeddings"),
+        n_centroids=SEMDEDUP_K,
+        iters=SEMDEDUP_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def _oracle_dedup_semantic(
+    n_centroids: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    parts = _lloyd_parts(n_centroids, iters)
+    return f"""
+WITH RECURSIVE {", ".join(parts)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+base AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, e.emb,
+         sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+  FROM a{iters} a JOIN e USING (vec_id)
+),
+sempairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM base x JOIN base y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round((list_dot_product(x.emb, y.emb)
+               / (x.nrm * y.nrm))::DECIMAL(30,10), 6)::double
+        >= {threshold!r}
+),
+sym AS (
+  SELECT a, b FROM sempairs
+  UNION
+  SELECT b, a FROM sempairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT src AS vec_id, min(node) AS component FROM reach GROUP BY src)
+SELECT g.vec_id, g.cluster::bigint AS cluster,
+       coalesce(c.component, g.vec_id)::bigint AS component,
+       (coalesce(c.component, g.vec_id) = g.vec_id) AS kept
+FROM base g LEFT JOIN comp c USING (vec_id)
+"""
+
+
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document/embedding clustering deliverable: the per-vector k-means
     cluster assignment after 3 deterministic Lloyd iterations — the
@@ -4219,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "dedup_semantic": q_dedup_semantic,
         # C) reference-parity contract (always boarded)
         "meta_file_list": q_meta_file_list,
         "meta_parquet_file": q_meta_parquet_file,
@@ -4230,7 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # D) r6-boarded entries due r9, pulled forward into the spare
-        #    slots (14 of 39)
+        #    slots (13 of 39)
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
@@ -4244,10 +4305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
         "dedup_substring": q_dedup_substring,
-        "text_logprob2": q_text_logprob2,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # E) remaining r6-boarded entries (due r9 — the committed r9
-        #    head, with group D's 14 already re-boarded this round)
+        #    head, with group D's 13 pull-forwards re-boarded this
+        #    round; text_logprob2 displaced to slot 51 by the new
+        #    dedup_semantic row, deadline unchanged)
+        "text_logprob2": q_text_logprob2,
         "ann_pq": q_ann_pq,
         "tpch_q11": q_tpch_q11,
         "text_logprob": q_text_logprob,
@@ -4389,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _oracle_ann_ivfpq(),
         # bit-identical to ann_ivfpq by construction (disk round-trip)
         "ann_ivfpq_probe": _oracle_ann_ivfpq(),
+        "dedup_semantic": _oracle_dedup_semantic(),
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
         "text_vocab_hll": _o_vocab_hll(),

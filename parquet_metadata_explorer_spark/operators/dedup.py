@@ -890,3 +890,89 @@ def incremental_exact_dedup(
     )
     firsts = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return firsts.select("doc_id", "fp").orderBy("doc_id")
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means-cluster
+    the embedding space (the exact-decimal distributed Lloyd trainer),
+    compute pairwise cosine ONLY within each cluster, connect pairs
+    ≥ ``threshold`` into semantic groups (large-star/small-star
+    connected components — transitive, the clean_corpus convention),
+    and keep the minimum vec_id of each group. Returns one row per
+    vector: (vec_id, cluster, component, kept).
+
+    Scale shape: clustering bounds the pair space at Σ|cluster|²
+    instead of n² — SemDeDup's core trick; k is chosen ∝ n (LAION-scale
+    runs use tens of thousands of clusters) so per-cluster pair counts
+    stay bounded, and an oversized cluster can fall back to the tiled
+    GEMM kernel of ``embedding_near_duplicates``. Everything here is
+    one cluster-key self-join + the O(log n) component rounds; the
+    cosine is the fixed-order ``dot`` fold with the round-6 decimal
+    snap, so a DuckDB twin (Lloyd CTE chain + within-cluster join +
+    reachability closure) replays the output hash-exact.
+    """
+    from .graph import connected_components
+    from .similarity import ivf_index
+    from ..functions import dot
+
+    _, assign = ivf_index(embeddings, n_centroids=n_centroids, iters=iters)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = track_persist(
+        assign.join(e, "vec_id").select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "emb",
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+    )
+    left = base.select(
+        F.col("vec_id").alias("a"), "cluster",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("b"), "cluster",
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.round(
+                (
+                    dot(F.col("ea"), F.col("eb"))
+                    / (F.col("na") * F.col("nb"))
+                ).cast("decimal(30,10)"),
+                6,
+            ).cast("double"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, src="a", dst="b")
+    return (
+        base.select("vec_id", "cluster")
+        .join(
+            comp.select(F.col("node").alias("vec_id"), "component"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .cast("long")
+            .alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("kept"),
+        )
+    )

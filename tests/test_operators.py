@@ -961,6 +961,64 @@ def test_ivfpq_adc_table_distributed_equals_driver(spark):
     )
 
 
+def test_dedup_semantic_contract(spark, sf_dir):
+    """SemDeDup contract: (a) exactly one survivor per semantic
+    component and it is the MIN vec_id, (b) a planted exact-duplicate
+    vector always lands in its source's component and drops, (c) every
+    dropped vector has a same-cluster partner at cosine >= threshold."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant an exact duplicate of vec 0 with a fresh high id
+    dup_id = 10_000_000
+    dup = e.filter(F.col("vec_id") == 0).select(
+        F.lit(dup_id).cast("long").alias("vec_id"), "embedding",
+        *[c for c in e.columns if c not in ("vec_id", "embedding")],
+    )
+    rows = semantic_duplicates(
+        e.unionByName(dup.select(e.columns)), n_centroids=8, iters=2,
+        threshold=0.45,
+    ).collect()
+    by_id = {r.vec_id: r for r in rows}
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    for cid, members in comps.items():
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1 and kept[0].vec_id == min(m.vec_id for m in members)
+        assert cid == min(m.vec_id for m in members)
+    assert by_id[dup_id].component == by_id[0].component == 0
+    assert by_id[0].kept and not by_id[dup_id].kept
+    # (c): recompute cosines for dropped vectors within their cluster
+    import math
+
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in e.unionByName(dup.select(e.columns)).collect()}
+    cluster_of = {r.vec_id: r.cluster for r in rows}
+    by_cluster = {}
+    for v, c in cluster_of.items():
+        by_cluster.setdefault(c, []).append(v)
+    for r in rows:
+        if r.kept:
+            continue
+        v = emb[r.vec_id]
+        nv = math.sqrt(sum(x * x for x in v))
+        found = False
+        for other in by_cluster[r.cluster]:
+            if other == r.vec_id:
+                continue
+            w = emb[other]
+            c = sum(a * b for a, b in zip(v, w)) / (
+                nv * math.sqrt(sum(x * x for x in w))
+            )
+            if round(c, 6) >= 0.45:
+                found = True
+                break
+        assert found, r
+
+
 def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
     """CDC composition: three doc_id-ordered batches through
     prepare_corpus_increment (persisted line-fp / doc-fp / count
