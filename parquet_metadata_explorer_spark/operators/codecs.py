@@ -7,9 +7,10 @@ and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters
 depth/color combination — 1/2/4/8/16-bit gray, 8/16-bit
 RGB/gray+alpha/RGBA, 1/2/4/8-bit PLTE palette — so
 ``multimodal.decode_features``, ``resize_binary`` and ``image_dhash``
-work on actual pixel grids. JPEG parses header-only (SOF
-dimensions/channels; entropy decode genuinely needs a codec
-library). AVI parses the RIFF
+work on actual pixel grids — and baseline-sequential JPEG with REAL
+pixels (canonical Huffman decode, dequantize, float IDCT, chroma
+upsampling, JFIF YCbCr→RGB; progressive/12-bit variants return
+header-only dimensions, the documented contract). AVI parses the RIFF
 container (avih dims/timing + real ``movi`` frame boundaries for the
 video stream) so frame sampling is container-aware. Payloads no strict
 parser accepts fall back to the deterministic byte-derived features, so
@@ -423,15 +424,222 @@ _JPEG_SOF = frozenset(
 )
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    import math
+
+    t = []
+    for x in range(8):
+        row = []
+        for u in range(8):
+            c = math.sqrt(0.125) if u == 0 else 0.5
+            row.append(c * math.cos((2 * x + 1) * u * math.pi / 16.0))
+        t.append(row)
+    return t
+
+
+_JPEG_T = _jpeg_idct_matrix()
+
+
+def _jpeg_huff_table(counts, symbols):
+    """Canonical Huffman: (length, code) -> symbol (JPEG Annex C)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one un-stuffed entropy segment."""
+
+    __slots__ = ("d", "i", "n", "cur", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.n = len(data)
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.i >= self.n:
+                raise ValueError("jpeg: entropy data exhausted")
+            self.cur = self.d[self.i]
+            self.i += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_idct_block(coef):
+    """8x8 inverse DCT: two passes against the precomputed basis."""
+    T = _JPEG_T
+    g = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        cv = coef[v * 8 : v * 8 + 8]
+        for x in range(8):
+            tx = T[x]
+            g[v][x] = (
+                cv[0] * tx[0] + cv[1] * tx[1] + cv[2] * tx[2]
+                + cv[3] * tx[3] + cv[4] * tx[4] + cv[5] * tx[5]
+                + cv[6] * tx[6] + cv[7] * tx[7]
+            )
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        ty = T[y]
+        oy = out[y]
+        for x in range(8):
+            acc = (
+                g[0][x] * ty[0] + g[1][x] * ty[1] + g[2][x] * ty[2]
+                + g[3][x] * ty[3] + g[4][x] * ty[4] + g[5][x] * ty[5]
+                + g[6][x] * ty[6] + g[7][x] * ty[7]
+            )
+            px = int(round(acc)) + 128
+            oy[x] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+def _jpeg_entropy_segments(b: bytes, pos: int):
+    """Un-stuffed entropy segments split at RSTn; returns (segs, end)."""
+    segs = [bytearray()]
+    n = len(b)
+    i = pos
+    while i < n:
+        c = b[i]
+        if c == 0xFF:
+            if i + 1 >= n:
+                break
+            m = b[i + 1]
+            if m == 0x00:
+                segs[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segs.append(bytearray())
+                i += 2
+                continue
+            break  # real marker (EOI or next segment)
+        segs[-1].append(c)
+        i += 1
+    return [bytes(x) for x in segs], i
+
+
+def _jpeg_decode_baseline(comps, qt, huff_dc, huff_ac, scan_map,
+                          segments, width, height, restart_interval):
+    """Baseline sequential scan decode -> per-component sample planes.
+
+    ``comps`` is the SOF0 list [(cid, h, v, tq)]; ``scan_map`` maps cid
+    to (dc table id, ac table id). Returns {cid: (plane rows, pw, ph)}.
+    """
+    maxh = max(h for _c, h, _v, _q in comps)
+    maxv = max(v for _c, _h, v, _q in comps)
+    mcux = (width + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (height + 8 * maxv - 1) // (8 * maxv)
+    planes = {}
+    for cid, h, v, _tq in comps:
+        pw, ph = mcux * 8 * h, mcuy * 8 * v
+        planes[cid] = ([[0] * pw for _ in range(ph)], pw, ph)
+    pred = {cid: 0 for cid, _h, _v, _q in comps}
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    n_mcus = mcux * mcuy
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            bits = _JpegBits(segments[seg_idx])
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mcu, mcux)
+        for cid, h, v, tq in comps:
+            dct, act = huff_dc[scan_map[cid][0]], huff_ac[scan_map[cid][1]]
+            q = qt[tq]
+            plane, pw, _ph = planes[cid]
+            for by in range(v):
+                for bx in range(h):
+                    coef = [0] * 64
+                    t = bits.huff(dct)
+                    diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                    pred[cid] += diff
+                    coef[0] = pred[cid] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(act)
+                        r, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        coef[_JPEG_ZIGZAG[k]] = (
+                            _jpeg_extend(bits.bits(sz), sz) * q[k]
+                        )
+                        k += 1
+                    block = _jpeg_idct_block(coef)
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h + bx) * 8
+                    for yy in range(8):
+                        plane[y0 + yy][x0 : x0 + 8] = block[yy]
+    return planes
+
+
 def parse_jpeg(b: bytes) -> Optional[dict]:
-    """JPEG header-only: walk the marker segments to the first SOF and
-    return (width, height, channels, precision). Entropy decode (DCT +
-    Huffman) needs a codec library — dimensions are what the metadata
-    plane of a crawl pipeline needs, and the strict segment walk keeps
-    arbitrary bytes from mis-sniffing."""
+    """JPEG: strict marker-segment walk for dimensions/channels on ANY
+    SOF variant, plus REAL pixels for the dominant on-disk shape —
+    BASELINE SEQUENTIAL (SOF0, 8-bit, 1 or 3 components, any sampling
+    factors, restart intervals honored): hand-rolled canonical Huffman
+    decode, dequantize, dezigzag, float IDCT (+128 level shift,
+    clamped), nearest-neighbor chroma upsampling and the JFIF
+    YCbCr→RGB transform. Progressive (SOF2), 12/16-bit and arithmetic
+    streams return header-only metadata — the documented contract
+    (tested) — and ANY entropy-decode failure demotes to header-only
+    rather than erroring, like the PNG path."""
     if b[:2] != b"\xff\xd8" or len(b) < 4:
         return None
     pos, n = 2, len(b)
+    sof = None
+    sof_marker = None
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    restart_interval = 0
+    scan = None
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             return None  # lost marker sync: not a JPEG stream
@@ -442,33 +650,138 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers, no payload
-        if marker in (0xD9, 0xDA):
-            return None  # EOI / start-of-scan before any SOF
+        if marker == 0xD9:
+            break  # EOI
+        if marker == 0xDA and sof is None:
+            return None  # scan before SOF
         if pos + 2 > n:
             return None
         seglen = int.from_bytes(b[pos : pos + 2], "big")
         if seglen < 2 or pos + seglen > n:
             return None
+        seg = b[pos + 2 : pos + seglen]
         if marker in _JPEG_SOF:
             if seglen < 8:
                 return None
-            precision = b[pos + 2]
-            height = int.from_bytes(b[pos + 3 : pos + 5], "big")
-            width = int.from_bytes(b[pos + 5 : pos + 7], "big")
-            ncomp = b[pos + 7]
+            precision = seg[0]
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
             if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
                 return None
             if ncomp not in (1, 3, 4) or precision not in (8, 12, 16):
                 return None
-            return {
-                "codec": "jpeg",
-                "width": width,
-                "height": height,
-                "channels": ncomp,
-                "bit_depth": precision,
-            }
+            comps = []
+            if len(seg) >= 6 + 3 * ncomp:
+                for i in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (precision, height, width, ncomp, comps)
+            sof_marker = marker
+        elif marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                step = 2 if pq else 1
+                if i + 64 * step > len(seg):
+                    break
+                vals = [
+                    int.from_bytes(seg[i + j * step : i + (j + 1) * step],
+                                   "big")
+                    for j in range(64)
+                ]
+                # store dezigzagged-by-index: q[k] pairs with zigzag k
+                qt[tq] = vals
+                i += 64 * step
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                total = sum(counts)
+                if i + 17 + total > len(seg):
+                    break
+                symbols = list(seg[i + 17 : i + 17 + total])
+                table = _jpeg_huff_table(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + total
+        elif marker == 0xDD and len(seg) >= 2:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0] if seg else 0
+            if len(seg) >= 1 + 2 * ns:
+                scan_map = {}
+                for i in range(ns):
+                    cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan_map[cid] = (tabs >> 4, tabs & 0x0F)
+                scan = (scan_map, pos + seglen)
+            break  # baseline: single scan
         pos += seglen
-    return None
+    if sof is None:
+        return None
+    precision, height, width, ncomp, comps = sof
+    meta = {
+        "codec": "jpeg",
+        "width": width,
+        "height": height,
+        "channels": ncomp,
+        "bit_depth": precision,
+    }
+    decodable = (
+        sof_marker == 0xC0
+        and precision == 8
+        and ncomp in (1, 3)
+        and scan is not None
+        and len(comps) == ncomp
+    )
+    if not decodable:
+        return meta
+    try:
+        scan_map, data_pos = scan
+        for cid, _h, _v, tq in comps:
+            if tq not in qt or cid not in scan_map:
+                return meta
+            dc_id, ac_id = scan_map[cid]
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                return meta
+        segments, _end = _jpeg_entropy_segments(b, data_pos)
+        planes = _jpeg_decode_baseline(
+            comps, qt, huff_dc, huff_ac, scan_map, segments,
+            width, height, restart_interval,
+        )
+    except (ValueError, IndexError, KeyError):
+        return meta  # corrupt entropy data: header-only, like PNG
+    maxh = max(h for _c, h, _v, _q in comps)
+    maxv = max(v for _c, _h, v, _q in comps)
+    out = bytearray()
+    if ncomp == 1:
+        plane, _pw, _ph = planes[comps[0][0]]
+        for y in range(height):
+            out.extend(plane[y][:width])
+        meta["row_bytes"] = width
+    else:
+        (py, _, _), (pcb, _, _), (pcr, _, _) = (
+            planes[comps[0][0]], planes[comps[1][0]], planes[comps[2][0]]
+        )
+        hy, vy = comps[0][1], comps[0][2]
+        hb, vb = comps[1][1], comps[1][2]
+        hr, vr = comps[2][1], comps[2][2]
+        for y in range(height):
+            for x in range(width):
+                Y = py[y * vy // maxv][x * hy // maxh]
+                Cb = pcb[y * vb // maxv][x * hb // maxh] - 128
+                Cr = pcr[y * vr // maxv][x * hr // maxh] - 128
+                r = int(round(Y + 1.402 * Cr))
+                g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+                bb = int(round(Y + 1.772 * Cb))
+                out.append(0 if r < 0 else (255 if r > 255 else r))
+                out.append(0 if g < 0 else (255 if g > 255 else g))
+                out.append(0 if bb < 0 else (255 if bb > 255 else bb))
+        meta["row_bytes"] = width * 3
+    meta["pixels"] = bytes(out)
+    meta["top_down"] = True
+    return meta
 
 
 def _riff_children(b: bytes, start: int, end: int):

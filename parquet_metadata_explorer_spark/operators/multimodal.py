@@ -10,10 +10,11 @@ The decode step is REAL for the formats pure Python can parse exactly
 (``operators/codecs.py``): BMP, binary PPM/PGM, WAV, PNG (EVERY legal
 depth/color combination — 1/2/4/8/16-bit gray, 8/16-bit RGB/GA/RGBA,
 1/2/4/8-bit palette, sequential and Adam7 interlaced — actual pixels
-via zlib + row unfilters + bit unpacking), and the AVI container (real
-``movi`` frame boundaries for the video stream). JPEG parses
-header-only (SOF dimensions; entropy decode needs a codec library).
-Payloads no strict parser accepts (MP3, H.264
+via zlib + row unfilters + bit unpacking), baseline-sequential JPEG
+(hand-rolled Huffman + dequantize + IDCT + chroma upsample + YCbCr
+transform — real pixels; progressive/12-bit streams stay header-only),
+and the AVI container (real ``movi`` frame boundaries for the video
+stream). Payloads no strict parser accepts (MP3, H.264
 streams, arbitrary bytes) fall back to deterministic byte-derived
 features tagged ``codec='raw'``, so the operator is total over
 arbitrary binary and oracle-checkable on any corpus.
@@ -115,8 +116,8 @@ _MEDIA_MAGIC_4 = (b"RIFF", b"\x89PNG")
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: per Arrow batch, decode each payload.
 
-    Real decode for BMP / binary-PPM/PGM / WAV (pure-Python header
-    parsers, ``codecs.py``); anything else gets deterministic
+    Real decode for every codec ``codecs.py`` fully parses — BMP,
+    binary PPM/PGM, PNG, baseline JPEG, WAV; anything else gets deterministic
     length-derived features under codec='raw'. Only payloads whose magic
     prefix could possibly be media pay the per-item parse; the raw
     majority of a mixed corpus stays fully vectorized pandas arithmetic
@@ -203,7 +204,8 @@ def resize_binary(payloads: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFr
     """Resize every (doc_id, payload binary) row to ``out_w×out_h`` via
     nearest-neighbor index resampling.
 
-    For payloads that parse as BMP / binary-PPM/PGM the grid is the REAL
+    For payloads whose parser yields pixels (BMP, binary PPM/PGM, PNG,
+    baseline JPEG) the grid is the REAL
     pixel array (padding-stripped, bottom-up-corrected, channels
     preserved — the resized bytes are out_w*out_h*channels actual
     pixels). Other payloads resample the raw byte grid under the same
@@ -318,7 +320,8 @@ def sample_frames(
 
 def image_dhash(payloads: DataFrame) -> DataFrame:
     """64-bit perceptual difference-hash (dHash) per payload: decode
-    (REAL pixels for BMP / binary-PPM/PGM payloads, the deterministic
+    (REAL pixels for BMP / binary-PPM/PGM / PNG / baseline-JPEG
+    payloads, the deterministic
     raw grid otherwise), integer-grayscale, nearest-neighbor resample
     to 9×8, then one bit per horizontal gradient sign — robust to
     resizing/recompression noise, which byte-level dedup cannot see.

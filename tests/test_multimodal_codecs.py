@@ -1026,3 +1026,299 @@ def test_png_subbyte_fuzz_total():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         r = codecs.sniff_media(bytes(bb))
         assert r is None or isinstance(r, dict)
+
+
+# -- JPEG baseline encode/decode (round 8) -----------------------------------
+
+
+def _jpeg_fdct_block(block):
+    """Forward DCT via the decoder's orthonormal basis: F = T^T P T."""
+    T = codecs._JPEG_T
+    g = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for x in range(8):
+            g[v][x] = sum(T[y][v] * (block[y][x] - 128) for y in range(8))
+    out = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            out[v][u] = sum(g[v][x] * T[x][u] for x in range(8))
+    return out
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.bits(1, 1)  # pad with 1s
+
+
+def _enc_tables(symbols):
+    """One fixed-length canonical Huffman table covering ``symbols``:
+    counts/symbols for DHT plus symbol -> (code, length) for writing."""
+    syms = sorted(set(symbols))
+    length = 1
+    while (1 << length) - 1 < len(syms):
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    enc = {s: (i, length) for i, s in enumerate(syms)}
+    return counts, syms, enc
+
+
+def _mag_bits(v):
+    """JPEG magnitude coding: (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def make_jpeg_full(pixels: np.ndarray, subsample=(1, 1), restart=0) -> bytes:
+    """Baseline-sequential JPEG encoder (test twin of parse_jpeg's
+    decoder): all-ones quantization (near-lossless), one shared DC and
+    one shared AC Huffman table built from the actual symbols, optional
+    2x2 chroma subsampling and restart intervals."""
+    h, w = pixels.shape[:2]
+    gray = pixels.ndim == 2
+    sh, sv = subsample
+    if gray:
+        planes = [(1, 1, 1, pixels.astype(float))]
+    else:
+        p = pixels.astype(float)
+        Y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        Cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2] + 128
+        Cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2] + 128
+        if (sh, sv) != (1, 1):
+            ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+            def down(c):
+                o = np.zeros((ch, cw))
+                for y in range(ch):
+                    for x in range(cw):
+                        o[y, x] = c[y * sv : y * sv + sv, x * sh : x * sh + sh].mean()
+                return o
+            planes = [(1, sh, sv, Y), (2, 1, 1, down(Cb)), (3, 1, 1, down(Cr))]
+        else:
+            planes = [(1, 1, 1, Y), (2, 1, 1, Cb), (3, 1, 1, Cr)]
+    maxh = max(ph for _c, ph, _v, _p in planes)
+    maxv = max(pv for _c, _h, pv, _p in planes)
+    mcux = (w + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+
+    padded = {}
+    for cid, ph, pv, plane in planes:
+        pw, phh = mcux * 8 * ph, mcuy * 8 * pv
+        arr = np.zeros((phh, pw))
+        src_h, src_w = plane.shape
+        arr[:src_h, :src_w] = plane
+        if src_w < pw:
+            arr[:, src_w:] = arr[:, src_w - 1 : src_w]
+        if src_h < phh:
+            arr[src_h:, :] = arr[src_h - 1 : src_h, :]
+        padded[cid] = arr
+
+    # first pass: quantized blocks per MCU (qtable = all ones) + symbols
+    mcu_blocks = []  # [(cid, coefs-zigzag)]
+    dc_syms, ac_syms = [], []
+    pred = {cid: 0 for cid, _h, _v, _p in planes}
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        if restart and mcu and mcu % restart == 0:
+            pred = {cid: 0 for cid in pred}
+        for cid, ph, pv, _plane in planes:
+            arr = padded[cid]
+            for by in range(pv):
+                for bx in range(ph):
+                    y0 = (my * pv + by) * 8
+                    x0 = (mx * ph + bx) * 8
+                    block = [
+                        [arr[y0 + y, x0 + x] for x in range(8)]
+                        for y in range(8)
+                    ]
+                    F = _jpeg_fdct_block(block)
+                    zz = [
+                        int(round(F[codecs._JPEG_ZIGZAG[k] // 8]
+                                   [codecs._JPEG_ZIGZAG[k] % 8]))
+                        for k in range(64)
+                    ]
+                    diff = zz[0] - pred[cid]
+                    pred[cid] = zz[0]
+                    t, _ = _mag_bits(diff)
+                    dc_syms.append(t)
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac_syms.append(0xF0)
+                            run -= 16
+                        sz, _ = _mag_bits(zz[k])
+                        ac_syms.append((run << 4) | sz)
+                        run = 0
+                    if run:
+                        ac_syms.append(0x00)  # EOB
+                    mcu_blocks.append((cid, zz, diff))
+    # every block that ends early needs EOB in the alphabet
+    ac_syms.append(0x00)
+    dc_counts, dc_symlist, dc_enc = _enc_tables(dc_syms)
+    ac_counts, ac_symlist, ac_enc = _enc_tables(ac_syms)
+
+    # second pass: the entropy stream
+    wtr = _JpegWriter()
+    pred = {cid: 0 for cid, _h, _v, _p in planes}
+    blocks_per_mcu = sum(ph * pv for _c, ph, pv, _p in planes)
+    stream = bytearray()
+    bi = 0
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            wtr.flush()
+            stream += wtr.out
+            stream += bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)])
+            wtr = _JpegWriter()
+        for _ in range(blocks_per_mcu):
+            cid, zz, diff = mcu_blocks[bi]
+            bi += 1
+            t, mb = _mag_bits(diff)
+            c, ln = dc_enc[t]
+            wtr.bits(c, ln)
+            if t:
+                wtr.bits(mb, t)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_enc[0xF0]
+                    wtr.bits(c, ln)
+                    run -= 16
+                sz, mbits = _mag_bits(zz[k])
+                c, ln = ac_enc[(run << 4) | sz]
+                wtr.bits(c, ln)
+                wtr.bits(mbits, sz)
+                run = 0
+            if run:
+                c, ln = ac_enc[0x00]
+                wtr.bits(c, ln)
+    wtr.flush()
+    stream += wtr.out
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # qtable 0, all ones
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for cid, ph, pv, _p in planes:
+        sof += bytes([cid, (ph << 4) | pv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_symlist))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_symlist))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for cid, _h, _v, _p in planes:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += stream
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_parse_jpeg_gray_roundtrip():
+    """Gray baseline JPEG with all-ones quantization must decode to
+    within DCT float-rounding error of the source grid."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 255, (16, 24)).astype(np.uint8)
+    meta = codecs.parse_jpeg(make_jpeg_full(img))
+    assert meta is not None and "pixels" in meta, meta
+    assert (meta["width"], meta["height"], meta["channels"]) == (24, 16, 1)
+    got = np.frombuffer(meta["pixels"], np.uint8).reshape(16, 24)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_parse_jpeg_rgb_roundtrip_and_restart():
+    """4:4:4 color round-trip within YCbCr+DCT rounding error; a
+    restart-interval encoding of the same image decodes IDENTICALLY."""
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 255, (17, 13, 3)).astype(np.uint8)
+    meta = codecs.parse_jpeg(make_jpeg_full(img))
+    assert meta is not None and "pixels" in meta
+    assert (meta["width"], meta["height"], meta["channels"]) == (13, 17, 3)
+    got = np.frombuffer(meta["pixels"], np.uint8).reshape(17, 13, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+    meta_r = codecs.parse_jpeg(make_jpeg_full(img, restart=2))
+    assert meta_r is not None and meta_r["pixels"] == meta["pixels"]
+
+
+def test_parse_jpeg_subsampled_chroma():
+    """4:2:0 chroma subsampling: luma must survive within rounding
+    error (chroma is averaged by construction)."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 255, (20, 18, 3)).astype(np.uint8)
+    meta = codecs.parse_jpeg(make_jpeg_full(img, subsample=(2, 2)))
+    assert meta is not None and "pixels" in meta
+    got = np.frombuffer(meta["pixels"], np.uint8).reshape(20, 18, 3).astype(float)
+    luma_got = 0.299 * got[:, :, 0] + 0.587 * got[:, :, 1] + 0.114 * got[:, :, 2]
+    p = img.astype(float)
+    luma_src = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+    assert np.abs(luma_got - luma_src).max() <= 10
+
+
+def test_parse_jpeg_header_only_contract():
+    """Progressive (SOF2) streams and corrupt entropy data return
+    header-only metadata; truncated/garbage streams return None."""
+    rng = np.random.RandomState(24)
+    img = rng.randint(0, 255, (8, 8)).astype(np.uint8)
+    good = make_jpeg_full(img)
+    # flip the SOF marker to SOF2 (progressive): header-only
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    meta = codecs.parse_jpeg(prog)
+    assert meta is not None and "pixels" not in meta
+    assert (meta["width"], meta["height"]) == (8, 8)
+    # corrupt entropy data: header-only, never an exception
+    sos_at = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    for i in range(sos_at + 14, min(sos_at + 22, len(bad) - 2)):
+        bad[i] ^= 0xA5
+    meta_b = codecs.parse_jpeg(bytes(bad))
+    assert meta_b is None or "pixels" not in meta_b or meta_b["pixels"] != codecs.parse_jpeg(good)["pixels"]
+    assert codecs.parse_jpeg(good[:20]) is None
+    assert codecs.parse_jpeg(b"\xff\xd8" + b"\x00" * 50) is None
+
+
+def test_jpeg_dhash_matches_bmp(spark):
+    """Same image through BMP and near-lossless JPEG must produce
+    dhashes within a small Hamming distance (identical pixels up to
+    DCT rounding)."""
+    rng = np.random.RandomState(25)
+    img = rng.randint(0, 255, (12, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_bmp(img))),
+            (2, bytearray(make_jpeg_full(img))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: (r.dhash, r.codec) for r in
+            multimodal.image_dhash(df).collect()}
+    assert rows[1][1] == "bmp" and rows[2][1] == "jpeg"
+    ham = bin((rows[1][0] ^ rows[2][0]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6, (ham, rows)
