@@ -892,70 +892,153 @@ def incremental_exact_dedup(
     return firsts.select("doc_id", "fp").orderBy("doc_id")
 
 
+def _semantic_base(embeddings, n_centroids, iters, centroids):
+    """(vec_id, cluster, emb, nrm) — trained Lloyd assignment, or the
+    deterministic nearest-frozen-centroid assignment ((d2, cluster)
+    tie-break, the probe convention) when ``centroids`` is given."""
+    from .similarity import ivf_index
+    from ..functions import dot
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    if centroids is None:
+        _, assign = ivf_index(
+            embeddings, n_centroids=n_centroids, iters=iters
+        )
+        assigned = assign.join(e, "vec_id").select(
+            "vec_id", F.col("cluster").cast("long").alias("cluster"), "emb"
+        )
+    else:
+        from pyspark.sql import Window
+
+        spark = embeddings.sparkSession
+        items = (
+            sorted(centroids.items())
+            if isinstance(centroids, dict)
+            else list(enumerate(centroids))
+        )
+        cents = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in items],
+            "cluster long, cc array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("emb", "cc", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "emb")
+        )
+    return track_persist(
+        assigned.select(
+            "vec_id", "cluster", "emb",
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+    )
+
+
+def _semantic_pairs(base, threshold, cluster_cap):
+    """Within-cluster pairs at cosine >= threshold, chunk-pair tiled.
+
+    Clusters larger than ``cluster_cap`` split into ceil(size/cap)
+    chunks on vec_id % n_chunks, and every chunk pair (ti <= tj)
+    becomes its own join tile — one task never sees more than ~2·cap
+    vectors, so a degenerate mega-cluster can't pin a single task.
+    Replication cost is n_chunks copies per vector for an
+    n_chunks²-tile workload (√compute). Each unordered pair lands in
+    EXACTLY one tile, so the pair set — and therefore the components
+    and the final output — is IDENTICAL to the untiled plan
+    (pytest-asserted), and the oracle needs no tiling at all."""
+    sizes = base.groupBy("cluster").agg(F.count("*").alias("c_size"))
+    tiled = (
+        base.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "n_chunks",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("c_size") / F.lit(int(cluster_cap))),
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk", F.pmod(F.col("vec_id"), F.col("n_chunks")).cast("int")
+        )
+    )
+    left = tiled.withColumn(
+        "tj", F.explode(F.sequence(F.col("chunk"), F.col("n_chunks") - 1))
+    ).select(
+        F.col("vec_id").alias("a"), "cluster",
+        F.col("chunk").alias("ti"), "tj",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    right = tiled.withColumn(
+        "ti", F.explode(F.sequence(F.lit(0), F.col("chunk")))
+    ).select(
+        F.col("vec_id").alias("b"), "cluster",
+        "ti", F.col("chunk").alias("tj"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        left.join(right, ["cluster", "ti", "tj"])
+        # diagonal tiles see both orientations — keep one; cross tiles
+        # see each unordered pair once, in chunk (not id) orientation
+        .filter((F.col("ti") != F.col("tj")) | (F.col("a") < F.col("b")))
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("cos", _semantic_cos("ea", "eb", "na", "nb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b")
+    )
+
+
+def _semantic_cos(ea, eb, na, nb):
+    from ..functions import dot
+
+    return F.round(
+        (dot(F.col(ea), F.col(eb)) / (F.col(na) * F.col(nb))).cast(
+            "decimal(30,10)"
+        ),
+        6,
+    ).cast("double")
+
+
 def semantic_duplicates(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 3,
     threshold: float = 0.95,
+    cluster_cap: int = 4096,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means-cluster
-    the embedding space (the exact-decimal distributed Lloyd trainer),
-    compute pairwise cosine ONLY within each cluster, connect pairs
-    ≥ ``threshold`` into semantic groups (large-star/small-star
-    connected components — transitive, the clean_corpus convention),
-    and keep the minimum vec_id of each group. Returns one row per
-    vector: (vec_id, cluster, component, kept).
+    the embedding space (the exact-decimal distributed Lloyd trainer —
+    or a FROZEN centroid set via ``centroids``, the incremental twin's
+    reference), compute pairwise cosine ONLY within each cluster,
+    connect pairs ≥ ``threshold`` into semantic groups
+    (large-star/small-star connected components — transitive, the
+    clean_corpus convention), and keep the minimum vec_id of each
+    group. Returns one row per vector: (vec_id, cluster, component,
+    kept).
 
     Scale shape: clustering bounds the pair space at Σ|cluster|²
     instead of n² — SemDeDup's core trick; k is chosen ∝ n (LAION-scale
     runs use tens of thousands of clusters) so per-cluster pair counts
-    stay bounded, and an oversized cluster can fall back to the tiled
-    GEMM kernel of ``embedding_near_duplicates``. Everything here is
-    one cluster-key self-join + the O(log n) component rounds; the
-    cosine is the fixed-order ``dot`` fold with the round-6 decimal
-    snap, so a DuckDB twin (Lloyd CTE chain + within-cluster join +
-    reachability closure) replays the output hash-exact.
+    stay bounded, and clusters above ``cluster_cap`` are additionally
+    chunk-pair TILED (vec_id % n_chunks, see _semantic_pairs) so one
+    join task never holds more than ~2·cap vectors. Everything is one
+    cluster-key self-join + the O(log n) component rounds; the cosine
+    is the fixed-order ``dot`` fold with the round-6 decimal snap, so a
+    DuckDB twin (Lloyd CTE chain + within-cluster join + reachability
+    closure) replays the output hash-exact.
     """
     from .graph import connected_components
-    from .similarity import ivf_index
-    from ..functions import dot
 
-    _, assign = ivf_index(embeddings, n_centroids=n_centroids, iters=iters)
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    base = track_persist(
-        assign.join(e, "vec_id").select(
-            "vec_id",
-            F.col("cluster").cast("long").alias("cluster"),
-            "emb",
-            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-        )
-    )
-    left = base.select(
-        F.col("vec_id").alias("a"), "cluster",
-        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
-    )
-    right = base.select(
-        F.col("vec_id").alias("b"), "cluster",
-        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        left.join(right, "cluster")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cos",
-            F.round(
-                (
-                    dot(F.col("ea"), F.col("eb"))
-                    / (F.col("na") * F.col("nb"))
-                ).cast("decimal(30,10)"),
-                6,
-            ).cast("double"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-        .select("a", "b")
-    )
+    base = _semantic_base(embeddings, n_centroids, iters, centroids)
+    pairs = _semantic_pairs(base, threshold, cluster_cap)
     comp = connected_components(pairs, src="a", dst="b")
     return (
         base.select("vec_id", "cluster")
@@ -976,3 +1059,75 @@ def semantic_duplicates(
             ).alias("kept"),
         )
     )
+
+
+def initial_semantic_catalog(spark) -> DataFrame:
+    """Empty survivor catalog for semantic_dedup_increment."""
+    return spark.createDataFrame(
+        [], "vec_id long, cluster long, emb array<double>, nrm double"
+    )
+
+
+def semantic_dedup_increment(
+    new_vectors: DataFrame,
+    centroids,
+    kept_catalog: DataFrame,
+    threshold: float = 0.95,
+    cluster_cap: int = 4096,
+) -> tuple:
+    """CDC twin of ``semantic_duplicates`` over FROZEN centroids: screen
+    only the ARRIVING vectors — first batch-internally (within-cluster
+    pairs → components → min-id survivors), then against the persisted
+    per-cluster survivor catalog (any catalog vector at cosine ≥
+    threshold drops the arrival). Returns (survivors DataFrame[vec_id,
+    cluster], new_catalog) — union the catalog forward like
+    dedup_incremental's fingerprint catalog.
+
+    Scale shape: arrivals-only work — the batch assigns map-side
+    against broadcast centroids, batch-internal pairs are
+    batch-bounded, and the catalog screen BROADCASTS the (small) batch
+    survivor set into one map-side scan of the catalog: no catalog
+    shuffle, no history reprocessing. Replay contract (pytest): with
+    arrivals in ascending vec_id order, accumulated survivors are
+    always a SUPERSET of the frozen-centroid batch run's kept set, and
+    EXACTLY equal when semantic groups are threshold-cliques (e.g.
+    exact duplicates) or arrive within one batch — transitive chains
+    that span batches are the first-arrival caveat shared with every
+    streaming twin in this repo (a mid-chain survivor already in the
+    catalog keeps screening later arrivals, so the gap never compounds).
+    """
+    from .graph import connected_components
+
+    base = _semantic_base(new_vectors, 0, 0, centroids)
+    pairs = _semantic_pairs(base, threshold, cluster_cap)
+    comp = connected_components(pairs, src="a", dst="b")
+    batch_surv = (
+        base.join(
+            comp.select(F.col("node").alias("vec_id"), "component"),
+            "vec_id",
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
+        )
+        .select("vec_id", "cluster", "emb", "nrm")
+    )
+    bs = batch_surv.select(
+        F.col("vec_id").alias("a"), "cluster",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    cat = kept_catalog.select(
+        "cluster", F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dropped = (
+        cat.join(F.broadcast(bs), "cluster")
+        .withColumn("cos", _semantic_cos("ea", "eb", "na", "nb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("a").alias("vec_id"))
+        .distinct()
+    )
+    final = batch_surv.join(dropped, "vec_id", "left_anti")
+    new_catalog = kept_catalog.unionByName(
+        final.select("vec_id", "cluster", "emb", "nrm")
+    )
+    return final.select("vec_id", "cluster"), new_catalog

@@ -1019,6 +1019,90 @@ def test_dedup_semantic_contract(spark, sf_dir):
         assert found, r
 
 
+def test_dedup_semantic_tiling_invariant(spark, sf_dir):
+    """The oversized-cluster chunk-pair tiling must be output-invariant
+    (every unordered pair lands in exactly one tile) down to cap=1, and
+    a planted mega-cluster of identical vectors under a tiny cap must
+    still resolve to ONE component with the min id kept."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, semantic_duplicates(e, threshold=0.45).collect()))
+    b = sorted(map(tuple, semantic_duplicates(
+        e, threshold=0.45, cluster_cap=8).collect()))
+    c = sorted(map(tuple, semantic_duplicates(
+        e, threshold=0.45, cluster_cap=1).collect()))
+    assert a == b == c
+    one = e.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    mega = spark.range(60).select(
+        (F.col("id") + 5_000_000).alias("vec_id"),
+        F.lit(one).alias("embedding"),
+    )
+    out = semantic_duplicates(
+        e.select("vec_id", "embedding").unionByName(mega),
+        n_centroids=8, iters=2, threshold=0.45, cluster_cap=16,
+    ).collect()
+    megas = [r for r in out if r.vec_id >= 5_000_000 or r.vec_id == 3]
+    kept = [r for r in megas if r.kept]
+    assert len({r.component for r in megas}) == 1
+    assert len(kept) == 1 and kept[0].vec_id == 3
+
+
+def test_semantic_dedup_increment_replays_batch(spark, sf_dir):
+    """CDC twin over frozen centroids: with planted exact-duplicate
+    cliques spread across 3 ascending-id batches, accumulated survivors
+    must EQUAL the frozen-centroid batch run; at the natural threshold
+    the accumulated set must be a superset (the transitive-chain
+    first-arrival caveat)."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        initial_semantic_catalog,
+        semantic_dedup_increment,
+        semantic_duplicates,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_nd, _ = ivf_index(e, n_centroids=8, iters=2)
+    cents = {i: [float(x) for x in row] for i, row in enumerate(cents_nd)}
+    clones = []
+    for gi, src in enumerate((2, 7, 11)):
+        v = e.filter(F.col("vec_id") == src).select("embedding").first()[0]
+        for j in range(3):
+            clones.append((9_000_000 + gi * 10 + j * 3 + (src % 3), v))
+    dup = spark.createDataFrame(clones, "vec_id long, embedding array<float>")
+    allv = e.select("vec_id", "embedding").unionByName(dup)
+    ids = sorted(r.vec_id for r in allv.select("vec_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    def run_incremental(threshold):
+        cat = initial_semantic_catalog(spark)
+        surv = set()
+        for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+            b = allv
+            if lo is not None:
+                b = b.filter(F.col("vec_id") >= lo)
+            if hi is not None:
+                b = b.filter(F.col("vec_id") < hi)
+            out, cat = semantic_dedup_increment(b, cents, cat,
+                                                threshold=threshold)
+            cat = cat.localCheckpoint()
+            surv |= {r.vec_id for r in out.collect()}
+        return surv
+
+    kept_09 = {r.vec_id for r in
+               semantic_duplicates(allv, threshold=0.9,
+                                   centroids=cents).collect() if r.kept}
+    assert run_incremental(0.9) == kept_09
+    kept_045 = {r.vec_id for r in
+                semantic_duplicates(allv, threshold=0.45,
+                                    centroids=cents).collect() if r.kept}
+    assert run_incremental(0.45) >= kept_045
+
+
 def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
     """CDC composition: three doc_id-ordered batches through
     prepare_corpus_increment (persisted line-fp / doc-fp / count
