@@ -910,8 +910,6 @@ def _semantic_base(embeddings, n_centroids, iters, centroids):
             "vec_id", F.col("cluster").cast("long").alias("cluster"), "emb"
         )
     else:
-        from pyspark.sql import Window
-
         spark = embeddings.sparkSession
         items = (
             sorted(centroids.items())
@@ -927,13 +925,20 @@ def _semantic_base(embeddings, n_centroids, iters, centroids):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        # arg-min as a struct-min partial aggregation, not a window:
+        # the batch×k fan-out collapses map-side (crossJoin output is
+        # partition-local) so only one row per vector ever shuffles —
+        # the repo's arg-min convention; (d2, cluster) struct order is
+        # the probe tie-break
         assigned = (
             e.crossJoin(F.broadcast(cents))
             .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "emb")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cluster")).alias("m"),
+                F.first("emb").alias("emb"),
+            )
+            .select("vec_id", F.col("m.cluster").alias("cluster"), "emb")
         )
     return track_persist(
         assigned.select(

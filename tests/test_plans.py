@@ -619,3 +619,31 @@ def test_ccnet_buckets_plan_broadcast_cuts(spark, sf_dir):
     plan = simple_plan(ccnet_buckets(load(spark, sf_dir, "documents")))
     assert "EvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_semantic_dedup_plan_shapes(spark, sf_dir):
+    """The semantic-dedup hot stages must be the scale-correct plans:
+    frozen-centroid assignment is a broadcast nested-loop + struct-min
+    partial aggregation (no Window over the batch×k fan-out, no Python
+    stage), and the within-cluster pair stage broadcasts the tiny
+    cluster-size table."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        _semantic_base,
+        _semantic_pairs,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents_nd, _ = ivf_index(e, n_centroids=8, iters=2)
+    cents = {i: [float(x) for x in r] for i, r in enumerate(cents_nd)}
+    base = _semantic_base(e, 0, 0, cents)
+    plan_assign = simple_plan(base)
+    assert "EvalPython" not in plan_assign, plan_assign
+    assert "Window" not in plan_assign, plan_assign
+    assert "partial_min" in plan_assign or "HashAggregate" in plan_assign
+    pairs = _semantic_pairs(base, 0.45, 4096)
+    plan_pairs = simple_plan(pairs)
+    assert "EvalPython" not in plan_pairs, plan_pairs
+    assert plan_pairs.count("BroadcastHashJoin") >= 1, plan_pairs
