@@ -1939,13 +1939,64 @@ SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 500 AND 2000
 
 
 def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual dHash over the documents-as-payloads table (raw byte
-    grid path at board scale — the real-pixel path is fixture-tested in
-    tests/test_multimodal_codecs.py). Rows-only: the numpy hash kernel
-    has no DuckDB twin."""
+    """Perceptual dHash over the documents-as-payloads table. ORACLED
+    since r8: on this corpus every payload takes the deterministic
+    raw-byte-grid path (zero texts start with a media magic — the same
+    corpus-wide check O_MULTIMODAL rests on), and that path is pure
+    integer arithmetic — pseudo-dims from byte length, 9×8
+    nearest-neighbor byte sampling, 64 gradient-sign bits,
+    two's-complement — which the DuckDB twin replays byte-for-byte via
+    hex() nibble extraction. The real-pixel path (BMP/PNG/JPEG) is
+    fixture-tested in tests/test_multimodal_codecs.py."""
     from parquet_metadata_explorer_spark.operators import multimodal as mm
 
     return mm.image_dhash(mm.to_binary_payloads(_table(spark, sf_dir, "documents")))
+
+
+# the raw-path dHash kernel, replayed in SQL: byte k of encode(text) is
+# recovered from hex() nibbles; w = min(n, n%64+1), h = max(n//w, 1);
+# sample the 9x8 grid at (floor(i*h/8), floor(j*w/9)) clamped; 64
+# gradient-sign bits fold into a HUGEINT then two's-complement to BIGINT
+O_MULTIMODAL_DHASH = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, n,
+         CASE WHEN n = 0 THEN 1 ELSE least(n, n % 64 + 1) END AS w
+  FROM p
+),
+dims2 AS (
+  SELECT *, CASE WHEN n = 0 THEN 1 ELSE greatest(n // w, 1) END AS h
+  FROM dims
+),
+sampled AS (
+  SELECT doc_id,
+    list_transform(range(0, 72), k ->
+      CASE WHEN n = 0 THEN 0 ELSE
+        16 * (strpos('0123456789ABCDEF', substring(hx,
+              2 * (least(((k // 9) * h) // 8, h - 1) * w
+                   + least(((k % 9) * w) // 9, w - 1)) + 1, 1)) - 1)
+        + (strpos('0123456789ABCDEF', substring(hx,
+              2 * (least(((k // 9) * h) // 8, h - 1) * w
+                   + least(((k % 9) * w) // 9, w - 1)) + 2, 1)) - 1)
+      END) AS s
+  FROM dims2
+),
+hashed AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 64), k ->
+      CASE WHEN s[(k // 8) * 9 + (k % 8) + 2] > s[(k // 8) * 9 + (k % 8) + 1]
+           THEN 1::HUGEINT << (63 - k) ELSE 0::HUGEINT END)) AS hv
+  FROM sampled
+)
+SELECT doc_id,
+       (CASE WHEN hv >= 1::HUGEINT << 63
+             THEN hv - (1::HUGEINT << 64) ELSE hv END)::BIGINT AS dhash,
+       'raw' AS codec
+FROM hashed
+"""
 
 
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4453,6 +4504,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical to ann_ivfpq by construction (disk round-trip)
         "ann_ivfpq_probe": _oracle_ann_ivfpq(),
         "dedup_semantic": _oracle_dedup_semantic(),
+        # r8: the raw-byte-grid dHash replayed in SQL (hex-nibble bytes)
+        "multimodal_dhash": O_MULTIMODAL_DHASH,
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
         "text_vocab_hll": _o_vocab_hll(),
