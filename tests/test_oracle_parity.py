@@ -77,8 +77,6 @@ def test_all_queries_have_entries():
     assert set(QUERIES) - set(ORACLES) == {
         "events_percentiles_approx",
         "text_decontaminate_bloom",
-        # numpy perceptual-hash kernel; real-pixel path fixture-tested
-        "multimodal_dhash",
     }
 
 
