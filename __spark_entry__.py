@@ -2009,16 +2009,80 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-memory bloom variant of decontamination. Rows-only on the
-    board (the probe hashes with Spark's xxhash64, which has no DuckDB
-    twin); the no-false-negative upper-bound property and the bit-exact
-    agreement of the numpy bloom with the parquet split-block reader are
-    asserted in tests/test_operators.py."""
+    """Fixed-memory bloom variant of decontamination, boarded with the
+    ORACLED deterministic hash (shiftleft(hash60, 4) in xxhash64's
+    64-bit layout — r8): the DuckDB twin replays the hash, the
+    split-block block/salt arithmetic and the bitmap's bit SET
+    relationally (doc shingle hits iff its 8 (block, lane, bit) probes
+    are all inserted by some benchmark shingle), false positives
+    included, so the row is hash-exact. The xxhash64 default path keeps
+    its no-false-negative upper-bound pytest and the bit-exact
+    agreement of the numpy bloom with the parquet split-block reader
+    (tests/test_operators.py)."""
     docs = _table(spark, sf_dir, "documents")
     return text.decontaminate_bloom(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
+        deterministic_hash=True,
     )
+
+
+def _oracle_decontaminate_bloom(
+    threshold: float = 0.5, bits_per_item: int = 24
+) -> str:
+    """Relational replay of the split-block bloom: bit membership as a
+    (block, lane, bit) set join instead of a bitmap — identical
+    semantics (the bitmap IS that set), same FPs, same counts."""
+    from parquet_metadata_explorer_spark.parquet.bloom import _SALT
+
+    salts = ", ".join(f"({i}, {int(v)}::HUGEINT)" for i, v in enumerate(_SALT))
+    h64 = f"({_d_hash60('shingle')})::HUGEINT * 16"
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
+sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+bench_sh AS (
+  SELECT DISTINCT unnest(s) AS shingle FROM sh2 WHERE doc_id % 20 = 0
+),
+nb AS (
+  SELECT greatest(1, (greatest(1, count(*)::BIGINT) * {bits_per_item} + 255)
+                     // 256)::HUGEINT AS num_blocks
+  FROM bench_sh
+),
+salts(lane, salt) AS (VALUES {salts}),
+bench_bits AS (
+  SELECT DISTINCT
+         ((h64 >> 32) * num_blocks) >> 32 AS block,
+         lane,
+         (((h64 % 4294967296) * salt) % 4294967296) >> 27 AS bitidx
+  FROM (SELECT {h64} AS h64 FROM bench_sh) CROSS JOIN nb CROSS JOIN salts
+),
+corpus AS (
+  SELECT doc_id, length(s)::bigint AS n_sh, s FROM sh2 WHERE doc_id % 20 <> 0
+),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM corpus),
+inv_bits AS (
+  SELECT doc_id, shingle, lane,
+         ((h64 >> 32) * num_blocks) >> 32 AS block,
+         (((h64 % 4294967296) * salt) % 4294967296) >> 27 AS bitidx
+  FROM (SELECT doc_id, shingle, {h64} AS h64 FROM inv)
+  CROSS JOIN nb CROSS JOIN salts
+),
+hit_shingles AS (
+  SELECT i.doc_id, i.shingle
+  FROM inv_bits i JOIN bench_bits b USING (block, lane, bitidx)
+  GROUP BY 1, 2
+  HAVING count(*) = 8
+),
+hits AS (
+  SELECT doc_id, count(*)::bigint AS n_hit FROM hit_shingles GROUP BY 1
+)
+SELECT c.doc_id, c.n_sh, coalesce(h.n_hit, 0)::bigint AS n_hit,
+       round((coalesce(h.n_hit, 0)::double / c.n_sh)::DECIMAL(30,10), 4)::double
+         AS contamination,
+       (coalesce(h.n_hit, 0)::double / c.n_sh) >= {threshold!r} AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
 
 
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4506,6 +4570,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _oracle_dedup_semantic(),
         # r8: the raw-byte-grid dHash replayed in SQL (hex-nibble bytes)
         "multimodal_dhash": O_MULTIMODAL_DHASH,
+        # r8: the split-block bloom replayed relationally (bit-set join)
+        "text_decontaminate_bloom": _oracle_decontaminate_bloom(),
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
         "text_vocab_hll": _o_vocab_hll(),

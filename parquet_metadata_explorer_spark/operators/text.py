@@ -454,11 +454,22 @@ def _bloom_probe_words(hashes, words, num_blocks: int):
     return ok
 
 
+def _bloom_hash(deterministic: bool):
+    """64-bit shingle hash column: xxhash64 (JVM codegen, default) or
+    the engine-portable shiftleft(hash60, 4) layout for oracle parity."""
+    from ..functions import hash60
+
+    if deterministic:
+        return F.shiftleft(hash60(F.col("shingle")), 4)
+    return F.xxhash64("shingle")
+
+
 def decontaminate_bloom(
     documents: DataFrame,
     benchmark: DataFrame,
     threshold: float = 0.5,
     bits_per_item: int = 24,
+    deterministic_hash: bool = False,
 ) -> DataFrame:
     """Fixed-memory twin of ``decontaminate``: the benchmark shingle set
     is compressed into a split-block bloom bitmap instead of broadcast
@@ -478,6 +489,15 @@ def decontaminate_bloom(
     pass over the int64 hash column (numpy bit math, no strings cross
     into Python); then the same single groupBy(doc_id) as the exact
     variant. No join at all — the contamination check is map-only.
+
+    ``deterministic_hash=True`` swaps xxhash64 for ``shiftleft(hash60,
+    4)`` (the md5-derived repo hash placed in the same 64-bit layout:
+    top 32 bits select the block, low 32 feed the salts) — the
+    cross-engine-verifiable variant the driver boards, since a DuckDB
+    twin can replay hash, block/salt arithmetic and the bitmap's bit
+    SET relationally, false positives included. The bitmap kernel is
+    identical either way; xxhash64 stays the default for raw
+    whole-stage-codegen hashing speed.
 
     False positives only (never negatives): ``contamination`` here is a
     guaranteed UPPER BOUND on the exact ratio — the safe direction for a
@@ -503,7 +523,7 @@ def decontaminate_bloom(
         for r in shingle_signature_kernel(benchmark, n_hashes=0)
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
-        .select(F.xxhash64("shingle").alias("h"))
+        .select(_bloom_hash(deterministic_hash).alias("h"))
         .collect()
     ]
     n_items = max(1, len(bench_hashes))
@@ -521,7 +541,7 @@ def decontaminate_bloom(
 
     inv = doc_sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", _bloom_hash(deterministic_hash).alias("h"))
     hits = (
         inv.mapInPandas(probe, "doc_id long, hit boolean")
         .groupBy("doc_id")

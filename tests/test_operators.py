@@ -437,6 +437,18 @@ def test_decontaminate_bloom_upper_bounds_exact(spark, sf_dir):
         fp_extra += b.n_hit - e.n_hit
     total_sh = sum(e.n_sh for e in exact.values())
     assert fp_extra / total_sh < 0.005, (fp_extra, total_sh)
+    # the deterministic-hash variant (the boarded/oracled path) must
+    # honor the same upper-bound and FP-budget contract
+    det = {r.doc_id: r for r in t.decontaminate_bloom(
+        train, bench, deterministic_hash=True).collect()}
+    assert exact.keys() == det.keys()
+    det_extra = 0
+    for did, e in exact.items():
+        d = det[did]
+        assert d.n_sh == e.n_sh and d.n_hit >= e.n_hit, (did, d, e)
+        assert d.contaminated or not e.contaminated
+        det_extra += d.n_hit - e.n_hit
+    assert det_extra / total_sh < 0.005, (det_extra, total_sh)
 
 
 def test_bpe_merges_hand_checked(spark):

@@ -68,16 +68,13 @@ def test_parity(spark, duck, name):
 
 
 def test_all_queries_have_entries():
-    # every query has an oracle except two deliberate rows-only entries:
-    # the approx-percentile scale twin (a sketch has no bit-identical
-    # DuckDB twin; rank-error bound asserted in tests/test_streaming.py)
-    # and the bloom decontamination (probe hashes with Spark's xxhash64,
-    # which DuckDB cannot replay; upper-bound-vs-exact and bit-equality
-    # of the bloom math are asserted in tests/test_operators.py)
-    assert set(QUERIES) - set(ORACLES) == {
-        "events_percentiles_approx",
-        "text_decontaminate_bloom",
-    }
+    # every query has an oracle except ONE deliberate rows-only entry:
+    # the approx-percentile scale twin (Spark's Greenwald-Khanna sketch
+    # has no bit-identical DuckDB twin; rank-error bound asserted in
+    # tests/test_streaming.py). The bloom row gained a relational twin
+    # in r8 (deterministic hash + bit-set join) and the dhash row a
+    # hex-nibble byte replay — both fully oracled now.
+    assert set(QUERIES) - set(ORACLES) == {"events_percentiles_approx"}
 
 
 def test_entry_smoke(spark):
