@@ -1191,6 +1191,36 @@ SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM (
 """
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: every 20th vector plays the
+    benchmark; per corpus vector, max cosine against the broadcast
+    benchmark matrix (one normalized GEMM + row-wise max per partition
+    — MAP-ONLY, zero shuffles) with the 0.45 flag threshold the noisy
+    synthetic embeddings use for near-dup semantics."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return dedup.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.45,
+    )
+
+
+O_DECONTAM_SEMANTIC = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+bench AS (SELECT emb, nrm FROM n WHERE vec_id % 20 = 0),
+corpus AS (SELECT vec_id, emb, nrm FROM n WHERE vec_id % 20 <> 0),
+scored AS (
+  SELECT c.vec_id,
+         round((list_dot_product(c.emb, b.emb) / (c.nrm * b.nrm))
+               ::DECIMAL(30,10), 6)::double AS cos
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.45 AS contaminated
+FROM scored GROUP BY 1
+"""
+
+
 SEMDEDUP_K, SEMDEDUP_ITERS, SEMDEDUP_THRESHOLD = 16, 3, 0.45
 
 
@@ -4395,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "dedup_semantic": q_dedup_semantic,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # C) reference-parity contract (always boarded)
         "meta_file_list": q_meta_file_list,
         "meta_parquet_file": q_meta_parquet_file,
@@ -4406,7 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_reconstruct": q_page_reconstruct,
         "page_reconstruct_delta": q_page_reconstruct_delta,
         # D) r6-boarded entries due r9, pulled forward into the spare
-        #    slots (13 of 39)
+        #    slots (12 of 39)
         "salted_stats": q_salted_stats,
         "window_top_orders": q_window_top_orders,
         "cube_orders": q_cube_orders,
@@ -4419,12 +4450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
-        "dedup_substring": q_dedup_substring,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # E) remaining r6-boarded entries (due r9 — the committed r9
         #    head, with group D's 13 pull-forwards re-boarded this
         #    round; text_logprob2 displaced to slot 51 by the new
         #    dedup_semantic row, deadline unchanged)
+        "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
         "ann_pq": q_ann_pq,
         "tpch_q11": q_tpch_q11,
@@ -4572,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dhash": O_MULTIMODAL_DHASH,
         # r8: the split-block bloom replayed relationally (bit-set join)
         "text_decontaminate_bloom": _oracle_decontaminate_bloom(),
+        "decontaminate_semantic": O_DECONTAM_SEMANTIC,
         "events_percentiles_hist": _o_pctl_hist(),
         "text_ccnet_buckets": O_TEXT_CCNET,
         "text_vocab_hll": _o_vocab_hll(),

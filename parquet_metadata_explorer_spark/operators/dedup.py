@@ -1136,3 +1136,57 @@ def semantic_dedup_increment(
         final.select("vec_id", "cluster", "emb", "nrm")
     )
     return final.select("vec_id", "cluster"), new_catalog
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame, benchmark: DataFrame, threshold: float = 0.92
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: per corpus vector, the
+    maximum cosine against ANY benchmark vector (+ a threshold flag) —
+    the semantic twin of shingle ``decontaminate``, catching eval
+    leakage that survives paraphrase (where no shingle matches).
+
+    Scale shape: the benchmark matrix broadcasts (eval suites are small
+    by definition — the same asymmetry text decontamination rides), and
+    each corpus partition runs ONE normalized GEMM + row-wise max, so
+    the whole operator is map-only: zero shuffles, one row out per
+    corpus vector, corpus touched exactly once. Rounding is the
+    ann_topk kernel's half-away-from-zero snap to 6 decimals, so the
+    DuckDB twin (cross join + list_dot_product + max) replays the
+    scores and flags exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    qpdf = benchmark.select("vec_id", "embedding").toPandas()
+    corpus = ensure_parallelism(embeddings.select("vec_id", "embedding"))
+    if qpdf.empty:
+        return corpus.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(q_mat)
+
+    def kern(batches):
+        q = bc.value
+        for pdf in batches:
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ q.T
+            # half-away-from-zero round to 6, matching DuckDB/Spark round()
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {"vec_id": ids, "max_cos": sims.max(axis=1)}
+            )
+
+    out = corpus.mapInPandas(kern, "vec_id long, max_cos double")
+    return out.select(
+        "vec_id",
+        "max_cos",
+        (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+    )

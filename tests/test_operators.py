@@ -1115,6 +1115,52 @@ def test_semantic_dedup_increment_replays_batch(spark, sf_dir):
     assert run_incremental(0.45) >= kept_045
 
 
+def test_semantic_decontaminate_contract(spark, sf_dir):
+    """A corpus vector identical to a benchmark vector must flag at
+    max_cos 1.0; every flagged vector must actually have a benchmark
+    partner at or above threshold (recomputed exactly); the plan is
+    map-only (no aggregate, no window, at most the parallelism
+    repartition exchange)."""
+    import math
+
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = e.filter(F.col("vec_id") % 20 == 0)
+    corpus = e.filter(F.col("vec_id") % 20 != 0)
+    # plant an exact copy of a benchmark vector into the corpus
+    v0 = bench.select("embedding").first()[0]
+    planted = spark.createDataFrame(
+        [(7_777_777, v0)], "vec_id long, embedding array<float>"
+    )
+    out = semantic_decontaminate(
+        corpus.select("vec_id", "embedding").unionByName(planted),
+        bench, threshold=0.45,
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[7_777_777].max_cos == 1.0 and rows[7_777_777].contaminated
+    bvecs = [[float(x) for x in r.embedding]
+             for r in bench.select("embedding").collect()]
+    bn = [math.sqrt(sum(x * x for x in v)) for v in bvecs]
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in corpus.select("vec_id", "embedding").collect()}
+    for vid, r in rows.items():
+        if vid == 7_777_777 or not r.contaminated:
+            continue
+        v = emb[vid]
+        nv = math.sqrt(sum(x * x for x in v))
+        best = max(
+            sum(a * b for a, b in zip(v, w)) / (nv * bn[i])
+            for i, w in enumerate(bvecs)
+        )
+        assert round(best, 6) >= 0.45 - 1e-9, (vid, best)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
     """CDC composition: three doc_id-ordered batches through
     prepare_corpus_increment (persisted line-fp / doc-fp / count
