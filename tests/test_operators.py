@@ -1159,6 +1159,12 @@ def test_semantic_decontaminate_contract(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan and "Window" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+    # empty benchmark: nothing can be contaminated, max_cos is NULL
+    empty = semantic_decontaminate(
+        corpus.limit(5), bench.filter(F.lit(False)), threshold=0.45
+    ).collect()
+    assert len(empty) == 5
+    assert all(r.max_cos is None and not r.contaminated for r in empty)
 
 
 def test_prepare_corpus_incremental_replays_batch(spark, sf_dir):
