@@ -961,13 +961,39 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     IVF-PQ index (training is deterministic, so a cached index is
     bit-identical to a fresh build — pytest proves disk ≡ memory)."""
     import hashlib
+    import os
     import tempfile
 
-    # key on the TRAINING params too: a params change must never serve
-    # from a stale cached index
-    key = f"{sf_dir}|{IVFPQ_CELLS}|{PQ_M}|{PQ_K}|{PQ_ITERS}|{IVFPQ_CITERS}"
+    # key on the TRAINING params AND a source-data fingerprint (size +
+    # mtime of every embeddings parquet file): regenerated testdata at
+    # the same path must never be served from a stale cached index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp_parts = []
+    for root, _dirs, files in os.walk(src):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, f))
+                fp_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    if os.path.isfile(src):  # single-file layout
+        st = os.stat(src)
+        fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    key = (
+        f"{sf_dir}|{IVFPQ_CELLS}|{PQ_M}|{PQ_K}|{PQ_ITERS}|{IVFPQ_CITERS}"
+        f"|{';'.join(fp_parts)}"
+    )
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/pqx_ivfpq_{tag}"
+
+
+def _ivfpq_index_complete(path: str) -> bool:
+    """A reusable index needs ALL THREE sidecars committed — a crash
+    between the coarse/codebook and codes writes must trigger rebuild."""
+    import os
+
+    return all(
+        os.path.exists(f"{path}/{part}/_SUCCESS")
+        for part in ("codes", "coarse", "codebook")
+    )
 
 
 def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,7 +1009,7 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _ivfpq_index_path(sf_dir)
     emb = _table(spark, sf_dir, "embeddings")
-    if not os.path.exists(f"{path}/codes/_SUCCESS"):
+    if not _ivfpq_index_complete(path):
         similarity.write_ivfpq_index(
             emb,
             path,

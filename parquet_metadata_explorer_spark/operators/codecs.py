@@ -734,6 +734,12 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
         and ncomp in (1, 3)
         and scan is not None
         and len(comps) == ncomp
+        # JPEG A.2: a ONE-component scan is non-interleaved — one data
+        # unit per MCU in raster order — regardless of the SOF sampling
+        # factors. The decoder below assumes the interleaved h×v-per-MCU
+        # layout, so grayscale with factors >1 must stay header-only
+        # rather than risk decoding garbage without an error.
+        and (ncomp != 1 or comps[0][1:3] == (1, 1))
     )
     if not decodable:
         return meta

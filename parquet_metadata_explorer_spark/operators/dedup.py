@@ -572,7 +572,10 @@ def embedding_near_duplicates(
         tj = rows[0][3]
         ids = np.array([r[1] for r in rows], dtype=np.int64)
         mat = np.stack([np.asarray(r[4], dtype=np.float64) for r in rows])
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # safe divide: a zero-norm row keeps its zeros, so its cosine
+        # with everything is 0.0 < threshold — zero vectors never pair
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(nrm > 0.0, nrm, 1.0)
         if ti == tj:
             sims = rnd(mat @ mat.T)
             ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
@@ -1001,14 +1004,25 @@ def _semantic_pairs(base, threshold, cluster_cap):
 
 
 def _semantic_cos(ea, eb, na, nb):
+    """Fixed-order cosine with the round-6 decimal snap. Zero-norm edge
+    (a failed encoder batch emitting an all-zero embedding): cosine is
+    undefined, so the guard returns NULL instead of letting 0/0 produce
+    NaN — a null cos fails every ``>= threshold`` filter, so a zero
+    vector never pairs with anything and survives as its own singleton
+    component (kept=true). Pytest-asserted in
+    test_zero_norm_embedding_contract."""
     from ..functions import dot
 
-    return F.round(
-        (dot(F.col(ea), F.col(eb)) / (F.col(na) * F.col(nb))).cast(
-            "decimal(30,10)"
-        ),
-        6,
-    ).cast("double")
+    return F.when(
+        (F.col(na) == 0) | (F.col(nb) == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (dot(F.col(ea), F.col(eb)) / (F.col(na) * F.col(nb))).cast(
+                "decimal(30,10)"
+            ),
+            6,
+        ).cast("double")
+    )
 
 
 def semantic_duplicates(
@@ -1154,6 +1168,12 @@ def semantic_decontaminate(
     ann_topk kernel's half-away-from-zero snap to 6 decimals, so the
     DuckDB twin (cross join + list_dot_product + max) replays the
     scores and flags exactly.
+
+    Zero-norm contract (pytest-asserted): zero-norm BENCHMARK vectors
+    are dropped before the GEMM (no direction ⇒ cannot indicate
+    contamination; dropping them all falls back to the empty-benchmark
+    path), and a zero-norm CORPUS vector gets max_cos = NULL with
+    contaminated = false — never NaN, never a silent flag.
     """
     import numpy as np
     import pandas as pd
@@ -1161,14 +1181,16 @@ def semantic_decontaminate(
     spark = embeddings.sparkSession
     qpdf = benchmark.select("vec_id", "embedding").toPandas()
     corpus = ensure_parallelism(embeddings.select("vec_id", "embedding"))
-    if qpdf.empty:
+    if not qpdf.empty:
+        q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_mat = q_mat[q_norms[:, 0] > 0.0] / q_norms[q_norms[:, 0] > 0.0]
+    if qpdf.empty or not len(q_mat):
         return corpus.select(
             "vec_id",
             F.lit(None).cast("double").alias("max_cos"),
             F.lit(False).alias("contaminated"),
         )
-    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(q_mat)
 
     def kern(batches):
@@ -1176,17 +1198,23 @@ def semantic_decontaminate(
         for pdf in batches:
             ids = np.asarray(pdf["vec_id"], dtype=np.int64)
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            ok = norms[:, 0] > 0.0
+            m = m / np.where(norms > 0.0, norms, 1.0)
             sims = m @ q.T
             # half-away-from-zero round to 6, matching DuckDB/Spark round()
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
-            yield pd.DataFrame(
-                {"vec_id": ids, "max_cos": sims.max(axis=1)}
-            )
+            # nullable Float64 so zero-norm rows reach Spark as NULL
+            # (a raw NaN would survive Arrow as NaN)
+            maxes = pd.array(sims.max(axis=1), dtype="Float64")
+            maxes[~ok] = pd.NA
+            yield pd.DataFrame({"vec_id": ids, "max_cos": maxes})
 
     out = corpus.mapInPandas(kern, "vec_id long, max_cos double")
     return out.select(
         "vec_id",
         "max_cos",
-        (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+        F.coalesce(
+            F.col("max_cos") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
     )

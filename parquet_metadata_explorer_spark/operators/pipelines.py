@@ -429,12 +429,17 @@ def load_prepare_state(spark, state_dir: str) -> tuple:
 
 
 def save_prepare_state(
-    state: dict, state_dir: str, version: int, batch_id: int = None
+    state: dict, state_dir: str, version: int, batch_id: int = None,
+    lineage: str = None,
 ) -> None:
     """Write the catalogs as version ``version`` and flip CURRENT.
     ``batch_id`` (streaming use) is recorded inside the version dir
     BEFORE the flip, so a replayed micro-batch can detect that this
-    version already absorbed it."""
+    version already absorbed it. ``lineage`` (the checkpoint identity
+    token) is recorded next to it: batch_id is only meaningful within
+    ONE checkpoint lineage — a fresh checkpoint re-numbers batches from
+    0 over possibly different file groupings, so a skip decision must
+    never trust a batch_id minted by a different checkpoint."""
     import os
 
     for name in _STATE_SCHEMAS:
@@ -444,6 +449,11 @@ def save_prepare_state(
     if batch_id is not None:
         with open(os.path.join(state_dir, f"v={version}", "BATCH"), "w") as f:
             f.write(str(batch_id))
+    if lineage is not None:
+        with open(
+            os.path.join(state_dir, f"v={version}", "LINEAGE"), "w"
+        ) as f:
+            f.write(lineage)
     tmp = os.path.join(state_dir, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -460,6 +470,18 @@ def committed_batch_id(state_dir: str, version: int):
         return None
     with open(p) as f:
         return int(f.read().strip())
+
+
+def committed_lineage(state_dir: str, version: int):
+    """The checkpoint-lineage token recorded with catalog ``version``
+    (None for batch-mode versions, v=0, or pre-lineage state dirs)."""
+    import os
+
+    p = os.path.join(state_dir, f"v={version}", "LINEAGE")
+    if version <= 0 or not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
 
 
 def stream_prepare_corpus(
@@ -492,7 +514,29 @@ def stream_prepare_corpus(
     EXACTLY the batch pipeline on the union (the incremental replay
     contract); otherwise first-arrival wins, the streaming-twin caveat
     shared with stream_line_dedup. Returns the StreamingQuery.
+
+    Lineage guard: a LINEAGE token minted once per checkpoint directory
+    is committed with every catalog version, and the replay-skip only
+    fires when the committed token matches the running checkpoint's.
+    Pointing a FRESH checkpoint at a state_dir with committed batches
+    raises instead of silently skipping batches 0..done whose contents
+    (file-to-batch grouping) may differ — state_dir and checkpoint must
+    be reset together.
     """
+    import os
+    import uuid
+
+    ckpt = checkpoint_dir or f"{state_dir}/_checkpoint"
+    token_path = os.path.join(ckpt, "LINEAGE")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = f.read().strip()
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        token = uuid.uuid4().hex
+        with open(token_path, "w") as f:
+            f.write(token)
+
     schema = spark.read.parquet(docs_path).schema
     stream = (
         spark.readStream.format("parquet")
@@ -504,8 +548,18 @@ def stream_prepare_corpus(
     def handle(batch_df, batch_id):
         state, v = load_prepare_state(spark, state_dir)
         done = committed_batch_id(state_dir, v)
-        if done is not None and batch_id <= done:
-            return  # replay of an already-committed micro-batch
+        if done is not None:
+            lin = committed_lineage(state_dir, v)
+            if lin is not None and lin != token:
+                raise ValueError(
+                    "stream_prepare_corpus: state_dir has batches "
+                    f"committed by a different checkpoint lineage ({lin!r}"
+                    f" != {token!r}). batch_id is only meaningful within "
+                    "one checkpoint — reset state_dir and checkpoint_dir "
+                    "together."
+                )
+            if batch_id <= done:
+                return  # replay of an already-committed micro-batch
         final, new_state = prepare_corpus_increment(
             batch_df,
             benchmark,
@@ -515,7 +569,9 @@ def stream_prepare_corpus(
             key=key,
         )
         final.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        save_prepare_state(new_state, state_dir, v + 1, batch_id=batch_id)
+        save_prepare_state(
+            new_state, state_dir, v + 1, batch_id=batch_id, lineage=token
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -48,6 +48,13 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], scored_empty_schema)
     q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
     q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    # zero-norm contract: a zero-norm query has no defined cosine to
+    # anything — it emits NO rows (dropped here); zero-norm corpus
+    # vectors are excluded as candidates below. Never NaN in output.
+    q_ok = np.linalg.norm(q_mat, axis=1) > 0.0
+    q_ids, q_mat = q_ids[q_ok], q_mat[q_ok]
+    if not len(q_ids):
+        return spark.createDataFrame([], scored_empty_schema)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
@@ -64,6 +71,10 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
         for pdf in batches:
             n_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
             n_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n_ok = np.linalg.norm(n_mat, axis=1) > 0.0
+            n_ids, n_mat = n_ids[n_ok], n_mat[n_ok]
+            if not len(n_ids):
+                continue
             n_mat /= np.linalg.norm(n_mat, axis=1, keepdims=True)
             sims = n_mat @ mat_q.T  # (block, n_queries)
             # half-away-from-zero rounding, matching DuckDB/Spark round()
@@ -1194,6 +1205,7 @@ def ivfpq_ann_topk(
     probes.
     """
     spark = embeddings.sparkSession
+    query_ids = list(query_ids)  # materialize once: generators exhaust
     cc, cells, pq_cb, pq_codes = ivfpq_index(
         embeddings,
         k_cells=k_cells,
@@ -1205,12 +1217,12 @@ def ivfpq_ann_topk(
     pq_codes = track_persist(pq_codes)
     codes = pq_codes.join(cells, "vec_id")
     queries = embeddings.filter(
-        F.col("vec_id").isin(list(query_ids))
+        F.col("vec_id").isin(query_ids)
     ).select("vec_id", "embedding")
 
     mode = table_mode
     if mode == "auto":
-        mode = "driver" if len(list(query_ids)) <= 1024 else "distributed"
+        mode = "driver" if len(query_ids) <= 1024 else "distributed"
     if mode == "driver":
         table, _probed = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe
@@ -1287,6 +1299,7 @@ def ivfpq_probe_topk(
     n_probe: int = 4,
     rerank: int = 0,
     embeddings: DataFrame = None,
+    table_mode: str = "auto",
 ) -> DataFrame:
     """ADC top-k against a MATERIALIZED IVF-PQ index (no training, no
     embedding scan): load the sidecar centroid tables (driver-sized),
@@ -1299,6 +1312,16 @@ def ivfpq_probe_topk(
     ``rerank=C`` adds the IVFADC-R exact refinement and requires
     ``embeddings`` (the original vector table) — the serving shape
     where the lake keeps both the code partitions and the raw vectors.
+
+    ``table_mode`` mirrors ``ivfpq_ann_topk``: "driver" collects the
+    query batch and builds the ADC constants in a loop (the right call
+    for serving-sized |Q|); "distributed" builds them in Spark via
+    ``ivfpq_adc_table`` (bit-identical, no driver ceiling — the
+    corpus-vs-materialized-index batch shape, e.g. feeding semantic
+    decontamination from a disk index); "auto" switches at 1024
+    queries. The probed-cell set for partition pruning comes from the
+    distributed table itself (a ≤k_cells collect), so the scan stays
+    partition-pruned in every mode.
     """
     cc = {
         r.cell: [float(x) for x in r.centroid]
@@ -1308,10 +1331,21 @@ def ivfpq_probe_topk(
         (r.sub, r.cluster): [float(x) for x in r.centroid]
         for r in spark.read.parquet(f"{path}/codebook").collect()
     }
-    table, probed_cells = _adc_driver_rows(
-        queries.select("vec_id", "embedding").collect(), cc, pq_cb, n_probe
-    )
-    tdf = spark.createDataFrame(table, _ADC_SCHEMA)
+    queries = queries.select("vec_id", "embedding")
+    mode = table_mode
+    if mode == "auto":
+        mode = "driver" if queries.limit(1025).count() <= 1024 else "distributed"
+    if mode == "driver":
+        table, probed_cells = _adc_driver_rows(
+            queries.collect(), cc, pq_cb, n_probe
+        )
+        tdf = spark.createDataFrame(table, _ADC_SCHEMA)
+        broadcast_table = True
+    else:
+        tdf = ivfpq_adc_table(queries, cc, pq_cb, n_probe)
+        tdf = track_persist(tdf)
+        probed_cells = {r.cell for r in tdf.select("cell").distinct().collect()}
+        broadcast_table = False
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(sorted(probed_cells))
     )
@@ -1320,7 +1354,7 @@ def ivfpq_probe_topk(
         "cell",
         F.posexplode("codes").alias("sub", "cluster"),
     )
-    scored = _adc_score(exploded, tdf, broadcast_table=True)
+    scored = _adc_score(exploded, tdf, broadcast_table=broadcast_table)
     if rerank:
         if embeddings is None:
             raise ValueError("rerank requires the original embeddings table")

@@ -1282,6 +1282,23 @@ def test_parse_jpeg_subsampled_chroma():
     assert np.abs(luma_got - luma_src).max() <= 10
 
 
+def test_parse_jpeg_gray_sampled_header_only():
+    """JPEG A.2: a one-component scan is NON-interleaved regardless of
+    SOF sampling factors, so grayscale with factors >1 must demote to
+    header-only (never interleaved-decode to garbage pixels)."""
+    rng = np.random.RandomState(25)
+    img = rng.randint(0, 255, (16, 16)).astype(np.uint8)
+    good = make_jpeg_full(img)
+    assert "pixels" in codecs.parse_jpeg(good)
+    b = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    assert b[sof_at + 11] == 0x11  # comp-1 sampling byte (h<<4 | v)
+    b[sof_at + 11] = 0x22
+    meta = codecs.parse_jpeg(bytes(b))
+    assert meta is not None and "pixels" not in meta
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 16, 1)
+
+
 def test_parse_jpeg_header_only_contract():
     """Progressive (SOF2) streams and corrupt entropy data return
     header-only metadata; truncated/garbage streams return None."""

@@ -1062,6 +1062,59 @@ def test_dedup_semantic_tiling_invariant(spark, sf_dir):
     assert len(kept) == 1 and kept[0].vec_id == 3
 
 
+def test_zero_norm_embedding_contract(spark):
+    """An all-zero embedding (failed encoder batch) has no direction, so
+    cosine against it is undefined. Contract across the semantic/ANN
+    family: zero vectors never match anything, never emit NaN —
+    semantic_decontaminate gives max_cos NULL + contaminated FALSE
+    (and ignores zero-norm benchmark vectors), semantic_duplicates
+    keeps the zero vector as its own singleton component, and
+    cosine_topk excludes zero vectors as both query and candidate."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        semantic_decontaminate,
+        semantic_duplicates,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.05, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # the failed-encoder row
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+
+    dec = {r.vec_id: r for r in semantic_decontaminate(e, bench, 0.9).collect()}
+    assert dec[3].max_cos is None and dec[3].contaminated is False
+    for vid in (0, 1, 2):
+        assert dec[vid].max_cos is not None
+        assert dec[vid].max_cos == dec[vid].max_cos  # not NaN
+    assert dec[0].contaminated is True
+    # an all-zero benchmark behaves like an empty one
+    zb = spark.createDataFrame(
+        [(200, [0.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    dec0 = {r.vec_id: r for r in semantic_decontaminate(e, zb, 0.9).collect()}
+    assert all(r.max_cos is None and r.contaminated is False
+               for r in dec0.values())
+
+    dup = {r.vec_id: r for r in semantic_duplicates(
+        e, n_centroids=1, iters=1, threshold=0.9).collect()}
+    assert dup[3].kept is True and dup[3].component == 3
+    assert dup[1].component == dup[0].component  # real pairs unaffected
+
+    top = cosine_topk(e, [0, 3], k=5).collect()
+    assert all(r.query_id != 3 for r in top)       # zero query: no rows
+    assert all(r.neighbor_id != 3 for r in top)    # zero candidate: never
+    assert all(r.cos == r.cos for r in top)        # no NaN anywhere
+
+
 def test_semantic_dedup_increment_replays_batch(spark, sf_dir):
     """CDC twin over frozen centroids: with planted exact-duplicate
     cliques spread across 3 ascending-id batches, accumulated survivors
@@ -1282,6 +1335,30 @@ def test_ivfpq_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     assert touched and touched < all_files
     plan = probed_cells._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+    # corpus-sized |Q| (>1024): the distributed ADC-constants path must
+    # equal the driver loop bit-for-bit from the SAME disk index, auto
+    # mode must pick it, and the code scan must stay partition-pruned.
+    big_q = None
+    for i in range(3):  # 1500 queries, none colliding with corpus ids
+        shifted = e.select(
+            (F.col("vec_id") + F.lit(1000 * (i + 1))).alias("vec_id"),
+            "embedding",
+        )
+        big_q = shifted if big_q is None else big_q.unionByName(shifted)
+    drv = ivfpq_probe_topk(
+        spark, path, big_q, k=5, n_probe=2, table_mode="driver"
+    )
+    dist = ivfpq_probe_topk(
+        spark, path, big_q, k=5, n_probe=2, table_mode="distributed"
+    )
+    auto = ivfpq_probe_topk(spark, path, big_q, k=5, n_probe=2)
+    drv_rows = sorted(map(tuple, drv.collect()))
+    dist_rows = sorted(map(tuple, dist.collect()))
+    assert drv_rows == dist_rows
+    assert sorted(map(tuple, auto.collect())) == dist_rows
+    dist_plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in dist_plan and "cell" in dist_plan
 
 
 def test_ccnet_buckets_semantics(spark, sf_dir):

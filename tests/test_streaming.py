@@ -579,20 +579,24 @@ def test_stream_prepare_corpus_replays_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_counts == exp_counts
-    # idempotency: a full replay against a FRESH checkpoint re-delivers
-    # batches 0..2; each sees its batch_id already committed in the
-    # catalog version and skips — output, counts and version unchanged
-    # (the r7-advice crash-window contract)
+    # idempotency, crash-window replay (SAME checkpoint lineage):
+    # deleting the checkpoint's last commit marker replays batch 2 with
+    # the same batch_id and file set; handle sees it already committed
+    # (matching LINEAGE token) and skips — output, counts and version
+    # unchanged (the r7-advice crash-window contract)
     from parquet_metadata_explorer_spark.operators.pipelines import (
         committed_batch_id,
+        committed_lineage,
         stream_prepare_corpus as _spc,
     )
 
     assert committed_batch_id(state_dir, v) == 2
-    q2 = _spc(
-        spark, flat, bench, state_dir, out_dir,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
-    )
+    assert committed_lineage(state_dir, v) is not None
+    os.remove(f"{state_dir}/_checkpoint/commits/2")
+    crc = f"{state_dir}/_checkpoint/commits/.2.crc"
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+    q2 = _spc(spark, flat, bench, state_dir, out_dir)
     q2.processAllAvailable()
     q2.stop()
     got2 = {
@@ -601,3 +605,18 @@ def test_stream_prepare_corpus_replays_batch(spark, sf_dir, tmp_path):
     assert got2 == expected
     _, v2 = load_prepare_state(spark, state_dir)
     assert v2 == 3
+
+    # lineage guard (the r8-advice fix): a FRESH checkpoint pointed at
+    # committed state must RAISE, not silently skip batches 0..done
+    # whose file-to-batch grouping may differ
+    import pytest as _pytest
+
+    q3 = _spc(
+        spark, flat, bench, state_dir, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+    )
+    with _pytest.raises(Exception, match="checkpoint lineage"):
+        q3.processAllAvailable()
+    q3.stop()
+    _, v3 = load_prepare_state(spark, state_dir)
+    assert v3 == 3  # nothing committed by the rejected lineage
