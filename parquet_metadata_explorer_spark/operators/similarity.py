@@ -672,6 +672,7 @@ def pq_index(
     n_centroids: int = 16,
     iters: int = 3,
     dim: int | None = None,
+    seeds: list | None = None,
 ):
     """Product-quantization codebooks + codes (the encoding half of
     IVF-PQ, Jégou et al. 2011): split each vector into ``m`` subvectors,
@@ -693,11 +694,19 @@ def pq_index(
     mean fold groups on (sub, cluster, dim) — k·dims cells, map-side
     combined. Only the m·k·(dim/m) codebook floats reach the driver.
 
+    ``seeds`` (optional) short-circuits the seed-selection job: a list
+    of (vec_id, [float]) pairs that IS the ``n_centroids``-smallest-md5
+    selection (callers like ivfpq_index compute both trainers' seeds in
+    ONE collect and derive the residual seeds driver-side — fewer jobs,
+    same values).
+
     Returns (codebook dict {(sub, cluster): [float]}, codes
     DataFrame[vec_id, sub, cluster]).
     """
     spark = embeddings.sparkSession
     e = track_persist(ensure_parallelism(embeddings.select("vec_id", "embedding")))
+    if dim is None and seeds:
+        dim = len(seeds[0][1])
     if dim is None:
         # one schema-probe job; callers that know the width pass it
         # (ivfpq_index: saves materializing the residual pipeline once)
@@ -724,16 +733,18 @@ def pq_index(
         ).select("vec_id", F.col("u.sub").alias("sub"), F.col("u.sv").alias("sv"))
     )
 
-    seed_rows = (
-        e.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
-    seed_rows.sort(key=lambda r: r.vec_id)  # canonical cluster labels
+    if seeds is None:
+        seed_rows = (
+            e.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(n_centroids)
+            .collect()
+        )
+        seeds = [(int(r.vec_id), [float(x) for x in r.embedding])
+                 for r in seed_rows]
+    seeds = sorted(seeds, key=lambda t: t[0])  # canonical cluster labels
     codebook = {}
-    for ci, r in enumerate(seed_rows):
-        vec = [float(x) for x in r.embedding]
+    for ci, (_vid, vec) in enumerate(seeds):
         for s in range(m):
             codebook[(s, ci)] = vec[s * sub_d : (s + 1) * sub_d]
 
@@ -913,11 +924,28 @@ def ivfpq_index(
     pq_codes DataFrame[vec_id, sub, cluster]).
     """
     spark = embeddings.sparkSession
+    # ONE seed-collect job covers both trainers (the r8-verdict job-count
+    # fold): the n-smallest-md5 prefix is shared — top-k_cells for the
+    # coarse quantizer, top-n_centroids for the residual PQ — and the
+    # residual seed VALUES are derived on the driver by replicating the
+    # assign arithmetic exactly (same left-fold d2, same (d2, cell)
+    # tie-break), so every downstream value is bit-identical to the
+    # per-trainer seed jobs this replaces (oracle-parity-asserted).
+    n_seed = max(k_cells, n_centroids)
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(n_seed)
+        .collect()
+    )  # in md5 order: prefix i is the i-smallest-md5 selection
+    seedlist = [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in seed_rows]
+    dim = len(seedlist[0][1])
     coarse_cb, coarse_codes = pq_index(
-        embeddings, m=1, n_centroids=k_cells, iters=coarse_iters
+        embeddings, m=1, n_centroids=k_cells, iters=coarse_iters,
+        dim=dim, seeds=seedlist[:k_cells],
     )
     cc = {c: v for (_s, c), v in coarse_cb.items()}
-    dim = len(next(iter(cc.values())))
     cells = track_persist(
         coarse_codes.select("vec_id", F.col("cluster").alias("cell"))
     )
@@ -935,8 +963,26 @@ def ivfpq_index(
             F.zip_with("emb", "cc", lambda a, b: a - b).alias("embedding"),
         )
     )
+
+    def _cell_of(vec):
+        # bit-exact driver twin of assign()'s m=1 argmin: left-fold d2
+        # in array order, ties broken by cell id
+        best = None
+        for c in sorted(cc):
+            acc = 0.0
+            for a, b in zip(vec, cc[c]):
+                acc += (a - b) * (a - b)
+            if best is None or (acc, c) < best:
+                best = (acc, c)
+        return best[1]
+
+    res_seeds = [
+        (vid, [a - b for a, b in zip(vec, cc[_cell_of(vec)])])
+        for vid, vec in seedlist[:n_centroids]
+    ]
     pq_cb, pq_codes = pq_index(
-        residuals, m=m, n_centroids=n_centroids, iters=iters, dim=dim
+        residuals, m=m, n_centroids=n_centroids, iters=iters, dim=dim,
+        seeds=res_seeds,
     )
     return cc, cells, pq_cb, pq_codes
 
@@ -1281,14 +1327,33 @@ def write_ivfpq_index(
         .join(cells, "vec_id")
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(c, v) for c, v in sorted(cc.items())],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
-    spark.createDataFrame(
-        [(s, c, v) for (s, c), v in sorted(pq_cb.items())],
-        "sub int, cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    # the sidecars are driver-held dicts (k_cells and m·k rows) — write
+    # them with pyarrow directly instead of spinning a Spark job per
+    # table; Spark reads them back identically (array<double> columns)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _sidecar(subdir, table):
+        d = f"{path}/{subdir}"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, f"{d}/part-00000.parquet")
+        open(f"{d}/_SUCCESS", "w").close()
+
+    cents = sorted(cc.items())
+    _sidecar("coarse", pa.table({
+        "cell": pa.array([c for c, _v in cents], pa.int32()),
+        "centroid": pa.array([v for _c, v in cents],
+                             pa.list_(pa.float64())),
+    }))
+    cbs = sorted(pq_cb.items())
+    _sidecar("codebook", pa.table({
+        "sub": pa.array([s for (s, _c), _v in cbs], pa.int32()),
+        "cluster": pa.array([c for (_s, c), _v in cbs], pa.int32()),
+        "centroid": pa.array([v for _k, v in cbs],
+                             pa.list_(pa.float64())),
+    }))
 
 
 def ivfpq_probe_topk(
