@@ -1025,13 +1025,23 @@ def _semantic_cos(ea, eb, na, nb):
     )
 
 
+def semdedup_auto_k(n: int, target_cluster_size: int = 32) -> int:
+    """The k ∝ n SemDeDup recipe with tools/semdedup_probe.py's measured
+    constants: k = max(16, ceil(n / target_cluster_size)) keeps the
+    expected cluster size — and with it the per-cluster pair count
+    Σ|cluster|²/n — FLAT as the corpus grows (measured 251× pair-space
+    reduction at 16× corpus with flat wall time)."""
+    return max(16, -(-n // target_cluster_size))
+
+
 def semantic_duplicates(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 3,
     threshold: float = 0.95,
     cluster_cap: int = 4096,
     centroids=None,
+    target_cluster_size: int = 32,
 ) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means-cluster
     the embedding space (the exact-decimal distributed Lloyd trainer —
@@ -1053,10 +1063,21 @@ def semantic_duplicates(
     is the fixed-order ``dot`` fold with the round-6 decimal snap, so a
     DuckDB twin (Lloyd CTE chain + within-cluster join + reachability
     closure) replays the output hash-exact.
+
+    ``n_centroids=None`` (the default) applies the k ∝ n recipe
+    automatically: one count job, then ``semdedup_auto_k(n,
+    target_cluster_size)`` — expected cluster size stays at the
+    probe-measured constant however big the corpus is. Pass an explicit
+    k to pin it (the boarded oracle does, since the CTE twin unrolls a
+    fixed cluster count).
     """
     from .graph import connected_components
 
-    base = _semantic_base(embeddings, n_centroids, iters, centroids)
+    if centroids is None and n_centroids is None:
+        n_centroids = semdedup_auto_k(
+            embeddings.count(), target_cluster_size
+        )
+    base = _semantic_base(embeddings, n_centroids or 0, iters, centroids)
     pairs = _semantic_pairs(base, threshold, cluster_cap)
     comp = connected_components(pairs, src="a", dst="b")
     return (

@@ -1062,6 +1062,58 @@ def test_dedup_semantic_tiling_invariant(spark, sf_dir):
     assert len(kept) == 1 and kept[0].vec_id == 3
 
 
+def test_semdedup_auto_k_bounds_pair_space(spark, sf_dir):
+    """n_centroids=None applies k = max(16, ceil(n/32)): at board scale
+    (500 vectors) auto-k = 16, so the default path returns EXACTLY the
+    boarded explicit-k output; at 16x corpus the per-vector within-
+    cluster pair count must stay bounded (the flat-cluster-size claim
+    the probe measured)."""
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        _semantic_base,
+        semantic_duplicates,
+        semdedup_auto_k,
+    )
+
+    assert semdedup_auto_k(500) == 16
+    assert semdedup_auto_k(8000) == 250
+    assert semdedup_auto_k(1) == 16
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = sorted(map(tuple, semantic_duplicates(
+        e, iters=2, threshold=0.45).collect()))
+    pinned = sorted(map(tuple, semantic_duplicates(
+        e, n_centroids=16, iters=2, threshold=0.45).collect()))
+    assert auto == pinned  # boarded values unchanged at board scale
+
+    dim = len(e.select("embedding").first()[0])
+
+    def replica(i):
+        rot = F.concat(
+            F.slice("embedding", i % dim + 1, dim - i % dim),
+            F.slice("embedding", 1, i % dim),
+        )
+        return e.select(
+            (F.col("vec_id") + i * 10**9).alias("vec_id"),
+            (rot if i else F.col("embedding")).alias("embedding"),
+        )
+
+    def pairs_per_vector(df):
+        n = df.count()
+        base = _semantic_base(df, semdedup_auto_k(n), 1, None)
+        sizes = [r.c for r in base.groupBy("cluster")
+                 .agg(F.count("*").alias("c")).collect()]
+        return sum(c * (c - 1) // 2 for c in sizes) / n
+
+    one = pairs_per_vector(replica(0))
+    big = replica(0)
+    for i in range(1, 16):
+        big = big.unionByName(replica(i))
+    sixteen = pairs_per_vector(big)
+    # flat per-vector pair space: 16x corpus must NOT approach the 16x
+    # growth a fixed k would give; allow skew slack only
+    assert sixteen <= 4 * max(one, 1.0), (one, sixteen)
+
+
 def test_zero_norm_embedding_contract(spark):
     """An all-zero embedding (failed encoder batch) has no direction, so
     cosine against it is undefined. Contract across the semantic/ANN
