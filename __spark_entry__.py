@@ -1307,6 +1307,134 @@ FROM base g LEFT JOIN comp c USING (vec_id)
 """
 
 
+SEMINC_CUT = 250  # vec_id split for the 2-batch CDC replay row
+
+
+def q_semantic_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup CDC twin as a driver row (r8-verdict stretch):
+    FROZEN centroids (the SEMDEDUP_K smallest-md5 seed vectors — pinned
+    data, no training, so the assignment is bit-exact in both engines),
+    arrivals split into two ascending-vec_id batches at SEMINC_CUT.
+    Batch 1 resolves internally; batch 2 resolves internally THEN is
+    screened against the batch-1 survivor catalog (any catalog vector in
+    the same cluster at cosine >= threshold drops the arrival) — the
+    refreshing-corpus shape, arrivals-only work, no catalog shuffle.
+    The oracle replays the INCREMENT semantics exactly (both
+    reachability closures + the relational catalog screen), so
+    first-arrival supersets are reproduced, not approximated."""
+    e = _table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(SEMDEDUP_K)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r.vec_id)  # canonical cluster labels
+    frozen = {
+        i: [float(x) for x in r.embedding] for i, r in enumerate(seed_rows)
+    }
+    cat = dedup.initial_semantic_catalog(spark)
+    outs = []
+    for lo, hi in ((None, SEMINC_CUT), (SEMINC_CUT, None)):
+        b = e
+        if lo is not None:
+            b = b.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("vec_id") < hi)
+        surv, cat = dedup.semantic_dedup_increment(
+            b, frozen, cat, threshold=SEMDEDUP_THRESHOLD
+        )
+        outs.append(
+            surv.select(
+                "vec_id", F.col("cluster").cast("long").alias("cluster")
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _oracle_semantic_increment(
+    k: int = SEMDEDUP_K,
+    cut: int = SEMINC_CUT,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    dim: int = 64,
+) -> str:
+    # d2 as the SAME left-fold the Spark frozen-assign path computes
+    # (zip_with (a-b)^2 then sum) — NOT the ||x||^2-2xc+||c||^2
+    # expansion, whose ulps could flip an argmin tie
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim}+1),"
+        f" i -> (e.emb[i] - c.c[i]) * (e.emb[i] - c.c[i])))"
+    )
+    cos = (
+        "round((list_dot_product(x.emb, y.emb)"
+        " / (x.nrm * y.nrm))::DECIMAL(30,10), 6)::double"
+    )
+    scr_cos = (
+        "round((list_dot_product(s.emb, g.emb)"
+        " / (s.nrm * g.nrm))::DECIMAL(30,10), 6)::double"
+    )
+
+    def resolve(tag: str, src: str) -> str:
+        """Within-batch pairs -> reachability closure -> min-id
+        survivors, the dedup_semantic oracle's machinery per batch."""
+        return f"""p{tag} AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM {src} x JOIN {src} y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {cos} >= {threshold!r}
+),
+sym{tag} AS (
+  SELECT a, b FROM p{tag} UNION SELECT b, a FROM p{tag}
+),
+reach{tag}(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym{tag})
+  UNION
+  SELECT r.src, s.b FROM reach{tag} r JOIN sym{tag} s ON s.a = r.node
+),
+comp{tag} AS (
+  SELECT src AS vec_id, min(node) AS component FROM reach{tag} GROUP BY src
+),
+s{tag} AS MATERIALIZED (
+  SELECT g.* FROM {src} g LEFT JOIN comp{tag} c USING (vec_id)
+  WHERE coalesce(c.component, g.vec_id) = g.vec_id
+)"""
+
+    return f"""
+WITH RECURSIVE
+seeds AS (
+  SELECT vec_id FROM embeddings ORDER BY md5(vec_id::varchar) LIMIT {k}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cluster,
+         e.embedding::DOUBLE[] AS c
+  FROM embeddings e JOIN seeds s USING (vec_id)
+),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+base AS MATERIALIZED (
+  SELECT vec_id, cluster, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM (
+    SELECT e.vec_id, c.cluster, e.emb,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cluster) AS rn
+    FROM e0 e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+b1 AS (SELECT * FROM base WHERE vec_id < {cut}),
+b2 AS (SELECT * FROM base WHERE vec_id >= {cut}),
+{resolve("1", "b1")},
+{resolve("2", "b2")},
+dropped AS (
+  SELECT DISTINCT s.vec_id
+  FROM s2 s JOIN s1 g ON s.cluster = g.cluster
+  WHERE {scr_cos} >= {threshold!r}
+)
+SELECT vec_id, cluster::bigint AS cluster FROM s1
+UNION ALL
+SELECT s.vec_id, s.cluster::bigint AS cluster
+FROM s2 s ANTI JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document/embedding clustering deliverable: the per-vector k-means
     cluster assignment after 3 deterministic Lloyd iterations — the
@@ -1400,6 +1528,87 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 # ---------------------------------------------------------------------------
 # deterministic sampling / splitting
 # ---------------------------------------------------------------------------
+
+
+DSIR_TARGET_SOURCES = ("src0", "src1")
+DSIR_N_OUT, DSIR_BUCKETS = 100, 8192
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    bag models for the target (src0/src1 — the 'quality reference'
+    sources) vs the raw corpus; per-doc log importance weight = sum of
+    bucket log-ratios (logprob discipline); selection = Gumbel top-100
+    with md5-derived deterministic noise. The genuinely-new pipeline
+    operator of r9 — composed from the shingle/hash-fold/keep-rule
+    machinery the text operators already board."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    return dsir_resample(
+        docs, target, n_out=DSIR_N_OUT, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _oracle_dsir_resample(
+    n_out: int = DSIR_N_OUT, B: int = DSIR_BUCKETS
+) -> str:
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    gum_u = (
+        f"(({_d_hash60(chr(39) + 'dsir:' + chr(39) + ' || d.doc_id::varchar')}"
+        f" % 1000000007 + 1) / 1000000008.0)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS feat FROM toks),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t)-1, 1)+1),
+                i -> array_to_string(t[i:i+1], ' '))) AS feat
+  FROM toks WHERE len(t) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, {_d_hash60("feat")} % {B} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tgt AS (SELECT doc_id, 1 AS is_t FROM documents WHERE source IN ({srcs})),
+counts AS MATERIALIZED (
+  SELECT f.bucket,
+         count(*)::bigint AS cr,
+         sum(coalesce(g.is_t, 0))::bigint AS ct
+  FROM feats f LEFT JOIN tgt g USING (doc_id)
+  GROUP BY 1
+),
+tots AS (SELECT sum(cr)::bigint AS nr, sum(ct)::bigint AS nt FROM counts),
+lr AS (
+  SELECT bucket,
+         round(ln((ct + 1.0) / (nt + {float(B)!r})), 12)::DECIMAL(30,15)
+       - round(ln((cr + 1.0) / (nr + {float(B)!r})), 12)::DECIMAL(30,15) AS w
+  FROM counts CROSS JOIN tots
+),
+perdoc AS (
+  SELECT f.doc_id, sum(l.w) AS logw
+  FROM feats f JOIN lr l USING (bucket) GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id,
+         round(coalesce(p.logw::DOUBLE, 0.0)::DECIMAL(30,10), 6)::double
+           AS log_weight,
+         round((coalesce(p.logw::DOUBLE, 0.0)
+                + round(-ln(-ln({gum_u})), 12))::DECIMAL(30,10), 6)::double
+           AS score
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, log_weight, score, rank::bigint AS rank
+FROM ranked WHERE rank <= {n_out}
+"""
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4452,6 +4661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "dedup_semantic": q_dedup_semantic,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "semantic_increment": q_semantic_increment,
+        "dsir_resample": q_dsir_resample,
         # C) reference-parity contract (always boarded)
         "meta_file_list": q_meta_file_list,
         "meta_parquet_file": q_meta_parquet_file,
@@ -4625,6 +4836,8 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical to ann_ivfpq by construction (disk round-trip)
         "ann_ivfpq_probe": _oracle_ann_ivfpq(),
         "dedup_semantic": _oracle_dedup_semantic(),
+        "semantic_increment": _oracle_semantic_increment(),
+        "dsir_resample": _oracle_dsir_resample(),
         # r8: the raw-byte-grid dHash replayed in SQL (hex-nibble bytes)
         "multimodal_dhash": O_MULTIMODAL_DHASH,
         # r8: the split-block bloom replayed relationally (bit-set join)

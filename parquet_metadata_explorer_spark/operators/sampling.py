@@ -263,3 +263,157 @@ def temperature_mix_by_tokens(
     return temperature_mix(
         documents, alpha, budget_tokens, key, salt, counts=mass
     )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target: DataFrame,
+    n_out: int = None,
+    keep_fraction: float = None,
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): estimate
+    per-document importance weights w(x) = p_target(x)/p_raw(x) under
+    hashed-n-gram bag models, then resample via Gumbel top-k.
+
+    - Features: unigrams + bigrams of the normalized token stream (with
+      multiplicity — bag models), hashed into ``n_buckets`` via the
+      engine-portable ``hash60``.
+    - Models: add-``alpha``-smoothed bucket categoricals for the target
+      set and the raw corpus; a document's log-weight is the sum of its
+      features' bucket log-ratios (per-term round-12 -> exact
+      decimal(30,15) sums — the logprob discipline, so weights are
+      partition-invariant and engine-exact).
+    - Resampling: score = log_weight + Gumbel noise derived
+      DETERMINISTICALLY from md5(doc_id) (round-12 snapped), so the
+      Gumbel-top-k sample — the importance-resampling step — is
+      reproducible on any engine. Exactly one of ``n_out`` (exact
+      top-k) / ``keep_fraction`` (histogram-sketch score cut) selects.
+
+    Scale shape: the corpus is scanned twice (one pass builds BOTH
+    bucket count tables — the target flag rides a broadcast join with
+    the small target id set, DSIR's defining asymmetry — and one pass
+    scores); the only shuffles are the n_buckets-sized count
+    aggregation and the doc_id-keyed weight sum. The log-ratio table
+    (n_buckets rows) broadcasts. ``n_out`` ranking is hierarchical —
+    a 32-way local prune caps the global sort input at 32*n_out rows,
+    the serving shape for sample-sized n_out; for corpus-sized
+    selections pass ``keep_fraction``, which replaces the global sort
+    with the ccnet_buckets histogram-sketch cut (bounded state, two
+    tiny shuffles, no global window).
+
+    Output (n_out): (doc_id, log_weight, score, rank) of the selected
+    documents. Output (keep_fraction): (doc_id, log_weight, score) of
+    documents at or above the sketch cut.
+    """
+    from ..functions import tokens
+
+    if (n_out is None) == (keep_fraction is None):
+        raise ValueError("pass exactly one of n_out / keep_fraction")
+    B = int(n_buckets)
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array_except(toks, toks))
+    feats = documents.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("feat")
+    ).select("doc_id", F.pmod(hash60(F.col("feat")), F.lit(B)).alias("bucket"))
+
+    tgt_ids = target.select("doc_id").distinct().withColumn(
+        "is_t", F.lit(1)
+    )
+    counts = (
+        feats.join(F.broadcast(tgt_ids), "doc_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(F.coalesce(F.col("is_t"), F.lit(0)))
+            .cast("long")
+            .alias("ct"),
+        )
+    )
+    tots = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    a = F.lit(float(alpha))
+    aB = F.lit(float(alpha) * B)
+    dec = "decimal(30,15)"
+    lr = (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.round(F.log((F.col("ct") + a) / (F.col("nt") + aB)), 12)
+                .cast(dec)
+                - F.round(F.log((F.col("cr") + a) / (F.col("nr") + aB)), 12)
+                .cast(dec)
+            ).alias("w"),
+        )
+    )
+    perdoc = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("logw"))
+    )
+    u = (
+        F.pmod(
+            hash60(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+            F.lit(1000000007),
+        )
+        + 1
+    ) / F.lit(1000000008.0)
+    g = F.round(-F.log(-F.log(u)), 12)
+    scored = (
+        documents.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("logw").cast("double"), F.lit(0.0)).cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("log_weight"),
+            F.round(
+                (
+                    F.coalesce(F.col("logw").cast("double"), F.lit(0.0)) + g
+                ).cast("decimal(30,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    if keep_fraction is not None:
+        from .sketches import histogram_group_quantiles
+
+        cut = histogram_group_quantiles(
+            scored.withColumn("one", F.lit(1)),
+            "one",
+            "score",
+            [(1.0 - float(keep_fraction), "cut")],
+        ).select("cut")
+        return scored.crossJoin(F.broadcast(cut)).filter(
+            F.col("score") >= F.col("cut")
+        ).select("doc_id", "log_weight", "score")
+    w_local = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(32))).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    w_global = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= int(n_out))
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= int(n_out))
+        .select("doc_id", "log_weight", "score", "rank")
+    )

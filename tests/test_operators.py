@@ -759,6 +759,52 @@ def test_bigram_logprob_prefers_seen_transitions(spark):
         assert abs(out[d].ppl - math.exp(-out[d].mean_logprob)) < 1e-3
 
 
+def test_dsir_resample_semantics(spark, sf_dir):
+    """DSIR importance weights must actually favor target-like text:
+    docs from the target sources score a higher mean log-weight than
+    the rest; the keep_fraction sketch path keeps ~the asked fraction
+    and agrees with the exact top-k on the clearly-above-cut head;
+    empty docs get weight 0; the selector demands exactly one mode."""
+    import pytest
+
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    n = docs.count()
+
+    sel = dsir_resample(docs, target, n_out=n)  # rank everything
+    rows = sel.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    tgt_w = [r.log_weight for r in rows if src[r.doc_id] in ("src0", "src1")]
+    oth_w = [r.log_weight for r in rows if src[r.doc_id] not in ("src0", "src1")]
+    assert sum(tgt_w) / len(tgt_w) > sum(oth_w) / len(oth_w)
+
+    frac = dsir_resample(docs, target, keep_fraction=0.2).collect()
+    assert 0.1 * n <= len(frac) <= 0.3 * n  # sketch-cut tolerance
+    by_score = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+    head = {r.doc_id for r in by_score[: int(0.1 * n)]}
+    kept = {r.doc_id for r in frac}
+    assert head <= kept  # the clear head is always above the cut
+
+    empty = spark.createDataFrame(
+        [(999999, "", "xx", "srcE", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    w = {r.doc_id: r.log_weight
+         for r in dsir_resample(docs.unionByName(empty), target,
+                                n_out=n + 1).collect()}
+    assert w[999999] == 0.0
+
+    with pytest.raises(ValueError):
+        dsir_resample(docs, target)
+    with pytest.raises(ValueError):
+        dsir_resample(docs, target, n_out=5, keep_fraction=0.5)
+
+
 def test_temperature_mix_rebalances_head(spark):
     """alpha=1 is the natural distribution (everything kept at natural
     budget); lower alpha caps tail sources at rate 1 and pushes the head
