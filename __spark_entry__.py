@@ -1030,6 +1030,9 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=IVFPQ_PROBE,
         rerank=IVFPQ_RERANK,
         embeddings=emb,
+        # 5 queries: pin the driver ADC path — auto would spend a count
+        # job to learn what the board already knows
+        table_mode="driver",
     )
 
 
@@ -2222,8 +2225,7 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recovered from hex() nibbles; w = min(n, n%64+1), h = max(n//w, 1);
 # sample the 9x8 grid at (floor(i*h/8), floor(j*w/9)) clamped; 64
 # gradient-sign bits fold into a HUGEINT then two's-complement to BIGINT
-O_MULTIMODAL_DHASH = """
-WITH p AS (
+_DHASH_CTES = """p AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
   FROM documents
 ),
@@ -2255,12 +2257,69 @@ hashed AS (
       CASE WHEN s[(k // 8) * 9 + (k % 8) + 2] > s[(k // 8) * 9 + (k % 8) + 1]
            THEN 1::HUGEINT << (63 - k) ELSE 0::HUGEINT END)) AS hv
   FROM sampled
-)
+)"""
+
+O_MULTIMODAL_DHASH = f"""
+WITH {_DHASH_CTES}
 SELECT doc_id,
        (CASE WHEN hv >= 1::HUGEINT << 63
              THEN hv - (1::HUGEINT << 64) ELSE hv END)::BIGINT AS dhash,
        'raw' AS codec
 FROM hashed
+"""
+
+MM_NEARDUP_HAMMING, MM_NEARDUP_BANDS = 4, 4
+
+
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the documents-as-payloads
+    table: the dHash kernel (oracled since r8) composed with the banded
+    Hamming join — 4 x 16-bit bands block candidates (pigeonhole: any
+    pair under Hamming 4 shares a band), bit_count(xor) verifies
+    exactly. Everything after the hash is codegen; the oracle extends
+    the dhash CTE with the same unsigned band extraction + popcount."""
+    from parquet_metadata_explorer_spark.operators import multimodal as mm
+
+    return mm.image_neardup_pairs(
+        mm.to_binary_payloads(_table(spark, sf_dir, "documents")),
+        max_hamming=MM_NEARDUP_HAMMING,
+        n_bands=MM_NEARDUP_BANDS,
+    )
+
+
+def _oracle_multimodal_neardup(
+    max_hamming: int = MM_NEARDUP_HAMMING, n_bands: int = MM_NEARDUP_BANDS
+) -> str:
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return f"""
+WITH {_DHASH_CTES},
+dh AS (
+  SELECT doc_id,
+         (CASE WHEN hv >= 1::HUGEINT << 63
+               THEN hv - (1::HUGEINT << 64) ELSE hv END)::BIGINT AS dhash,
+         hv AS ud
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, dhash, u.band_id AS band_id, u.band_val AS band_val
+  FROM (
+    SELECT doc_id, dhash,
+           unnest(list_transform(range(0, {n_bands}), b ->
+             {{'band_id': b,
+               'band_val': ((ud >> (b * {width})) & {mask})::BIGINT}})) AS u
+    FROM dh
+  )
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.dhash AS ha, r.dhash AS hb
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::bigint AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
@@ -4620,78 +4679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) the committed r8 SLA head: the 23 r5-boarded entries whose
-        #    3-round freshness deadline is THIS round (SURVEY §2.4's own
-        #    list), plus the first driver row for
-        #    text_decontaminate_bloom (rows-only BY DESIGN — split-block
-        #    bloom internals no second engine replays; docstring names
-        #    the compensating pytest)
-        "pruned_read": q_pruned_read,
-        "source_overlap": q_source_overlap,
-        "profile_lineitem": q_profile_lineitem,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "page_reconstruct_bss": q_page_reconstruct_bss,
-        "dataset_card": q_dataset_card,
-        "text_quality_filter": q_text_quality_filter,
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        # B) new or value/plan-changed this round: ann_ivfpq moved to
-        #    the IVFADC-R operating point (probe 8 + exact rerank 80,
-        #    recall 0.22 -> 0.74 — values changed); ann_ivfpq_probe is
-        #    the NEW materialized-index serving row (same oracle, disk
-        #    round-trip); text_ccnet_buckets' tercile cut is now the
-        #    bounded-memory histogram sketch (values changed)
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_ivfpq_probe": q_ann_ivfpq_probe,
-        "text_ccnet_buckets": q_text_ccnet_buckets,
-        "dedup_semantic": q_dedup_semantic,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "semantic_increment": q_semantic_increment,
-        "dsir_resample": q_dsir_resample,
-        # C) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # D) r6-boarded entries due r9, pulled forward into the spare
-        #    slots (12 of 39)
-        "salted_stats": q_salted_stats,
-        "window_top_orders": q_window_top_orders,
-        "cube_orders": q_cube_orders,
-        "supplier_part_revenue": q_supplier_part_revenue,
-        "rollup_orders": q_rollup_orders,
-        "tpch_q6": q_tpch_q6,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "set_ops": q_set_ops,
-        "scalar_functions": q_scalar_functions,
-        "prepare_corpus_audit": q_prepare_corpus_audit,
-        "page_content_scan": q_page_content_scan,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # E) remaining r6-boarded entries (due r9 — the committed r9
-        #    head, with group D's 13 pull-forwards re-boarded this
-        #    round; text_logprob2 displaced to slot 51 by the new
-        #    dedup_semantic row, deadline unchanged)
+        # A) the committed r9 SLA head: the 27 r6-boarded entries whose
+        #    3-round freshness deadline is THIS round (SURVEY §2.4's
+        #    list — the r8 board named these slots 51+ verbatim)
         "dedup_substring": q_dedup_substring,
         "text_logprob2": q_text_logprob2,
         "ann_pq": q_ann_pq,
@@ -4719,7 +4709,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "tpch_q3": q_tpch_q3,
-        # F) r7-boarded entries (due r10)
+        # B) new this round: semantic_increment (the CDC dedup twin over
+        #    frozen centroids, increment-exact oracle) and dsir_resample
+        #    (DSIR importance resampling, Gumbel top-k with
+        #    deterministic md5 noise). No existing row's values changed
+        #    in r9 (the IVF-PQ training fold is bit-identical; the board
+        #    pins SemDeDup's explicit k; zero-norm guards are
+        #    unreachable on the synthetic vectors).
+        "semantic_increment": q_semantic_increment,
+        "dsir_resample": q_dsir_resample,
+        "multimodal_neardup": q_multimodal_neardup,
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # D) r7-boarded entries due r10, pulled forward into the spare
+        #    slots (11 of 39)
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
@@ -4731,6 +4742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": q_ngram_freq,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # E) remaining r7-boarded entries (due r10 — the committed r10
+        #    head; events_percentiles_approx is the one rows-only entry
+        #    by design, Spark's GK sketch, pytest rank-bounded)
         "events_json": q_events_json,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -4759,6 +4774,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
+        # F) r8-boarded entries (due r11): the r8 SLA head (the 23
+        #    r5-boarded entries + text_decontaminate_bloom's first
+        #    driver row — boarded ORACLED via the deterministic-hash
+        #    split-block variant, NOT rows-only; the r8 board proved the
+        #    hash match), the five r8 new/changed rows, and the r8
+        #    pull-forwards
+        "pruned_read": q_pruned_read,
+        "source_overlap": q_source_overlap,
+        "profile_lineitem": q_profile_lineitem,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "page_reconstruct_bss": q_page_reconstruct_bss,
+        "dataset_card": q_dataset_card,
+        "text_quality_filter": q_text_quality_filter,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_probe": q_ann_ivfpq_probe,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
+        "dedup_semantic": q_dedup_semantic,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "salted_stats": q_salted_stats,
+        "window_top_orders": q_window_top_orders,
+        "cube_orders": q_cube_orders,
+        "supplier_part_revenue": q_supplier_part_revenue,
+        "rollup_orders": q_rollup_orders,
+        "tpch_q6": q_tpch_q6,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
+        "prepare_corpus_audit": q_prepare_corpus_audit,
+        "page_content_scan": q_page_content_scan,
     }
 
 
@@ -4838,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _oracle_dedup_semantic(),
         "semantic_increment": _oracle_semantic_increment(),
         "dsir_resample": _oracle_dsir_resample(),
+        "multimodal_neardup": _oracle_multimodal_neardup(),
         # r8: the raw-byte-grid dHash replayed in SQL (hex-nibble bytes)
         "multimodal_dhash": O_MULTIMODAL_DHASH,
         # r8: the split-block bloom replayed relationally (bit-set join)

@@ -63,6 +63,8 @@ def main() -> None:
         "ann_int8",
         "ann_ivfpq",
         "ann_ivfpq_probe",
+        "semantic_increment",
+        "dsir_resample",
         "text_stats",
         "text_langid",
         "text_tokens",
