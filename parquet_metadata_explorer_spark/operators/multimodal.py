@@ -485,10 +485,16 @@ def hash_neardup_pairs(
 ) -> DataFrame:
     """Generic banded Hamming join over any 64-bit hash column — the
     shared tail of the image and audio perceptual dedups (pigeonhole
-    banding + bit_count verify, all codegen)."""
+    banding + bit_count verify, all codegen). The banded relation is
+    persisted: it feeds BOTH sides of the self-join, and without the
+    persist the (Python) hash kernel upstream would run twice over the
+    corpus (plan-asserted: exactly one MapInPandas)."""
+    from ..cache import track_persist
+
     width = 64 // n_bands
     mask = (1 << width) - 1
     h = F.col(hash_col)
+    hashed = track_persist(hashed)
     bands = hashed.select(
         "doc_id",
         h.alias("_h"),

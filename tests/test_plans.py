@@ -647,3 +647,50 @@ def test_semantic_dedup_plan_shapes(spark, sf_dir):
     plan_pairs = simple_plan(pairs)
     assert "EvalPython" not in plan_pairs, plan_pairs
     assert plan_pairs.count("BroadcastHashJoin") >= 1, plan_pairs
+
+
+def test_dsir_plan_shapes(spark, sf_dir):
+    """DSIR's hot path must be scale-correct: no Python stage anywhere,
+    the target-id and log-ratio joins broadcast (the corpus never
+    shuffles for them), and the keep_fraction variant has NO global
+    single-partition Window — the sketch cut replaces the global sort."""
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    topk = dsir_resample(docs, target, n_out=50)
+    plan = simple_plan(topk)
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # target ids + lr
+
+    frac = dsir_resample(docs, target, keep_fraction=0.3)
+    plan_f = simple_plan(frac)
+    assert "EvalPython" not in plan_f, plan_f
+    # the sketch cut replaces the global rank: no row_number anywhere
+    # (the only Windows left are the sketch's per-group cumulative sums
+    # over <= n_buckets rows)
+    assert "row_number" not in plan_f, plan_f
+
+
+def test_multimodal_neardup_codegen_after_hash(spark, sf_dir):
+    """Everything after the dhash kernel is JVM codegen (banding is
+    shift/mask arithmetic, the verify is bit_count), and BOTH sides of
+    the band self-join read the persisted hash relation — the Arrow
+    kernel materializes once, not once per join side (the r9 persist
+    fix; the plan prints the cached MapInPandas inside each
+    InMemoryTableScan, but the cache computes it once)."""
+    from parquet_metadata_explorer_spark.operators import multimodal as mm
+
+    pairs = mm.image_neardup_pairs(
+        mm.to_binary_payloads(load(spark, sf_dir, "documents"))
+    )
+    plan = simple_plan(pairs)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    # no Python stage OUTSIDE the cached hash relation
+    outside = plan.split("InMemoryTableScan")[0]
+    assert "MapInPandas" not in outside, plan
