@@ -642,13 +642,19 @@ def line_dedup(
     sep = " " if chunk_tokens else delimiter
     if chunk_tokens:
         k = int(chunk_tokens)
-        toks = F.split(F.col("text"), " ")
+        # project the split array first: a captured split(text) inside
+        # the transform lambda re-splits the text per chunk (the r9
+        # lambda-capture fix)
+        toks = F.col("t")
         n_lines = F.greatest(
             F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(1)
         )
         lines_arr = F.transform(
             F.sequence(F.lit(0), n_lines - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+        documents = documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
         )
     else:
         # F.split takes a Java REGEX — escape so "." or "|" delimiters

@@ -121,31 +121,50 @@ def fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
     ``window`` consecutive 3-token shingle hashes — the standard local
     fingerprinting scheme (Schleimer et al., SIGMOD'03), built entirely
     from array expressions.
+
+    The token array and the shingle-hash array each materialize behind
+    a projection boundary before anything slices them: an expression
+    captured inside a ``transform()`` lambda re-evaluates PER ELEMENT,
+    so slicing ``tokens(text)`` directly re-runs the regexp pipeline
+    once per shingle — quadratic per document (the r9 lambda-capture
+    fix, measured ~7x on the ngram shape).
     """
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
+    t = F.col("t")
+    n = F.size(t)
     # clamp sequence stops to 1 (sequence counts down past 0 otherwise) and
     # blank results for too-short docs
     raw_sh = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, 3))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(t, i, 3))),
     )
     empty_sh = F.array_except(raw_sh, raw_sh)
-    shingle_hashes = F.when(n >= 3, raw_sh).otherwise(empty_sh)
-    n_sh = F.size(shingle_hashes)
+    sh = F.col("sh")
+    n_sh = F.size(sh)
     raw_win = F.transform(
         F.sequence(F.lit(1), F.greatest(n_sh - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(shingle_hashes, i, window)),
+        lambda i: F.array_min(F.slice(sh, i, window)),
     )
     winnow = F.array_distinct(
-        F.when(n_sh >= window, raw_win).otherwise(empty_sh)
+        F.when(n_sh >= window, raw_win).otherwise(F.array_except(sh, sh))
     )
-    return documents.select(
-        "doc_id",
-        F.md5(normalize_text(F.col("text"))).alias("exact_fp"),
-        F.size(F.array_distinct(shingle_hashes)).cast("long").alias("n_shingles"),
-        F.size(winnow).cast("long").alias("n_winnow"),
-        F.sort_array(winnow).alias("winnow_fps"),
+    return (
+        documents.select(
+            "doc_id",
+            F.md5(normalize_text(F.col("text"))).alias("exact_fp"),
+            tokens(F.col("text")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "exact_fp",
+            F.when(n >= 3, raw_sh).otherwise(empty_sh).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            "exact_fp",
+            F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
+            F.size(winnow).cast("long").alias("n_winnow"),
+            F.sort_array(winnow).alias("winnow_fps"),
+        )
     )
 
 
@@ -217,17 +236,21 @@ def ngram_frequencies(
     then a tiny top-k sort. Survives 100 TB because nothing ever holds
     more than (distinct n-grams in a partition) in memory.
     """
-    toks = tokens(F.col("text"))
-    size = F.size(toks)
+    # project the token array first — slicing a captured tokens(text)
+    # inside the transform lambda would re-run the regexp per gram (the
+    # r9 lambda-capture fix)
+    t = F.col("t")
+    size = F.size(t)
     grams = F.when(
         size >= n,
         F.transform(
             F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        documents.select(tokens(F.col("text")).alias("t"))
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("ngram"))
@@ -247,20 +270,24 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     keyed by (doc_id, gram) and doc_id — both near-uniform keys (grams
     are scoped per document, so a corpus-hot gram never concentrates).
     """
-    toks = tokens(F.col("text"))
+    # project the token array first — slicing a captured tokens(text)
+    # inside the transform lambda re-runs the regexp per gram (the r9
+    # lambda-capture fix)
+    t = F.col("t")
 
     def all_grams(k: int):
-        n = F.size(toks)
+        n = F.size(t)
         grams = F.transform(
             F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
         )
         empty = F.array_except(grams, grams)
         return F.when(n >= k, grams).otherwise(empty)
 
     def per_doc(k: int, out_total: str, out_top: str, out_dup: str):
         return (
-            documents.select("doc_id", F.explode(all_grams(k)).alias("g"))
+            documents.select("doc_id", tokens(F.col("text")).alias("t"))
+            .select("doc_id", F.explode(all_grams(k)).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("c"))
             .groupBy("doc_id")

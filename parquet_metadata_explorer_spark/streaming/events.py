@@ -779,14 +779,17 @@ def stream_line_dedup(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(docs_path)
     )
-    toks = F.split(F.col("text"), " ")
+    # project the split array first — a captured split(text) inside the
+    # transform lambda re-splits per chunk (the r9 lambda-capture fix)
+    toks = F.col("t")
     n_lines = F.greatest(F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(1))
     lines_arr = F.transform(
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
     )
     return (
-        stream.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+        stream.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
         .dropDuplicates(["line"])
     )
 
