@@ -37,7 +37,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
     Gopher/C4-style rules, deterministic and oracle-checkable.
     """
     text = F.col("text")
-    toks = tokens(text)
+    # one tokenizer run per row — `tokens(text)` is referenced by both
+    # the token count and the stopword filter, so it projects first
+    toks = F.col("t")
     n_chars = F.length(text).cast("long")
     n_tokens = F.size(toks).cast("long")
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
@@ -46,6 +48,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
     ).cast("long")
+    documents = documents.select(
+        "doc_id", "text", tokens(text).alias("t")
+    )
 
     punct_ratio = _round_dec(n_punct / F.greatest(n_chars, F.lit(1)), 4)
     upper_ratio = _round_dec(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
@@ -73,8 +78,12 @@ def text_stats(documents: DataFrame) -> DataFrame:
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-vote language ID: score = fraction of tokens that are in
     each language's function-word list; argmax with deterministic
-    alphabetical tie-break ('unknown' when no list scores > 0)."""
-    toks = tokens(F.col("text"))
+    alphabetical tie-break ('unknown' when no list scores > 0).
+
+    The token array projects once — referencing ``tokens(text)`` in
+    each language's filter would tokenize every row once per language
+    (a constant-factor cousin of the r9 lambda-capture fix)."""
+    toks = F.col("t")
     n_tokens = F.greatest(F.size(toks), F.lit(1))
 
     def stop_filter(words):
@@ -95,6 +104,8 @@ def language_id(documents: DataFrame) -> DataFrame:
     for lang in langs:
         pred = pred.when(scores[lang] == best, F.lit(lang))
     return documents.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
