@@ -1347,6 +1347,14 @@ def q_semantic_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, cat = dedup.semantic_dedup_increment(
             b, frozen, cat, threshold=SEMDEDUP_THRESHOLD
         )
+        # no inter-batch checkpoint needed: connected_components
+        # truncates the lineage internally, and an explicit
+        # localCheckpoint pair here measured SLOWER (7.9 -> 8.6s at
+        # sf0.1 — two extra materializations for no avoided recompute).
+        # The row's local wall time is fixed-cost-bound (the
+        # job-overhead class ARCHITECTURE.md documents for the
+        # trainers): batch 1 holds 250 vectors and still pays every
+        # stage's scheduling/AQE constant.
         outs.append(
             surv.select(
                 "vec_id", F.col("cluster").cast("long").alias("cluster")

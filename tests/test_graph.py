@@ -110,3 +110,25 @@ def test_string_node_ids(spark):
         ("x", "x"),
         ("y", "x"),
     ]
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    """The small-graph union-find fast path must return EXACTLY the
+    distributed star rounds' output (same nodes, same min-id
+    components) — asserted on a random graph by forcing both paths."""
+    import random
+
+    rng = random.Random(97)
+    edges = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(600)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    )
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df, small_graph_edges=0).collect()
+    )
+    assert fast == dist and fast
