@@ -65,6 +65,7 @@ def main() -> None:
         "ann_ivfpq_probe",
         "semantic_increment",
         "dsir_resample",
+        "multimodal_neardup",
         "text_stats",
         "text_langid",
         "text_tokens",
