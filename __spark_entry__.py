@@ -969,11 +969,17 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     # the same path must never be served from a stale cached index
     src = os.path.join(sf_dir, "embeddings.parquet")
     fp_parts = []
-    for root, _dirs, files in os.walk(src):
+    for root, dirs, files in os.walk(src):
+        dirs.sort()  # deterministic walk order across filesystems
         for f in sorted(files):
             if f.endswith(".parquet"):
-                st = os.stat(os.path.join(root, f))
-                fp_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                # key on the sf_dir-relative path, not the basename:
+                # partitioned layouts repeat part-file names per subdir
+                fp_parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
     if os.path.isfile(src):  # single-file layout
         st = os.stat(src)
         fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
@@ -2276,16 +2282,19 @@ SELECT doc_id,
 FROM hashed
 """
 
-MM_NEARDUP_HAMMING, MM_NEARDUP_BANDS = 4, 4
+MM_NEARDUP_HAMMING, MM_NEARDUP_BANDS = 4, 5
 
 
 def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate pairs over the documents-as-payloads
     table: the dHash kernel (oracled since r8) composed with the banded
-    Hamming join — 4 x 16-bit bands block candidates (pigeonhole: any
-    pair under Hamming 4 shares a band), bit_count(xor) verifies
-    exactly. Everything after the hash is codegen; the oracle extends
-    the dhash CTE with the same unsigned band extraction + popcount."""
+    Hamming join — 5 near-equal-width bands block candidates
+    (pigeonhole: a pair at Hamming <= 4 cannot flip a bit in every one
+    of 5 bands, so recall at the boarded threshold is EXACT — 4 bands
+    would silently drop pairs at exactly Hamming 4 with one flip per
+    band), bit_count(xor) verifies exactly. Everything after the hash
+    is codegen; the oracle extends the dhash CTE with the same unsigned
+    band extraction + popcount."""
     from parquet_metadata_explorer_spark.operators import multimodal as mm
 
     return mm.image_neardup_pairs(
@@ -2298,8 +2307,12 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_multimodal_neardup(
     max_hamming: int = MM_NEARDUP_HAMMING, n_bands: int = MM_NEARDUP_BANDS
 ) -> str:
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    from parquet_metadata_explorer_spark.operators.multimodal import band_layout
+
+    band_structs = ", ".join(
+        f"{{'band_id': {i}, 'band_val': ((ud >> {off}) & {(1 << width) - 1})::BIGINT}}"
+        for i, (off, width) in enumerate(band_layout(n_bands))
+    )
     return f"""
 WITH {_DHASH_CTES},
 dh AS (
@@ -2313,9 +2326,7 @@ bands AS (
   SELECT doc_id, dhash, u.band_id AS band_id, u.band_val AS band_val
   FROM (
     SELECT doc_id, dhash,
-           unnest(list_transform(range(0, {n_bands}), b ->
-             {{'band_id': b,
-               'band_val': ((ud >> (b * {width})) & {mask})::BIGINT}})) AS u
+           unnest([{band_structs}]) AS u
     FROM dh
   )
 ),

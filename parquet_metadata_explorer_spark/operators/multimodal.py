@@ -377,13 +377,14 @@ def image_dhash(payloads: DataFrame) -> DataFrame:
 
 
 def image_neardup_pairs(
-    payloads: DataFrame, max_hamming: int = 4, n_bands: int = 4
+    payloads: DataFrame, max_hamming: int = 4, n_bands: int = 5
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: dHash each payload, band
-    the 64 bits into ``n_bands`` 16-bit keys (two hashes within Hamming
-    distance < n_bands MUST share at least one unchanged band — the
-    pigeonhole guarantee SimHash banding runs on), candidate-join on
-    (band, key), verify with an exact popcount of the XOR.
+    the 64 bits into ``n_bands`` near-equal-width keys (two hashes
+    within Hamming distance < n_bands MUST share at least one unchanged
+    band — the pigeonhole guarantee SimHash banding runs on; the
+    default 5 bands make the Hamming<=4 contract exact), candidate-join
+    on (band, key), verify with an exact popcount of the XOR.
 
     Everything after the hash kernel is codegen: banding is shift/mask
     arithmetic, the join key (band_id, band_val) is near-uniform
@@ -477,22 +478,48 @@ def audio_fingerprint(payloads: DataFrame) -> DataFrame:
     )
 
 
+def band_layout(n_bands: int, total_bits: int = 64) -> list:
+    """(offset, width) per band, covering total_bits disjointly with
+    widths differing by at most one — the shared layout for the Spark
+    banding and its SQL oracle twin (uneven widths let n_bands exceed
+    the divisors of 64, which the pigeonhole guard requires for
+    max_hamming >= 4)."""
+    base, extra = divmod(total_bits, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
 def hash_neardup_pairs(
     hashed: DataFrame,
     hash_col: str,
     max_hamming: int = 4,
-    n_bands: int = 4,
+    n_bands: int = 5,
 ) -> DataFrame:
     """Generic banded Hamming join over any 64-bit hash column — the
     shared tail of the image and audio perceptual dedups (pigeonhole
-    banding + bit_count verify, all codegen). The banded relation is
-    persisted: it feeds BOTH sides of the self-join, and without the
-    persist the (Python) hash kernel upstream would run twice over the
-    corpus (plan-asserted: exactly one MapInPandas)."""
+    banding + bit_count verify, all codegen). Pigeonhole recall is only
+    exact when a pair within max_hamming cannot flip one bit in EVERY
+    band, i.e. max_hamming < n_bands — enforced here rather than
+    silently under-reporting pairs at exactly max_hamming. Bands may be
+    uneven (64 need not divide n_bands); widths differ by at most one
+    bit. The banded relation is persisted: it feeds BOTH sides of the
+    self-join, and without the persist the (Python) hash kernel
+    upstream would run twice over the corpus (plan-asserted: exactly
+    one MapInPandas)."""
     from ..cache import track_persist
 
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} requires n_bands > max_hamming "
+            f"(got {n_bands}): with only {n_bands} bands a pair at "
+            f"Hamming {max_hamming} can flip one bit per band and "
+            "never share a band, so banding would silently drop it"
+        )
+    layout = band_layout(n_bands)
     h = F.col(hash_col)
     hashed = track_persist(hashed)
     bands = hashed.select(
@@ -503,11 +530,11 @@ def hash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(h, i * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned(h, off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(n_bands)
+                    for i, (off, width) in enumerate(layout)
                 ]
             )
         ).alias("b"),

@@ -408,6 +408,11 @@ def dsir_resample(
     if keep_fraction is not None:
         from .sketches import histogram_group_quantiles
 
+        # persist: the scored relation feeds the histogram cut twice
+        # (value-range agg + bucketed count join) AND the final filter —
+        # without it the tokenize/explode/per-doc-weight pipeline above
+        # re-runs three times
+        scored = track_persist(scored)
         cut = histogram_group_quantiles(
             scored.withColumn("one", F.lit(1)),
             "one",

@@ -1331,13 +1331,21 @@ def write_ivfpq_index(
     # them with pyarrow directly instead of spinning a Spark job per
     # table; Spark reads them back identically (array<double> columns)
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     def _sidecar(subdir, table):
+        # Replicate Spark's mode("overwrite") truncate: clear any prior
+        # sidecar (a stale Spark-written part-<uuid> next to our
+        # part-00000 would union into duplicate rows per cell), and do
+        # it BEFORE writing so the old _SUCCESS vanishes first — a crash
+        # mid-write leaves no _SUCCESS and _ivfpq_index_complete
+        # correctly reports the index incomplete.
         d = f"{path}/{subdir}"
-        os.makedirs(d, exist_ok=True)
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
         pq.write_table(table, f"{d}/part-00000.parquet")
         open(f"{d}/_SUCCESS", "w").close()
 

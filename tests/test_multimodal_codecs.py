@@ -266,6 +266,38 @@ def test_image_dhash_neardup_pairs(spark):
     assert [(a, b) for a, b, _ in pairs] == [(1, 2)], pairs
 
 
+def test_neardup_pigeonhole_exact_at_threshold(spark):
+    """The adversarial Hamming-4 pair — one flipped bit per 16-bit band
+    — is exactly the case 4-band blocking misses: no band matches, so
+    the pair silently vanishes even though it is within the threshold.
+    The r9 contract makes that impossible: n_bands must exceed
+    max_hamming (ValueError otherwise), and with the default 5 bands
+    the pair is found because 4 flips cannot touch all 5 bands."""
+    import pytest
+
+    from parquet_metadata_explorer_spark.operators.multimodal import (
+        band_layout,
+        hash_neardup_pairs,
+    )
+
+    h1 = 0
+    h2 = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    hashed = spark.createDataFrame(
+        [(1, h1), (2, h2)], "doc_id long, fingerprint long"
+    )
+
+    found = hash_neardup_pairs(hashed, "fingerprint", max_hamming=4).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in found] == [(1, 2, 4)]
+
+    with pytest.raises(ValueError, match="n_bands"):
+        hash_neardup_pairs(hashed, "fingerprint", max_hamming=4, n_bands=4)
+
+    # the uneven layout covers all 64 bits disjointly
+    layout = band_layout(5)
+    assert sum(w for _, w in layout) == 64
+    assert [off for off, _ in layout] == [0, 13, 26, 39, 52]
+
+
 def _wav_from_samples(samples: np.ndarray, rate: int = 8000) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
@@ -320,7 +352,9 @@ def test_audio_fingerprint_neardup(spark):
 
     pairs = {
         (r.doc_a, r.doc_b)
-        for r in hash_neardup_pairs(out, "fingerprint", max_hamming=6).collect()
+        for r in hash_neardup_pairs(
+            out, "fingerprint", max_hamming=6, n_bands=7
+        ).collect()
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs

@@ -1459,6 +1459,48 @@ def test_ivfpq_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in dist_plan and "cell" in dist_plan
 
 
+def test_ivfpq_index_rewrite_truncates_stale_sidecars(spark, tmp_path):
+    """Rebuilding an index over an existing path must truncate the
+    sidecar dirs, not write alongside: a stale part file from a prior
+    (e.g. Spark-written) sidecar would union into duplicate rows per
+    cell and serve arbitrary centroids. The writer must also drop the
+    old _SUCCESS before writing so a crash mid-rewrite reads as
+    incomplete, not as the old index."""
+    import os
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    params = dict(k_cells=4, m=4, n_centroids=8, iters=1, coarse_iters=1)
+    write_ivfpq_index(e, path, **params)
+
+    # simulate a prior writer's leftover: a differently-named part file
+    # that spark.read.parquet would union with ours
+    stale = f"{path}/coarse/part-00001-deadbeef.parquet"
+    import shutil
+
+    shutil.copy(f"{path}/coarse/part-00000.parquet", stale)
+    assert len(os.listdir(f"{path}/coarse")) == 3
+
+    params2 = dict(k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2)
+    write_ivfpq_index(e, path, **params2)
+    assert sorted(os.listdir(f"{path}/coarse")) == [
+        "_SUCCESS",
+        "part-00000.parquet",
+    ]
+
+    qids = [0, 1, 2]
+    queries = e.filter(e.vec_id.isin(qids))
+    disk = ivfpq_probe_topk(spark, path, queries, k=5, n_probe=3)
+    mem = ivfpq_ann_topk(e, qids, k=5, n_probe=3, **params2)
+    assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
+
+
 def test_ccnet_buckets_semantics(spark, sf_dir):
     """Per language: tercile sizes within one doc of n/3, and mean
     perplexity strictly ordered head < middle < tail (the CCNet
