@@ -3973,6 +3973,96 @@ FROM scored GROUP BY doc_id
 """
 
 
+BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window merge sort order"),
+    (3, "slow stream filter"),
+]
+BM25_K, BM25_K1, BM25_B = 10, 1.2, 0.75
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k retrieval (r9) — the inverted-index twin of
+    ann_topk: three fixed queries against the documents corpus, Okapi
+    weighting with the Lucene non-negative idf. One postings build
+    (persisted — it feeds doc lengths, document frequencies and the
+    scoring probe), query terms broadcast into the probe so the corpus
+    never shuffles for scoring, 32-way local prune before the per-query
+    top-k window. The oracle replays the identical postings/idf/score
+    arithmetic with the round-12/decimal-sum discipline."""
+    return text.bm25_topk(
+        _table(spark, sf_dir, "documents"),
+        BM25_QUERIES,
+        k=BM25_K,
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+
+
+def _oracle_text_bm25() -> str:
+    import re as _re
+
+    qrows = []
+    for qid, qtext in BM25_QUERIES:
+        for t in sorted(
+            {
+                w
+                for w in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
+                if w
+            }
+        ):
+            qrows.append(f"({qid}, '{t}')")
+    k1, b = BM25_K1, BM25_B
+    num_c = repr(k1 + 1.0)  # 2.2, the Spark-side F.lit(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+postings AS MATERIALIZED (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+doclen AS MATERIALIZED (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+  FROM doclen
+),
+qterms(query_id, term) AS (VALUES {", ".join(qrows)}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+probe AS (
+  SELECT q.query_id, q.term,
+         round(ln((s.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+                  / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 12) AS idf
+  FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+scored AS (
+  SELECT p.query_id, po.doc_id,
+         sum(round(p.idf * ((po.tf::DOUBLE * {num_c}::DOUBLE)
+               / (po.tf::DOUBLE + {k1!r}::DOUBLE
+                  * ({one_minus_b}::DOUBLE
+                     + {b!r}::DOUBLE * l.dl::DOUBLE
+                       / (s.total_len::DOUBLE / s.n_docs::DOUBLE)))),
+               12)::DECIMAL(30,15)) AS sc
+  FROM postings po
+  JOIN probe p USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(sc, 6)::DOUBLE AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(sc, 6)::DOUBLE DESC, doc_id
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub exercised end-to-end: a deterministic email + IPv4 is
     appended to every document (the corpus itself contains none), then
@@ -4762,6 +4852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         # -- tail: sf0.001 local-parity coverage this round ----------
+        # E0) new late-r9 (never boarded — r10 head with the group-E
+        #     remainder): BM25 lexical retrieval
+        "text_bm25": q_text_bm25,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -4879,6 +4972,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": O_TEXT_FINGERPRINT,
         "text_repetition": O_TEXT_REPETITION,
         "text_logprob": O_TEXT_LOGPROB,
+        "text_bm25": _oracle_text_bm25(),
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

@@ -66,6 +66,7 @@ def main() -> None:
         "semantic_increment",
         "dsir_resample",
         "multimodal_neardup",
+        "text_bm25",
         "text_stats",
         "text_langid",
         "text_tokens",

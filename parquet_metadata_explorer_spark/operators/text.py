@@ -10,7 +10,7 @@ which is the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import _round_dec
@@ -783,6 +783,127 @@ def source_overlap(documents: DataFrame) -> DataFrame:
             _round_dec(F.col("n_common") / F.col("n_shingles"), 4).alias("overlap"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical top-k retrieval — the inverted-index twin of the
+    embedding ANN family (Robertson-Spärck Jones Okapi weighting): for
+    each (query_id, query_text) in ``queries`` (a small driver-side
+    list, the serving shape), return the k highest-scoring documents
+    with score = Σ_terms idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative
+    variant). Output (query_id, doc_id, score, rank).
+
+    Scale shape: ONE corpus tokenize+explode builds the postings
+    relation (doc_id, term, tf) behind a partial-aggregating shuffle on
+    (doc_id, term); it is persisted because it feeds three consumers —
+    document lengths (folded from postings, NOT a second corpus scan),
+    per-term document frequencies (vocab-sized), and the scoring probe.
+    The query-term relation (terms × queries, tiny) joins df/idf and
+    BROADCASTS into the postings probe, so the corpus token stream
+    never shuffles for the probe — only postings whose term appears in
+    some query survive (the inverted-index semantics; at rest the
+    postings table would be bucketed by term so the probe prunes
+    file-level). The doc-length join then touches the query-term-
+    bounded candidates only; locally both small sides broadcast
+    (plan-asserted: zero sort-merge joins), at scale AQE picks
+    broadcast vs shuffle on the candidate size.
+    Top-k uses the 32-way local prune before the per-query global
+    window, so a stop-word query's corpus-sized candidate set never
+    lands in one partition. Determinism: idf is round-12 snapped (libm
+    ln), each term's score contribution round-12 snapped again, summed
+    as exact decimal(30,15), final score round-6 — partition-count and
+    addition-order invariant, tie-broken on doc_id.
+    """
+    import re as _re
+
+    from ..cache import track_persist
+
+    spark = documents.sparkSession
+    qrows = []
+    for qid, qtext in queries:
+        toks = [
+            t
+            for t in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
+            if t
+        ]
+        # distinct query terms (Lucene practice: query tf is ignored)
+        for t in sorted(set(toks)):
+            qrows.append((int(qid), t))
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+
+    postings = track_persist(
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_d = F.col("n_docs").cast("double")
+    idf = F.round(
+        F.log(
+            (n_d - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        12,
+    )
+    probe = (
+        qterms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "term", idf.alias("idf"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(probe), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select(avgdl.alias("avgdl"))))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("idf") * tfnorm, 12).cast("decimal(30,15)")
+            ).alias("s")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s"), 6).cast("double").alias("score"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
+    ).orderBy(F.col("score").desc(), F.col("doc_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= int(k))
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score", "rank")
     )
 
 

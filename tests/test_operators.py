@@ -310,6 +310,71 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[0].n_tokens == 5 and out[99].n_tokens == 3
 
 
+def test_bm25_topk_matches_reference_scoring(spark):
+    """BM25 against a brute-force Python reference on a hand-built
+    corpus: scores match to the operator's round-6 output precision
+    (the oracle parity test is the exact check), rare terms outweigh
+    common ones (idf), and a term absent from a doc contributes
+    nothing."""
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple"),
+        (3, "cherry banana"),
+        (4, "banana banana banana banana"),
+        (5, "apple cherry durian"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    k1, b = 1.2, 0.75
+    out = {
+        (r.query_id, r.doc_id): r
+        for r in text.bm25_topk(
+            docs, [(1, "apple cherry"), (2, "banana")], k=5, k1=k1, b=b
+        ).collect()
+    }
+
+    toks = {d: t.split() for d, t in rows}
+    N = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def ref_score(doc, qterms):
+        s = 0.0
+        for t in set(qterms):
+            tf = toks[doc].count(t)
+            if not tf:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = round(math.log((N - df + 0.5) / (df + 0.5) + 1.0), 12)
+            dl = len(toks[doc])
+            s += round(
+                idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))),
+                12,
+            )
+        return s
+
+    for (qid, qterms) in [(1, ["apple", "cherry"]), (2, ["banana"])]:
+        for d in toks:
+            expect = ref_score(d, qterms)
+            got = out.get((qid, d))
+            if expect == 0.0:
+                assert got is None  # no query term in doc -> no candidate row
+            else:
+                # operator rounds the decimal sum to 6 places
+                assert got is not None and abs(got.score - expect) < 1e-6
+
+    # rare cherry (df=2) outweighs common apple (df=3) at equal tf/dl
+    assert out[(1, 3)].score > out[(1, 2)].score
+    # ranks are dense per query, ordered by score desc
+    q1 = sorted(
+        (r for r in out.values() if r.query_id == 1), key=lambda r: r.rank
+    )
+    assert [r.rank for r in q1] == list(range(1, len(q1) + 1))
+    assert all(
+        q1[i].score >= q1[i + 1].score for i in range(len(q1) - 1)
+    )
+
+
 def test_redact_pii_patterns(spark):
     rows = [
         (1, "mail me at a.b-c_1@sub.example.org or root@x.io thanks"),

@@ -676,6 +676,24 @@ def test_dsir_plan_shapes(spark, sf_dir):
     assert "row_number" not in plan_f, plan_f
 
 
+def test_bm25_plan_broadcast_probe_single_corpus_pass(spark, sf_dir):
+    """BM25's scale contract: the postings relation is persisted (one
+    corpus tokenize feeds doc lengths, document frequencies AND the
+    scoring probe), every join resolves broadcast (query terms, doc
+    lengths, corpus stats — no sort-merge anywhere locally), and the
+    whole pipeline is JVM codegen (no Python stage)."""
+    from parquet_metadata_explorer_spark.operators import text
+
+    df = text.bm25_topk(
+        load(spark, sf_dir, "documents"), [(1, "fast hash join")], k=5
+    )
+    plan = simple_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan  # postings reused
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
 def test_multimodal_neardup_codegen_after_hash(spark, sf_dir):
     """Everything after the dhash kernel is JVM codegen (banding is
     shift/mask arithmetic, the verify is bit_count), and BOTH sides of
