@@ -427,6 +427,49 @@ FROM comp
 """
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (late r9): MinHash near-dup pairs →
+    connected components → whole clusters assigned to one split by the
+    md5-permille rule on cluster_id — the eval-integrity guard a plain
+    doc_id hash_split lacks (near-copies straddling the split inflate
+    eval). The oracle replays the pair closure and the identical md5
+    arithmetic."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    return leakage_safe_split(docs, pairs, val_permille=100)
+
+
+def _oracle_split_leakage_safe() -> str:
+    pairs = _oracle_minhash().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cid FROM reach GROUP BY src),
+alld AS (
+  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                 % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM alld
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-cleaning pipeline as one auditable row: quality
     filter → exact dedup → MinHash LSH → connected components — every
@@ -4853,8 +4896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # -- tail: sf0.001 local-parity coverage this round ----------
         # E0) new late-r9 (never boarded — r10 head with the group-E
-        #     remainder): BM25 lexical retrieval
+        #     remainder): BM25 lexical retrieval + the leakage-safe
+        #     cluster-aware split
         "text_bm25": q_text_bm25,
+        "split_leakage_safe": q_split_leakage_safe,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -4973,6 +5018,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": O_TEXT_REPETITION,
         "text_logprob": O_TEXT_LOGPROB,
         "text_bm25": _oracle_text_bm25(),
+        "split_leakage_safe": _oracle_split_leakage_safe(),
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

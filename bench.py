@@ -67,6 +67,7 @@ def main() -> None:
         "dsir_resample",
         "multimodal_neardup",
         "text_bm25",
+        "split_leakage_safe",
         "text_stats",
         "text_langid",
         "text_tokens",

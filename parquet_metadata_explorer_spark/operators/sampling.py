@@ -38,6 +38,50 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    val_permille: int = 100,
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val split: whole near-duplicate
+    clusters land in ONE split, so a test document can never have a
+    near-copy in train (the split-leakage failure mode document-keyed
+    hashing cannot prevent — ``hash_split`` on doc_id happily sends two
+    near-identical docs to opposite splits, inflating eval). ``pairs``
+    is any (doc_a, doc_b) near-dup relation — MinHash LSH, SimHash,
+    embedding or semantic pairs all compose. Docs in no pair are
+    singleton clusters keyed by their own doc_id. The split rule is
+    ``hash_split``'s md5 permille, keyed on cluster_id — adding data
+    never moves an existing cluster across splits (components can only
+    merge; a merge re-keys to the min id, which is the documented
+    instability of ANY transitive-closure split under corpus growth).
+
+    Scale shape: connected components over pairs (large-star/small-star,
+    pair-participating docs only — usually ≪ corpus), then one join of
+    the corpus keys against the component map (AQE broadcast when the
+    dup fraction is small, shuffle otherwise) and a map-side md5.
+    Output (doc_id, cluster_id, split).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cid")
+    )
+    bucket = hash60(F.col("cluster_id").cast("string")) % 1000
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cid"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < val_permille, "val").otherwise("train"),
+        )
+    )
+
+
 def sample_per_group(
     df: DataFrame, group_col: str, key_col: str, n: int
 ) -> DataFrame:

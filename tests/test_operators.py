@@ -310,6 +310,54 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[0].n_tokens == 5 and out[99].n_tokens == 3
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Whole near-dup clusters must land in one split — including a
+    transitive chain a-b, b-c where a and c never pair directly — and
+    the doc_id-keyed hash_split demonstrably splits at least one of
+    these pairs (the leakage this operator exists to prevent).
+    Singletons key on their own doc_id, so their assignment matches
+    hash_split exactly and adding clustered docs cannot move them."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    # find two doc ids whose doc-keyed permilles straddle the 100 cut
+    import hashlib
+
+    def permille(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16) % 1000
+
+    low = next(i for i in range(1000) if permille(i) < 100)
+    high = next(i for i in range(1000) if permille(i) >= 100)
+    docs = spark.createDataFrame(
+        [(low,), (high,), (500,), (501,), (502,), (777,)], "doc_id long"
+    )
+    # chain: low-high (the straddling pair) and 500-501, 501-502
+    pairs = spark.createDataFrame(
+        [(low, high), (500, 501), (501, 502)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()
+    }
+    # the straddling near-dup pair stays together...
+    assert out[low].split == out[high].split
+    assert out[low].cluster_id == out[high].cluster_id == min(low, high)
+    # ...whereas hash_split on doc_id would leak it across splits
+    naive = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id", 100).collect()
+    }
+    assert naive[low] != naive[high]
+    # transitive chain is one cluster, one split
+    assert (
+        out[500].cluster_id == out[501].cluster_id == out[502].cluster_id == 500
+    )
+    assert out[500].split == out[501].split == out[502].split
+    # singleton: own-id cluster, assignment identical to hash_split
+    assert out[777].cluster_id == 777 and out[777].split == naive[777]
+
+
 def test_bm25_topk_matches_reference_scoring(spark):
     """BM25 against a brute-force Python reference on a hand-built
     corpus: scores match to the operator's round-6 output precision
