@@ -696,6 +696,119 @@ SELECT query_id, neighbor_id, cos, rank::bigint AS rank FROM ranked WHERE rank <
 """
 
 
+HYBRID_QUERY_IDS = [0, 1, 2]
+HYBRID_K, HYBRID_K_EACH, HYBRID_RRF_K = 10, 20, 60
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval (late r9): BM25 on the query
+    document's own text fused with dense cosine top-k by Reciprocal
+    Rank Fusion (1/(60+rank), Cormack 2009). The oracle composes the
+    BM25 CTE stack (query terms drawn relationally from the query
+    docs), the exact-cosine CTE, the self-drop re-rank and the RRF
+    arithmetic — 1/(int+int) doubles, engine-exact with no rounding."""
+    return similarity.hybrid_rrf_topk(
+        _table(spark, sf_dir, "documents"),
+        _table(spark, sf_dir, "embeddings"),
+        HYBRID_QUERY_IDS,
+        k=HYBRID_K,
+        k_each=HYBRID_K_EACH,
+        rrf_k=HYBRID_RRF_K,
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    ids = ", ".join(str(i) for i in HYBRID_QUERY_IDS)
+    k1, b = 1.2, 0.75  # bm25_topk defaults, pinned by hybrid_rrf_topk
+    ke, rk = HYBRID_K_EACH, float(HYBRID_RRF_K)
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+postings AS MATERIALIZED (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+doclen AS MATERIALIZED (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+  FROM doclen
+),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+  FROM toks WHERE doc_id IN ({ids})
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+probe AS (
+  SELECT q.query_id, q.term,
+         round(ln((s.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+                  / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 12) AS idf
+  FROM qterms q JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+bscored AS (
+  SELECT p.query_id, po.doc_id,
+         sum(round(p.idf * ((po.tf::DOUBLE * 2.2::DOUBLE)
+               / (po.tf::DOUBLE + {k1!r}::DOUBLE
+                  * (0.25::DOUBLE
+                     + {b!r}::DOUBLE * l.dl::DOUBLE
+                       / (s.total_len::DOUBLE / s.n_docs::DOUBLE)))),
+               12)::DECIMAL(30,15)) AS sc
+  FROM postings po
+  JOIN probe p USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(sc, 6)::DOUBLE DESC, doc_id
+         ) AS r0
+  FROM bscored
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY r0
+         )::BIGINT AS lex_rank
+  FROM branked WHERE r0 <= {ke} AND doc_id <> query_id
+),
+dq AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+dscored AS (
+  SELECT dq.query_id, e.vec_id AS doc_id,
+         round({_d_cos("dq.q_emb", "e.embedding")}, 6) AS cos
+  FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> dq.query_id
+),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, doc_id
+         )::BIGINT AS dense_rank
+  FROM dscored
+  QUALIFY dense_rank <= {ke}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         coalesce(1.0::DOUBLE / ({rk!r}::DOUBLE + lex_rank), 0.0::DOUBLE)
+         + coalesce(1.0::DOUBLE / ({rk!r}::DOUBLE + dense_rank), 0.0::DOUBLE)
+           AS rrf_score,
+         lex_rank, dense_rank
+  FROM lex FULL JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_score, lex_rank, dense_rank,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+       )::BIGINT AS rank
+FROM fused
+QUALIFY rank <= {HYBRID_K}
+"""
+
+
 def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized brute-force top-k — the whole scoring pipeline
     (quantize, integer dot, hierarchical top-k) is whole-stage codegen;
@@ -4900,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     cluster-aware split
         "text_bm25": q_text_bm25,
         "split_leakage_safe": q_split_leakage_safe,
+        "hybrid_rrf": q_hybrid_rrf,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5019,6 +5133,7 @@ def oracle_sql() -> dict[str, str]:
         "text_logprob": O_TEXT_LOGPROB,
         "text_bm25": _oracle_text_bm25(),
         "split_leakage_safe": _oracle_split_leakage_safe(),
+        "hybrid_rrf": _oracle_hybrid_rrf(),
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

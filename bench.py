@@ -68,6 +68,7 @@ def main() -> None:
         "multimodal_neardup",
         "text_bm25",
         "split_leakage_safe",
+        "hybrid_rrf",
         "text_stats",
         "text_langid",
         "text_tokens",

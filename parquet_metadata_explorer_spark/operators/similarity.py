@@ -112,6 +112,83 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     )
 
 
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid more-like-this retrieval: BM25 lexical top-k (the query
+    document's own text as the query) fused with dense cosine top-k by
+    Reciprocal Rank Fusion — score(d) = Σ_sources 1/(rrf_k + rank_s(d))
+    (Cormack et al. 2009), the standard production fusion because it
+    needs no score calibration across modalities. A doc found by only
+    one retriever contributes that one term. Output (query_id, doc_id,
+    rrf_score, lex_rank, dense_rank, rank).
+
+    The lexical side ranks with the query doc itself in the candidate
+    pool (it is its own best match), then drops the self row and
+    re-ranks by original order — the oracle replays both steps exactly.
+    Scale shape: all fusion inputs are top-k_each per query (serving-
+    sized), so the fusion join and final window are trivially small —
+    the heavy lifting lives in the two retrievers, each with its own
+    documented scale story (bm25_topk: broadcast postings probe;
+    cosine_topk: per-partition GEMM + local prune). RRF arithmetic is
+    1/(integer+integer) in doubles — engine-exact with no rounding.
+    """
+    from .text import bm25_topk
+
+    query_ids = [int(q) for q in query_ids]
+    qtexts = {
+        r.doc_id: r.text
+        for r in documents.filter(F.col("doc_id").isin(query_ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    lex_raw = bm25_topk(
+        documents, [(q, qtexts[q]) for q in sorted(qtexts)], k=k_each
+    )
+    w_lex = Window.partitionBy("query_id").orderBy("rank")
+    lex = (
+        lex_raw.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense = cosine_topk(embeddings, query_ids, k=k_each).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("dense_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id", "doc_id", "rrf_score", "lex_rank", "dense_rank", "rank"
+        )
+    )
+
+
 def _plane_weight(plane: int, dim_col):
     """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5).
 

