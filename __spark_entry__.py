@@ -4219,6 +4219,54 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_K}
 """
 
 
+def _bm25_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf_dir work location for the materialized BM25
+    index (the build is deterministic, so a cached index reproduces a
+    fresh one bit-for-bit — pytest proves disk ≡ memory). Keyed on a
+    source fingerprint (sorted relative paths + size + mtime of every
+    documents parquet file) so regenerated testdata never serves a
+    stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp_parts = []
+    for root, dirs, files in os.walk(src):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                fp_parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    if os.path.isfile(src):
+        st = os.stat(src)
+        fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    key = f"{sf_dir}|bm25|{';'.join(fp_parts)}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/pqx_bm25_{tag}"
+
+
+def q_text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index serve path (late r9): build the bucketed
+    BM25 index once per (sf_dir, data fingerprint), then answer the
+    SAME three queries as text_bm25 from disk — bucket partition
+    pruning + pushed term filter, zero corpus-sized joins (doc length
+    rides the posting row, Lucene-style). Same oracle as text_bm25 BY
+    CONSTRUCTION: disk ≡ memory is pytest-asserted bit-for-bit."""
+    import os
+
+    path = _bm25_index_path(sf_dir)
+    if not all(
+        os.path.exists(f"{path}/{part}/_SUCCESS")
+        for part in ("postings", "dfreq", "stats")
+    ):
+        text.write_bm25_index(_table(spark, sf_dir, "documents"), path)
+    return text.bm25_probe_topk(spark, path, BM25_QUERIES, k=BM25_K)
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub exercised end-to-end: a deterministic email + IPv4 is
     appended to every document (the corpus itself contains none), then
@@ -5014,6 +5062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "split_leakage_safe": q_split_leakage_safe,
         "hybrid_rrf": q_hybrid_rrf,
+        "text_bm25_probe": q_text_bm25_probe,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5134,6 +5183,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": _oracle_text_bm25(),
         "split_leakage_safe": _oracle_split_leakage_safe(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        # same oracle as text_bm25 BY CONSTRUCTION (disk ≡ memory is
+        # pytest-asserted bit-for-bit, mirroring ann_ivfpq_probe)
+        "text_bm25_probe": _oracle_text_bm25(),
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

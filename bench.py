@@ -69,6 +69,7 @@ def main() -> None:
         "text_bm25",
         "split_leakage_safe",
         "hybrid_rrf",
+        "text_bm25_probe",
         "text_stats",
         "text_langid",
         "text_tokens",

@@ -907,6 +907,169 @@ def bm25_topk(
     )
 
 
+BM25_INDEX_BUCKETS = 64
+
+
+def write_bm25_index(
+    documents: DataFrame, path: str, n_buckets: int = BM25_INDEX_BUCKETS
+) -> None:
+    """Materialize the BM25 inverted index to the lake, postings
+    partitioned by a term-hash bucket — the layout that turns a query
+    probe into FILE-LEVEL partition pruning: a query touching t terms
+    opens at most t of n_buckets partitions. Lucene-style, the doc
+    length is DENORMALIZED into each posting (one wider column per
+    row buys the probe zero joins against a corpus-sized relation).
+    Document frequencies ride the same bucketed layout (vocab-sized,
+    same pruning); the two corpus-level constants (n_docs, total_len)
+    are a one-row pyarrow sidecar. Everything stored is integers, so a
+    probe from disk reproduces ``bm25_topk`` BIT-identically
+    (pytest-asserted)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..cache import track_persist
+
+    bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
+    postings = track_persist(
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    ).collect()[0]
+    postings.join(doclen, "doc_id").select(
+        "doc_id", "term", "tf", "dl", bucket
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    ).select("term", "df", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/dfreq")
+    d = f"{path}/stats"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([stats.n_docs], pa.int64()),
+                "total_len": pa.array([stats.total_len], pa.int64()),
+            }
+        ),
+        f"{d}/part-00000.parquet",
+    )
+    open(f"{d}/_SUCCESS", "w").close()
+
+
+def bm25_probe_topk(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k against a MATERIALIZED index (no corpus scan, no
+    tokenize): the query terms' hash buckets are computed driver-side
+    with the same md5 arithmetic the writer used, so ``bucket IN (...)``
+    reaches both parquet sources as a partition filter — unprobed
+    buckets' files are never opened (file-pruning asserted in pytest
+    via input_file_name), and the residual ``term IN (...)`` pushes
+    into the pruned scan. Scoring is the exact arithmetic of
+    ``bm25_topk`` (round-12 idf, round-12 term score, exact-decimal
+    sum), so results match the in-memory path bit-for-bit; doc length
+    comes denormalized off the posting row — the probe does zero
+    corpus-sized joins."""
+    import hashlib
+    import re as _re
+
+    qrows = []
+    for qid, qtext in queries:
+        toks = [
+            t
+            for t in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
+            if t
+        ]
+        for t in sorted(set(toks)):
+            qrows.append((int(qid), t))
+    terms = sorted({t for _q, t in qrows})
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for t in terms
+        }
+    )
+    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+
+    stats = spark.read.parquet(f"{path}/stats")
+    dfreq = (
+        spark.read.parquet(f"{path}/dfreq")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    n_d = F.col("n_docs").cast("double")
+    idf = F.round(
+        F.log(
+            (n_d - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        12,
+    )
+    probe = (
+        qterms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "term", idf.alias("idf"))
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(probe), "term")
+        .crossJoin(F.broadcast(stats.select(avgdl.alias("avgdl"))))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("idf") * tfnorm, 12).cast("decimal(30,15)")
+            ).alias("s")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s"), 6).cast("double").alias("score"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
+    ).orderBy(F.col("score").desc(), F.col("doc_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= int(k))
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _bpe_wrap(symbols) -> str:
     """Double-separator wrapped symbol string: ``␟s1␟␟s2␟…␟sn␟``.
 

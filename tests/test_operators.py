@@ -343,6 +343,52 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
     assert 1.0 / 61 + 1.0 / 61 > 1.0 / 61
 
 
+def test_bm25_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
+    """The materialized BM25 index (postings bucketed by term hash,
+    doc length denormalized Lucene-style) must (a) reproduce the
+    in-memory scorer BIT-identically from disk, and (b) open ONLY the
+    probed term-buckets' files — partition pruning is the scan-level
+    payoff of the bucket layout."""
+    from pyspark.sql.functions import input_file_name
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+
+    qs = [(1, "fast hash join"), (2, "slow stream filter")]
+    disk = bm25_probe_topk(spark, path, qs, k=10)
+    mem = bm25_topk(docs, qs, k=10)
+    assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
+
+    # pruning: the probed scan must touch a strict subset of the files
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select(input_file_name())
+        .distinct()
+        .collect()
+    }
+    probed = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin([0, 1])
+    )
+    touched = {
+        r[0] for r in probed.select(input_file_name()).distinct().collect()
+    }
+    assert touched and touched < all_files
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the probe plan itself prunes on bucket AND pushes the term filter
+    dplan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in dplan
+    assert "PushedFilters" in dplan and "term" in dplan
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Whole near-dup clusters must land in one split — including a
     transitive chain a-b, b-c where a and c never pair directly — and
