@@ -786,6 +786,26 @@ def source_overlap(documents: DataFrame) -> DataFrame:
     )
 
 
+def _query_terms(queries) -> list:
+    """Distinct (query_id, term) rows from driver-side (id, text)
+    pairs, tokenized with the Python twin of ``normalize_text`` +
+    ``tokens`` (query tf is ignored — Lucene practice). Shared by the
+    in-memory scorer and the index probe so both sides of the
+    disk ≡ memory contract see identical query relations."""
+    import re as _re
+
+    qrows = []
+    for qid, qtext in queries:
+        toks = {
+            t
+            for t in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
+            if t
+        }
+        for t in sorted(toks):
+            qrows.append((int(qid), t))
+    return qrows
+
+
 def bm25_topk(
     documents: DataFrame,
     queries,
@@ -822,22 +842,12 @@ def bm25_topk(
     as exact decimal(30,15), final score round-6 — partition-count and
     addition-order invariant, tie-broken on doc_id.
     """
-    import re as _re
-
     from ..cache import track_persist
 
     spark = documents.sparkSession
-    qrows = []
-    for qid, qtext in queries:
-        toks = [
-            t
-            for t in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
-            if t
-        ]
-        # distinct query terms (Lucene practice: query tf is ignored)
-        for t in sorted(set(toks)):
-            qrows.append((int(qid), t))
-    qterms = spark.createDataFrame(qrows, "query_id long, term string")
+    qterms = spark.createDataFrame(
+        _query_terms(queries), "query_id long, term string"
+    )
 
     postings = track_persist(
         documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
@@ -987,17 +997,8 @@ def bm25_probe_topk(
     comes denormalized off the posting row — the probe does zero
     corpus-sized joins."""
     import hashlib
-    import re as _re
 
-    qrows = []
-    for qid, qtext in queries:
-        toks = [
-            t
-            for t in _re.sub(r"[^a-z0-9]+", " ", qtext.lower()).split(" ")
-            if t
-        ]
-        for t in sorted(set(toks)):
-            qrows.append((int(qid), t))
+    qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
     buckets = sorted(
         {
