@@ -976,6 +976,72 @@ def write_bm25_index(
     open(f"{d}/_SUCCESS", "w").close()
 
 
+def bm25_index_increment(
+    new_documents: DataFrame, path: str, n_buckets: int = BM25_INDEX_BUCKETS
+) -> None:
+    """CDC maintenance for the materialized BM25 index: tokenize ONLY
+    the arrivals and APPEND their postings and per-batch document-
+    frequency deltas into the bucketed layout — log-structured, so no
+    existing file is ever rewritten and no history is reprocessed (the
+    probe folds df deltas with a sum, which on a fresh index degenerates
+    to the single-row case). The two corpus constants are re-written as
+    a new one-row sidecar (old values + this batch's, read driver-side).
+
+    Contract: arrivals must carry doc_ids not already in the index — a
+    re-appended doc would double its postings (the same arrivals-only
+    contract as the other incremental operators; pair with
+    stream_prepare_corpus's batch-keyed idempotent sink for replay
+    safety). Probe results after N increments are BIT-identical to a
+    fresh ``write_bm25_index`` over the union (pytest-asserted)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..cache import track_persist
+
+    bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
+    postings = track_persist(
+        new_documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    batch = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    ).collect()[0]
+    postings.join(doclen, "doc_id").select(
+        "doc_id", "term", "tf", "dl", bucket
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    ).select("term", "df", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/dfreq")
+    old = pq.read_table(f"{path}/stats/part-00000.parquet").to_pydict()
+    d = f"{path}/stats"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array(
+                    [old["n_docs"][0] + batch.n_docs], pa.int64()
+                ),
+                "total_len": pa.array(
+                    [old["total_len"][0] + batch.total_len], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/part-00000.parquet",
+    )
+    open(f"{d}/_SUCCESS", "w").close()
+
+
 def bm25_probe_topk(
     spark,
     path: str,
@@ -1009,10 +1075,15 @@ def bm25_probe_topk(
     qterms = spark.createDataFrame(qrows, "query_id long, term string")
 
     stats = spark.read.parquet(f"{path}/stats")
+    # df is summed per term: the incremental writer appends per-batch
+    # (term, df_delta) rows instead of rewriting the vocab relation
+    # (log-structured — see bm25_index_increment); on a freshly-built
+    # index the sum folds exactly one row per term
     dfreq = (
         spark.read.parquet(f"{path}/dfreq")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
     )
     n_d = F.col("n_docs").cast("double")
     idf = F.round(

@@ -389,6 +389,62 @@ def test_bm25_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     assert "PushedFilters" in dplan and "term" in dplan
 
 
+def test_bm25_index_increment_equals_rebuild(spark, tmp_path):
+    """Log-structured index maintenance: build on batch 1, append
+    batch 2 (and then batch 3), and every probe must be BIT-identical
+    to a fresh full rebuild over the union — postings/df-delta appends
+    plus the summed stats sidecar reproduce the exact same idf and
+    length normalization. Old files are never rewritten (append-only,
+    file-set superset asserted)."""
+    import os
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+    qs = [(1, "fast hash join"), (2, "window merge sort")]
+
+    inc_path = str(tmp_path / "inc")
+    write_bm25_index(b1, inc_path)
+
+    def files(sub):
+        return {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(f"{inc_path}/{sub}")
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = files("postings")
+    bm25_index_increment(b2, inc_path)
+    after = files("postings")
+    assert before < after  # append-only: old files untouched
+
+    full_path = str(tmp_path / "full")
+    write_bm25_index(b1.unionByName(b2), full_path)
+    assert sorted(
+        map(tuple, bm25_probe_topk(spark, inc_path, qs, k=10).collect())
+    ) == sorted(
+        map(tuple, bm25_probe_topk(spark, full_path, qs, k=10).collect())
+    )
+
+    # a second increment keeps the invariant (stats fold across batches)
+    bm25_index_increment(b3, inc_path)
+    full3 = str(tmp_path / "full3")
+    write_bm25_index(docs, full3)
+    assert sorted(
+        map(tuple, bm25_probe_topk(spark, inc_path, qs, k=10).collect())
+    ) == sorted(
+        map(tuple, bm25_probe_topk(spark, full3, qs, k=10).collect())
+    )
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Whole near-dup clusters must land in one split — including a
     transitive chain a-b, b-c where a and c never pair directly — and
