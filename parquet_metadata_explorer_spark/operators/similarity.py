@@ -119,6 +119,7 @@ def hybrid_rrf_topk(
     k: int = 10,
     k_each: int = 20,
     rrf_k: int = 60,
+    bm25_index_path: str = None,
 ) -> DataFrame:
     """Hybrid more-like-this retrieval: BM25 lexical top-k (the query
     document's own text as the query) fused with dense cosine top-k by
@@ -138,7 +139,7 @@ def hybrid_rrf_topk(
     cosine_topk: per-partition GEMM + local prune). RRF arithmetic is
     1/(integer+integer) in doubles — engine-exact with no rounding.
     """
-    from .text import bm25_topk
+    from .text import bm25_probe_topk, bm25_topk
 
     query_ids = [int(q) for q in query_ids]
     qtexts = {
@@ -147,9 +148,17 @@ def hybrid_rrf_topk(
         .select("doc_id", "text")
         .collect()
     }
-    lex_raw = bm25_topk(
-        documents, [(q, qtexts[q]) for q in sorted(qtexts)], k=k_each
-    )
+    queries = [(q, qtexts[q]) for q in sorted(qtexts)]
+    if bm25_index_path is not None:
+        # serving composition: the lexical side probes the materialized
+        # bucketed index (partition-pruned, join-free) instead of
+        # re-scanning the corpus — bit-identical by the disk ≡ memory
+        # contract, so the fused output is unchanged
+        lex_raw = bm25_probe_topk(
+            documents.sparkSession, bm25_index_path, queries, k=k_each
+        )
+    else:
+        lex_raw = bm25_topk(documents, queries, k=k_each)
     w_lex = Window.partitionBy("query_id").orderBy("rank")
     lex = (
         lex_raw.filter(F.col("doc_id") != F.col("query_id"))

@@ -389,6 +389,28 @@ def test_bm25_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
     assert "PushedFilters" in dplan and "term" in dplan
 
 
+def test_hybrid_rrf_from_index_equals_memory(spark, tmp_path):
+    """The serving composition: hybrid retrieval with its lexical side
+    probing the materialized BM25 index must equal the in-memory hybrid
+    bit-for-bit (it inherits the probe's disk ≡ memory contract)."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    mem = hybrid_rrf_topk(docs, emb, [0, 1], k=6, k_each=12)
+    idx = hybrid_rrf_topk(
+        docs, emb, [0, 1], k=6, k_each=12, bm25_index_path=path
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, idx.collect()))
+
+
 def test_bm25_index_increment_equals_rebuild(spark, tmp_path):
     """Log-structured index maintenance: build on batch 1, append
     batch 2 (and then batch 3), and every probe must be BIT-identical
