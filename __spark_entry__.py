@@ -4244,7 +4244,14 @@ def _bm25_index_path(sf_dir: str) -> str:
     if os.path.isfile(src):
         st = os.stat(src)
         fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-    key = f"{sf_dir}|bm25|{';'.join(fp_parts)}"
+    # v2 = layout version (bumped when the on-disk schema changes) and
+    # the bucket modulus — a layout change must miss the cache, not
+    # serve a stale-format index to new probe code
+    from parquet_metadata_explorer_spark.operators.text import (
+        BM25_INDEX_BUCKETS,
+    )
+
+    key = f"{sf_dir}|bm25|v2|{BM25_INDEX_BUCKETS}|{';'.join(fp_parts)}"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/pqx_bm25_{tag}"
 
@@ -4257,13 +4264,24 @@ def q_text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the posting row, Lucene-style). Same oracle as text_bm25 BY
     CONSTRUCTION: disk ≡ memory is pytest-asserted bit-for-bit."""
     import os
+    import shutil
 
     path = _bm25_index_path(sf_dir)
     if not all(
         os.path.exists(f"{path}/{part}/_SUCCESS")
         for part in ("postings", "dfreq", "stats")
     ):
-        text.write_bm25_index(_table(spark, sf_dir, "documents"), path)
+        # build into a process-private dir, then publish with one
+        # rename: two concurrent drivers (bench + pytest) both missing
+        # the cache each build their own copy and exactly one wins —
+        # never two writers interleaving inside the shared path
+        build = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        text.write_bm25_index(_table(spark, sf_dir, "documents"), build)
+        try:
+            os.rename(build, path)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     return text.bm25_probe_topk(spark, path, BM25_QUERIES, k=BM25_K)
 
 

@@ -148,7 +148,17 @@ def hybrid_rrf_topk(
         .select("doc_id", "text")
         .collect()
     }
-    queries = [(q, qtexts[q]) for q in sorted(qtexts)]
+    missing = sorted(set(query_ids) - set(qtexts))
+    if missing:
+        # a typo'd id would otherwise degrade to dense-only fusion with
+        # no warning — fail loudly instead
+        raise ValueError(
+            f"query ids absent from documents: {missing} — more-like-this "
+            "needs the query document's own text for the lexical side"
+        )
+    # NULL text is a real corpus state (failed extraction): that query
+    # keeps its dense side and contributes no lexical terms
+    queries = [(q, qtexts[q] or "") for q in sorted(qtexts)]
     if bm25_index_path is not None:
         # serving composition: the lexical side probes the materialized
         # bucketed index (partition-pruned, join-free) instead of

@@ -806,6 +806,89 @@ def _query_terms(queries) -> list:
     return qrows
 
 
+def _corpus_postings(documents: DataFrame):
+    """(postings, doclen) for a document batch: ONE tokenize+explode
+    behind a partial-aggregating shuffle on (doc_id, term); postings is
+    persisted (it feeds doc lengths, document frequencies AND either
+    the scoring probe or the index write), doc lengths fold from it —
+    never a second corpus scan. Shared by the in-memory scorer, the
+    index writer and the CDC increment so the three can never drift."""
+    from ..cache import track_persist
+
+    postings = track_persist(
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return postings, doclen
+
+
+def _bm25_idf():
+    """Lucene non-negative idf over (df, n_docs) columns, round-12
+    snapped (libm ln) — THE determinism-critical expression both the
+    in-memory scorer and the index probe must share verbatim."""
+    n_d = F.col("n_docs").cast("double")
+    return F.round(
+        F.log(
+            (n_d - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        12,
+    )
+
+
+def _bm25_avgdl():
+    return F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+
+
+def _bm25_score_topk(candidates: DataFrame, k: int, k1: float, b: float):
+    """Okapi scoring + top-k over a candidate relation carrying
+    (query_id, doc_id, tf, dl, idf, avgdl): round-12 term score, exact
+    decimal(30,15) sum, round-6 final — partition-count and
+    addition-order invariant — then the 32-way local prune before the
+    per-query global window (a stop-word query's corpus-sized candidate
+    set never lands in one partition). Shared by ``bm25_topk`` and
+    ``bm25_probe_topk`` so the disk ≡ memory bit-identity contract
+    cannot drift."""
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    scored = (
+        candidates.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("idf") * tfnorm, 12).cast("decimal(30,15)")
+            ).alias("s")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s"), 6).cast("double").alias("score"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
+    ).orderBy(F.col("score").desc(), F.col("doc_id"))
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= int(k))
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def bm25_topk(
     documents: DataFrame,
     queries,
@@ -842,19 +925,11 @@ def bm25_topk(
     as exact decimal(30,15), final score round-6 — partition-count and
     addition-order invariant, tie-broken on doc_id.
     """
-    from ..cache import track_persist
-
     spark = documents.sparkSession
     qterms = spark.createDataFrame(
         _query_terms(queries), "query_id long, term string"
     )
-
-    postings = track_persist(
-        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings, doclen = _corpus_postings(documents)
     stats = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -862,59 +937,17 @@ def bm25_topk(
     dfreq = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
-    n_d = F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(
-            (n_d - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        12,
-    )
     probe = (
         qterms.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "term", idf.alias("idf"))
+        .select("query_id", "term", _bm25_idf().alias("idf"))
     )
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
-    tfd = F.col("tf").cast("double")
-    tfnorm = (tfd * F.lit(k1 + 1.0)) / (
-        tfd
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-        )
-    )
-    scored = (
+    candidates = (
         postings.join(F.broadcast(probe), "term")
         .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats.select(avgdl.alias("avgdl"))))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.round(F.col("idf") * tfnorm, 12).cast("decimal(30,15)")
-            ).alias("s")
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("s"), 6).cast("double").alias("score"),
-        )
+        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
     )
-    w_local = Window.partitionBy(
-        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
-    ).orderBy(F.col("score").desc(), F.col("doc_id"))
-    w_global = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= int(k))
-        .withColumn("rank", F.row_number().over(w_global).cast("long"))
-        .filter(F.col("rank") <= int(k))
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return _bm25_score_topk(candidates, k, k1, b)
 
 
 BM25_INDEX_BUCKETS = 64
@@ -930,25 +963,17 @@ def write_bm25_index(
     length is DENORMALIZED into each posting (one wider column per
     row buys the probe zero joins against a corpus-sized relation).
     Document frequencies ride the same bucketed layout (vocab-sized,
-    same pruning); the two corpus-level constants (n_docs, total_len)
-    are a one-row pyarrow sidecar. Everything stored is integers, so a
-    probe from disk reproduces ``bm25_topk`` BIT-identically
-    (pytest-asserted)."""
+    same pruning); the corpus constants (n_docs, total_len) AND the
+    bucket count are a one-row pyarrow sidecar — the probe and the CDC
+    increment read n_buckets from the index instead of trusting a
+    keyword default (a mismatched modulus would silently drop query
+    terms' postings). Everything stored is integers, so a probe from
+    disk reproduces ``bm25_topk`` BIT-identically (pytest-asserted)."""
     import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ..cache import track_persist
-
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings = track_persist(
-        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    postings, doclen = _corpus_postings(documents)
     stats = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -964,28 +989,60 @@ def write_bm25_index(
     d = f"{path}/stats"
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
-    pq.write_table(
-        pa.table(
-            {
-                "n_docs": pa.array([stats.n_docs], pa.int64()),
-                "total_len": pa.array([stats.total_len], pa.int64()),
-            }
-        ),
-        f"{d}/part-00000.parquet",
+    _write_bm25_stats(
+        d, stats.n_docs, stats.total_len or 0, n_buckets, fresh=True
     )
-    open(f"{d}/_SUCCESS", "w").close()
 
 
-def bm25_index_increment(
-    new_documents: DataFrame, path: str, n_buckets: int = BM25_INDEX_BUCKETS
+def _write_bm25_stats(
+    stats_dir: str, n_docs: int, total_len: int, n_buckets: int, fresh: bool
 ) -> None:
+    """One-row sidecar write. ``fresh`` writes directly into the new
+    empty dir; a replacement write (the CDC increment) goes through a
+    temp name + os.replace so a crash mid-write leaves the OLD sidecar
+    intact and readable — the increment must never destroy the index's
+    only non-append-only file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "n_docs": pa.array([int(n_docs)], pa.int64()),
+            "total_len": pa.array([int(total_len)], pa.int64()),
+            "n_buckets": pa.array([int(n_buckets)], pa.int64()),
+        }
+    )
+    target = f"{stats_dir}/part-00000.parquet"
+    if fresh:
+        pq.write_table(table, target)
+        open(f"{stats_dir}/_SUCCESS", "w").close()
+    else:
+        tmp = f"{target}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, target)
+
+
+def _read_bm25_stats(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(f"{path}/stats/part-00000.parquet").to_pydict()
+    return {k: v[0] for k, v in d.items()}
+
+
+def bm25_index_increment(new_documents: DataFrame, path: str) -> None:
     """CDC maintenance for the materialized BM25 index: tokenize ONLY
     the arrivals and APPEND their postings and per-batch document-
     frequency deltas into the bucketed layout — log-structured, so no
     existing file is ever rewritten and no history is reprocessed (the
     probe folds df deltas with a sum, which on a fresh index degenerates
-    to the single-row case). The two corpus constants are re-written as
-    a new one-row sidecar (old values + this batch's, read driver-side).
+    to the single-row case). The bucket modulus comes from the index's
+    own stats sidecar (never a caller argument — a mismatch would file
+    postings under buckets the probe never opens), and the updated
+    corpus constants replace the sidecar via temp-file + os.replace so
+    a crash mid-write leaves the old sidecar readable. A batch that
+    tokenizes to nothing is a no-op BEFORE any write.
 
     Contract: arrivals must carry doc_ids not already in the index — a
     re-appended doc would double its postings (the same arrivals-only
@@ -993,27 +1050,16 @@ def bm25_index_increment(
     stream_prepare_corpus's batch-keyed idempotent sink for replay
     safety). Probe results after N increments are BIT-identical to a
     fresh ``write_bm25_index`` over the union (pytest-asserted)."""
-    import os
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ..cache import track_persist
-
+    old = _read_bm25_stats(path)
+    n_buckets = int(old["n_buckets"])
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings = track_persist(
-        new_documents.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    postings, doclen = _corpus_postings(new_documents)
     batch = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     ).collect()[0]
+    if not batch.n_docs:
+        return
     postings.join(doclen, "doc_id").select(
         "doc_id", "term", "tf", "dl", bucket
     ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
@@ -1022,24 +1068,27 @@ def bm25_index_increment(
     ).select("term", "df", bucket).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{path}/dfreq")
-    old = pq.read_table(f"{path}/stats/part-00000.parquet").to_pydict()
-    d = f"{path}/stats"
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    pq.write_table(
-        pa.table(
-            {
-                "n_docs": pa.array(
-                    [old["n_docs"][0] + batch.n_docs], pa.int64()
-                ),
-                "total_len": pa.array(
-                    [old["total_len"][0] + batch.total_len], pa.int64()
-                ),
-            }
-        ),
-        f"{d}/part-00000.parquet",
+    _write_bm25_stats(
+        f"{path}/stats",
+        old["n_docs"] + batch.n_docs,
+        old["total_len"] + batch.total_len,
+        n_buckets,
+        fresh=False,
     )
-    open(f"{d}/_SUCCESS", "w").close()
+
+
+def bm25_query_buckets(queries, n_buckets: int) -> list:
+    """The driver-side twin of the writer's ``pmod(hash60(term), n)``:
+    the distinct index buckets the given queries touch. Exposed so the
+    probe, tests and tools all derive buckets one way."""
+    import hashlib
+
+    return sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+            for _q, t in _query_terms(queries)
+        }
+    )
 
 
 def bm25_probe_topk(
@@ -1049,32 +1098,25 @@ def bm25_probe_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = BM25_INDEX_BUCKETS,
 ) -> DataFrame:
     """BM25 top-k against a MATERIALIZED index (no corpus scan, no
     tokenize): the query terms' hash buckets are computed driver-side
-    with the same md5 arithmetic the writer used, so ``bucket IN (...)``
-    reaches both parquet sources as a partition filter — unprobed
-    buckets' files are never opened (file-pruning asserted in pytest
-    via input_file_name), and the residual ``term IN (...)`` pushes
-    into the pruned scan. Scoring is the exact arithmetic of
-    ``bm25_topk`` (round-12 idf, round-12 term score, exact-decimal
-    sum), so results match the in-memory path bit-for-bit; doc length
-    comes denormalized off the posting row — the probe does zero
-    corpus-sized joins."""
-    import hashlib
-
+    with the same md5 arithmetic the writer used — against the bucket
+    modulus stored IN the index's stats sidecar, never a caller
+    argument — so ``bucket IN (...)`` reaches both parquet sources as a
+    partition filter (unprobed buckets' files are never opened;
+    asserted in pytest via input_file_name) and the residual
+    ``term IN (...)`` pushes into the pruned scan. Scoring is
+    ``_bm25_score_topk``, the SAME code object the in-memory scorer
+    runs, so results match bit-for-bit; doc length comes denormalized
+    off the posting row — the probe does zero corpus-sized joins."""
     qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
-    buckets = sorted(
-        {
-            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
-            for t in terms
-        }
-    )
+    n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    buckets = bm25_query_buckets(queries, n_buckets)
     qterms = spark.createDataFrame(qrows, "query_id long, term string")
 
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = spark.read.parquet(f"{path}/stats").select("n_docs", "total_len")
     # df is summed per term: the incremental writer appends per-batch
     # (term, df_delta) rows instead of rewriting the vocab relation
     # (log-structured — see bm25_index_increment); on a freshly-built
@@ -1085,61 +1127,19 @@ def bm25_probe_topk(
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
-    n_d = F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(
-            (n_d - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        12,
-    )
     probe = (
         qterms.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "term", idf.alias("idf"))
+        .select("query_id", "term", _bm25_idf().alias("idf"))
     )
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
-    tfd = F.col("tf").cast("double")
-    tfnorm = (tfd * F.lit(k1 + 1.0)) / (
-        tfd
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-        )
-    )
-    scored = (
+    candidates = (
         postings.join(F.broadcast(probe), "term")
-        .crossJoin(F.broadcast(stats.select(avgdl.alias("avgdl"))))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.round(F.col("idf") * tfnorm, 12).cast("decimal(30,15)")
-            ).alias("s")
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("s"), 6).cast("double").alias("score"),
-        )
+        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
     )
-    w_local = Window.partitionBy(
-        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
-    ).orderBy(F.col("score").desc(), F.col("doc_id"))
-    w_global = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= int(k))
-        .withColumn("rank", F.row_number().over(w_global).cast("long"))
-        .filter(F.col("rank") <= int(k))
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return _bm25_score_topk(candidates, k, k1, b)
 
 
 def _bpe_wrap(symbols) -> str:

@@ -339,8 +339,19 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
         assert all(
             q[i].rrf_score >= q[i + 1].rrf_score for i in range(len(q) - 1)
         )
-    # both-retriever beats single-retriever at the same rank by design
-    assert 1.0 / 61 + 1.0 / 61 > 1.0 / 61
+    # a doc found by BOTH retrievers must outrank every doc a single
+    # retriever found at an equal-or-worse rank (the RRF property the
+    # fusion exists for) — check it on the real fused rows
+    both = [r for r in rows if r.lex_rank is not None and r.dense_rank is not None]
+    for bdoc in both:
+        worst = max(bdoc.lex_rank, bdoc.dense_rank)
+        for s in rows:
+            if s.query_id != bdoc.query_id:
+                continue
+            if s.lex_rank is None and (s.dense_rank or 0) >= worst:
+                assert bdoc.rrf_score > s.rrf_score, (bdoc, s)
+            if s.dense_rank is None and (s.lex_rank or 0) >= worst:
+                assert bdoc.rrf_score > s.rrf_score, (bdoc, s)
 
 
 def test_bm25_persisted_probe_matches_memory_and_prunes(spark, tmp_path):
@@ -460,10 +471,34 @@ def test_bm25_index_increment_equals_rebuild(spark, tmp_path):
     bm25_index_increment(b3, inc_path)
     full3 = str(tmp_path / "full3")
     write_bm25_index(docs, full3)
-    assert sorted(
-        map(tuple, bm25_probe_topk(spark, inc_path, qs, k=10).collect())
-    ) == sorted(
+    expected = sorted(
         map(tuple, bm25_probe_topk(spark, full3, qs, k=10).collect())
+    )
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, inc_path, qs, k=10).collect()))
+        == expected
+    )
+
+    # an all-empty batch is a no-op BEFORE any write — the index
+    # (including its only non-append-only file, the stats sidecar)
+    # survives untouched
+    empty = spark.createDataFrame(
+        [(9999, ""), (10000, "...!!!")], "doc_id long, text string"
+    )
+    bm25_index_increment(empty, inc_path)
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, inc_path, qs, k=10).collect()))
+        == expected
+    )
+
+    # a non-default bucket modulus lives in the stats sidecar: probe
+    # and increment read it from the index, so no caller can mismatch
+    nb_path = str(tmp_path / "nb16")
+    write_bm25_index(b1, nb_path, n_buckets=16)
+    bm25_index_increment(b2.unionByName(b3), nb_path)
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, nb_path, qs, k=10).collect()))
+        == expected
     )
 
 

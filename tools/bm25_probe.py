@@ -79,25 +79,14 @@ def main() -> None:
                 for f in fs
                 if f.endswith(".parquet")
             )
+            # the probe's own driver-side bucket arithmetic (md5 mod n,
+            # identical tokenizer) — no extra postings scans needed
+            from parquet_metadata_explorer_spark.operators.text import (
+                bm25_query_buckets,
+            )
+
             probed = spark.read.parquet(f"{path}/postings").filter(
-                F.col("bucket").isin(
-                    sorted(
-                        {
-                            r.bucket
-                            for r in spark.read.parquet(f"{path}/postings")
-                            .join(
-                                spark.createDataFrame(
-                                    [(t,) for _q, t in queries for t in t.split()],
-                                    "term string",
-                                ).distinct(),
-                                "term",
-                            )
-                            .select("bucket")
-                            .distinct()
-                            .collect()
-                        }
-                    )
-                )
+                F.col("bucket").isin(bm25_query_buckets(queries, 64))
             )
             touched = probed.select(F.input_file_name()).distinct().count()
 
