@@ -1168,19 +1168,29 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point (probe 8, rerank 80) and bit-identical scores to
     ann_ivfpq by construction, so the two rows share one oracle."""
     import os
+    import shutil
 
     path = _ivfpq_index_path(sf_dir)
     emb = _table(spark, sf_dir, "embeddings")
     if not _ivfpq_index_complete(path):
+        # build process-private, publish with one rename (same
+        # concurrent-driver guard as the BM25 index cache): two racing
+        # builders each complete their own copy and exactly one wins
+        build = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
         similarity.write_ivfpq_index(
             emb,
-            path,
+            build,
             k_cells=IVFPQ_CELLS,
             m=PQ_M,
             n_centroids=PQ_K,
             iters=PQ_ITERS,
             coarse_iters=IVFPQ_CITERS,
         )
+        try:
+            os.rename(build, path)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         "vec_id", "embedding"
     )
