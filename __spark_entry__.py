@@ -1158,6 +1158,39 @@ def _ivfpq_index_complete(path: str) -> bool:
     )
 
 
+def _publish_cached_build(path: str, complete, build) -> None:
+    """The one shared publish protocol for per-sf_dir index caches
+    (BM25 + IVF-PQ): if ``complete(path)`` is false, ``build(dir)``
+    into a process-private dir, then publish with ONE os.rename — two
+    racing builders each finish a private copy and exactly one wins,
+    never two writers interleaving inside the shared path. A failed
+    rename is only "lost the race" if the target is actually complete;
+    a stale PARTIAL at the target (e.g. a crashed legacy in-place
+    build) is cleared and replaced, so the cache self-heals instead of
+    serving the incomplete dir forever."""
+    import os
+    import shutil
+
+    if complete(path):
+        return
+    bdir = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(bdir, ignore_errors=True)
+    build(bdir)
+    try:
+        os.rename(bdir, path)
+        return
+    except OSError:
+        pass
+    if complete(path):
+        shutil.rmtree(bdir, ignore_errors=True)  # lost the race to a good copy
+        return
+    shutil.rmtree(path, ignore_errors=True)  # stale partial: replace it
+    try:
+        os.rename(bdir, path)
+    except OSError:
+        shutil.rmtree(bdir, ignore_errors=True)  # lost the re-race
+
+
 def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED-index serving path: codes written
     partitionBy(cell) (write_ivfpq_index — built once per sf_dir and
@@ -1167,18 +1200,12 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself opens only n_probe/k_cells of the code files. Same
     operating point (probe 8, rerank 80) and bit-identical scores to
     ann_ivfpq by construction, so the two rows share one oracle."""
-    import os
-    import shutil
-
     path = _ivfpq_index_path(sf_dir)
     emb = _table(spark, sf_dir, "embeddings")
-    if not _ivfpq_index_complete(path):
-        # build process-private, publish with one rename (same
-        # concurrent-driver guard as the BM25 index cache): two racing
-        # builders each complete their own copy and exactly one wins
-        build = f"{path}.build-{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        similarity.write_ivfpq_index(
+    _publish_cached_build(
+        path,
+        _ivfpq_index_complete,
+        lambda build: similarity.write_ivfpq_index(
             emb,
             build,
             k_cells=IVFPQ_CELLS,
@@ -1186,11 +1213,8 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=PQ_K,
             iters=PQ_ITERS,
             coarse_iters=IVFPQ_CITERS,
-        )
-        try:
-            os.rename(build, path)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # lost the race
+        ),
+    )
     queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         "vec_id", "embedding"
     )
@@ -4254,14 +4278,15 @@ def _bm25_index_path(sf_dir: str) -> str:
     if os.path.isfile(src):
         st = os.stat(src)
         fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-    # v2 = layout version (bumped when the on-disk schema changes) and
-    # the bucket modulus — a layout change must miss the cache, not
-    # serve a stale-format index to new probe code
+    # v3 = layout version (bumped when the on-disk schema changes —
+    # v3 added the batch partition + commit log) and the bucket
+    # modulus — a layout change must miss the cache, not serve a
+    # stale-format index to new probe code
     from parquet_metadata_explorer_spark.operators.text import (
         BM25_INDEX_BUCKETS,
     )
 
-    key = f"{sf_dir}|bm25|v2|{BM25_INDEX_BUCKETS}|{';'.join(fp_parts)}"
+    key = f"{sf_dir}|bm25|v3|{BM25_INDEX_BUCKETS}|{';'.join(fp_parts)}"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/pqx_bm25_{tag}"
 
@@ -4274,24 +4299,21 @@ def q_text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the posting row, Lucene-style). Same oracle as text_bm25 BY
     CONSTRUCTION: disk ≡ memory is pytest-asserted bit-for-bit."""
     import os
-    import shutil
+
+    def complete(p):
+        return all(
+            os.path.exists(f"{p}/{part}/_SUCCESS")
+            for part in ("postings", "dfreq", "stats")
+        ) and os.path.exists(f"{p}/commits/commit-base.parquet")
 
     path = _bm25_index_path(sf_dir)
-    if not all(
-        os.path.exists(f"{path}/{part}/_SUCCESS")
-        for part in ("postings", "dfreq", "stats")
-    ):
-        # build into a process-private dir, then publish with one
-        # rename: two concurrent drivers (bench + pytest) both missing
-        # the cache each build their own copy and exactly one wins —
-        # never two writers interleaving inside the shared path
-        build = f"{path}.build-{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        text.write_bm25_index(_table(spark, sf_dir, "documents"), build)
-        try:
-            os.rename(build, path)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    _publish_cached_build(
+        path,
+        complete,
+        lambda build: text.write_bm25_index(
+            _table(spark, sf_dir, "documents"), build
+        ),
+    )
     return text.bm25_probe_topk(spark, path, BM25_QUERIES, k=BM25_K)
 
 

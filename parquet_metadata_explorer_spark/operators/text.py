@@ -806,20 +806,30 @@ def _query_terms(queries) -> list:
     return qrows
 
 
-def _corpus_postings(documents: DataFrame):
+def _corpus_postings(documents: DataFrame, track: bool = True):
     """(postings, doclen) for a document batch: ONE tokenize+explode
     behind a partial-aggregating shuffle on (doc_id, term); postings is
     persisted (it feeds doc lengths, document frequencies AND either
     the scoring probe or the index write), doc lengths fold from it —
     never a second corpus scan. Shared by the in-memory scorer, the
-    index writer and the CDC increment so the three can never drift."""
-    from ..cache import track_persist
+    index writer and the CDC increment so the three can never drift.
 
-    postings = track_persist(
+    ``track=True`` registers the persist with the session cache (the
+    lazy ``bm25_topk`` path, which cannot unpersist before returning);
+    the EAGER paths (index write/increment) pass ``track=False`` and
+    unpersist before they return, so a long-lived CDC driver calling
+    the increment per micro-batch never accumulates pinned caches."""
+    base = (
         documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    if track:
+        from ..cache import track_persist
+
+        postings = track_persist(base)
+    else:
+        postings = base.persist()
     doclen = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     return postings, doclen
 
@@ -957,124 +967,217 @@ def write_bm25_index(
     documents: DataFrame, path: str, n_buckets: int = BM25_INDEX_BUCKETS
 ) -> None:
     """Materialize the BM25 inverted index to the lake, postings
-    partitioned by a term-hash bucket — the layout that turns a query
-    probe into FILE-LEVEL partition pruning: a query touching t terms
-    opens at most t of n_buckets partitions. Lucene-style, the doc
-    length is DENORMALIZED into each posting (one wider column per
+    partitioned by (term-hash bucket, batch) — the layout that turns a
+    query probe into FILE-LEVEL partition pruning: a query touching t
+    terms opens at most t of n_buckets partitions. Lucene-style, the
+    doc length is DENORMALIZED into each posting (one wider column per
     row buys the probe zero joins against a corpus-sized relation).
     Document frequencies ride the same bucketed layout (vocab-sized,
-    same pruning); the corpus constants (n_docs, total_len) AND the
-    bucket count are a one-row pyarrow sidecar — the probe and the CDC
-    increment read n_buckets from the index instead of trusting a
-    keyword default (a mismatched modulus would silently drop query
-    terms' postings). Everything stored is integers, so a probe from
-    disk reproduces ``bm25_topk`` BIT-identically (pytest-asserted)."""
+    same pruning).
+
+    The index is LOG-STRUCTURED like a Lucene commit point: segment
+    data lives under immutable ``batch=<id>`` partitions and a batch is
+    visible only once its one-row file lands in ``commits/`` (the base
+    build is batch "base"). The corpus constants (n_docs, total_len)
+    are summed over commit rows, so they are never rewritten in place;
+    the bucket modulus is a one-row immutable ``stats`` sidecar — the
+    probe and the CDC increment read n_buckets from the index instead
+    of trusting a keyword default (a mismatched modulus would silently
+    drop query terms' postings). Everything stored is integers, so a
+    probe from disk reproduces ``bm25_topk`` BIT-identically
+    (pytest-asserted)."""
     import os
     import shutil
 
+    postings, doclen = _corpus_postings(documents, track=False)
+    try:
+        stats = doclen.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        ).collect()[0]
+        _bm25_segment_write(
+            postings, doclen, path, n_buckets, "base", fresh=True
+        )
+        d = f"{path}/stats"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        _write_bm25_stats(d, n_buckets)
+        shutil.rmtree(f"{path}/commits", ignore_errors=True)
+        # commit LAST: an interrupted build has no committed batches and
+        # the probe refuses it loudly instead of serving partial data
+        _bm25_commit(path, "base", stats.n_docs, stats.total_len or 0)
+    finally:
+        postings.unpersist()
+
+
+def _bm25_segment_write(
+    postings, doclen, path: str, n_buckets: int, batch_id: str, fresh: bool
+) -> None:
+    """Write one batch's postings + df rows under its own
+    ``bucket=…/batch=<id>`` partitions. The base build truncates the
+    table (static overwrite); an increment uses DYNAMIC partition
+    overwrite, which touches ONLY this batch's partitions — other
+    batches' files are never rewritten, a torn earlier attempt of the
+    SAME batch id is replaced (tokenization is deterministic, so a
+    retry covers exactly the same partitions), and concurrent
+    increments with distinct ids stage under job-scoped dirs instead
+    of a shared ``_temporary``."""
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings, doclen = _corpus_postings(documents)
-    stats = doclen.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    ).collect()[0]
-    postings.join(doclen, "doc_id").select(
-        "doc_id", "term", "tf", "dl", bucket
-    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
-    postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    ).select("term", "df", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/dfreq")
-    d = f"{path}/stats"
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    _write_bm25_stats(
-        d, stats.n_docs, stats.total_len or 0, n_buckets, fresh=True
+    seg = F.lit(batch_id).alias("batch")
+    mode_opt = {} if fresh else {"partitionOverwriteMode": "dynamic"}
+    (
+        postings.join(doclen, "doc_id")
+        .select("doc_id", "term", "tf", "dl", bucket, seg)
+        .write.mode("overwrite")
+        .options(**mode_opt)
+        .partitionBy("bucket", "batch")
+        .parquet(f"{path}/postings")
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .select("term", "df", bucket, seg)
+        .write.mode("overwrite")
+        .options(**mode_opt)
+        .partitionBy("bucket", "batch")
+        .parquet(f"{path}/dfreq")
     )
 
 
-def _write_bm25_stats(
-    stats_dir: str, n_docs: int, total_len: int, n_buckets: int, fresh: bool
-) -> None:
-    """One-row sidecar write. ``fresh`` writes directly into the new
-    empty dir; a replacement write (the CDC increment) goes through a
-    temp name + os.replace so a crash mid-write leaves the OLD sidecar
-    intact and readable — the increment must never destroy the index's
-    only non-append-only file."""
-    import os
-
+def _write_bm25_stats(stats_dir: str, n_buckets: int) -> None:
+    """One-row immutable sidecar holding the bucket modulus (written
+    once by the base build, never replaced — the mutable corpus
+    constants live in the commit log instead)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pa.table(
-        {
-            "n_docs": pa.array([int(n_docs)], pa.int64()),
-            "total_len": pa.array([int(total_len)], pa.int64()),
-            "n_buckets": pa.array([int(n_buckets)], pa.int64()),
-        }
-    )
-    target = f"{stats_dir}/part-00000.parquet"
-    if fresh:
-        pq.write_table(table, target)
-        open(f"{stats_dir}/_SUCCESS", "w").close()
-    else:
-        tmp = f"{target}.tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, target)
+    table = pa.table({"n_buckets": pa.array([int(n_buckets)], pa.int64())})
+    pq.write_table(table, f"{stats_dir}/part-00000.parquet")
+    open(f"{stats_dir}/_SUCCESS", "w").close()
 
 
 def _read_bm25_stats(path: str) -> dict:
     import pyarrow.parquet as pq
 
     d = pq.read_table(f"{path}/stats/part-00000.parquet").to_pydict()
-    return {k: v[0] for k, v in d.items()}
+    stats = {k: v[0] for k, v in d.items()}
+    if "n_buckets" not in stats:
+        raise ValueError(
+            f"legacy BM25 index layout at {path} (stats sidecar has no "
+            "n_buckets) — rebuild with write_bm25_index"
+        )
+    return stats
 
 
-def bm25_index_increment(new_documents: DataFrame, path: str) -> None:
-    """CDC maintenance for the materialized BM25 index: tokenize ONLY
-    the arrivals and APPEND their postings and per-batch document-
-    frequency deltas into the bucketed layout — log-structured, so no
-    existing file is ever rewritten and no history is reprocessed (the
-    probe folds df deltas with a sum, which on a fresh index degenerates
-    to the single-row case). The bucket modulus comes from the index's
-    own stats sidecar (never a caller argument — a mismatch would file
-    postings under buckets the probe never opens), and the updated
-    corpus constants replace the sidecar via temp-file + os.replace so
-    a crash mid-write leaves the old sidecar readable. A batch that
-    tokenizes to nothing is a no-op BEFORE any write.
+def _bm25_commit(path: str, batch_id: str, n_docs: int, total_len: int) -> None:
+    """Append one batch's commit row as its own file — temp name
+    (dot-prefixed, so a crashed write is invisible to every reader) +
+    os.replace, the atomic publish. A batch with no commit file does
+    not exist as far as the probe is concerned."""
+    import os
 
-    Contract: arrivals must carry doc_ids not already in the index — a
-    re-appended doc would double its postings (the same arrivals-only
-    contract as the other incremental operators; pair with
-    stream_prepare_corpus's batch-keyed idempotent sink for replay
-    safety). Probe results after N increments are BIT-identical to a
-    fresh ``write_bm25_index`` over the union (pytest-asserted)."""
-    old = _read_bm25_stats(path)
-    n_buckets = int(old["n_buckets"])
-    bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
-    postings, doclen = _corpus_postings(new_documents)
-    batch = doclen.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    ).collect()[0]
-    if not batch.n_docs:
-        return
-    postings.join(doclen, "doc_id").select(
-        "doc_id", "term", "tf", "dl", bucket
-    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
-    postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    ).select("term", "df", bucket).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/dfreq")
-    _write_bm25_stats(
-        f"{path}/stats",
-        old["n_docs"] + batch.n_docs,
-        old["total_len"] + batch.total_len,
-        n_buckets,
-        fresh=False,
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    commits = f"{path}/commits"
+    os.makedirs(commits, exist_ok=True)
+    table = pa.table(
+        {
+            "batch": pa.array([batch_id], pa.string()),
+            "n_docs": pa.array([int(n_docs)], pa.int64()),
+            "total_len": pa.array([int(total_len)], pa.int64()),
+        }
     )
+    tmp = f"{commits}/.commit-{batch_id}.parquet.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{commits}/commit-{batch_id}.parquet")
+
+
+def _bm25_commits(path: str) -> dict:
+    """{batch_id: (n_docs, total_len)} for every COMMITTED batch —
+    the probe's visibility set. Raises loudly on an index with no
+    commit log (legacy layout or an interrupted base build) instead
+    of silently scoring against nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    commits = f"{path}/commits"
+    out = {}
+    if os.path.isdir(commits):
+        for f in sorted(os.listdir(commits)):
+            if f.startswith("commit-") and f.endswith(".parquet"):
+                d = pq.read_table(f"{commits}/{f}").to_pydict()
+                out[d["batch"][0]] = (int(d["n_docs"][0]), int(d["total_len"][0]))
+    if not out:
+        raise ValueError(
+            f"BM25 index at {path} has no committed batches (legacy "
+            "layout or interrupted build) — rebuild with write_bm25_index"
+        )
+    return out
+
+
+def bm25_index_increment(
+    new_documents: DataFrame, path: str, batch_id: str = None
+) -> None:
+    """CDC maintenance for the materialized BM25 index: tokenize ONLY
+    the arrivals and write their postings and per-batch document-
+    frequency deltas as a NEW ``batch=<id>`` segment — log-structured,
+    so no other batch's file is ever rewritten and no history is
+    reprocessed (the probe folds df deltas with a sum, which on a
+    fresh index degenerates to the single-row case). The bucket
+    modulus comes from the index's own stats sidecar (never a caller
+    argument — a mismatch would file postings under buckets the probe
+    never opens). A batch that tokenizes to nothing is a no-op BEFORE
+    any write.
+
+    Commit protocol (crash + concurrency safety, pytest-asserted):
+    segment data first, then the batch's one-row commit file — a crash
+    anywhere before the commit leaves dead files the probe never reads
+    (torn batches are INVISIBLE, never half-counted). Pass the
+    pipeline's own ``batch_id`` (e.g. the streaming micro-batch id,
+    filesystem-safe ``[A-Za-z0-9_-]``) to make replays idempotent: an
+    already-committed id returns without writing, and a retry of a
+    torn id replaces exactly its own partitions via dynamic partition
+    overwrite. Concurrent increments with DISTINCT ids are safe — they
+    write disjoint partitions and separate commit files, so neither
+    can lose the other's corpus constants. With ``batch_id=None`` a
+    random id is drawn (crash-safe but replays append twice — pair
+    with stream_prepare_corpus's batch-keyed sink for exactly-once).
+    Arrivals must carry doc_ids not already in the index (the same
+    arrivals-only contract as the other incremental operators). Probe
+    results after N increments are BIT-identical to a fresh
+    ``write_bm25_index`` over the union (pytest-asserted)."""
+    import os
+    import re
+    import uuid
+
+    stats = _read_bm25_stats(path)
+    n_buckets = int(stats["n_buckets"])
+    _bm25_commits(path)  # layout gate: refuse a commit-log-less index
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    elif batch_id == "base" or not re.fullmatch(r"[A-Za-z0-9_-]+", batch_id):
+        raise ValueError(
+            f"Invalid batch_id: {batch_id!r} (filesystem-safe "
+            "[A-Za-z0-9_-], 'base' is reserved for the full build)"
+        )
+    if os.path.exists(f"{path}/commits/commit-{batch_id}.parquet"):
+        return  # already committed — idempotent replay
+    postings, doclen = _corpus_postings(new_documents, track=False)
+    try:
+        batch = doclen.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        ).collect()[0]
+        if not batch.n_docs:
+            return
+        _bm25_segment_write(
+            postings, doclen, path, n_buckets, batch_id, fresh=False
+        )
+        _bm25_commit(path, batch_id, batch.n_docs, batch.total_len)
+    finally:
+        postings.unpersist()
 
 
 def bm25_query_buckets(queries, n_buckets: int) -> list:
@@ -1106,24 +1209,42 @@ def bm25_probe_topk(
     argument — so ``bucket IN (...)`` reaches both parquet sources as a
     partition filter (unprobed buckets' files are never opened;
     asserted in pytest via input_file_name) and the residual
-    ``term IN (...)`` pushes into the pruned scan. Scoring is
-    ``_bm25_score_topk``, the SAME code object the in-memory scorer
-    runs, so results match bit-for-bit; doc length comes denormalized
-    off the posting row — the probe does zero corpus-sized joins."""
+    ``term IN (...)`` pushes into the pruned scan. Only COMMITTED
+    batches are visible: the probe filters both scans to the commit
+    log's batch ids and sums n_docs/total_len over its rows, so a torn
+    increment contributes nothing anywhere (never a half-counted
+    batch). Scoring is ``_bm25_score_topk``, the SAME code object the
+    in-memory scorer runs, so results match bit-for-bit; doc length
+    comes denormalized off the posting row — the probe does zero
+    corpus-sized joins."""
     qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    commits = _bm25_commits(path)
+    batches = sorted(commits)
     buckets = bm25_query_buckets(queries, n_buckets)
     qterms = spark.createDataFrame(qrows, "query_id long, term string")
 
-    stats = spark.read.parquet(f"{path}/stats").select("n_docs", "total_len")
-    # df is summed per term: the incremental writer appends per-batch
-    # (term, df_delta) rows instead of rewriting the vocab relation
+    stats = spark.createDataFrame(
+        [
+            (
+                sum(n for n, _t in commits.values()),
+                sum(t for _n, t in commits.values()),
+            )
+        ],
+        "n_docs long, total_len long",
+    )
+    # df is summed per term: the incremental writer lands per-batch
+    # (term, df_delta) segments instead of rewriting the vocab relation
     # (log-structured — see bm25_index_increment); on a freshly-built
     # index the sum folds exactly one row per term
     dfreq = (
         spark.read.parquet(f"{path}/dfreq")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .filter(
+            F.col("bucket").isin(buckets)
+            & F.col("batch").isin(batches)
+            & F.col("term").isin(terms)
+        )
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
@@ -1133,7 +1254,9 @@ def bm25_probe_topk(
         .select("query_id", "term", _bm25_idf().alias("idf"))
     )
     postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        F.col("bucket").isin(buckets)
+        & F.col("batch").isin(batches)
+        & F.col("term").isin(terms)
     )
     candidates = (
         postings.join(F.broadcast(probe), "term")

@@ -502,6 +502,77 @@ def test_bm25_index_increment_equals_rebuild(spark, tmp_path):
     )
 
 
+def test_bm25_increment_commit_protocol(spark, tmp_path):
+    """The log-structured commit protocol: a TORN increment (segment
+    data written, no commit row) is invisible to the probe — never
+    half-counted; retrying it under the same batch_id lands exactly
+    once; replaying an already-committed batch_id is a no-op; the
+    reserved/base ids are rejected."""
+    import os
+
+    import pytest
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        _bm25_segment_write,
+        _corpus_postings,
+        _read_bm25_stats,
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    qs = [(1, "fast hash join"), (2, "window merge sort")]
+    path = str(tmp_path / "idx")
+    write_bm25_index(b1, path)
+    base_only = sorted(
+        map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect())
+    )
+
+    # simulate a crash AFTER the segment writes but BEFORE the commit:
+    # the batch's files exist on disk, the probe must not see them
+    postings, doclen = _corpus_postings(b2, track=False)
+    n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    _bm25_segment_write(postings, doclen, path, n_buckets, "cdc-1", fresh=False)
+    postings.unpersist()
+    assert any(
+        "batch=cdc-1" in r for r, _d, _f in os.walk(f"{path}/postings")
+    )
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == base_only
+    )
+
+    # the retry under the SAME id replaces its own partitions exactly
+    # once and commits — equal to a fresh rebuild over the union
+    bm25_index_increment(b2, path, batch_id="cdc-1")
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    expected = sorted(
+        map(tuple, bm25_probe_topk(spark, full, qs, k=10).collect())
+    )
+    committed = sorted(
+        map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect())
+    )
+    assert committed == expected
+
+    # replaying the committed id writes nothing (idempotent), even
+    # with different content — the commit file is the dedup key
+    bm25_index_increment(docs, path, batch_id="cdc-1")
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == expected
+    )
+
+    # reserved / unsafe ids are refused before any write
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_index_increment(b2, path, batch_id="base")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        bm25_index_increment(b2, path, batch_id="a/b")
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Whole near-dup clusters must land in one split — including a
     transitive chain a-b, b-c where a and c never pair directly — and

@@ -80,13 +80,16 @@ def main() -> None:
                 if f.endswith(".parquet")
             )
             # the probe's own driver-side bucket arithmetic (md5 mod n,
-            # identical tokenizer) — no extra postings scans needed
+            # identical tokenizer), against the modulus stored IN the
+            # index — no extra postings scans, no hardcoded bucket count
             from parquet_metadata_explorer_spark.operators.text import (
+                _read_bm25_stats,
                 bm25_query_buckets,
             )
 
+            n_buckets = int(_read_bm25_stats(path)["n_buckets"])
             probed = spark.read.parquet(f"{path}/postings").filter(
-                F.col("bucket").isin(bm25_query_buckets(queries, 64))
+                F.col("bucket").isin(bm25_query_buckets(queries, n_buckets))
             )
             touched = probed.select(F.input_file_name()).distinct().count()
 
