@@ -1180,6 +1180,75 @@ def bm25_index_increment(
         postings.unpersist()
 
 
+def bm25_index_compact(spark, path: str) -> int:
+    """Segment merge — the Lucene counterpart that completes the
+    log-structured lifecycle: fold every COMMITTED batch back into one
+    ``base`` segment so a long-running CDC pipeline's probe cost stays
+    bounded (per-batch partition dirs, df-delta rows and commit files
+    otherwise accumulate one per increment forever). Returns how many
+    batches were folded (0 = already compact, nothing written).
+
+    No retokenize: postings rows already carry (doc_id, term, tf, dl),
+    so the compaction derives everything from ONE pass over the
+    committed postings — df re-counted per term, the corpus constants
+    summed from the commit log — and rewrites through the same segment
+    writer the base build uses. All stored values are the same
+    integers, so a probe after compaction is BIT-identical
+    (pytest-asserted). Compaction is also the vacuum: uncommitted
+    (torn) segments are not carried over and vanish with the retired
+    copy.
+
+    Publish protocol: the compact index is built process-private next
+    to the live one and swapped in with directory renames (live →
+    .old, compact → live), then the retired copy is deleted — a crash
+    mid-swap leaves either the old or the new complete index, never a
+    mix. The swap is not atomic against WRITERS: run compaction from
+    the single maintenance owner with increments quiesced (the same
+    single-compactor discipline as a Lucene merge scheduler); probes
+    racing the swap may transiently error and retry."""
+    import os
+    import shutil
+
+    n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    commits = _bm25_commits(path)
+    if set(commits) == {"base"}:
+        return 0
+    batches = sorted(commits)
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(batches))
+        .select("doc_id", "term", "tf", "dl")
+        .persist()
+    )
+    try:
+        build = f"{path}.compact-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        doclen = postings.select("doc_id", "dl").distinct()
+        _bm25_segment_write(
+            postings.select("doc_id", "term", "tf"),
+            doclen,
+            build,
+            n_buckets,
+            "base",
+            fresh=True,
+        )
+        os.makedirs(f"{build}/stats")
+        _write_bm25_stats(f"{build}/stats", n_buckets)
+        _bm25_commit(
+            build,
+            "base",
+            sum(n for n, _t in commits.values()),
+            sum(t for _n, t in commits.values()),
+        )
+        retired = f"{path}.old-{os.getpid()}"
+        os.rename(path, retired)
+        os.rename(build, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        return len(batches)
+    finally:
+        postings.unpersist()
+
+
 def bm25_query_buckets(queries, n_buckets: int) -> list:
     """The driver-side twin of the writer's ``pmod(hash60(term), n)``:
     the distinct index buckets the given queries touch. Exposed so the

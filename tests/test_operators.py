@@ -573,6 +573,61 @@ def test_bm25_increment_commit_protocol(spark, tmp_path):
         bm25_index_increment(b2, path, batch_id="a/b")
 
 
+def test_bm25_index_compact_folds_segments(spark, tmp_path):
+    """Segment merge: after N increments (plus a torn leftover),
+    compaction folds everything back into one base segment — probe
+    BIT-identical, commit log down to one row, torn files vacuumed,
+    per-bucket file count back to the single-segment shape."""
+    import os
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        _bm25_commits,
+        _bm25_segment_write,
+        _corpus_postings,
+        bm25_index_compact,
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = [(1, "fast hash join"), (2, "window merge sort")]
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    bm25_index_increment(docs.filter(F.col("doc_id") % 3 == 1), path, batch_id="c1")
+    bm25_index_increment(docs.filter(F.col("doc_id") % 3 == 2), path, batch_id="c2")
+    # a torn segment on top: data without a commit row
+    postings, doclen = _corpus_postings(
+        docs.filter(F.col("doc_id") % 3 == 2), track=False
+    )
+    _bm25_segment_write(postings, doclen, path, 64, "torn", fresh=False)
+    postings.unpersist()
+
+    before = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+
+    def pfiles():
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(f"{path}/postings")
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_before = len(pfiles())
+    folded = bm25_index_compact(spark, path)
+    assert folded == 3
+    assert set(_bm25_commits(path)) == {"base"}
+    assert not any("batch=torn" in p or "batch=c" in p for p in pfiles())
+    assert len(pfiles()) < n_before
+    after = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+    assert after == before  # bit-identical scores through the merge
+
+    # already-compact index: a no-op that writes nothing
+    mtimes = {p: os.path.getmtime(p) for p in pfiles()}
+    assert bm25_index_compact(spark, path) == 0
+    assert {p: os.path.getmtime(p) for p in pfiles()} == mtimes
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Whole near-dup clusters must land in one split — including a
     transitive chain a-b, b-c where a and c never pair directly — and
