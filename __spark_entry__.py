@@ -1167,7 +1167,12 @@ def _publish_cached_build(path: str, complete, build) -> None:
     rename is only "lost the race" if the target is actually complete;
     a stale PARTIAL at the target (e.g. a crashed legacy in-place
     build) is cleared and replaced, so the cache self-heals instead of
-    serving the incomplete dir forever."""
+    serving the incomplete dir forever. The clear is a RENAME to a
+    process-private quarantine, never an in-place rmtree of the shared
+    path: if a racer published a complete copy between our check and
+    our clear, the worst case is one atomic swap-out/swap-in of
+    bit-identical complete indexes (builds are deterministic), not a
+    progressive delete under an active reader."""
     import os
     import shutil
 
@@ -1184,11 +1189,16 @@ def _publish_cached_build(path: str, complete, build) -> None:
     if complete(path):
         shutil.rmtree(bdir, ignore_errors=True)  # lost the race to a good copy
         return
-    shutil.rmtree(path, ignore_errors=True)  # stale partial: replace it
+    quarantine = f"{path}.stale-{os.getpid()}"
+    try:
+        os.rename(path, quarantine)  # atomic clear of the stale partial
+    except OSError:
+        pass
     try:
         os.rename(bdir, path)
     except OSError:
         shutil.rmtree(bdir, ignore_errors=True)  # lost the re-race
+    shutil.rmtree(quarantine, ignore_errors=True)
 
 
 def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -989,6 +989,11 @@ def write_bm25_index(
     import os
     import shutil
 
+    # retire any previous incarnation's commit log BEFORE the data
+    # overwrite: a crash mid-rebuild must leave NO committed batches
+    # (the probe then refuses loudly), never stale commit rows whose
+    # corpus constants describe data that no longer exists
+    shutil.rmtree(f"{path}/commits", ignore_errors=True)
     postings, doclen = _corpus_postings(documents, track=False)
     try:
         stats = doclen.agg(
@@ -996,13 +1001,17 @@ def write_bm25_index(
             F.sum("dl").cast("long").alias("total_len"),
         ).collect()[0]
         _bm25_segment_write(
-            postings, doclen, path, n_buckets, "base", fresh=True
+            postings.join(doclen, "doc_id"),
+            _bm25_dfreq(postings),
+            path,
+            n_buckets,
+            "base",
+            fresh=True,
         )
         d = f"{path}/stats"
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         _write_bm25_stats(d, n_buckets)
-        shutil.rmtree(f"{path}/commits", ignore_errors=True)
         # commit LAST: an interrupted build has no committed batches and
         # the probe refuses it loudly instead of serving partial data
         _bm25_commit(path, "base", stats.n_docs, stats.total_len or 0)
@@ -1010,33 +1019,43 @@ def write_bm25_index(
         postings.unpersist()
 
 
+def _bm25_dfreq(postings):
+    """Per-term document frequency at posting grain (one row per
+    (doc, term), so count(*) == doc count)."""
+    return postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+
+
 def _bm25_segment_write(
-    postings, doclen, path: str, n_buckets: int, batch_id: str, fresh: bool
+    rows, dfreq, path: str, n_buckets: int, batch_id: str, fresh: bool
 ) -> None:
-    """Write one batch's postings + df rows under its own
-    ``bucket=…/batch=<id>`` partitions. The base build truncates the
-    table (static overwrite); an increment uses DYNAMIC partition
-    overwrite, which touches ONLY this batch's partitions — other
-    batches' files are never rewritten, a torn earlier attempt of the
-    SAME batch id is replaced (tokenization is deterministic, so a
-    retry covers exactly the same partitions), and concurrent
-    increments with distinct ids stage under job-scoped dirs instead
-    of a shared ``_temporary``."""
+    """Write one batch's posting rows (``doc_id, term, tf, dl`` — dl
+    already denormalized) and its df relation under their own
+    ``bucket=…/batch=<id>`` partitions. Callers supply both relations
+    so each path keeps its cheapest plan: the build/increment join
+    doclen once and derive df from the CACHED postings (no extra
+    corpus shuffle), while compaction passes the index's own rows
+    straight through (they already carry dl — no distinct, no join).
+    The base build truncates the table (static overwrite); an
+    increment uses DYNAMIC partition overwrite, which touches ONLY
+    this batch's partitions — other batches' files are never
+    rewritten, a torn earlier attempt of the SAME batch id is replaced
+    (tokenization is deterministic, so a retry covers exactly the same
+    partitions), and concurrent increments with distinct ids stage
+    under job-scoped dirs instead of a shared ``_temporary``."""
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
     seg = F.lit(batch_id).alias("batch")
     mode_opt = {} if fresh else {"partitionOverwriteMode": "dynamic"}
     (
-        postings.join(doclen, "doc_id")
-        .select("doc_id", "term", "tf", "dl", bucket, seg)
+        rows.select("doc_id", "term", "tf", "dl", bucket, seg)
         .write.mode("overwrite")
         .options(**mode_opt)
         .partitionBy("bucket", "batch")
         .parquet(f"{path}/postings")
     )
     (
-        postings.groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-        .select("term", "df", bucket, seg)
+        dfreq.select("term", "df", bucket, seg)
         .write.mode("overwrite")
         .options(**mode_opt)
         .partitionBy("bucket", "batch")
@@ -1173,7 +1192,12 @@ def bm25_index_increment(
         if not batch.n_docs:
             return
         _bm25_segment_write(
-            postings, doclen, path, n_buckets, batch_id, fresh=False
+            postings.join(doclen, "doc_id"),
+            _bm25_dfreq(postings),
+            path,
+            n_buckets,
+            batch_id,
+            fresh=False,
         )
         _bm25_commit(path, batch_id, batch.n_docs, batch.total_len)
     finally:
@@ -1194,27 +1218,36 @@ def bm25_index_compact(spark, path: str) -> int:
     summed from the commit log — and rewrites through the same segment
     writer the base build uses. All stored values are the same
     integers, so a probe after compaction is BIT-identical
-    (pytest-asserted). Compaction is also the vacuum: uncommitted
-    (torn) segments are not carried over and vanish with the retired
-    copy.
+    (pytest-asserted). Compaction is also the vacuum: torn segments
+    (data without a commit row) are deleted even when there is nothing
+    to fold, so crash-retry cycles with fresh random batch_ids cannot
+    accumulate dead files forever.
 
     Publish protocol: the compact index is built process-private next
     to the live one and swapped in with directory renames (live →
-    .old, compact → live), then the retired copy is deleted — a crash
-    mid-swap leaves either the old or the new complete index, never a
-    mix. The swap is not atomic against WRITERS: run compaction from
-    the single maintenance owner with increments quiesced (the same
-    single-compactor discipline as a Lucene merge scheduler); probes
-    racing the swap may transiently error and retry."""
+    .retired, compact → live), then the retired copy is deleted — a
+    crash mid-swap leaves a complete index either live or at the
+    DETERMINISTIC ``<path>.retired`` sibling, which the next
+    compaction run renames back before proceeding (self-healing; a
+    probe in the crash window errors loudly on the missing path, never
+    reads a mix). The swap is not atomic against WRITERS: run
+    compaction from the single maintenance owner with increments
+    quiesced (the same single-compactor discipline as a Lucene merge
+    scheduler); probes racing the swap may transiently error and
+    retry."""
     import os
     import shutil
 
+    retired = f"{path}.retired"
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.rename(retired, path)  # recover a crash between the two renames
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
+    _bm25_vacuum_torn(path, set(commits))
     if set(commits) == {"base"}:
         return 0
     batches = sorted(commits)
-    postings = (
+    rows = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("batch").isin(batches))
         .select("doc_id", "term", "tf", "dl")
@@ -1223,14 +1256,10 @@ def bm25_index_compact(spark, path: str) -> int:
     try:
         build = f"{path}.compact-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
-        doclen = postings.select("doc_id", "dl").distinct()
+        # rows already carry the denormalized dl and sit at posting
+        # grain — straight through, no distinct, no join
         _bm25_segment_write(
-            postings.select("doc_id", "term", "tf"),
-            doclen,
-            build,
-            n_buckets,
-            "base",
-            fresh=True,
+            rows, _bm25_dfreq(rows), build, n_buckets, "base", fresh=True
         )
         os.makedirs(f"{build}/stats")
         _write_bm25_stats(f"{build}/stats", n_buckets)
@@ -1240,13 +1269,36 @@ def bm25_index_compact(spark, path: str) -> int:
             sum(n for n, _t in commits.values()),
             sum(t for _n, t in commits.values()),
         )
-        retired = f"{path}.old-{os.getpid()}"
+        shutil.rmtree(retired, ignore_errors=True)
         os.rename(path, retired)
         os.rename(build, path)
         shutil.rmtree(retired, ignore_errors=True)
         return len(batches)
     finally:
-        postings.unpersist()
+        rows.unpersist()
+
+
+def _bm25_vacuum_torn(path: str, committed: set) -> None:
+    """Delete segment dirs whose batch id has no commit row — dead
+    data from crashed increments that a retry under a FRESH random id
+    would otherwise strand forever."""
+    import os
+    import shutil
+
+    for table in ("postings", "dfreq"):
+        root = f"{path}/{table}"
+        if not os.path.isdir(root):
+            continue
+        for bucket_dir in os.listdir(root):
+            bdir = f"{root}/{bucket_dir}"
+            if not (bucket_dir.startswith("bucket=") and os.path.isdir(bdir)):
+                continue
+            for seg_dir in os.listdir(bdir):
+                if (
+                    seg_dir.startswith("batch=")
+                    and seg_dir[len("batch=") :] not in committed
+                ):
+                    shutil.rmtree(f"{bdir}/{seg_dir}", ignore_errors=True)
 
 
 def bm25_query_buckets(queries, n_buckets: int) -> list:

@@ -533,9 +533,18 @@ def test_bm25_increment_commit_protocol(spark, tmp_path):
 
     # simulate a crash AFTER the segment writes but BEFORE the commit:
     # the batch's files exist on disk, the probe must not see them
+    from parquet_metadata_explorer_spark.operators.text import _bm25_dfreq
+
     postings, doclen = _corpus_postings(b2, track=False)
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
-    _bm25_segment_write(postings, doclen, path, n_buckets, "cdc-1", fresh=False)
+    _bm25_segment_write(
+        postings.join(doclen, "doc_id"),
+        _bm25_dfreq(postings),
+        path,
+        n_buckets,
+        "cdc-1",
+        fresh=False,
+    )
     postings.unpersist()
     assert any(
         "batch=cdc-1" in r for r, _d, _f in os.walk(f"{path}/postings")
@@ -572,6 +581,18 @@ def test_bm25_increment_commit_protocol(spark, tmp_path):
     with pytest.raises(ValueError, match="filesystem-safe"):
         bm25_index_increment(b2, path, batch_id="a/b")
 
+    # rebuilding IN PLACE over an incremented index retires the old
+    # commit log with the old data: exactly one base commit remains
+    # and the probe serves the new corpus
+    from parquet_metadata_explorer_spark.operators.text import _bm25_commits
+
+    write_bm25_index(b1, path)
+    assert set(_bm25_commits(path)) == {"base"}
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == base_only
+    )
+
 
 def test_bm25_index_compact_folds_segments(spark, tmp_path):
     """Segment merge: after N increments (plus a torn leftover),
@@ -597,10 +618,19 @@ def test_bm25_index_compact_folds_segments(spark, tmp_path):
     bm25_index_increment(docs.filter(F.col("doc_id") % 3 == 1), path, batch_id="c1")
     bm25_index_increment(docs.filter(F.col("doc_id") % 3 == 2), path, batch_id="c2")
     # a torn segment on top: data without a commit row
+    from parquet_metadata_explorer_spark.operators.text import _bm25_dfreq
+
     postings, doclen = _corpus_postings(
         docs.filter(F.col("doc_id") % 3 == 2), track=False
     )
-    _bm25_segment_write(postings, doclen, path, 64, "torn", fresh=False)
+    _bm25_segment_write(
+        postings.join(doclen, "doc_id"),
+        _bm25_dfreq(postings),
+        path,
+        64,
+        "torn",
+        fresh=False,
+    )
     postings.unpersist()
 
     before = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
@@ -622,10 +652,37 @@ def test_bm25_index_compact_folds_segments(spark, tmp_path):
     after = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
     assert after == before  # bit-identical scores through the merge
 
-    # already-compact index: a no-op that writes nothing
-    mtimes = {p: os.path.getmtime(p) for p in pfiles()}
+    # already-compact index: a no-op that writes nothing — but it
+    # still VACUUMS a torn segment (a crashed increment retried under
+    # a fresh random id must not strand dead files forever)
+    postings, doclen = _corpus_postings(
+        docs.filter(F.col("doc_id") % 3 == 2), track=False
+    )
+    _bm25_segment_write(
+        postings.join(doclen, "doc_id"),
+        _bm25_dfreq(postings),
+        path,
+        64,
+        "torn2",
+        fresh=False,
+    )
+    postings.unpersist()
+    assert any("batch=torn2" in p for p in pfiles())
+    mtimes = {p: os.path.getmtime(p) for p in pfiles() if "torn2" not in p}
     assert bm25_index_compact(spark, path) == 0
+    assert not any("batch=torn2" in p for p in pfiles())
     assert {p: os.path.getmtime(p) for p in pfiles()} == mtimes
+
+    # crash window between the two swap renames: the live dir is gone
+    # but the DETERMINISTIC .retired sibling holds the old complete
+    # index — the next compaction run recovers it before proceeding
+    os.rename(path, f"{path}.retired")
+    assert bm25_index_compact(spark, path) == 0
+    assert os.path.isdir(path) and not os.path.exists(f"{path}.retired")
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == before
+    )
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark):

@@ -28,6 +28,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from parquet_metadata_explorer_spark.operators.text import (
+        _read_bm25_stats,
         bm25_index_compact,
         bm25_index_increment,
         bm25_probe_topk,
@@ -47,9 +48,11 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
     queries = [(1, "fast hash join"), (2, "window merge sort order")]
-    qbuckets = bm25_query_buckets(queries, 64)
-
     def probed_files(path):
+        # modulus from the index's own sidecar — never a hardcoded twin
+        qbuckets = bm25_query_buckets(
+            queries, int(_read_bm25_stats(path)["n_buckets"])
+        )
         return (
             spark.read.parquet(f"{path}/postings")
             .filter(F.col("bucket").isin(qbuckets))
