@@ -1028,7 +1028,13 @@ def _bm25_dfreq(postings):
 
 
 def _bm25_segment_write(
-    rows, dfreq, path: str, n_buckets: int, batch_id: str, fresh: bool
+    rows,
+    dfreq,
+    path: str,
+    n_buckets: int,
+    batch_id: str,
+    fresh: bool,
+    defrag: bool = False,
 ) -> None:
     """Write one batch's posting rows (``doc_id, term, tf, dl`` — dl
     already denormalized) and its df relation under their own
@@ -1043,20 +1049,30 @@ def _bm25_segment_write(
     rewritten, a torn earlier attempt of the SAME batch id is replaced
     (tokenization is deterministic, so a retry covers exactly the same
     partitions), and concurrent increments with distinct ids stage
-    under job-scoped dirs instead of a shared ``_temporary``."""
+    under job-scoped dirs instead of a shared ``_temporary``.
+
+    ``defrag=True`` (the compaction path) shuffles once on bucket
+    before writing so each bucket dir lands as ONE file — without it
+    the merge would stream the fragmented input's task layout straight
+    into the output and re-create the many-small-files problem it
+    exists to fix. Parquet files are row-group-splittable, so one big
+    file per bucket costs scans nothing at scale."""
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
     seg = F.lit(batch_id).alias("batch")
     mode_opt = {} if fresh else {"partitionOverwriteMode": "dynamic"}
+    out = rows.select("doc_id", "term", "tf", "dl", bucket, seg)
+    dfq = dfreq.select("term", "df", bucket, seg)
+    if defrag:
+        out = out.repartition("bucket")
+        dfq = dfq.repartition("bucket")
     (
-        rows.select("doc_id", "term", "tf", "dl", bucket, seg)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .options(**mode_opt)
         .partitionBy("bucket", "batch")
         .parquet(f"{path}/postings")
     )
     (
-        dfreq.select("term", "df", bucket, seg)
-        .write.mode("overwrite")
+        dfq.write.mode("overwrite")
         .options(**mode_opt)
         .partitionBy("bucket", "batch")
         .parquet(f"{path}/dfreq")
@@ -1257,9 +1273,16 @@ def bm25_index_compact(spark, path: str) -> int:
         build = f"{path}.compact-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         # rows already carry the denormalized dl and sit at posting
-        # grain — straight through, no distinct, no join
+        # grain — straight through, no distinct, no join; defrag
+        # shuffles once on bucket so each bucket dir lands as ONE file
         _bm25_segment_write(
-            rows, _bm25_dfreq(rows), build, n_buckets, "base", fresh=True
+            rows,
+            _bm25_dfreq(rows),
+            build,
+            n_buckets,
+            "base",
+            fresh=True,
+            defrag=True,
         )
         os.makedirs(f"{build}/stats")
         _write_bm25_stats(f"{build}/stats", n_buckets)
