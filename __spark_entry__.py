@@ -1139,8 +1139,11 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     if os.path.isfile(src):  # single-file layout
         st = os.stat(src)
         fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    # v2 = layout version (bumped when the on-disk schema changes —
+    # v2 added the batch partition + commit log): a layout change must
+    # miss the cache, not serve a stale-format index to new probe code
     key = (
-        f"{sf_dir}|{IVFPQ_CELLS}|{PQ_M}|{PQ_K}|{PQ_ITERS}|{IVFPQ_CITERS}"
+        f"{sf_dir}|v2|{IVFPQ_CELLS}|{PQ_M}|{PQ_K}|{PQ_ITERS}|{IVFPQ_CITERS}"
         f"|{';'.join(fp_parts)}"
     )
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
@@ -1148,14 +1151,15 @@ def _ivfpq_index_path(sf_dir: str) -> str:
 
 
 def _ivfpq_index_complete(path: str) -> bool:
-    """A reusable index needs ALL THREE sidecars committed — a crash
-    between the coarse/codebook and codes writes must trigger rebuild."""
+    """A reusable index needs ALL THREE sidecars committed AND the
+    base segment's commit row — a crash anywhere mid-build must
+    trigger rebuild."""
     import os
 
     return all(
         os.path.exists(f"{path}/{part}/_SUCCESS")
         for part in ("codes", "coarse", "codebook")
-    )
+    ) and os.path.exists(f"{path}/commits/commit-base.parquet")
 
 
 def _publish_cached_build(path: str, complete, build) -> None:

@@ -1,0 +1,140 @@
+"""Log-structured segment commit machinery shared by the at-rest
+indexes (the BM25 inverted index and the IVF-PQ code index): batch
+data lives under immutable ``<partition>=…/batch=<id>`` directories
+and becomes visible only when its one-row commit file lands in
+``commits/`` — a Lucene-commit-point-style protocol that makes torn
+writes invisible (never half-counted), replays idempotent when the
+pipeline supplies its own batch id, and concurrent increments safe
+(disjoint partitions, separate commit files, no shared mutable file).
+
+Both index types share these helpers VERBATIM so the lifecycle
+semantics — what "committed" means, how torn segments are vacuumed,
+how the compaction swap publishes and recovers — cannot drift between
+them. Everything here is driver-side filesystem metadata work;
+commit logs hold one tiny row per batch.
+"""
+
+from __future__ import annotations
+
+BASE_BATCH = "base"
+
+
+def validate_batch_id(batch_id: str) -> None:
+    """Filesystem-safe ``[A-Za-z0-9_-]``; ``base`` is reserved for the
+    full build / compaction output."""
+    import re
+
+    if batch_id == BASE_BATCH or not re.fullmatch(r"[A-Za-z0-9_-]+", batch_id):
+        raise ValueError(
+            f"Invalid batch_id: {batch_id!r} (filesystem-safe "
+            "[A-Za-z0-9_-], 'base' is reserved for the full build)"
+        )
+
+
+def segment_commit(path: str, batch_id: str, stats: dict) -> None:
+    """Append one batch's commit row as its own file — temp name
+    (dot-prefixed, so a crashed write is invisible to every reader) +
+    os.replace, the atomic publish. ``stats`` maps column name to an
+    int (per-index corpus constants, summed at read time). A batch
+    with no commit file does not exist as far as any probe is
+    concerned."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    commits = f"{path}/commits"
+    os.makedirs(commits, exist_ok=True)
+    table = pa.table(
+        {
+            "batch": pa.array([batch_id], pa.string()),
+            **{k: pa.array([int(v)], pa.int64()) for k, v in sorted(stats.items())},
+        }
+    )
+    tmp = f"{commits}/.commit-{batch_id}.parquet.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{commits}/commit-{batch_id}.parquet")
+
+
+def segment_committed(path: str, batch_id: str) -> bool:
+    import os
+
+    return os.path.exists(f"{path}/commits/commit-{batch_id}.parquet")
+
+
+def segment_commits(path: str, label: str) -> dict:
+    """{batch_id: {stat: int}} for every COMMITTED batch — the probes'
+    visibility set. Raises loudly on an index with no commit log
+    (legacy layout or an interrupted base build) instead of silently
+    scoring against nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    commits = f"{path}/commits"
+    out = {}
+    if os.path.isdir(commits):
+        for f in sorted(os.listdir(commits)):
+            if f.startswith("commit-") and f.endswith(".parquet"):
+                d = pq.read_table(f"{commits}/{f}").to_pydict()
+                out[d["batch"][0]] = {
+                    k: int(v[0]) for k, v in d.items() if k != "batch"
+                }
+    if not out:
+        raise ValueError(
+            f"{label} at {path} has no committed batches (legacy "
+            "layout or interrupted build) — rebuild the index"
+        )
+    return out
+
+
+def vacuum_uncommitted(path: str, tables, committed: set) -> None:
+    """Delete segment dirs whose batch id has no commit row — dead
+    data from crashed increments that a retry under a FRESH random id
+    would otherwise strand forever. ``tables`` are the two-level
+    partitioned relations under ``path`` (outer partition dir, then
+    ``batch=<id>``)."""
+    import os
+    import shutil
+
+    for table in tables:
+        root = f"{path}/{table}"
+        if not os.path.isdir(root):
+            continue
+        for outer in os.listdir(root):
+            odir = f"{root}/{outer}"
+            if "=" not in outer or not os.path.isdir(odir):
+                continue
+            for seg_dir in os.listdir(odir):
+                if (
+                    seg_dir.startswith("batch=")
+                    and seg_dir[len("batch=") :] not in committed
+                ):
+                    shutil.rmtree(f"{odir}/{seg_dir}", ignore_errors=True)
+
+
+def recover_retired(path: str) -> None:
+    """Heal the compaction swap's crash window: if the live path is
+    missing but the deterministic ``<path>.retired`` sibling exists,
+    rename it back before proceeding."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(f"{path}.retired"):
+        os.rename(f"{path}.retired", path)
+
+
+def swap_publish(path: str, build: str) -> None:
+    """Publish a compacted index over the live one with directory
+    renames (live → .retired, build → live), then drop the retired
+    copy — a crash mid-swap leaves a complete index either live or at
+    the DETERMINISTIC retired name, which ``recover_retired`` renames
+    back on the next maintenance run. Not atomic against writers: the
+    single-maintenance-owner discipline applies."""
+    import os
+    import shutil
+
+    retired = f"{path}.retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(build, path)
+    shutil.rmtree(retired, ignore_errors=True)

@@ -762,6 +762,57 @@ def int8_cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame
     )
 
 
+def _pq_subvectors(e, m: int, sub_d: int):
+    """Explode (vec_id, embedding) to (vec_id, sub, sv) — each vector's
+    ``m`` subvectors as double arrays. Shared verbatim by the Lloyd
+    trainer and the frozen-model encoder so the slicing arithmetic can
+    never drift between them."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"),
+                        s * sub_d + 1,
+                        sub_d,
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("u"),
+    ).select("vec_id", F.col("u.sub").alias("sub"), F.col("u.sv").alias("sv"))
+
+
+def _pq_assign(spark, subv, cb):
+    """Frozen-codebook subvector assignment — THE determinism-critical
+    argmin the Lloyd trainer runs every round and the frozen-model
+    encoder (``ivfpq_encode``) replays at serve time, shared verbatim:
+    broadcast codebook join, exact left-fold d², min(struct(d2,
+    cluster, sv)) tie-break — bit-identical on any engine and
+    partitioning."""
+    cents = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(cb.items())],
+        "sub int, cluster int, c array<double>",
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subv.join(F.broadcast(cents), "sub")
+        .withColumn("d2", dist2)
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cluster", "sv")).alias("b"))
+        .select(
+            "vec_id", "sub", F.col("b.cluster").alias("cluster"),
+            F.col("b.sv").alias("sv"),
+        )
+    )
+
+
 def pq_index(
     embeddings: DataFrame,
     m: int = 8,
@@ -810,24 +861,7 @@ def pq_index(
     assert dim % m == 0, (dim, m)
     sub_d = dim // m
 
-    subv = track_persist(
-        e.select(
-            "vec_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.struct(
-                        s.alias("sub"),
-                        F.slice(
-                            F.col("embedding").cast("array<double>"),
-                            s * sub_d + 1,
-                            sub_d,
-                        ).alias("sv"),
-                    ),
-                )
-            ).alias("u"),
-        ).select("vec_id", F.col("u.sub").alias("sub"), F.col("u.sv").alias("sv"))
-    )
+    subv = track_persist(_pq_subvectors(e, m, sub_d))
 
     if seeds is None:
         seed_rows = (
@@ -845,25 +879,7 @@ def pq_index(
             codebook[(s, ci)] = vec[s * sub_d : (s + 1) * sub_d]
 
     def assign(cb):
-        cents = spark.createDataFrame(
-            [(s, c, v) for (s, c), v in sorted(cb.items())],
-            "sub int, cluster int, c array<double>",
-        )
-        dist2 = F.aggregate(
-            F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            subv.join(F.broadcast(cents), "sub")
-            .withColumn("d2", dist2)
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("d2", "cluster", "sv")).alias("b"))
-            .select(
-                "vec_id", "sub", F.col("b.cluster").alias("cluster"),
-                F.col("b.sv").alias("sv"),
-            )
-        )
+        return _pq_assign(spark, subv, cb)
 
     for _ in range(iters):
         a = assign(codebook)
@@ -1402,7 +1418,26 @@ def write_ivfpq_index(
     (m one-byte clusters); the coarse centroids and PQ codebooks are
     tiny sidecar tables. Everything stored is integers or exact
     doubles, so a probe from disk reproduces the in-memory scorer's
-    output BIT-identically (pytest-asserted)."""
+    output BIT-identically (pytest-asserted).
+
+    The codes are LOG-STRUCTURED like the BM25 index (shared protocol,
+    operators/segments.py): this full build is the ``batch=base``
+    segment, published by a one-row commit file written LAST — an
+    interrupted build has no committed batches and the probe refuses
+    it loudly; ``ivfpq_index_increment`` lands arrivals as further
+    committed segments against the frozen models (the faiss ``add()``
+    shape), and ``ivfpq_index_compact`` folds them back."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .segments import segment_commit
+
+    # retire any previous incarnation's commit log BEFORE the data
+    # overwrite (same rebuild-crash ordering as the BM25 writer)
+    shutil.rmtree(f"{path}/commits", ignore_errors=True)
     spark = embeddings.sparkSession
     cc, cells, pq_cb, pq_codes = ivfpq_index(
         embeddings,
@@ -1421,16 +1456,14 @@ def write_ivfpq_index(
             ).alias("codes")
         )
         .join(cells, "vec_id")
+        .withColumn("batch", F.lit("base"))
     )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    codes.write.mode("overwrite").partitionBy("cell", "batch").parquet(
+        f"{path}/codes"
+    )
     # the sidecars are driver-held dicts (k_cells and m·k rows) — write
     # them with pyarrow directly instead of spinning a Spark job per
     # table; Spark reads them back identically (array<double> columns)
-    import os
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     def _sidecar(subdir, table):
         # Replicate Spark's mode("overwrite") truncate: clear any prior
@@ -1458,6 +1491,180 @@ def write_ivfpq_index(
         "centroid": pa.array([v for _k, v in cbs],
                              pa.list_(pa.float64())),
     }))
+    # commit LAST: visibility follows data + sidecars (cells is
+    # persisted by the trainer, so the count is a cached-relation fold)
+    segment_commit(path, "base", {"n_vectors": cells.count()})
+
+
+def _read_ivfpq_sidecars(spark, path: str):
+    """(coarse centroids dict, PQ codebook dict) off the index's
+    sidecar tables — driver-sized; shared by the probe and the CDC
+    increment so the frozen models are always read one way."""
+    cc = {
+        r.cell: [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{path}/coarse").collect()
+    }
+    pq_cb = {
+        (r.sub, r.cluster): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    }
+    return cc, pq_cb
+
+
+def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
+    """Encode vectors against FROZEN models — the serve-time half of
+    the trainer, replaying its exact arithmetic (``_pq_assign`` /
+    ``_pq_subvectors``, the same code objects the Lloyd loop runs):
+    coarse-assign each vector to its cell (one whole-vector subspace),
+    subtract the cell centroid, PQ-encode the residual, pack to one
+    row per vector. Returns DataFrame[vec_id, codes array<int>, cell].
+    For any input, the output is BIT-identical to the codes
+    ``ivfpq_index`` would emit for those vectors under the same final
+    models (pytest-asserted) — which is what makes the CDC increment's
+    segments indistinguishable from base-build rows.
+
+    Scale shape: two broadcast-codebook argmins + one broadcast
+    centroid join — map-side over the arrivals, zero corpus shuffles
+    beyond the (vec_id, sub) partial aggregations."""
+    spark = embeddings.sparkSession
+    dim = len(next(iter(cc.values())))
+    e = embeddings.select("vec_id", "embedding")
+    cells = _pq_assign(
+        spark, _pq_subvectors(e, 1, dim), {(0, c): v for c, v in cc.items()}
+    ).select("vec_id", F.col("cluster").alias("cell"))
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
+    )
+    residuals = (
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .join(cells, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            F.zip_with("emb", "cc", lambda a, b: a - b).alias("embedding"),
+        )
+    )
+    m = max(s for s, _c in pq_cb) + 1
+    pq_codes = _pq_assign(
+        spark, _pq_subvectors(residuals, m, dim // m), pq_cb
+    ).select("vec_id", "sub", "cluster")
+    return (
+        pq_codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .join(cells, "vec_id")
+    )
+
+
+def ivfpq_index_increment(
+    new_embeddings: DataFrame, path: str, batch_id: str = None
+) -> None:
+    """faiss-style ``add()`` for the materialized IVF-PQ index: encode
+    ONLY the arrivals against the index's FROZEN coarse centroids and
+    codebooks (``ivfpq_encode`` — the trainer's exact arithmetic) and
+    land them as an immutable ``cell=…/batch=<id>`` segment published
+    by a one-row commit file — the SAME log-structured protocol as the
+    BM25 index (operators/segments.py): torn batches are INVISIBLE to
+    the probe, a pipeline-supplied batch_id makes replays idempotent
+    (dynamic partition overwrite replaces exactly the retried batch's
+    partitions; an already-committed id is a no-op), concurrent
+    increments with distinct ids write disjoint partitions and
+    separate commit files. No retraining, no history reprocessing —
+    the standard IVF serving trade: arrivals' recall drifts only as
+    the data distribution drifts from the training sample; retrain +
+    rebuild when it does. Arrivals must carry vec_ids not already in
+    the index (the arrivals-only contract)."""
+    import uuid
+
+    from .segments import segment_commit, segment_committed, segment_commits
+    from .segments import validate_batch_id
+
+    spark = new_embeddings.sparkSession
+    segment_commits(path, "IVF-PQ index")  # layout gate
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    else:
+        validate_batch_id(batch_id)
+    if segment_committed(path, batch_id):
+        return  # already committed — idempotent replay
+    cc, pq_cb = _read_ivfpq_sidecars(spark, path)
+    packed = ivfpq_encode(new_embeddings, cc, pq_cb).persist()
+    try:
+        n = packed.count()
+        if not n:
+            return
+        (
+            packed.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch")
+            .parquet(f"{path}/codes")
+        )
+        segment_commit(path, batch_id, {"n_vectors": n})
+    finally:
+        packed.unpersist()
+
+
+def ivfpq_index_compact(spark, path: str) -> int:
+    """Segment merge for the IVF-PQ index — the same Lucene-style
+    lifecycle close as ``bm25_index_compact``: fold every COMMITTED
+    batch's codes back into one ``base`` segment (codes are already
+    final integers — no re-encode, just one pass + one repartition on
+    cell so each cell dir lands as a single splittable file), vacuum
+    torn segments, swap-publish with the shared crash-recoverable
+    protocol. Sidecars (coarse/codebook/stats) are carried over
+    unchanged — compaction never touches the models. Returns how many
+    batches were folded (0 = already compact; still vacuums)."""
+    import os
+    import shutil
+
+    from .segments import (
+        recover_retired,
+        segment_commit,
+        segment_commits,
+        swap_publish,
+        vacuum_uncommitted,
+    )
+
+    recover_retired(path)
+    commits = segment_commits(path, "IVF-PQ index")
+    vacuum_uncommitted(path, ("codes",), set(commits))
+    if set(commits) == {"base"}:
+        return 0
+    batches = sorted(commits)
+    rows = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("batch").isin(batches))
+        .select("vec_id", "codes", "cell")
+        .persist()
+    )
+    try:
+        build = f"{path}.compact-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        (
+            rows.withColumn("batch", F.lit("base"))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell", "batch")
+            .parquet(f"{build}/codes")
+        )
+        for sidecar in ("coarse", "codebook"):
+            shutil.copytree(f"{path}/{sidecar}", f"{build}/{sidecar}")
+        segment_commit(
+            build,
+            "base",
+            {"n_vectors": sum(s["n_vectors"] for s in commits.values())},
+        )
+        swap_publish(path, build)
+        return len(batches)
+    finally:
+        rows.unpersist()
 
 
 def ivfpq_probe_topk(
@@ -1491,15 +1698,16 @@ def ivfpq_probe_topk(
     queries. The probed-cell set for partition pruning comes from the
     distributed table itself (a ≤k_cells collect), so the scan stays
     partition-pruned in every mode.
+
+    Only COMMITTED segments are visible (the shared commit-log
+    protocol, operators/segments.py): the code scan filters to the
+    commit log's batch ids, so a torn ``ivfpq_index_increment``
+    contributes nothing.
     """
-    cc = {
-        r.cell: [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{path}/coarse").collect()
-    }
-    pq_cb = {
-        (r.sub, r.cluster): [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{path}/codebook").collect()
-    }
+    from .segments import segment_commits
+
+    batches = sorted(segment_commits(path, "IVF-PQ index"))
+    cc, pq_cb = _read_ivfpq_sidecars(spark, path)
     queries = queries.select("vec_id", "embedding")
     mode = table_mode
     if mode == "auto":
@@ -1516,7 +1724,7 @@ def ivfpq_probe_topk(
         probed_cells = {r.cell for r in tdf.select("cell").distinct().collect()}
         broadcast_table = False
     codes = spark.read.parquet(f"{path}/codes").filter(
-        F.col("cell").isin(sorted(probed_cells))
+        F.col("cell").isin(sorted(probed_cells)) & F.col("batch").isin(batches)
     )
     exploded = codes.select(
         "vec_id",

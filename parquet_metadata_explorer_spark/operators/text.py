@@ -1105,51 +1105,25 @@ def _read_bm25_stats(path: str) -> dict:
 
 
 def _bm25_commit(path: str, batch_id: str, n_docs: int, total_len: int) -> None:
-    """Append one batch's commit row as its own file — temp name
-    (dot-prefixed, so a crashed write is invisible to every reader) +
-    os.replace, the atomic publish. A batch with no commit file does
-    not exist as far as the probe is concerned."""
-    import os
+    """One batch's atomic commit row (the shared segment-log publish —
+    see operators/segments.py). A batch with no commit file does not
+    exist as far as the probe is concerned."""
+    from .segments import segment_commit
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    commits = f"{path}/commits"
-    os.makedirs(commits, exist_ok=True)
-    table = pa.table(
-        {
-            "batch": pa.array([batch_id], pa.string()),
-            "n_docs": pa.array([int(n_docs)], pa.int64()),
-            "total_len": pa.array([int(total_len)], pa.int64()),
-        }
-    )
-    tmp = f"{commits}/.commit-{batch_id}.parquet.tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, f"{commits}/commit-{batch_id}.parquet")
+    segment_commit(path, batch_id, {"n_docs": n_docs, "total_len": total_len})
 
 
 def _bm25_commits(path: str) -> dict:
     """{batch_id: (n_docs, total_len)} for every COMMITTED batch —
-    the probe's visibility set. Raises loudly on an index with no
-    commit log (legacy layout or an interrupted base build) instead
-    of silently scoring against nothing."""
-    import os
+    the probe's visibility set (shared segment-log read; raises loudly
+    on a commit-log-less index instead of silently scoring against
+    nothing)."""
+    from .segments import segment_commits
 
-    import pyarrow.parquet as pq
-
-    commits = f"{path}/commits"
-    out = {}
-    if os.path.isdir(commits):
-        for f in sorted(os.listdir(commits)):
-            if f.startswith("commit-") and f.endswith(".parquet"):
-                d = pq.read_table(f"{commits}/{f}").to_pydict()
-                out[d["batch"][0]] = (int(d["n_docs"][0]), int(d["total_len"][0]))
-    if not out:
-        raise ValueError(
-            f"BM25 index at {path} has no committed batches (legacy "
-            "layout or interrupted build) — rebuild with write_bm25_index"
-        )
-    return out
+    return {
+        b: (s["n_docs"], s["total_len"])
+        for b, s in segment_commits(path, "BM25 index").items()
+    }
 
 
 def bm25_index_increment(
@@ -1183,21 +1157,18 @@ def bm25_index_increment(
     arrivals-only contract as the other incremental operators). Probe
     results after N increments are BIT-identical to a fresh
     ``write_bm25_index`` over the union (pytest-asserted)."""
-    import os
-    import re
     import uuid
+
+    from .segments import segment_committed, validate_batch_id
 
     stats = _read_bm25_stats(path)
     n_buckets = int(stats["n_buckets"])
     _bm25_commits(path)  # layout gate: refuse a commit-log-less index
     if batch_id is None:
         batch_id = uuid.uuid4().hex
-    elif batch_id == "base" or not re.fullmatch(r"[A-Za-z0-9_-]+", batch_id):
-        raise ValueError(
-            f"Invalid batch_id: {batch_id!r} (filesystem-safe "
-            "[A-Za-z0-9_-], 'base' is reserved for the full build)"
-        )
-    if os.path.exists(f"{path}/commits/commit-{batch_id}.parquet"):
+    else:
+        validate_batch_id(batch_id)
+    if segment_committed(path, batch_id):
         return  # already committed — idempotent replay
     postings, doclen = _corpus_postings(new_documents, track=False)
     try:
@@ -1254,12 +1225,12 @@ def bm25_index_compact(spark, path: str) -> int:
     import os
     import shutil
 
-    retired = f"{path}.retired"
-    if not os.path.exists(path) and os.path.exists(retired):
-        os.rename(retired, path)  # recover a crash between the two renames
+    from .segments import recover_retired, swap_publish, vacuum_uncommitted
+
+    recover_retired(path)
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
-    _bm25_vacuum_torn(path, set(commits))
+    vacuum_uncommitted(path, ("postings", "dfreq"), set(commits))
     if set(commits) == {"base"}:
         return 0
     batches = sorted(commits)
@@ -1292,36 +1263,10 @@ def bm25_index_compact(spark, path: str) -> int:
             sum(n for n, _t in commits.values()),
             sum(t for _n, t in commits.values()),
         )
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(path, retired)
-        os.rename(build, path)
-        shutil.rmtree(retired, ignore_errors=True)
+        swap_publish(path, build)
         return len(batches)
     finally:
         rows.unpersist()
-
-
-def _bm25_vacuum_torn(path: str, committed: set) -> None:
-    """Delete segment dirs whose batch id has no commit row — dead
-    data from crashed increments that a retry under a FRESH random id
-    would otherwise strand forever."""
-    import os
-    import shutil
-
-    for table in ("postings", "dfreq"):
-        root = f"{path}/{table}"
-        if not os.path.isdir(root):
-            continue
-        for bucket_dir in os.listdir(root):
-            bdir = f"{root}/{bucket_dir}"
-            if not (bucket_dir.startswith("bucket=") and os.path.isdir(bdir)):
-                continue
-            for seg_dir in os.listdir(bdir):
-                if (
-                    seg_dir.startswith("batch=")
-                    and seg_dir[len("batch=") :] not in committed
-                ):
-                    shutil.rmtree(f"{bdir}/{seg_dir}", ignore_errors=True)
 
 
 def bm25_query_buckets(queries, n_buckets: int) -> list:

@@ -1989,6 +1989,144 @@ def test_ivfpq_index_rewrite_truncates_stale_sidecars(spark, tmp_path):
     assert sorted(map(tuple, disk.collect())) == sorted(map(tuple, mem.collect()))
 
 
+def test_ivfpq_encode_matches_trainer_codes(spark):
+    """The frozen-model encoder must replay the trainer's assignment
+    arithmetic BIT-identically: encoding the training corpus against
+    the trained models yields exactly the (vec_id, cell, codes) rows
+    the trainer itself emitted — the property that makes a CDC
+    segment's rows indistinguishable from base-build rows."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cc, cells, pq_cb, pq_codes = ivfpq_index(
+        e, k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2
+    )
+    trained = (
+        pq_codes.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "cluster"))).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("s"), lambda x: x["cluster"]).alias("codes"),
+        )
+        .join(cells, "vec_id")
+    )
+    want = sorted(
+        (r.vec_id, r.cell, tuple(r.codes)) for r in trained.collect()
+    )
+    enc = ivfpq_encode(e, cc, pq_cb)
+    got = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in enc.collect())
+    assert got == want
+
+
+def test_ivfpq_index_increment_lifecycle(spark, tmp_path):
+    """The IVF-PQ index shares the BM25 index's log-structured
+    lifecycle: arrivals land as committed segments encoded with the
+    FROZEN models (codes on disk ≡ frozen-encoding the union), torn
+    segments are invisible, replays of a committed batch_id are
+    no-ops, and compaction folds everything back bit-identically."""
+    import os
+
+    from parquet_metadata_explorer_spark.operators.segments import (
+        segment_commits,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        _read_ivfpq_sidecars,
+        ivfpq_encode,
+        ivfpq_index_compact,
+        ivfpq_index_increment,
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    params = dict(k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2)
+    write_ivfpq_index(b1, path, **params)
+    queries = e.filter(F.col("vec_id").isin([0, 2, 4]))
+    base_only = sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    )
+
+    ivfpq_index_increment(b2, path, batch_id="adds-1")
+    # committed codes on disk == frozen-model encode of the UNION —
+    # the faiss add() contract, bit-for-bit
+    cc, pq_cb = _read_ivfpq_sidecars(spark, path)
+    want = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ivfpq_encode(e, cc, pq_cb).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert got == want
+    incremented = sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    )
+    assert incremented != base_only  # arrivals actually visible
+
+    # replaying the committed id writes nothing (idempotent)
+    ivfpq_index_increment(e, path, batch_id="adds-1")
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    ) == incremented
+
+    # a torn segment (codes written, no commit) is invisible and gets
+    # vacuumed by compaction, which folds the committed batches
+    torn = ivfpq_encode(b2.limit(5), cc, pq_cb).withColumn(
+        "batch", F.lit("torn")
+    )
+    torn.write.mode("append").partitionBy("cell", "batch").parquet(
+        f"{path}/codes"
+    )
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    ) == incremented
+    folded = ivfpq_index_compact(spark, path)
+    assert folded == 2
+    assert set(segment_commits(path, "IVF-PQ index")) == {"base"}
+    assert not any(
+        "batch=torn" in r or "batch=adds-1" in r
+        for r, _d, _f in os.walk(f"{path}/codes")
+    )
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    ) == incremented
+
+    # crash window between the swap renames: deterministic recovery
+    os.rename(path, f"{path}.retired")
+    assert ivfpq_index_compact(spark, path) == 0
+    assert os.path.isdir(path) and not os.path.exists(f"{path}.retired")
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    ) == incremented
+
+
 def test_ccnet_buckets_semantics(spark, sf_dir):
     """Per language: tercile sizes within one doc of n/3, and mean
     perplexity strictly ordered head < middle < tail (the CCNet
