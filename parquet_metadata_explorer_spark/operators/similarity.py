@@ -1447,20 +1447,14 @@ def write_ivfpq_index(
         iters=iters,
         coarse_iters=coarse_iters,
     )
-    codes = (
-        pq_codes.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
-                lambda s: s["cluster"],
-            ).alias("codes")
-        )
-        .join(cells, "vec_id")
-        .withColumn("batch", F.lit("base"))
-    )
-    codes.write.mode("overwrite").partitionBy("cell", "batch").parquet(
-        f"{path}/codes"
-    )
+    codes = _pack_codes(pq_codes, cells).withColumn("batch", F.lit("base"))
+    # pin static overwrite per-write (never the session default): a
+    # session-wide dynamic mode would turn this truncate into a partial
+    # replace that leaves a retired corpus's untouched cells live under
+    # the fresh base commit
+    codes.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell", "batch").parquet(f"{path}/codes")
     # the sidecars are driver-held dicts (k_cells and m·k rows) — write
     # them with pyarrow directly instead of spinning a Spark job per
     # table; Spark reads them back identically (array<double> columns)
@@ -1511,27 +1505,59 @@ def _read_ivfpq_sidecars(spark, path: str):
     return cc, pq_cb
 
 
-def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
-    """Encode vectors against FROZEN models — the serve-time half of
-    the trainer, replaying its exact arithmetic (``_pq_assign`` /
-    ``_pq_subvectors``, the same code objects the Lloyd loop runs):
-    coarse-assign each vector to its cell (one whole-vector subspace),
-    subtract the cell centroid, PQ-encode the residual, pack to one
-    row per vector. Returns DataFrame[vec_id, codes array<int>, cell].
-    For any input, the output is BIT-identical to the codes
-    ``ivfpq_index`` would emit for those vectors under the same final
-    models (pytest-asserted) — which is what makes the CDC increment's
-    segments indistinguishable from base-build rows.
+def _pack_codes(pq_codes, cells):
+    """One row per vector: (vec_id, codes array<int>, cell) — the
+    on-disk codes layout. Shared by the base builder and the
+    frozen-model encoder so the packing (sort key, element order) can
+    never drift between them; a drift would silently break the
+    'increment rows ≡ base-build rows' bit-identity contract."""
+    return (
+        pq_codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .join(cells, "vec_id")
+    )
 
-    Scale shape: two broadcast-codebook argmins + one broadcast
-    centroid join — map-side over the arrivals, zero corpus shuffles
-    beyond the (vec_id, sub) partial aggregations."""
+
+def _ivfpq_encode_parts(embeddings, cc: dict, pq_cb: dict, persist):
+    """(packed, cells) against frozen models; ``persist`` is applied
+    to the cells relation right after the coarse argmin because packed
+    references it TWICE (residual join + final pack join) — without it
+    the coarse assignment subtree would evaluate twice per action.
+    Callers choose the lifecycle: the lazy public wrapper registers
+    the persist with the session cache, the eager increment holds the
+    handle and unpersists before returning."""
     spark = embeddings.sparkSession
     dim = len(next(iter(cc.values())))
-    e = embeddings.select("vec_id", "embedding")
-    cells = _pq_assign(
-        spark, _pq_subvectors(e, 1, dim), {(0, c): v for c, v in cc.items()}
-    ).select("vec_id", F.col("cluster").alias("cell"))
+    # fail loudly on dimension-mismatched arrivals: slice would clip a
+    # wider vector and zip_with null-pads a narrower one — either would
+    # encode garbage and COMMIT it into the index
+    e = embeddings.select(
+        "vec_id",
+        F.when(F.size("embedding") == dim, F.col("embedding"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"embedding dimension mismatch: index expects {dim}, got "
+                    ),
+                    F.size("embedding").cast("string"),
+                    F.lit(" for vec_id "),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        )
+        .alias("embedding"),
+    )
+    cells = persist(
+        _pq_assign(
+            spark, _pq_subvectors(e, 1, dim), {(0, c): v for c, v in cc.items()}
+        ).select("vec_id", F.col("cluster").alias("cell"))
+    )
     cents = spark.createDataFrame(
         [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
     )
@@ -1550,16 +1576,32 @@ def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
     pq_codes = _pq_assign(
         spark, _pq_subvectors(residuals, m, dim // m), pq_cb
     ).select("vec_id", "sub", "cluster")
-    return (
-        pq_codes.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
-                lambda s: s["cluster"],
-            ).alias("codes")
-        )
-        .join(cells, "vec_id")
-    )
+    return _pack_codes(pq_codes, cells), cells
+
+
+def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
+    """Encode vectors against FROZEN models — the serve-time half of
+    the trainer, replaying its exact arithmetic (``_pq_assign`` /
+    ``_pq_subvectors`` / ``_pack_codes``, the same code objects the
+    Lloyd loop and the base builder run): coarse-assign each vector to
+    its cell (one whole-vector subspace), subtract the cell centroid,
+    PQ-encode the residual, pack to one row per vector. Returns
+    DataFrame[vec_id, codes array<int>, cell]. For any input, the
+    output is BIT-identical to the codes ``ivfpq_index`` would emit
+    for those vectors under the same final models (pytest-asserted) —
+    which is what makes the CDC increment's segments indistinguishable
+    from base-build rows. Dimension-mismatched vectors raise instead
+    of encoding garbage.
+
+    Scale shape: two broadcast-codebook argmins + one broadcast
+    centroid join — map-side over the arrivals, zero corpus shuffles
+    beyond the (vec_id, sub) partial aggregations; the cell assignment
+    is persisted (session cache registry) because the pack references
+    it twice."""
+    from ..cache import track_persist
+
+    packed, _cells = _ivfpq_encode_parts(embeddings, cc, pq_cb, track_persist)
+    return packed
 
 
 def ivfpq_index_increment(
@@ -1594,7 +1636,12 @@ def ivfpq_index_increment(
     if segment_committed(path, batch_id):
         return  # already committed — idempotent replay
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
-    packed = ivfpq_encode(new_embeddings, cc, pq_cb).persist()
+    # eager path: hold both persist handles and release before return
+    # (a per-micro-batch CDC driver must not accumulate pinned caches)
+    packed, cells = _ivfpq_encode_parts(
+        new_embeddings, cc, pq_cb, lambda df: df.persist()
+    )
+    packed = packed.persist()
     try:
         n = packed.count()
         if not n:
@@ -1609,6 +1656,7 @@ def ivfpq_index_increment(
         segment_commit(path, batch_id, {"n_vectors": n})
     finally:
         packed.unpersist()
+        cells.unpersist()
 
 
 def ivfpq_index_compact(spark, path: str) -> int:
@@ -1618,7 +1666,7 @@ def ivfpq_index_compact(spark, path: str) -> int:
     final integers — no re-encode, just one pass + one repartition on
     cell so each cell dir lands as a single splittable file), vacuum
     torn segments, swap-publish with the shared crash-recoverable
-    protocol. Sidecars (coarse/codebook/stats) are carried over
+    protocol. The model sidecars (coarse, codebook) are carried over
     unchanged — compaction never touches the models. Returns how many
     batches were folded (0 = already compact; still vacuums)."""
     import os
@@ -1638,33 +1686,32 @@ def ivfpq_index_compact(spark, path: str) -> int:
     if set(commits) == {"base"}:
         return 0
     batches = sorted(commits)
+    # no persist: unlike the BM25 twin (postings + dfreq, two writes),
+    # the codes relation feeds exactly ONE write
     rows = (
         spark.read.parquet(f"{path}/codes")
         .filter(F.col("batch").isin(batches))
         .select("vec_id", "codes", "cell")
-        .persist()
     )
-    try:
-        build = f"{path}.compact-{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        (
-            rows.withColumn("batch", F.lit("base"))
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell", "batch")
-            .parquet(f"{build}/codes")
-        )
-        for sidecar in ("coarse", "codebook"):
-            shutil.copytree(f"{path}/{sidecar}", f"{build}/{sidecar}")
-        segment_commit(
-            build,
-            "base",
-            {"n_vectors": sum(s["n_vectors"] for s in commits.values())},
-        )
-        swap_publish(path, build)
-        return len(batches)
-    finally:
-        rows.unpersist()
+    build = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    (
+        rows.withColumn("batch", F.lit("base"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell", "batch")
+        .parquet(f"{build}/codes")
+    )
+    for sidecar in ("coarse", "codebook"):
+        shutil.copytree(f"{path}/{sidecar}", f"{build}/{sidecar}")
+    segment_commit(
+        build,
+        "base",
+        {"n_vectors": sum(s["n_vectors"] for s in commits.values())},
+    )
+    swap_publish(path, build)
+    return len(batches)
 
 
 def ivfpq_probe_topk(

@@ -1059,7 +1059,11 @@ def _bm25_segment_write(
     file per bucket costs scans nothing at scale."""
     bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias("bucket")
     seg = F.lit(batch_id).alias("batch")
-    mode_opt = {} if fresh else {"partitionOverwriteMode": "dynamic"}
+    # pin the overwrite mode per-write, NEVER trusting the session
+    # default: a session-wide dynamic mode would turn the base build's
+    # truncate into a partial replace that leaves a retired corpus's
+    # partitions live under the fresh commit
+    mode_opt = {"partitionOverwriteMode": "static" if fresh else "dynamic"}
     out = rows.select("doc_id", "term", "tf", "dl", bucket, seg)
     dfq = dfreq.select("term", "df", bucket, seg)
     if defrag:

@@ -2126,6 +2126,19 @@ def test_ivfpq_index_increment_lifecycle(spark, tmp_path):
         )
     ) == incremented
 
+    # dimension-mismatched arrivals FAIL LOUDLY before any commit —
+    # slice/zip_with would otherwise encode clipped or null-padded
+    # garbage and permanently corrupt the index
+    import pytest
+
+    wider = b2.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.concat(F.col("embedding"), F.col("embedding")).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        ivfpq_index_increment(wider, path, batch_id="bad-dims")
+    assert set(segment_commits(path, "IVF-PQ index")) == {"base"}
+
 
 def test_ccnet_buckets_semantics(spark, sf_dir):
     """Per language: tercile sizes within one doc of n/3, and mean
