@@ -620,3 +620,84 @@ def test_stream_prepare_corpus_replays_batch(spark, sf_dir, tmp_path):
     q3.stop()
     _, v3 = load_prepare_state(spark, state_dir)
     assert v3 == 3  # nothing committed by the rejected lineage
+
+
+def test_stream_to_bm25_index_composition(spark, sf_dir, tmp_path):
+    """The advertised CDC composition end-to-end: the batch-keyed
+    streaming sink's output feeds batch-keyed BM25 index increments
+    (ids shared across both layers, one commit per micro-batch over a
+    day-0 EMPTY index), and the probe over the incrementally-maintained
+    index is BIT-identical to a fresh index built over the stream's
+    accumulated output; replaying every increment is a no-op."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        stream_prepare_corpus,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 17 = 3").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    src = str(tmp_path / "arrivals")
+    for i, (lo, hi) in enumerate(((None, cut1), (cut1, cut2), (cut2, None))):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        b.coalesce(1).write.parquet(f"{src}/batch={i}")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        part = _glob.glob(f"{src}/batch={i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:03d}.parquet")
+
+    q = stream_prepare_corpus(
+        spark, flat, bench, str(tmp_path / "state"), str(tmp_path / "prep")
+    )
+    q.processAllAvailable()
+    q.stop()
+    out_dir = str(tmp_path / "prep")
+    prepared = spark.read.parquet(out_dir).select("doc_id", "text")
+
+    # day-0 init: an EMPTY index (base commit n_docs=0), then one
+    # increment per committed stream batch under the SAME batch key
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(prepared.limit(0), idx)
+    batch_ids = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    )
+    assert batch_ids == [0, 1, 2]
+    for b in batch_ids:
+        bm25_index_increment(
+            spark.read.parquet(f"{out_dir}/batch={b}").select("doc_id", "text"),
+            idx,
+            batch_id=f"stream-{b}",
+        )
+    qs = [(1, "fast hash join"), (2, "window merge sort")]
+    got = sorted(map(tuple, bm25_probe_topk(spark, idx, qs, k=10).collect()))
+    full = str(tmp_path / "full")
+    write_bm25_index(prepared, full)
+    assert got == sorted(
+        map(tuple, bm25_probe_topk(spark, full, qs, k=10).collect())
+    )
+    # full replay of every increment (the crash-retry shape): no-ops
+    for b in batch_ids:
+        bm25_index_increment(
+            spark.read.parquet(f"{out_dir}/batch={b}").select("doc_id", "text"),
+            idx,
+            batch_id=f"stream-{b}",
+        )
+    assert got == sorted(
+        map(tuple, bm25_probe_topk(spark, idx, qs, k=10).collect())
+    )
