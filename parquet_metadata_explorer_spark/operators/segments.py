@@ -116,11 +116,32 @@ def vacuum_uncommitted(path: str, tables, committed: set) -> None:
 def recover_retired(path: str) -> None:
     """Heal the compaction swap's crash window: if the live path is
     missing but the deterministic ``<path>.retired`` sibling exists,
-    rename it back before proceeding."""
+    rename it back before proceeding. Called on EVERY index open
+    (probe, increment, compact) — recovery-on-open, the Lucene
+    convention — so a crashed swap never strands readers behind a
+    misleading 'no committed batches' error until the next maintenance
+    run. Two openers racing the rename are safe: the loser's rename
+    fails and the live path exists either way."""
     import os
 
     if not os.path.exists(path) and os.path.exists(f"{path}.retired"):
-        os.rename(f"{path}.retired", path)
+        try:
+            os.rename(f"{path}.retired", path)
+        except OSError:
+            pass  # a racing opener already recovered it
+
+
+def clear_stale_builds(path: str, prefix: str) -> None:
+    """Delete leftover ``<path>.<prefix>-<pid>`` build dirs from
+    crashed compactions — pid-keyed names mean a retry under a new pid
+    would otherwise strand a full index-sized copy forever. Safe under
+    the single-maintenance-owner discipline compaction already
+    requires."""
+    import glob
+    import shutil
+
+    for stale in glob.glob(f"{path}.{prefix}-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def swap_publish(path: str, build: str) -> None:

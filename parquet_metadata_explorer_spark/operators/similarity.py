@@ -1625,9 +1625,10 @@ def ivfpq_index_increment(
     import uuid
 
     from .segments import segment_commit, segment_committed, segment_commits
-    from .segments import validate_batch_id
+    from .segments import recover_retired, validate_batch_id
 
     spark = new_embeddings.sparkSession
+    recover_retired(path)  # heal a crashed compaction swap on open
     segment_commits(path, "IVF-PQ index")  # layout gate
     if batch_id is None:
         batch_id = uuid.uuid4().hex
@@ -1673,6 +1674,7 @@ def ivfpq_index_compact(spark, path: str) -> int:
     import shutil
 
     from .segments import (
+        clear_stale_builds,
         recover_retired,
         segment_commit,
         segment_commits,
@@ -1681,6 +1683,7 @@ def ivfpq_index_compact(spark, path: str) -> int:
     )
 
     recover_retired(path)
+    clear_stale_builds(path, "compact")  # crashed builds under old pids
     commits = segment_commits(path, "IVF-PQ index")
     vacuum_uncommitted(path, ("codes",), set(commits))
     if set(commits) == {"base"}:
@@ -1751,8 +1754,9 @@ def ivfpq_probe_topk(
     commit log's batch ids, so a torn ``ivfpq_index_increment``
     contributes nothing.
     """
-    from .segments import segment_commits
+    from .segments import recover_retired, segment_commits
 
+    recover_retired(path)  # heal a crashed compaction swap on open
     batches = sorted(segment_commits(path, "IVF-PQ index"))
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
     queries = queries.select("vec_id", "embedding")

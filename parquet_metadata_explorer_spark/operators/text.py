@@ -1163,8 +1163,13 @@ def bm25_index_increment(
     ``write_bm25_index`` over the union (pytest-asserted)."""
     import uuid
 
-    from .segments import segment_committed, validate_batch_id
+    from .segments import (
+        recover_retired,
+        segment_committed,
+        validate_batch_id,
+    )
 
+    recover_retired(path)  # heal a crashed compaction swap on open
     stats = _read_bm25_stats(path)
     n_buckets = int(stats["n_buckets"])
     _bm25_commits(path)  # layout gate: refuse a commit-log-less index
@@ -1229,9 +1234,15 @@ def bm25_index_compact(spark, path: str) -> int:
     import os
     import shutil
 
-    from .segments import recover_retired, swap_publish, vacuum_uncommitted
+    from .segments import (
+        clear_stale_builds,
+        recover_retired,
+        swap_publish,
+        vacuum_uncommitted,
+    )
 
     recover_retired(path)
+    clear_stale_builds(path, "compact")  # crashed builds under old pids
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
     vacuum_uncommitted(path, ("postings", "dfreq"), set(commits))
@@ -1310,6 +1321,9 @@ def bm25_probe_topk(
     in-memory scorer runs, so results match bit-for-bit; doc length
     comes denormalized off the posting row — the probe does zero
     corpus-sized joins."""
+    from .segments import recover_retired
+
+    recover_retired(path)  # heal a crashed compaction swap on open
     qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])

@@ -593,6 +593,21 @@ def test_bm25_increment_commit_protocol(spark, tmp_path):
         == base_only
     )
 
+    # recovery-on-open: a compaction swap crashed mid-rename leaves the
+    # index at the deterministic .retired sibling — the PROBE and the
+    # INCREMENT heal it themselves instead of erroring until the next
+    # maintenance run
+    os.rename(path, f"{path}.retired")
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == base_only
+    )
+    assert os.path.isdir(path) and not os.path.exists(f"{path}.retired")
+    os.rename(path, f"{path}.retired")
+    bm25_index_increment(b2, path, batch_id="heal-1")
+    assert os.path.isdir(path)
+    assert set(_bm25_commits(path)) == {"base", "heal-1"}
+
 
 def test_bm25_index_compact_folds_segments(spark, tmp_path):
     """Segment merge: after N increments (plus a torn leftover),
@@ -2138,6 +2153,21 @@ def test_ivfpq_index_increment_lifecycle(spark, tmp_path):
     with pytest.raises(Exception, match="dimension mismatch"):
         ivfpq_index_increment(wider, path, batch_id="bad-dims")
     assert set(segment_commits(path, "IVF-PQ index")) == {"base"}
+
+    # recovery-on-open from the read path too: the probe heals a
+    # crashed swap (and a stranded old-pid compact build is cleared by
+    # the next compaction)
+    os.rename(path, f"{path}.retired")
+    assert sorted(
+        map(
+            tuple,
+            ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3).collect(),
+        )
+    ) == incremented
+    assert os.path.isdir(path) and not os.path.exists(f"{path}.retired")
+    os.makedirs(f"{path}.compact-99999/codes")  # crashed build, dead pid
+    assert ivfpq_index_compact(spark, path) == 0
+    assert not os.path.exists(f"{path}.compact-99999")
 
 
 def test_ccnet_buckets_semantics(spark, sf_dir):

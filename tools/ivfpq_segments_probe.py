@@ -85,8 +85,10 @@ def main() -> None:
                 path,
                 batch_id=f"b{i}",
             )
-        out["increment_sec_each"] = round(
-            (time.monotonic() - t0) / (n_batches - 1), 2
+        out["increment_sec_each"] = (
+            round((time.monotonic() - t0) / (n_batches - 1), 2)
+            if n_batches > 1
+            else None
         )
         frag = sorted(
             map(
