@@ -1924,6 +1924,93 @@ SELECT ngram, count(*)::bigint AS freq FROM grams GROUP BY 1
 ORDER BY freq DESC, ngram LIMIT 50
 """
 
+HH_THRESHOLD, HH_DEPTH, HH_WIDTH = 40, 3, 2048
+
+
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-gated frequent bigrams (late r9): EVERY bigram with
+    exact corpus frequency >= threshold — the threshold-complete twin
+    of ngram_freq's top-k, with the vocabulary never shuffled (the
+    sketch shuffle is bounded at depth x width counters; only gated
+    survivors reach the exact count). The est column is the sketch
+    estimate the gate used; the oracle replays sketch, gate and exact
+    counts bit-for-bit, so a collision-inflated est is VERIFIED, not
+    just tolerated."""
+    return text.frequent_ngrams(
+        _table(spark, sf_dir, "documents"),
+        n=2,
+        threshold=HH_THRESHOLD,
+        depth=HH_DEPTH,
+        width=HH_WIDTH,
+    )
+
+
+O_TEXT_HEAVYHITTERS = f"""
+WITH toks AS (SELECT {D_TOKS} AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT unnest(CASE WHEN length(t) >= 2
+      THEN list_transform(range(1, greatest(length(t)-1, 1)+1),
+                          i -> array_to_string(t[i:i+1], ' '))
+      ELSE []::varchar[] END) AS ngram
+  FROM toks
+),
+keyed AS MATERIALIZED (
+  SELECT ngram, j,
+         ('0x' || substr(md5('cm' || j::VARCHAR || ':' || ngram), 1, 15))::BIGINT
+           % {HH_WIDTH} AS bucket
+  FROM grams CROSS JOIN (SELECT unnest(range(0, {HH_DEPTH})) AS j)
+),
+sketch AS MATERIALIZED (
+  SELECT j, bucket, count(*)::BIGINT AS cnt FROM keyed GROUP BY 1, 2
+),
+est AS (
+  SELECT k.ngram, min(s.cnt)::BIGINT AS est
+  FROM (SELECT DISTINCT ngram, j, bucket FROM keyed) k
+  JOIN sketch s USING (j, bucket)
+  GROUP BY 1
+),
+exact AS (SELECT ngram, count(*)::BIGINT AS freq FROM grams GROUP BY 1)
+SELECT e.ngram, x.freq, e.est
+FROM est e JOIN exact x USING (ngram)
+WHERE x.freq >= {HH_THRESHOLD}
+ORDER BY x.freq DESC, e.ngram
+"""
+
+CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window passage chunking (late r9) — the RAG indexing step:
+    overlapping fixed-budget passages with deterministic ids, map-only
+    (zero shuffles, plan-asserted in tests). Composes with the r9
+    retrieval family: chunk -> write_bm25_index -> bm25_probe_topk."""
+    return text.chunk_documents(
+        _table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+_CH_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+O_TEXT_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+meta AS (SELECT doc_id, t, length(t) AS n FROM toks),
+chunks AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CASE WHEN n = 0 THEN 0
+             ELSE 1 + (greatest(n - {CHUNK_SIZE}, 0) + {_CH_STRIDE} - 1)
+                      // {_CH_STRIDE} END)) AS i
+  FROM meta
+)
+SELECT doc_id,
+       i::INT AS chunk_index,
+       doc_id::VARCHAR || ':' || i::VARCHAR AS chunk_id,
+       least({CHUNK_SIZE}, n - i * {_CH_STRIDE})::INT AS n_tokens,
+       array_to_string(t[(i * {_CH_STRIDE} + 1):(i * {_CH_STRIDE} + {CHUNK_SIZE})],
+                       ' ') AS chunk_text
+FROM chunks
+"""
+
 
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training (8 merges). Oracle: the merge loop
@@ -5127,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "hybrid_rrf": q_hybrid_rrf,
         "text_bm25_probe": q_text_bm25_probe,
+        "text_heavyhitters": q_text_heavyhitters,
+        "text_chunks": q_text_chunks,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5250,6 +5339,8 @@ def oracle_sql() -> dict[str, str]:
         # same oracle as text_bm25 BY CONSTRUCTION (disk ≡ memory is
         # pytest-asserted bit-for-bit, mirroring ann_ivfpq_probe)
         "text_bm25_probe": _oracle_text_bm25(),
+        "text_heavyhitters": O_TEXT_HEAVYHITTERS,
+        "text_chunks": O_TEXT_CHUNKS,
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

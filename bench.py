@@ -70,6 +70,8 @@ def main() -> None:
         "split_leakage_safe",
         "hybrid_rrf",
         "text_bm25_probe",
+        "text_heavyhitters",
+        "text_chunks",
         "text_stats",
         "text_langid",
         "text_tokens",

@@ -162,3 +162,89 @@ def histogram_group_quantiles(
         hit = (F.col("cum") >= t) & (F.col("cb") < t)
         aggs.append(_round_dec(F.max(F.when(hit, est)), 6).alias(name))
     return laid.groupBy("g").agg(*aggs).withColumnRenamed("g", group)
+
+
+def cm_frequent_items(
+    items: DataFrame,
+    col: str = "item",
+    threshold: int = 100,
+    depth: int = 3,
+    width: int = 4096,
+) -> DataFrame:
+    """Exact frequent-item mining gated by a count-min sketch (Cormode &
+    Muthukrishnan 2005): return every item whose EXACT corpus frequency
+    is >= ``threshold``, plus the sketch's estimate — without ever
+    shuffling the full item vocabulary.
+
+    ``items`` is an instance relation (one row per occurrence). The
+    exact twin (``ngram_frequencies``-style ``groupBy(item)``) shuffles
+    one row per DISTINCT item per task — fine for a top-k table, but at
+    100 TB the long tail of once-seen items dominates the shuffle while
+    contributing nothing to the frequent set. The sketch bounds that:
+
+    1. Sketch build: each instance increments ``depth`` counters at
+       ``hash60('cm<j>:' || item) % width`` — one partial-aggregating
+       shuffle whose key space is depth x width REGARDLESS of
+       vocabulary size (a counter row per task, like every partial agg
+       in this repo).
+    2. Gate: the tiny sketch broadcasts back (``depth`` map-side
+       broadcast hash joins, no shuffle); est(item) = min over the
+       depth counters. CM never under-counts, so est >= freq and no
+       frequent item can be lost.
+    3. Exact count: only gated survivors (true positives + the sketch's
+       bounded false positives, E[over-count] <= instances/width per
+       row) enter the final ``groupBy(item)`` — a shuffle sized by the
+       heavy set, not the vocabulary. ``freq >= threshold`` then drops
+       the false positives, so the output is EXACTLY the frequent set.
+
+    Every counter is integer arithmetic over the shared 60-bit md5
+    hash, so a DuckDB twin replays both the gate and the estimates
+    bit-for-bit and the operator sits on the hash-compare board. The
+    corpus is touched twice (build + gate/count) — the same two-pass
+    trade DSIR makes, and the price of never materializing the
+    vocabulary. Returns (item_col, freq, est), freq desc / item asc.
+    """
+    d, w, theta = int(depth), int(width), int(threshold)
+    if d < 1 or w < 2:
+        raise ValueError("cm_frequent_items: depth >= 1, width >= 2")
+    inst = items.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    buckets = [
+        (hash60(F.concat(F.lit(f"cm{j}:"), F.col("item"))) % w).alias(f"b{j}")
+        for j in range(d)
+    ]
+    keyed = inst.select("item", *buckets)
+    from ..cache import track_persist
+
+    # persisted: the tiny (<= depth x width rows) sketch feeds `depth`
+    # broadcast relations below — without the persist each broadcast
+    # exchange would re-run the corpus build pass
+    sketch = track_persist(
+        keyed.select(
+            F.posexplode(F.array(*[F.col(f"b{j}") for j in range(d)])).alias(
+                "j", "bucket"
+            )
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    gated = keyed
+    for j in range(d):
+        row_j = sketch.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        gated = gated.join(F.broadcast(row_j), f"b{j}")
+    est = F.least(*[F.col(f"c{j}") for j in range(d)])
+    return (
+        gated.select("item", est.alias("est"))
+        .filter(F.col("est") >= theta)
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.min("est").cast("long").alias("est"),
+        )
+        .filter(F.col("freq") >= theta)
+        .withColumnRenamed("item", col)
+        .orderBy(F.desc("freq"), F.asc(col))
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import _round_dec
+from .sketches import cm_frequent_items
 
 from ..functions import hash60, normalize_text, tokens
 
@@ -234,22 +235,14 @@ def decontaminate(
     )
 
 
-def ngram_frequencies(
-    documents: DataFrame, n: int = 2, top_k: int = 100
-) -> DataFrame:
-    """Corpus-wide n-gram frequency table: the ``top_k`` most frequent
-    word n-grams (every occurrence counts, unlike the dedup shingles'
-    per-document distinct) with deterministic count-desc, ngram-asc order.
-
-    The vocabulary-building workhorse of a text pipeline. Plan shape:
-    map-only explode (rows × ~tokens), partial count before the single
-    (ngram) shuffle — map-side combine collapses the heavy tail early —
-    then a tiny top-k sort. Survives 100 TB because nothing ever holds
-    more than (distinct n-grams in a partition) in memory.
-    """
-    # project the token array first — slicing a captured tokens(text)
-    # inside the transform lambda would re-run the regexp per gram (the
-    # r9 lambda-capture fix)
+def _gram_instances(documents: DataFrame, n: int) -> DataFrame:
+    """One row per n-gram OCCURRENCE (column ``ngram``) — every
+    occurrence counts, unlike the dedup shingles' per-document
+    distinct. Map-only explode; the token array is projected first
+    (slicing a captured tokens(text) inside the transform lambda would
+    re-run the regexp per gram — the r9 lambda-capture fix). Shared by
+    the exact top-k table and the sketch-gated frequent-set miner so
+    the two can never disagree on what a gram is."""
     t = F.col("t")
     size = F.size(t)
     grams = F.when(
@@ -259,13 +252,120 @@ def ngram_frequencies(
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return documents.select(tokens(F.col("text")).alias("t")).select(
+        F.explode(grams).alias("ngram")
+    )
+
+
+def ngram_frequencies(
+    documents: DataFrame, n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table: the ``top_k`` most frequent
+    word n-grams with deterministic count-desc, ngram-asc order.
+
+    The vocabulary-building workhorse of a text pipeline. Plan shape:
+    map-only explode (rows × ~tokens), partial count before the single
+    (ngram) shuffle — map-side combine collapses the heavy tail early —
+    then a tiny top-k sort. Survives 100 TB because nothing ever holds
+    more than (distinct n-grams in a partition) in memory.
+    """
     return (
-        documents.select(tokens(F.col("text")).alias("t"))
-        .select(F.explode(grams).alias("ngram"))
+        _gram_instances(documents, n)
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(top_k)
+    )
+
+
+def frequent_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    threshold: int = 100,
+    depth: int = 3,
+    width: int = 4096,
+) -> DataFrame:
+    """EVERY n-gram with exact corpus frequency >= ``threshold`` —
+    the threshold-complete twin of ``ngram_frequencies``' top-k, mined
+    through a count-min sketch gate (``sketches.cm_frequent_items``)
+    so the full n-gram vocabulary is never shuffled: the only
+    unbounded-key shuffle is over the gated survivors (true heavy
+    hitters + the sketch's bounded false positives), while the sketch
+    itself shuffles at most depth x width counter rows. CM never
+    under-counts, so the result is EXACTLY the frequent set with exact
+    counts; the ``est`` column exposes the sketch estimate (>= freq)
+    the gate used, and the oracle replays it bit-for-bit.
+
+    This is the shape boilerplate detection wants at 100 TB: "all
+    bigrams occurring >= 10^6 times" has an unknown, possibly huge
+    answer set, and a top-k table cannot express it.
+    """
+    return cm_frequent_items(
+        _gram_instances(documents, n),
+        col="ngram",
+        threshold=threshold,
+        depth=depth,
+        width=width,
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Token-window passage chunking — the retrieval-indexing step that
+    turns documents into overlapping fixed-budget passages (the unit
+    BM25/ANN indexes serve in a RAG pipeline; compose with
+    ``bm25_topk``/``write_bm25_index`` by renaming chunk_id->doc_id,
+    chunk_text->text).
+
+    Chunk i covers tokens [i*stride+1, i*stride+chunk_size] (1-based,
+    stride = chunk_size - overlap), so consecutive chunks share
+    ``overlap`` tokens and every token is covered; the last chunk is
+    short rather than padded. Zero-token documents produce zero chunks.
+    n_chunks = 1 + ceil(max(n - chunk_size, 0) / stride) — integer
+    arithmetic on both engines.
+
+    Scale shape: map-only (tokenize once, one explode of the chunk
+    index sequence, slices inside codegen) — ZERO shuffles, so it
+    composes with any downstream partitioning for free. Output one row
+    per chunk: (doc_id, chunk_index, chunk_id, n_tokens, chunk_text).
+    """
+    size, ov = int(chunk_size), int(overlap)
+    if size < 1 or ov < 0 or ov >= size:
+        raise ValueError("chunk_documents: need chunk_size >= 1, 0 <= overlap < chunk_size")
+    stride = size - ov
+    t = F.col("t")
+    n = F.size(t)
+    # floor of an exact small-int ratio: exact in double well below 2^53
+    n_chunks = F.when(n > 0, (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - size, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+    )).otherwise(F.lit(0))
+    start = F.col("i") * stride  # 0-based token offset of chunk i
+    return (
+        documents.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.size(F.col("t")).alias("n"),
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_index"),
+            F.concat_ws(":", F.col("doc_id"), F.col("i")).alias("chunk_id"),
+            F.least(F.lit(size), F.col("n") - start).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, size)).alias(
+                "chunk_text"
+            ),
+        )
     )
 
 
@@ -884,8 +984,13 @@ def _bm25_score_topk(candidates: DataFrame, k: int, k1: float, b: float):
             F.round(F.col("s"), 6).cast("double").alias("score"),
         )
     )
+    # prune key hashes the doc id rather than casting it: doc_id may be
+    # a string (e.g. chunk_documents' "doc:idx" ids fed back through the
+    # index), and the key is ONLY a spreading device — the global top-k
+    # is contained in the union of local top-ks for ANY grouping, so an
+    # engine-specific hash is safe here (it never reaches the output)
     w_local = Window.partitionBy(
-        "query_id", F.pmod(F.col("doc_id"), F.lit(32))
+        "query_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32))
     ).orderBy(F.col("score").desc(), F.col("doc_id"))
     w_global = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")

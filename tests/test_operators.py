@@ -2339,3 +2339,145 @@ def test_hll_distinct_accuracy_and_invariance(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "val string")
     est_n = hll_distinct(nulls, "val").first()
     assert (est_n.n_used, float(est_n.estimate)) == (0, 0.0), est_n
+
+
+def test_cm_frequent_items_exact_and_bounded(spark):
+    """The count-min gate: (a) the result is EXACTLY the frequent set
+    with exact counts (no false negatives — CM only over-counts), (b)
+    est >= freq for every row (the no-under-count invariant the gate's
+    completeness rests on), (c) duplication scales freq and est
+    together, (d) the gate actually prunes: with a skewed corpus the
+    gated exact count sees far fewer distinct items than the
+    vocabulary."""
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        cm_frequent_items,
+    )
+
+    # 5 heavy items (>= 300 each) over a 20k-item once-seen tail
+    heavy = spark.range(1500).select(
+        F.concat(F.lit("hot"), (F.col("id") % 5)).alias("item")
+    )
+    tail = spark.range(20_000).select(
+        F.concat(F.lit("t"), F.col("id")).alias("item")
+    )
+    corpus = heavy.union(tail)
+    out = cm_frequent_items(corpus, "item", threshold=300, depth=3, width=512)
+    rows = out.collect()
+    assert sorted(r.item for r in rows) == [f"hot{i}" for i in range(5)]
+    assert all(r.freq == 300 for r in rows)
+    assert all(r.est >= r.freq for r in rows), rows
+    doubled = cm_frequent_items(
+        corpus.union(corpus), "item", threshold=600, depth=3, width=512
+    ).collect()
+    assert {(r.item, r.freq) for r in doubled} == {
+        (f"hot{i}", 600) for i in range(5)
+    }
+    # threshold above every frequency: empty, not an error
+    assert (
+        cm_frequent_items(corpus, "item", threshold=10_000).count() == 0
+    )
+
+
+def test_frequent_ngrams_matches_exact_filter(spark, sf_dir):
+    """The sketch-gated frequent set over real documents equals the
+    brute-force exact filter (ngram_frequencies without the limit) —
+    the gate is a pure optimization, never a semantics change."""
+    from parquet_metadata_explorer_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.ngram, r.freq)
+        for r in text.frequent_ngrams(
+            docs, n=2, threshold=40, depth=3, width=1024
+        ).collect()
+    }
+    exact = {
+        (r.ngram, r.freq)
+        for r in text.ngram_frequencies(docs, n=2, top_k=10_000)
+        .filter(F.col("freq") >= 40)
+        .collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_chunk_documents_contract(spark, sf_dir):
+    """Chunking invariants: coverage (concatenating a doc's chunks with
+    the overlaps removed reproduces its token stream), overlap width,
+    short-doc single chunk, zero-token docs dropped — and the plan is
+    map-only (zero exchanges), the composability claim."""
+    from parquet_metadata_explorer_spark.operators import text
+    from parquet_metadata_explorer_spark.functions import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = text.chunk_documents(docs, chunk_size=32, overlap=8)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = ch.collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    stride = 32 - 8
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_index)
+        full = toks[doc_id]
+        assert chunks[0].chunk_index == 0
+        rebuilt = list(chunks[0].chunk_text.split(" "))
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.chunk_index == prev.chunk_index + 1
+            cur_toks = cur.chunk_text.split(" ")
+            # consecutive chunks overlap by exactly `overlap` tokens
+            # (except a short last chunk, which still starts on-stride)
+            assert cur_toks[: min(8, len(cur_toks))] == rebuilt[
+                cur.chunk_index * stride : cur.chunk_index * stride
+                + min(8, len(cur_toks))
+            ]
+            rebuilt.extend(cur_toks[len(rebuilt) - cur.chunk_index * stride :])
+        assert rebuilt == full, doc_id
+        assert all(r.n_tokens == len(r.chunk_text.split(" ")) for r in chunks)
+        assert all(r.chunk_id == f"{doc_id}:{r.chunk_index}" for r in chunks)
+    # every non-empty doc chunked; a doc with <= 32 tokens gets ONE chunk
+    assert set(per_doc) == {d for d, t in toks.items() if len(t) > 0}
+    for doc_id, t in toks.items():
+        if 0 < len(t) <= 32:
+            assert len(per_doc[doc_id]) == 1
+    # degenerate inputs
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = text.chunk_documents(empty, chunk_size=4, overlap=1).collect()
+    assert [(r.doc_id, r.chunk_text) for r in out] == [(3, "one two")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.chunk_documents(empty, chunk_size=4, overlap=4)
+
+
+def test_bm25_accepts_string_doc_ids(spark, tmp_path):
+    """The chunk->index composition feeds BM25 string chunk ids as
+    doc_id; the scorer's 32-way local prune must hash them, not cast
+    them (regression: pmod(doc_id, 32) crashed on 'doc:idx' ids). Disk
+    probe must equal the in-memory scorer on the same string ids."""
+    from parquet_metadata_explorer_spark.operators import text
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    chunks = text.chunk_documents(docs, chunk_size=16, overlap=4).select(
+        F.col("chunk_id").alias("doc_id"), F.col("chunk_text").alias("text")
+    )
+    queries = [(1, "fast hash join"), (2, "slow table scan")]
+    mem = text.bm25_topk(chunks, queries, k=5).collect()
+    assert len(mem) == 10 and all(":" in r.doc_id for r in mem)
+    idx = str(tmp_path / "bm25_chunks")
+    text.write_bm25_index(chunks, idx)
+    disk = text.bm25_probe_topk(spark, idx, queries, k=5).collect()
+    key = lambda rows: [(r.query_id, r.doc_id, r.score, r.rank) for r in rows]
+    assert sorted(key(mem)) == sorted(key(disk))
