@@ -580,3 +580,99 @@ def stream_prepare_corpus(
         )
         .start()
     )
+
+
+RETRIEVAL_STAGE_ORDER = (
+    "input",
+    "after_quality",
+    "after_exact",
+    "chunks",
+    "after_chunk_dedup",
+)
+
+
+def retrieval_stages(
+    documents: DataFrame,
+    min_quality: float = 0.4,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> dict:
+    """The retrieval-corpus survival chain as lazy stage frames — the
+    RAG twin of ``preparation_stages``: documents are quality-gated and
+    exact-deduplicated DOC-level, chunked into overlapping token
+    windows, then exact-deduplicated CHUNK-level (a boilerplate passage
+    shared by many surviving documents collapses to its first chunk —
+    the passage-granular dedup an index wants, which doc-level dedup
+    cannot see). Every stage is an already-verified operator; the
+    chunk-level fp arg-min is the same partial-agg shape as the
+    doc-level one, keyed by normalized chunk text."""
+    from .text import chunk_documents, quality_filter, text_stats
+
+    rule_keep = quality_filter(documents).filter(F.col("keep")).select("doc_id")
+    score_keep = (
+        text_stats(documents)
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id")
+    )
+    kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
+        score_keep, "doc_id", "left_semi"
+    )
+    first_ids = (
+        kept_q.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    unique = kept_q.join(first_ids, "doc_id", "left_semi")
+    chunks = chunk_documents(unique, chunk_size=chunk_size, overlap=overlap)
+    first_chunks = (
+        chunks.select("chunk_id", F.md5(F.col("chunk_text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("chunk_id").alias("chunk_id"))
+        .select("chunk_id")
+    )
+    deduped = chunks.join(first_chunks, "chunk_id", "left_semi")
+    return {
+        "input": documents,
+        "after_quality": kept_q,
+        "after_exact": unique,
+        "chunks": chunks,
+        "after_chunk_dedup": deduped,
+    }
+
+
+def prepare_retrieval_corpus(
+    documents: DataFrame,
+    index_dir: str,
+    min_quality: float = 0.4,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> tuple:
+    """End-to-end RAG corpus preparation:
+
+        quality filter → exact doc dedup → token-window chunking →
+        exact chunk dedup → materialized BM25 index over the chunks
+
+    The written index serves ``bm25_probe_topk`` directly (chunk ids
+    become the index's doc ids — the string-id path), so the composed
+    lifecycle is chunk → index → bucket-pruned probe with no glue.
+    Returns ``(chunks, audit)`` — the surviving chunk relation (as
+    written, doc_id/text-renamed) and the per-stage count audit.
+    Shuffle budget: one per stage, each stage individually verified;
+    the chunker itself adds ZERO shuffles, so the chain's cost is the
+    two fp arg-mins plus the index write's bucket partitioning.
+    """
+    from .text import write_bm25_index
+
+    stages = retrieval_stages(
+        documents,
+        min_quality=min_quality,
+        chunk_size=chunk_size,
+        overlap=overlap,
+    )
+    audit = {name: stages[name].count() for name in RETRIEVAL_STAGE_ORDER}
+    corpus = stages["after_chunk_dedup"].select(
+        F.col("chunk_id").alias("doc_id"), F.col("chunk_text").alias("text")
+    )
+    write_bm25_index(corpus, index_dir)
+    return corpus, audit

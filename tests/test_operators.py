@@ -2481,3 +2481,67 @@ def test_bm25_accepts_string_doc_ids(spark, tmp_path):
     disk = text.bm25_probe_topk(spark, idx, queries, k=5).collect()
     key = lambda rows: [(r.query_id, r.doc_id, r.score, r.rank) for r in rows]
     assert sorted(key(mem)) == sorted(key(disk))
+
+
+def test_prepare_retrieval_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The RAG pipeline: quality gate -> doc dedup -> chunking -> chunk
+    dedup -> BM25 index, then a probe against the written index. The
+    audit must be monotone through each filtering stage, chunk dedup
+    must actually collapse shared passages when they exist, and probe
+    results must be chunk ids that survive the dedup."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        RETRIEVAL_STAGE_ORDER,
+        prepare_retrieval_corpus,
+    )
+    from parquet_metadata_explorer_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    base = docs.filter(F.col("doc_id") < 100)
+    # pick plant sources from docs that PASS the quality battery, so the
+    # planted rows' fate is decided by the dedup stages, not the gate
+    kept = sorted(
+        r.doc_id
+        for r in text.quality_filter(base)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    )
+    assert len(kept) >= 2
+    # exact doc dup of a surviving doc, and a natural (rule-clean)
+    # 20-token boilerplate passage shared by two surviving docs
+    prefix = (
+        "the acme public license for this document is that it may be "
+        "shared in full provided the notice here is kept intact "
+    )
+    dup = base.filter(F.col("doc_id") == kept[0]).select(
+        (F.lit(9001)).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    boiler = base.filter(F.col("doc_id").isin(kept[0], kept[1])).select(
+        (F.col("doc_id") + 9100).alias("doc_id"),
+        F.concat(F.lit(prefix), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    b_ids = sorted(r.doc_id for r in boiler.select("doc_id").collect())
+    corpus = base.unionByName(dup).unionByName(boiler)
+    idx = str(tmp_path / "rag_index")
+    chunks, audit = prepare_retrieval_corpus(
+        corpus, idx, chunk_size=16, overlap=4
+    )
+    assert [audit[s] for s in RETRIEVAL_STAGE_ORDER[:3]] == sorted(
+        [audit[s] for s in RETRIEVAL_STAGE_ORDER[:3]], reverse=True
+    )
+    assert audit["after_chunk_dedup"] < audit["chunks"]  # boilerplate collapsed
+    surviving = {r.doc_id for r in chunks.select("doc_id").collect()}
+    # the planted exact dup contributes no chunks (doc-level dedup
+    # keeps the min doc_id — the original)
+    assert not any(s.startswith("9001:") for s in surviving)
+    # the two boilerplate docs share their leading 16-token passage:
+    # exactly one copy of that chunk survives chunk dedup
+    lead = {f"{b_ids[0]}:0", f"{b_ids[1]}:0"}
+    assert len(lead & surviving) == 1, (lead, surviving & lead)
+    hits = text.bm25_probe_topk(
+        spark, idx, [(1, "acme public license notice")], k=3
+    ).collect()
+    assert len(hits) == 3
+    assert all(h.doc_id in surviving for h in hits)
+    assert hits[0].doc_id in lead
