@@ -2398,6 +2398,16 @@ def test_frequent_ngrams_matches_exact_filter(spark, sf_dir):
         .collect()
     }
     assert got == exact and len(got) > 0
+    # the gate must stay map-side: depth broadcast hash joins, never a
+    # shuffled join, and the est >= threshold filter inside the plan
+    plan = (
+        text.frequent_ngrams(docs, n=2, threshold=40, depth=3, width=1024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_chunk_documents_contract(spark, sf_dir):
