@@ -164,6 +164,65 @@ def histogram_group_quantiles(
     return laid.groupBy("g").agg(*aggs).withColumnRenamed("g", group)
 
 
+def _cm_keyed(items: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """(item, b0..b{depth-1}) — each instance with its count-min bucket
+    per hash row. The shared projection both the sketch build and the
+    gate pass derive from, so the two can never disagree on a bucket."""
+    inst = items.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    buckets = [
+        (hash60(F.concat(F.lit(f"cm{j}:"), F.col("item"))) % width).alias(
+            f"b{j}"
+        )
+        for j in range(depth)
+    ]
+    return inst.select("item", *buckets)
+
+
+def cm_sketch(
+    items: DataFrame, col: str = "item", depth: int = 3, width: int = 4096
+) -> DataFrame:
+    """The count-min sketch of an instance relation as a (j, bucket,
+    cnt) table — <= depth x width rows, one partial-aggregating shuffle
+    with a CONSTANT key space regardless of vocabulary size.
+
+    The table IS the mergeable form: counters are sums, so the sketch
+    of a union is ``cm_merge`` of the parts' sketches (pytest-asserted
+    row-for-row) and the same aggregation runs unchanged as a
+    watermark-free streaming groupBy with bounded state — the
+    streaming-safe corpus-frequency monitor."""
+    d, w = int(depth), int(width)
+    if d < 1 or w < 2:
+        raise ValueError("cm_sketch: depth >= 1, width >= 2")
+    return (
+        _cm_keyed(items, col, d, w)
+        .select(
+            F.posexplode(F.array(*[F.col(f"b{j}") for j in range(d)])).alias(
+                "j", "bucket"
+            )
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Fold (j, bucket, cnt) sketches built with the SAME depth/width
+    into one — counter-wise sum, the CDC shape: sketch(old ∪ new) ==
+    cm_merge(sketch(old), sketch(new)) exactly, so a long-lived
+    pipeline keeps one tiny persisted table and folds each arriving
+    batch's sketch into it without ever touching history."""
+    if not sketches:
+        raise ValueError("cm_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
 def cm_frequent_items(
     items: DataFrame,
     col: str = "item",
@@ -207,28 +266,13 @@ def cm_frequent_items(
     d, w, theta = int(depth), int(width), int(threshold)
     if d < 1 or w < 2:
         raise ValueError("cm_frequent_items: depth >= 1, width >= 2")
-    inst = items.select(F.col(col).cast("string").alias("item")).filter(
-        F.col("item").isNotNull()
-    )
-    buckets = [
-        (hash60(F.concat(F.lit(f"cm{j}:"), F.col("item"))) % w).alias(f"b{j}")
-        for j in range(d)
-    ]
-    keyed = inst.select("item", *buckets)
+    keyed = _cm_keyed(items, col, d, w)
     from ..cache import track_persist
 
     # persisted: the tiny (<= depth x width rows) sketch feeds `depth`
     # broadcast relations below — without the persist each broadcast
     # exchange would re-run the corpus build pass
-    sketch = track_persist(
-        keyed.select(
-            F.posexplode(F.array(*[F.col(f"b{j}") for j in range(d)])).alias(
-                "j", "bucket"
-            )
-        )
-        .groupBy("j", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    sketch = track_persist(cm_sketch(items, col, d, w))
     gated = keyed
     for j in range(d):
         row_j = sketch.filter(F.col("j") == j).select(

@@ -2555,3 +2555,70 @@ def test_prepare_retrieval_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert len(hits) == 3
     assert all(h.doc_id in surviving for h in hits)
     assert hits[0].doc_id in lead
+
+
+def test_cm_sketch_merge_and_streaming_twin(spark, tmp_path):
+    """The sketch's mergeability contract: cm_merge of per-batch
+    sketches equals the sketch of the union ROW-FOR-ROW (counters are
+    sums), and the identical aggregation runs as a streaming groupBy
+    with bounded state — the streaming corpus-frequency monitor. The
+    streamed sketch (complete mode over 3 file batches) must equal the
+    batch sketch of all files."""
+    from parquet_metadata_explorer_spark.operators.sketches import (
+        cm_merge,
+        cm_sketch,
+    )
+
+    batches = []
+    for b in range(3):
+        rows = [(f"hot{i % 4}",) for i in range(300)] + [
+            (f"b{b}t{i}",) for i in range(500)
+        ]
+        batches.append(spark.createDataFrame(rows, "item string"))
+    full = batches[0].union(batches[1]).union(batches[2])
+    merged = cm_merge(*[cm_sketch(b, width=256) for b in batches])
+    whole = cm_sketch(full, width=256)
+    key = lambda df: sorted((r.j, r.bucket, r.cnt) for r in df.collect())
+    assert key(merged) == key(whole)
+    assert whole.count() <= 3 * 256
+
+    # streaming twin: same bucket projection + groupBy sum, fed from
+    # files arriving one batch at a time
+    src = tmp_path / "cm_stream_src"
+    src.mkdir()
+    from pyspark.sql import functions as SF
+    from parquet_metadata_explorer_spark.functions import hash60
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    keyed = stream.select(
+        SF.posexplode(
+            SF.array(
+                *[
+                    (hash60(SF.concat(SF.lit(f"cm{j}:"), SF.col("item"))) % 256)
+                    for j in range(3)
+                ]
+            )
+        ).alias("j", "bucket")
+    )
+    agg = keyed.groupBy("j", "bucket").agg(
+        SF.count("*").cast("long").alias("cnt")
+    )
+    for df in batches:
+        df.coalesce(1).write.mode("append").parquet(str(src))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cm_stream")
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("select j, bucket, cnt from cm_stream")
+    assert key(streamed) == key(whole)
