@@ -72,6 +72,7 @@ def main() -> None:
         "text_bm25_probe",
         "text_heavyhitters",
         "text_chunks",
+        "quality_classifier",
         "text_stats",
         "text_langid",
         "text_tokens",

@@ -1,0 +1,299 @@
+"""Learned quality classification: a distributed logistic-regression
+filter over hashed n-gram features (the GPT-3-style "quality classifier"
+— Brown et al. 2020 §A trained an LR classifier against a high-quality
+reference corpus and kept Common Crawl documents by a Pareto-thresholded
+score; CCNet (Wenzek et al. 2020) buckets by LM score the same way).
+
+Engine-exact determinism (the repo's Lloyd discipline, taken further):
+every quantity that crosses an aggregation boundary is an INTEGER.
+Weights live as ``w12`` = round(w * 1e12) scaled longs, per-document
+margins are plain long sums over feature-occurrence rows (addition is
+exact and order-invariant — no decimal multiplication, no float
+accumulation anywhere), and the single libm call per document per round
+(``exp`` inside the sigmoid) is snapped to an integer ``p12`` =
+round(p * 1e12) immediately. Weight updates are computed IN-ENGINE (a
+B-row Spark job) so the round-half-up semantics are Spark SQL's own and
+the DuckDB oracle replays them with its identical ``round``. The whole
+training run therefore unrolls into CTE layers exactly like the k-means
+oracles, bit-identical on any engine and any partitioning.
+
+Scale shape (the reason this is written the way it is): featurization is
+MAP-ONLY — tokens, bigrams and bucket hashes are array expressions per
+document, never exploded through a shuffle — and the per-doc feature
+array ``X`` is persisted once. Each gradient-descent round is then ONE
+map pass over ``X`` (margin + sigmoid + residual, all codegen) feeding a
+``n_buckets``-key aggregation that partial-aggregates map-side, so the
+only shuffled bytes per round are ~B rows regardless of corpus size.
+Weights (B longs) ride a broadcast 1-row array. R rounds on 100 TB cost
+R corpus scans and R tiny shuffles — no doc-keyed shuffle ever.
+
+Features match ``sampling.dsir_resample``: unigrams + bigrams of the
+normalized token stream with multiplicity, hashed into ``n_buckets`` via
+the engine-portable ``hash60``; the margin is length-normalized (divided
+by the doc's feature count), the fasttext/averaged-bag convention, so
+margins stay O(max |w|) for any document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import track_persist
+from ..functions import ensure_parallelism, hash60, tokens
+
+SCALE = 10**12  # the fixed-point: w12 = round(w * 1e12)
+
+
+def _feature_buckets(t, n_buckets: int):
+    """Bucket ids (with multiplicity) for a token-array column: unigrams
+    + bigrams hashed via hash60 % B. Pure array expressions — map-only."""
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array_except(t, t))
+    return F.transform(
+        F.concat(t, bigrams),
+        lambda f: F.pmod(hash60(f), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def classifier_features(
+    documents: DataFrame, target: DataFrame, n_buckets: int = 1024
+) -> DataFrame:
+    """The design matrix: (doc_id, fb array<int> feature-occurrence
+    buckets, n = max(|fb|, 1), y = 1 iff doc_id ∈ target). Map-only
+    except the broadcast label join; callers persist it (one corpus
+    materialization reused by every GD round and the scoring pass).
+
+    The token array is materialized behind a projection boundary before
+    the bigram slices reference it — an expression captured inside a
+    ``transform`` lambda re-evaluates per element, so slicing
+    ``tokens(text)`` directly would re-run the regexp pipeline once per
+    bigram (the quadratic trap dsir_resample measured at 15.4s → 2s)."""
+    tgt = target.select("doc_id").distinct().withColumn("is_t", F.lit(1))
+    tokdf = documents.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    fdf = tokdf.select(
+        "doc_id", _feature_buckets(F.col("t"), n_buckets).alias("fb")
+    )
+    return (
+        fdf.join(F.broadcast(tgt), "doc_id", "left")
+        .select(
+            "doc_id",
+            "fb",
+            F.greatest(F.size("fb"), F.lit(1)).alias("n"),
+            F.coalesce(F.col("is_t"), F.lit(0)).alias("y"),
+        )
+    )
+
+
+def _scored(X: DataFrame, w12: list, bias12: int):
+    """One map pass: margin (exact long sum of w12 over the doc's
+    occurrence buckets via the broadcast weight array), sigmoid snapped
+    to integer p12, residual r12 and length-normalized gradient g12 —
+    all codegen, zero Python."""
+    spark = X.sparkSession
+    wrow = spark.createDataFrame(
+        [(list(w12), int(bias12))], "w array<long>, b12 long"
+    )
+    ms = F.aggregate(
+        "fb", F.lit(0).cast("long"), lambda acc, bk: acc + F.get(F.col("w"), bk)
+    )
+    sc = X.crossJoin(F.broadcast(wrow)).select(
+        "doc_id", "fb", "n", "y", ms.alias("ms"), "b12"
+    )
+    z = (F.col("ms").cast("double") / F.lit(1e12)) / F.col("n") + F.col(
+        "b12"
+    ).cast("double") / F.lit(1e12)
+    p12 = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * F.lit(1e12)
+    ).cast("long")
+    out = sc.select("doc_id", "fb", "n", "y", p12.alias("p12"))
+    return out.select(
+        "doc_id",
+        "fb",
+        "n",
+        "y",
+        "p12",
+        (F.col("p12") - F.col("y").cast("long") * F.lit(SCALE)).alias("r12"),
+    ).select(
+        "doc_id",
+        "fb",
+        "y",
+        "p12",
+        "r12",
+        F.round(F.col("r12").cast("double") / F.col("n")).cast("long").alias(
+            "g12"
+        ),
+        F.round(F.lit(1e12) / F.col("n")).cast("long").alias("m12"),
+    )
+
+
+def train_quality_classifier(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    iters: int = 4,
+    lr: float = 1.0,
+) -> dict:
+    """Full-batch gradient descent from zero weights with per-bucket L1
+    feature-mass preconditioning: per round, one map pass over the
+    persisted design matrix computes integer residuals, one B-key
+    aggregation (map-side combined — the shuffle is ~B rows) folds the
+    gradient AND the bucket's feature mass, and the update
+
+        w_b -= lr * (Σ_d r_d x_db) / (Σ_d x_db)
+
+    is the lr-scaled x-weighted MEAN residual over the documents that
+    contain the bucket — bounded in [-lr, lr] for every bucket, so rare
+    discriminative features move as fast as common ones (plain 1/N
+    steps starve them by orders of magnitude; measured: 0.61 → 0.99
+    training accuracy at the same round count). The update runs
+    in-engine so its rounding is Spark SQL's, then B+1 longs reach the
+    driver. Exact decimal(38,0) sums (a bigint sum would wrap at ~1e9
+    docs × full-scale residuals; decimal is exact at any corpus size).
+
+    Returns {"w12": [long]*B, "bias12": long, "n_buckets": B,
+    "iters": iters, "lr": lr} — the model, fixed-point."""
+    B = int(n_buckets)
+    X = track_persist(
+        ensure_parallelism(classifier_features(documents, target, B))
+    )
+    X.count()
+    return _train_on(X, B, iters, lr)
+
+
+def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
+    """The GD loop over an already-persisted design matrix (callers that
+    also score — quality_classifier — reuse the same X for both)."""
+    spark = X.sparkSession
+    w12 = [0] * B
+    bias12 = 0
+    for _ in range(int(iters)):
+        sc = _scored(X, w12, bias12)
+        pairs = F.concat(
+            F.transform(
+                "fb",
+                lambda bk: F.struct(
+                    bk.alias("bucket"),
+                    F.col("g12").alias("g"),
+                    F.col("m12").alias("m"),
+                ),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("int").alias("bucket"),
+                    F.col("r12").alias("g"),
+                    F.lit(SCALE).alias("m"),
+                )
+            ),
+        )
+        grads = (
+            sc.select(F.explode(pairs).alias("pg"))
+            .select(
+                F.col("pg.bucket").alias("bucket"),
+                F.col("pg.g").alias("g"),
+                F.col("pg.m").alias("m"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("g").cast("decimal(38,0)")).alias("gs"),
+                F.sum(F.col("m").cast("decimal(38,0)")).alias("mass"),
+            )
+        )
+        wdf = spark.createDataFrame(
+            [(-1, int(bias12))] + [(b, int(w12[b])) for b in range(B)],
+            "bucket int, w12 long",
+        )
+        step = F.round(
+            F.lit(float(lr))
+            * F.coalesce(F.col("gs").cast("double"), F.lit(0.0))
+            / F.coalesce(F.col("mass").cast("double"), F.lit(1.0))
+            * F.lit(1e12)
+        ).cast("long")
+        rows = (
+            wdf.join(grads, "bucket", "left")
+            .select("bucket", (F.col("w12") - step).alias("w12"))
+            .collect()
+        )
+        for r in rows:
+            if r.bucket == -1:
+                bias12 = int(r.w12)
+            else:
+                w12[r.bucket] = int(r.w12)
+    return {
+        "w12": w12,
+        "bias12": bias12,
+        "n_buckets": B,
+        "iters": int(iters),
+        "lr": float(lr),
+    }
+
+
+def classifier_scores(
+    documents: DataFrame,
+    target: DataFrame,
+    model: dict,
+    pareto_alpha: float = 9.0,
+    salt: str = "qcls",
+) -> DataFrame:
+    """Score every document under a trained model and apply the GPT-3
+    Pareto keep rule: keep iff a per-doc Pareto(alpha) draw exceeds
+    1 − score. The draw is DETERMINISTIC — uniform u from
+    md5(salt:doc_id) (the dsir/temperature-mix keep-rule convention),
+    inverse-CDF u^(−1/alpha) − 1, snapped to integer draw12 so the
+    keep comparison is exact long-vs-long on any engine.
+
+    Output: (doc_id, score double round-6, keep boolean). Map-only."""
+    X = classifier_features(documents, target, model["n_buckets"])
+    return _scores_on(X, model, pareto_alpha, salt)
+
+
+def _scores_on(
+    X: DataFrame, model: dict, pareto_alpha: float = 9.0, salt: str = "qcls"
+) -> DataFrame:
+    sc = _scored(X, model["w12"], model["bias12"])
+    u = (
+        F.pmod(
+            hash60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+            F.lit(1000000007),
+        )
+        + F.lit(1)
+    ) / F.lit(1000000008.0)
+    draw12 = F.round(
+        (F.pow(u, F.lit(-1.0 / float(pareto_alpha))) - F.lit(1.0))
+        * F.lit(1e12)
+    ).cast("long")
+    return sc.select(
+        "doc_id",
+        F.round(F.col("p12").cast("double") / F.lit(1e12), 6).alias("score"),
+        (draw12 > (F.lit(SCALE) - F.col("p12"))).alias("keep"),
+    )
+
+
+def quality_classifier(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    iters: int = 4,
+    lr: float = 1.0,
+    pareto_alpha: float = 9.0,
+) -> DataFrame:
+    """Train + score in one call (the boarded composition): logistic
+    regression against ``target`` as the positive class, then the
+    Pareto-thresholded keep flag over the whole corpus. The persisted
+    design matrix is built ONCE and shared by the GD rounds and the
+    scoring pass — the scoring margin is one more map pass over it."""
+    B = int(n_buckets)
+    X = track_persist(
+        ensure_parallelism(classifier_features(documents, target, B))
+    )
+    X.count()
+    model = _train_on(X, B, iters, lr)
+    return _scores_on(X, model, pareto_alpha)

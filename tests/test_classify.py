@@ -1,0 +1,129 @@
+"""Learned quality classifier: learning, determinism, edges.
+
+The engine-parity check (Spark vs the unrolled-CTE DuckDB replay) runs
+in test_oracle_parity.py like every boarded operator; these tests cover
+what parity can't — that the model actually LEARNS a separable signal,
+that training is partition-invariant (the fixed-point discipline's whole
+point), and the degenerate-document edges.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_metadata_explorer_spark.operators.classify import (
+    classifier_scores,
+    quality_classifier,
+    train_quality_classifier,
+)
+
+
+def _corpus(spark, n=200, sep=True):
+    """Two-pool synthetic corpus: positives draw from vocab A, negatives
+    from vocab B (deterministic round-robin words, no RNG)."""
+    A = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    Bv = ["zeta", "eta", "theta", "iota", "kappa"]
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        pool = A if (pos or not sep) else Bv
+        words = [pool[(i * 7 + j) % len(pool)] for j in range(30)]
+        rows.append((i, " ".join(words), pos))
+    return spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+
+
+def test_learns_separable_classes(spark):
+    docs = _corpus(spark)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=256, iters=4)
+    scores = {
+        r.doc_id: r.score
+        for r in classifier_scores(docs, target, model).collect()
+    }
+    acc = sum((scores[i] > 0.5) == (i % 2 == 0) for i in range(200)) / 200
+    assert acc >= 0.99, acc
+
+
+def test_partition_invariant_model(spark):
+    """The model is a function of the data, not the partitioning: integer
+    margin sums and decimal gradient folds are order-invariant, so 1
+    partition and 16 partitions train to bit-identical weights."""
+    docs = _corpus(spark, n=120)
+    target = docs.filter("pos").select("doc_id")
+    m1 = train_quality_classifier(
+        docs.coalesce(1), target, n_buckets=128, iters=3
+    )
+    m16 = train_quality_classifier(
+        docs.repartition(16), target, n_buckets=128, iters=3
+    )
+    assert m1["w12"] == m16["w12"]
+    assert m1["bias12"] == m16["bias12"]
+
+
+def test_empty_and_degenerate_docs(spark):
+    """Docs with no extractable tokens get the bias-only score; they
+    never produce nulls or NaN."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "!!! ???"), (4, None)],
+        "doc_id long, text string",
+    ).fillna({"text": ""})
+    target = docs.filter("doc_id = 1").select("doc_id")
+    out = quality_classifier(docs, target, n_buckets=64, iters=2).collect()
+    assert len(out) == 4
+    assert all(r.score is not None and 0.0 <= r.score <= 1.0 for r in out)
+    assert all(r.keep is not None for r in out)
+    # the two token-less docs score identically (bias-only margin)
+    by_id = {r.doc_id: r.score for r in out}
+    assert by_id[2] == by_id[3] == by_id[4]
+
+
+def test_pareto_keep_rule_scales_with_score(spark):
+    """Pareto(9) keeps high scorers at a far higher rate than low
+    scorers — the GPT-3 resampling shape — and the keep flag is a pure
+    function of (score, doc_id) so reruns agree exactly."""
+    docs = _corpus(spark, n=400)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=256, iters=8, lr=1.0)
+    rows = classifier_scores(docs, target, model).collect()
+    # P(keep | score s) = P(Pareto(9) draw > 1-s) = (2-s)^-9: ~0.19 at
+    # s=0.8 rising to 1 at s=1, ~0.005 at s=0.2
+    hi = [r.keep for r in rows if r.score > 0.8]
+    lo = [r.keep for r in rows if r.score < 0.2]
+    assert hi and lo
+    assert sum(hi) / len(hi) >= 0.08
+    assert sum(lo) / len(lo) <= 0.03
+    rerun = classifier_scores(docs, target, model).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_scoring_plan_is_map_only(spark):
+    """The serve path must stay shuffle-free: weights ride a broadcast
+    1-row array, margins/sigmoid/keep are row-local expressions — the
+    only Exchange in the scoring plan is a BroadcastExchange."""
+    docs = _corpus(spark, n=50)
+    target = docs.filter("pos").select("doc_id")
+    model = {"w12": [0] * 64, "bias12": 0, "n_buckets": 64}
+    plan = (
+        classifier_scores(docs, target, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert not shuffles, shuffles
+
+
+def test_unseparable_labels_stay_near_base_rate(spark):
+    """With labels independent of the text (both classes share one
+    vocabulary), the classifier converges to ~the base rate instead of
+    hallucinating separation — scores cluster near 0.5."""
+    docs = _corpus(spark, n=200, sep=False)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=256, iters=3)
+    rows = classifier_scores(docs, target, model).collect()
+    import statistics
+
+    assert 0.3 < statistics.mean(r.score for r in rows) < 0.7
