@@ -1974,6 +1974,51 @@ FROM sf
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning snapshot diff: two deterministic simulated
+    versions of the documents table — OLD drops doc_id%5==0 (those are
+    'added' in NEW) and reverses the text of doc_id%7==0 ('changed'),
+    NEW drops doc_id%11==0 ('removed'). One md5 pass per side + one
+    full outer join on the key; unchanged rows dropped."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        corpus_diff,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    return corpus_diff(old, new)
+
+
+O_CORPUS_DIFF = """
+WITH o AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN reverse(text)
+                           ELSE text END, '')) AS old_fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+n AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS new_fp
+  FROM documents WHERE doc_id % 11 <> 0
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.old_fp IS NULL THEN 'added'
+              WHEN n.new_fp IS NULL THEN 'removed'
+              WHEN o.old_fp <> n.new_fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.old_fp, n.new_fp
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status, old_fp, new_fp FROM d WHERE status <> 'unchanged'
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_metadata_explorer_spark.operators.sampling import hash_split
 
@@ -5359,6 +5404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavyhitters": q_text_heavyhitters,
         "text_chunks": q_text_chunks,
         "quality_classifier": q_quality_classifier,
+        "corpus_diff": q_corpus_diff,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5485,6 +5531,7 @@ def oracle_sql() -> dict[str, str]:
         "text_heavyhitters": O_TEXT_HEAVYHITTERS,
         "text_chunks": O_TEXT_CHUNKS,
         "quality_classifier": _oracle_quality_classifier(),
+        "corpus_diff": O_CORPUS_DIFF,
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

@@ -857,6 +857,32 @@ def test_knn_graph_shape_and_symmetric_candidates(spark, embs):
         assert all(r.dst != src for r in rs)
 
 
+def test_corpus_diff_statuses(spark):
+    from parquet_metadata_explorer_spark.operators.pipelines import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # unchanged (1) and the null==null pair (5) are dropped by default
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+    full = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[5] == "unchanged"
+    # whitespace/case edits are CHANGED — the diff is byte identity,
+    # not the normalized dedup fingerprint
+    old2 = spark.createDataFrame([(9, "A  b")], "doc_id long, text string")
+    new2 = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    assert corpus_diff(old2, new2).collect()[0].status == "changed"
+
+
 def test_dataset_card_dominant_lang_tiebreak(spark):
     from parquet_metadata_explorer_spark.operators.pipelines import dataset_card
 
