@@ -116,6 +116,36 @@ def test_scoring_plan_is_map_only(spark):
     assert not shuffles, shuffles
 
 
+def test_streaming_scores_match_batch(spark, tmp_path):
+    """The CDC shape: train once on the seed corpus (frozen model), then
+    score ARRIVALS map-side — classifier_scores is stateless map-only, so
+    the same function runs unchanged on a streaming DataFrame and the
+    replay equals the batch scoring field-for-field."""
+    docs = _corpus(spark, n=100)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=128, iters=2)
+    batch = sorted(
+        tuple(r) for r in classifier_scores(docs, target, model).collect()
+    )
+    stage = str(tmp_path / "arrivals")
+    docs.write.parquet(stage)
+    sdf = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        classifier_scores(sdf, target, model)
+        .writeStream.format("memory")
+        .queryName("qcls_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r) for r in spark.table("qcls_stream").collect()
+    )
+    assert streamed == batch
+
+
 def test_unseparable_labels_stay_near_base_rate(spark):
     """With labels independent of the text (both classes share one
     vocabulary), the classifier converges to ~the base rate instead of
