@@ -2110,6 +2110,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_table(spark, sf_dir, "documents"), 2048)
 
 
+def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching: rank by token count desc, fill 32-doc
+    batches, report per-doc padding waste vs the batch max — the
+    pad-efficiency audit sorted batching exists for."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_batches_by_length,
+    )
+
+    return pack_batches_by_length(
+        _table(spark, sf_dir, "documents"), batch_size=32
+    )
+
+
+O_PACK_BATCHES = f"""
+WITH tc AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '{text.BPE_REGEX}'))::bigint AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         ((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) // 32)::bigint
+           AS batch_id
+  FROM tc
+)
+SELECT doc_id, n_tokens, batch_id,
+       max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max,
+       (max(n_tokens) OVER (PARTITION BY batch_id) - n_tokens) AS pad_waste
+FROM r
+"""
+
+
 O_PACK_SEQUENCES = f"""
 WITH tc AS (
   SELECT doc_id,
@@ -5451,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "corpus_diff": q_corpus_diff,
         "quality_distill": q_quality_distill,
+        "pack_batches": q_pack_batches,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5579,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _oracle_quality_classifier(),
         "corpus_diff": O_CORPUS_DIFF,
         "quality_distill": _oracle_quality_distill(),
+        "pack_batches": O_PACK_BATCHES,
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

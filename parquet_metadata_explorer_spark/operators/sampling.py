@@ -168,6 +168,77 @@ def pack_sequences(
     )
 
 
+def pack_batches_by_length(
+    documents: DataFrame, batch_size: int = 32
+) -> DataFrame:
+    """Length-grouped batching (HF ``group_by_length`` / fairseq
+    ``--required-batch-size-multiple`` shape): rank documents by token
+    count DESCENDING (ties by doc_id), fill fixed ``batch_size``-doc
+    batches in rank order, and report each document's padding waste
+    against its batch maximum — the pad-efficiency audit of a training
+    run (random batching pads every doc to the batch's longest; sorted
+    batching makes neighbors similar lengths, so waste collapses).
+
+    Returns (doc_id, n_tokens, batch_id, batch_max, pad_waste).
+
+    The global rank is the pack_sequences two-phase prefix machinery
+    re-keyed by length: range-partition on (n_tokens DESC, doc_id),
+    per-partition row_number, then one exclusive-prefix pass over the
+    n_partitions row COUNTS (driver sees n_partitions rows). batch_max
+    rides a window keyed by batch_id — every batch is exactly
+    ``batch_size`` rows, so no window partition ever exceeds it."""
+    from .text import BPE_REGEX
+
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    sized = documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    parted = (
+        sized.repartitionByRange(
+            n_parts, F.col("n_tokens").desc(), F.col("doc_id")
+        )
+        .sortWithinPartitions(F.col("n_tokens").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "lrank",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(
+                F.col("n_tokens").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    counts = parted.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    per = {r["pid"]: r["c"] for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(per):
+        offsets.append((pid, acc))
+        acc += per[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    ranked = local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("offset") + F.col("lrank") - 1) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_id"),
+    )
+    w = Window.partitionBy("batch_id")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "batch_id",
+        F.max("n_tokens").over(w).alias("batch_max"),
+        (F.max("n_tokens").over(w) - F.col("n_tokens")).alias("pad_waste"),
+    )
+
+
 def mix_by_source(
     documents: DataFrame,
     fractions: dict,

@@ -91,3 +91,67 @@ def test_pack_sequences_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(docs).count() == 0
+
+
+def test_pack_batches_by_length_ranks_and_waste(spark):
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_batches_by_length,
+    )
+
+    # doc i has (i % 17 + 1) words -> known length distribution
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 17 + 1))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rows = pack_batches_by_length(docs, batch_size=8).collect()
+    assert len(rows) == 200
+    # replay the rule in python: rank by (n_tokens desc, doc_id)
+    order = sorted(((-(i % 17 + 1), i) for i in range(200)))
+    expect_batch = {doc: rank // 8 for rank, (_, doc) in enumerate(order)}
+    got = {r.doc_id: r.batch_id for r in rows}
+    assert got == expect_batch
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for batch in by_batch.values():
+        mx = max(r.n_tokens for r in batch)
+        assert all(r.batch_max == mx for r in batch)
+        assert all(r.pad_waste == mx - r.n_tokens for r in batch)
+    # the point of sorting: total waste is far below doc_id-order batching
+    sorted_waste = sum(r.pad_waste for r in rows)
+    naive = sorted(rows, key=lambda r: r.doc_id)
+    naive_waste = sum(
+        max(x.n_tokens for x in naive[b : b + 8]) - r.n_tokens
+        for b in range(0, 200, 8)
+        for r in naive[b : b + 8]
+    )
+    assert sorted_waste * 5 < naive_waste
+
+
+def test_pack_batches_partition_invariant(spark):
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_batches_by_length,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 13 + 1))) for i in range(150)],
+        ["doc_id", "text"],
+    )
+    a = {
+        r.doc_id: (r.batch_id, r.pad_waste)
+        for r in pack_batches_by_length(docs.coalesce(1), 16).collect()
+    }
+    b = {
+        r.doc_id: (r.batch_id, r.pad_waste)
+        for r in pack_batches_by_length(docs.repartition(16), 16).collect()
+    }
+    assert a == b
+
+
+def test_pack_batches_empty(spark):
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_batches_by_length,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_batches_by_length(docs).count() == 0
