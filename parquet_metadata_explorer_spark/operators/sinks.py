@@ -170,6 +170,137 @@ def compact_dataset(
     return n
 
 
+def export_training_windows(
+    documents: DataFrame,
+    merges_df: DataFrame,
+    out_path: str,
+    budget_tokens: int = 2048,
+    shard_max_windows: int = 100_000,
+    mode: str = "error",
+) -> dict:
+    """The pipeline's LAST step: materialize trainer-ready context
+    windows — BPE-encode the corpus, lay every document's token ids on
+    the global doc_id-ordered tape (pack_sequences semantics: documents
+    straddle window boundaries, no window is under-filled), cut the
+    tape into exact ``budget_tokens``-id windows, and write them as
+    size-capped parquet shards plus a (token, id) vocab sidecar. The
+    output is the tensor-shaped table a training loader consumes:
+    ``(window_id, token_ids array<int>, n_tokens)``.
+
+    Scale shape, honestly: this is the one operator that MUST shuffle
+    at token granularity — assembling windows that cross document
+    boundaries regroups ~|corpus tokens| rows by window_id. The keys
+    are perfectly uniform (every window holds exactly budget_tokens
+    ids) so there is no skew surface, partial aggregation is
+    inapplicable by nature (the payload IS the data), and everything
+    before the regroup is the vocab-sized BPE machinery + one
+    broadcast id join. The vocab id table is ranked with a global
+    window over the DISTINCT token set — vocab-sized by construction
+    (bounded by the merge table, not the corpus), stated here because
+    a single-reducer sort is only acceptable at that size.
+
+    Returns {"windows", "tokens", "vocab_size", "out_path"}."""
+    from pyspark.sql import Window
+
+    from .text import bpe_tokenize_words
+
+    spark = documents.sparkSession
+    toks = bpe_tokenize_words(documents, merges_df, with_tokens=True).select(
+        "doc_id", "n_bpe_tokens", "bpe_tokens"
+    )
+    toks.persist()
+
+    # global token offsets: the pack_sequences two-phase prefix sum
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "local_end",
+        F.sum("n_bpe_tokens").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = parted.groupBy("pid").agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).collect()
+    sums = {r["pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid] or 0
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    placed = local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "bpe_tokens",
+        (F.col("offset") + F.col("local_end") - F.col("n_bpe_tokens")).alias(
+            "doc_start"
+        ),
+    )
+
+    # deterministic vocab ids: rank over the distinct token set
+    # (vocab-sized — see docstring)
+    vocab = (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .distinct()
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("token")) - 1
+            ).alias("token_id"),
+        )
+    )
+    vocab.persist()
+    vocab_size = vocab.count()
+
+    stream = placed.select(
+        F.posexplode("bpe_tokens").alias("idx", "token"),
+        (F.col("doc_start") + F.col("idx")).alias("pos"),
+    ).join(F.broadcast(vocab), "token")
+    windows = (
+        stream.select(
+            F.floor(F.col("pos") / F.lit(budget_tokens)).alias("window_id"),
+            "pos",
+            "token_id",
+        )
+        .groupBy("window_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda x: x["token_id"],
+            ).alias("token_ids")
+        )
+        .select(
+            "window_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
+    (
+        windows.write.mode(mode)
+        .option("maxRecordsPerFile", int(shard_max_windows))
+        .parquet(f"{out_path}/windows")
+    )
+    vocab.write.mode(mode).parquet(f"{out_path}/vocab")
+    out = spark.read.parquet(f"{out_path}/windows")
+    n_windows = out.count()
+    n_tokens = out.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    toks.unpersist()
+    vocab.unpersist()
+    return {
+        "windows": int(n_windows),
+        "tokens": int(n_tokens),
+        "vocab_size": int(vocab_size),
+        "out_path": out_path,
+    }
+
+
 def write_metadata_report(
     spark: SparkSession,
     data_path: str,

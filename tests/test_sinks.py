@@ -183,3 +183,61 @@ def test_zorder_bits_clamped_to_long(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="64-bit"):
         write_zordered(wide, str(tmp_path / "z64"), too_many)
+
+
+def test_export_training_windows_round_trip(spark, tmp_path):
+    """The trainer-export contract: reading the shards back and laying
+    windows end to end reproduces the exact global token tape (doc_id
+    order, documents straddling boundaries), every window is exactly
+    budget_tokens long except the final remainder, and the vocab
+    sidecar is a bijection that decodes ids back to the BPE tokens."""
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+        bpe_tokenize_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    merges = bpe_merges_fast(docs, n_merges=20)
+    out = str(tmp_path / "export")
+    summary = export_training_windows(
+        docs, merges, out, budget_tokens=32, shard_max_windows=3
+    )
+
+    win = (
+        spark.read.parquet(out + "/windows").orderBy("window_id").collect()
+    )
+    assert summary["windows"] == len(win)
+    # exact window geometry: contiguous ids, all full except the last
+    assert [r.window_id for r in win] == list(range(len(win)))
+    assert all(r.n_tokens == 32 for r in win[:-1])
+    assert 1 <= win[-1].n_tokens <= 32
+    # shard size cap honored
+    import glob
+
+    shards = glob.glob(out + "/windows/*.parquet")
+    assert len(shards) >= len(win) // 3
+
+    # round-trip: the reassembled id tape == the independently encoded
+    # per-doc token streams mapped through the vocab sidecar
+    tape = [t for r in win for t in r.token_ids]
+    vocab = {
+        r.token: r.token_id
+        for r in spark.read.parquet(out + "/vocab").collect()
+    }
+    assert len(set(vocab.values())) == len(vocab) == summary["vocab_size"]
+    enc = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_tokenize_words(docs, merges, with_tokens=True)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    expect = [vocab[t] for i in sorted(enc) for t in enc[i]]
+    assert tape == expect
+    assert summary["tokens"] == len(expect)
