@@ -2019,6 +2019,26 @@ lab AS (
     )
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row reproducibility manifest: exact order-invariant content
+    digest + volume counts — the identity stamp a release pipeline
+    publishes next to a dataset (corpus_diff answers WHAT changed;
+    this answers WHETHER, in one map pass)."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        corpus_manifest,
+    )
+
+    return corpus_manifest(_table(spark, sf_dir, "documents"))
+
+
+O_CORPUS_MANIFEST = f"""
+SELECT count(*)::bigint AS n_docs,
+       sum(len({D_TOKS}))::bigint AS n_tokens,
+       sum({_d_hash60("coalesce(text, '')")}::DECIMAL(38,0)) AS content_digest
+FROM documents
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning snapshot diff: two deterministic simulated
     versions of the documents table — OLD drops doc_id%5==0 (those are
@@ -5484,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "quality_distill": q_quality_distill,
         "pack_batches": q_pack_batches,
+        "corpus_manifest": q_corpus_manifest,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5613,6 +5634,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": O_CORPUS_DIFF,
         "quality_distill": _oracle_quality_distill(),
         "pack_batches": O_PACK_BATCHES,
+        "corpus_manifest": O_CORPUS_MANIFEST,
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

@@ -171,6 +171,29 @@ def corpus_diff(
     return joined.filter(F.col("status") != "unchanged")
 
 
+def corpus_manifest(documents: DataFrame) -> DataFrame:
+    """One-row reproducibility manifest: (n_docs, n_tokens,
+    content_digest) where the digest is the EXACT decimal sum of the
+    60-bit raw-content hashes — order-invariant and partition-invariant
+    by construction, so two corpora match iff their multisets of
+    document bytes match (collision odds govern, not ordering). The
+    cheap identity check a release pipeline stamps next to a dataset:
+    corpus_diff answers WHAT changed, the manifest answers WHETHER.
+
+    Scale shape: one map pass, one all-partials fold to a single row —
+    no shuffle beyond the final 1-row combine."""
+    from ..functions import hash60, tokens
+
+    return documents.select(
+        hash60(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("tk"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tk").cast("long").alias("n_tokens"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("content_digest"),
+    )
+
+
 def dataset_card(documents: DataFrame) -> DataFrame:
     """Per-source dataset card: the summary table a training-data release
     publishes — document/token volume, corpus share, mean quality score,
