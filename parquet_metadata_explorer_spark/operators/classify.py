@@ -63,25 +63,34 @@ def _feature_buckets(t, n_buckets: int):
 
 
 def classifier_features(
-    documents: DataFrame, target: DataFrame, n_buckets: int = 1024
+    documents: DataFrame, target: DataFrame | None, n_buckets: int = 1024
 ) -> DataFrame:
     """The design matrix: (doc_id, fb array<int> feature-occurrence
-    buckets, n = max(|fb|, 1), y = 1 iff doc_id ∈ target). Map-only
-    except the broadcast label join; callers persist it (one corpus
-    materialization reused by every GD round and the scoring pass).
+    buckets, n = max(|fb|, 1), y = 1 iff doc_id ∈ target; y = 0
+    everywhere when ``target`` is None — the label-free serving shape).
+    Map-only except the broadcast label join; callers persist it (one
+    corpus materialization reused by every GD round and the scoring
+    pass).
 
     The token array is materialized behind a projection boundary before
     the bigram slices reference it — an expression captured inside a
     ``transform`` lambda re-evaluates per element, so slicing
     ``tokens(text)`` directly would re-run the regexp pipeline once per
     bigram (the quadratic trap dsir_resample measured at 15.4s → 2s)."""
-    tgt = target.select("doc_id").distinct().withColumn("is_t", F.lit(1))
     tokdf = documents.select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
     fdf = tokdf.select(
         "doc_id", _feature_buckets(F.col("t"), n_buckets).alias("fb")
     )
+    if target is None:
+        return fdf.select(
+            "doc_id",
+            "fb",
+            F.greatest(F.size("fb"), F.lit(1)).alias("n"),
+            F.lit(0).alias("y"),
+        )
+    tgt = target.select("doc_id").distinct().withColumn("is_t", F.lit(1))
     return (
         fdf.join(F.broadcast(tgt), "doc_id", "left")
         .select(
@@ -238,7 +247,6 @@ def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
 
 def classifier_scores(
     documents: DataFrame,
-    target: DataFrame,
     model: dict,
     pareto_alpha: float = 9.0,
     salt: str = "qcls",
@@ -250,8 +258,9 @@ def classifier_scores(
     inverse-CDF u^(−1/alpha) − 1, snapped to integer draw12 so the
     keep comparison is exact long-vs-long on any engine.
 
-    Output: (doc_id, score double round-6, keep boolean). Map-only."""
-    X = classifier_features(documents, target, model["n_buckets"])
+    Output: (doc_id, score double round-6, keep boolean). Map-only,
+    label-free (the serving shape needs no target)."""
+    X = classifier_features(documents, None, model["n_buckets"])
     return _scores_on(X, model, pareto_alpha, salt)
 
 

@@ -37,7 +37,7 @@ def test_learns_separable_classes(spark):
     model = train_quality_classifier(docs, target, n_buckets=256, iters=4)
     scores = {
         r.doc_id: r.score
-        for r in classifier_scores(docs, target, model).collect()
+        for r in classifier_scores(docs, model).collect()
     }
     acc = sum((scores[i] > 0.5) == (i % 2 == 0) for i in range(200)) / 200
     assert acc >= 0.99, acc
@@ -83,7 +83,7 @@ def test_pareto_keep_rule_scales_with_score(spark):
     docs = _corpus(spark, n=400)
     target = docs.filter("pos").select("doc_id")
     model = train_quality_classifier(docs, target, n_buckets=256, iters=8, lr=1.0)
-    rows = classifier_scores(docs, target, model).collect()
+    rows = classifier_scores(docs, model).collect()
     # P(keep | score s) = P(Pareto(9) draw > 1-s) = (2-s)^-9: ~0.19 at
     # s=0.8 rising to 1 at s=1, ~0.005 at s=0.2
     hi = [r.keep for r in rows if r.score > 0.8]
@@ -91,7 +91,7 @@ def test_pareto_keep_rule_scales_with_score(spark):
     assert hi and lo
     assert sum(hi) / len(hi) >= 0.08
     assert sum(lo) / len(lo) <= 0.03
-    rerun = classifier_scores(docs, target, model).collect()
+    rerun = classifier_scores(docs, model).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
 
 
@@ -103,7 +103,7 @@ def test_scoring_plan_is_map_only(spark):
     target = docs.filter("pos").select("doc_id")
     model = {"w12": [0] * 64, "bias12": 0, "n_buckets": 64}
     plan = (
-        classifier_scores(docs, target, model)
+        classifier_scores(docs, model)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -125,13 +125,13 @@ def test_streaming_scores_match_batch(spark, tmp_path):
     target = docs.filter("pos").select("doc_id")
     model = train_quality_classifier(docs, target, n_buckets=128, iters=2)
     batch = sorted(
-        tuple(r) for r in classifier_scores(docs, target, model).collect()
+        tuple(r) for r in classifier_scores(docs, model).collect()
     )
     stage = str(tmp_path / "arrivals")
     docs.write.parquet(stage)
     sdf = spark.readStream.schema(docs.schema).parquet(stage)
     q = (
-        classifier_scores(sdf, target, model)
+        classifier_scores(sdf, model)
         .writeStream.format("memory")
         .queryName("qcls_stream")
         .outputMode("append")
@@ -153,7 +153,7 @@ def test_unseparable_labels_stay_near_base_rate(spark):
     docs = _corpus(spark, n=200, sep=False)
     target = docs.filter("pos").select("doc_id")
     model = train_quality_classifier(docs, target, n_buckets=256, iters=3)
-    rows = classifier_scores(docs, target, model).collect()
+    rows = classifier_scores(docs, model).collect()
     import statistics
 
     assert 0.3 < statistics.mean(r.score for r in rows) < 0.7
