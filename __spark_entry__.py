@@ -2535,19 +2535,22 @@ def q_text_bpe_encode1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_tokenize_words(docs, merges)
 
 
-def _oracle_bpe_encode1k(n: int = BPE_1K_MERGES) -> str:
-    """Recursive-CTE twin of train(≥1k)+encode: the working table carries
-    (word, symbols) vocab rows; each iteration's arg-max pair (count
-    desc, l, r ties — the trainer's exact ordering) rewrites the vocab
-    with one leftmost-non-overlapping replace and logs one merge row.
-    Recursion ends at ``n`` iterations or pair exhaustion (empty best →
-    empty recursive term). The final vocab state joins back to the
-    per-document word sequence for the fingerprint digest."""
+def _oracle_bpe_encode_parts(
+    n: int,
+    table: str = "customer",
+    id_expr: str = "c_custkey",
+    text_expr: str = "c_name",
+) -> str:
+    """The recursive train+encode CTE body, ending at ``enc`` (doc_id,
+    pos, enc_str, n_toks) — shared by the per-doc digest oracle
+    (text_bpe_encode1k) and the fertility aggregate (the consumer adds
+    its own final SELECT). Parameterized over the corpus table so the
+    SAME merge-loop replay serves any (id, text) pair."""
     return f"""
 WITH RECURSIVE words AS MATERIALIZED (
   SELECT w, count(*)::BIGINT AS wc FROM (
-    SELECT unnest(str_split(trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
-    FROM customer) GROUP BY 1
+    SELECT unnest(str_split(trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM {table}) GROUP BY 1
 ),
 t AS (
   -- wrapped symbol string ␟c␟␟c␟…␟</w>␟: every symbol carries its own
@@ -2583,14 +2586,14 @@ final_vocab AS MATERIALIZED (
   SELECT w, str_split(trim(s, chr(31)), chr(31) || chr(31)) AS toks
   FROM t WHERE kind='v' AND iter = (SELECT max(iter) FROM t)
 ),
-docs AS (
-  SELECT c_custkey AS doc_id,
-         trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS norm
-  FROM customer
+bdocs AS (
+  SELECT {id_expr} AS doc_id,
+         trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM {table}
 ),
 wp AS (
   SELECT doc_id, j AS pos, parts_[j] AS w
-  FROM (SELECT doc_id, str_split(norm, ' ') AS parts_ FROM docs),
+  FROM (SELECT doc_id, str_split(norm, ' ') AS parts_ FROM bdocs),
        unnest(range(1, len(parts_)+1)) AS u(j)
 ),
 enc AS (
@@ -2598,10 +2601,56 @@ enc AS (
          array_to_string(v.toks, ' ') AS enc_str,
          len(v.toks)::BIGINT AS n_toks
   FROM wp JOIN final_vocab v USING (w)
-)
+)"""
+
+
+def _oracle_bpe_encode1k(n: int = BPE_1K_MERGES) -> str:
+    """Recursive-CTE twin of train(≥1k)+encode: the working table carries
+    (word, symbols) vocab rows; each iteration's arg-max pair (count
+    desc, l, r ties — the trainer's exact ordering) rewrites the vocab
+    with one leftmost-non-overlapping replace and logs one merge row.
+    Recursion ends at ``n`` iterations or pair exhaustion (empty best →
+    empty recursive term). The final vocab state joins back to the
+    per-document word sequence for the fingerprint digest."""
+    return f"""{_oracle_bpe_encode_parts(n)}
 SELECT doc_id, sum(n_toks)::BIGINT AS n_bpe_tokens,
        md5(string_agg(enc_str, ' ' ORDER BY pos)) AS fingerprint
 FROM enc GROUP BY doc_id
+"""
+
+
+TKF_MERGES = 60
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-eval fertility report: train 60 merges on the corpus,
+    then per language report words, BPE tokens, tokens-per-word and
+    chars-per-token — the standard pre-commit check that a vocabulary
+    doesn't tax one group with multiples of the tokens."""
+    docs = _table(spark, sf_dir, "documents")
+    merges = text.bpe_merges_fast(docs, n_merges=TKF_MERGES, min_count=1)
+    return text.tokenizer_fertility(docs, merges, key="lang")
+
+
+def _oracle_tokenizer_fertility(n: int = TKF_MERGES) -> str:
+    """The recursive train+encode replay over documents, aggregated per
+    language with the _d_round ratio discipline."""
+    return f"""{_oracle_bpe_encode_parts(n, table="documents", id_expr="doc_id", text_expr="text")},
+perdoc AS (SELECT doc_id, sum(n_toks)::BIGINT AS n_bpe FROM enc GROUP BY 1),
+fstats AS (
+  SELECT d.doc_id, d.lang,
+         len({D_TOKS})::BIGINT AS n_words,
+         length({D_NORM})::BIGINT AS n_chars
+  FROM documents d
+)
+SELECT lang,
+       count(*)::bigint AS n_docs,
+       sum(n_words)::bigint AS n_words,
+       sum(n_bpe)::bigint AS n_bpe_tokens,
+       {_d_round("sum(n_bpe)::DOUBLE / greatest(sum(n_words), 1)::DOUBLE", 4)} AS tokens_per_word,
+       {_d_round("sum(n_chars)::DOUBLE / greatest(sum(n_bpe), 1)::DOUBLE", 4)} AS chars_per_token
+FROM fstats JOIN perdoc USING (doc_id)
+GROUP BY lang
 """
 
 
@@ -5505,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_distill": q_quality_distill,
         "pack_batches": q_pack_batches,
         "corpus_manifest": q_corpus_manifest,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5635,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_distill": _oracle_quality_distill(),
         "pack_batches": O_PACK_BATCHES,
         "corpus_manifest": O_CORPUS_MANIFEST,
+        "tokenizer_fertility": _oracle_tokenizer_fertility(),
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

@@ -1864,6 +1864,53 @@ def collocations(
     )
 
 
+def tokenizer_fertility(
+    documents: DataFrame, merges_df: DataFrame, key: str = "lang"
+) -> DataFrame:
+    """Tokenizer-evaluation report: per ``key`` group, the fertility
+    metrics a team inspects before committing to a vocabulary — words,
+    BPE tokens, tokens-per-word (fertility: 1.0 = every word is one
+    token, higher = the vocab splits this group's words more) and
+    normalized-chars-per-token (compression). The standard check that a
+    tokenizer trained on one mix doesn't tax another language/source
+    with 2-3x the tokens per word.
+
+    Scale shape: rides ``bpe_tokenize_words`` (vocab-sized Python,
+    corpus cost invariant to merge count) plus one map pass for word/
+    char counts and one low-cardinality groupBy on ``key``. Counts are
+    exact long sums; the ratios divide them in double (exact-input IEEE
+    division) and snap via ``_round_dec`` — partition-invariant and
+    engine-exact."""
+    enc = bpe_tokenize_words(documents, merges_df).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    base = documents.select(
+        "doc_id",
+        F.col(key).alias("grp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(enc, "doc_id")
+        .groupBy(F.col("grp").alias(key))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            _round_dec(
+                F.sum("n_bpe_tokens").cast("double")
+                / F.greatest(F.sum("n_words"), F.lit(1)).cast("double"),
+                4,
+            ).alias("tokens_per_word"),
+            _round_dec(
+                F.sum("n_chars").cast("double")
+                / F.greatest(F.sum("n_bpe_tokens"), F.lit(1)).cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def ccnet_buckets(
     documents: DataFrame,
     key: str = "lang",
