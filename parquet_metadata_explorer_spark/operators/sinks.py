@@ -282,12 +282,15 @@ def export_training_windows(
             F.size("token_ids").cast("long").alias("n_tokens"),
         )
     )
+    # write order IS the commit protocol: the vocab sidecar lands first,
+    # windows last — windows/_SUCCESS is the export's commit marker, so
+    # a crash between the writes leaves no readable-but-torn export
+    vocab.write.mode(mode).parquet(f"{out_path}/vocab")
     (
         windows.write.mode(mode)
         .option("maxRecordsPerFile", int(shard_max_windows))
         .parquet(f"{out_path}/windows")
     )
-    vocab.write.mode(mode).parquet(f"{out_path}/vocab")
     out = spark.read.parquet(f"{out_path}/windows")
     n_windows = out.count()
     n_tokens = out.agg(F.sum("n_tokens")).collect()[0][0] or 0
