@@ -3062,6 +3062,56 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark screen in ONE corpus scan: two synthetic eval
+    suites (15-token prefixes of every 31st doc; 9-token prefixes of
+    every 37th) tagged, unioned and broadcast together — N benchmarks
+    cost one shingle pass + one map-side join, not N corpus re-scans."""
+    from parquet_metadata_explorer_spark.functions import tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def prefix_bench(mod: int, k: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % mod == 0).select(
+            "doc_id", F.array_join(F.slice(t, 1, k), " ").alias("text")
+        )
+
+    return text.decontaminate_matrix(
+        docs, {"evalA": prefix_bench(31, 15), "evalB": prefix_bench(37, 9)}
+    )
+
+
+O_DECONTAM_MATRIX = f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
+sh2 AS (SELECT doc_id, s FROM sh WHERE length(s) > 0),
+ba AS (
+  SELECT doc_id, t[1:15] AS t FROM (SELECT doc_id, t FROM toks WHERE doc_id % 31 = 0)
+),
+bb AS (
+  SELECT doc_id, t[1:9] AS t FROM (SELECT doc_id, t FROM toks WHERE doc_id % 37 = 0)
+),
+bench AS (
+  SELECT 'evalA' AS benchmark, shingle FROM (
+    SELECT DISTINCT unnest({D_SHINGLES}) AS shingle FROM ba)
+  UNION ALL
+  SELECT 'evalB' AS benchmark, shingle FROM (
+    SELECT DISTINCT unnest({D_SHINGLES}) AS shingle FROM bb)
+),
+corpus AS (SELECT doc_id, length(s)::bigint AS n_sh, s FROM sh2),
+inv AS (SELECT doc_id, unnest(s) AS shingle FROM corpus),
+hits AS (
+  SELECT i.doc_id, b.benchmark, count(*)::bigint AS n_hit
+  FROM inv i JOIN bench b USING (shingle) GROUP BY 1, 2
+)
+SELECT h.doc_id, h.benchmark, c.n_sh, h.n_hit,
+       round((h.n_hit::double / c.n_sh)::DECIMAL(30,10), 4)::double AS contamination,
+       (h.n_hit::double / c.n_sh) >= 0.5 AS contaminated
+FROM hits h JOIN corpus c USING (doc_id)
+"""
+
+
 O_TEXT_DECONTAM = f"""
 WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {D_SHINGLES} AS s FROM toks),
@@ -5555,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": q_pack_batches,
         "corpus_manifest": q_corpus_manifest,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "decontaminate_matrix": q_decontaminate_matrix,
         # E) remaining r7-boarded entries (due r10 — the committed r10
         #    head; events_percentiles_approx is the one rows-only entry
         #    by design, Spark's GK sketch, pytest rank-bounded)
@@ -5686,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_batches": O_PACK_BATCHES,
         "corpus_manifest": O_CORPUS_MANIFEST,
         "tokenizer_fertility": _oracle_tokenizer_fertility(),
+        "decontaminate_matrix": O_DECONTAM_MATRIX,
         "text_redact": _o_text_redact(),
         "dedup_lines": O_DEDUP_LINES,
         "multimodal_decode": O_MULTIMODAL,

@@ -235,6 +235,67 @@ def decontaminate(
     )
 
 
+def decontaminate_matrix(
+    documents: DataFrame, benchmarks: dict, threshold: float = 0.5
+) -> DataFrame:
+    """Multi-benchmark decontamination: screen the corpus against EVERY
+    eval set in ONE corpus scan — the shape a release pipeline actually
+    runs (teams screen against dozens of benchmarks; N separate
+    ``decontaminate`` calls would re-shingle the TB-scale corpus N
+    times for MB-scale eval suites).
+
+    ``benchmarks`` is {name: DataFrame(text)}. Output is DELTA-sized:
+    one row per (doc_id, benchmark) pair with at least one shingle hit
+    — (doc_id, benchmark, n_sh, n_hit, contamination, contaminated).
+    Pairs with zero hits are implicitly clean (emitting |corpus| × N
+    zero rows back defeats the single-scan point).
+
+    Scale shape: the corpus shingles once (Arrow kernel, persisted);
+    every benchmark's distinct shingles are tagged with its name,
+    UNIONed and broadcast together, so the containment check is one
+    map-side join + one (doc_id, benchmark) partial-agg shuffle
+    regardless of how many benchmarks ride along."""
+    from functools import reduce
+
+    from .dedup import shingle_signature_kernel
+    from ..cache import track_persist
+
+    doc_sh = track_persist(
+        shingle_signature_kernel(documents, n_hashes=0).filter(
+            F.size("shingles") > 0
+        )
+    )
+    tagged = [
+        shingle_signature_kernel(bdf, n_hashes=0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .select(F.lit(name).alias("benchmark"), "shingle")
+        for name, bdf in sorted(benchmarks.items())
+    ]
+    bench_sh = reduce(lambda a, b: a.unionAll(b), tagged)
+    inv = doc_sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hits = (
+        inv.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "benchmark")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    sizes = doc_sh.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
+    ratio = F.col("n_hit") / F.col("n_sh")
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "benchmark",
+            "n_sh",
+            "n_hit",
+            _round_dec(ratio, 4).alias("contamination"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def _gram_instances(documents: DataFrame, n: int) -> DataFrame:
     """One row per n-gram OCCURRENCE (column ``ngram``) — every
     occurrence counts, unlike the dedup shingles' per-document

@@ -2648,3 +2648,35 @@ def test_cm_sketch_merge_and_streaming_twin(spark, tmp_path):
         q.stop()
     streamed = spark.sql("select j, bucket, cnt from cm_stream")
     assert key(streamed) == key(whole)
+
+
+def test_decontaminate_matrix_equals_per_benchmark(spark):
+    """The single-scan matrix must agree with N separate decontaminate
+    calls, benchmark by benchmark (restricted to hit rows — the matrix
+    emits the delta, the single call emits every corpus doc)."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        decontaminate,
+        decontaminate_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 3 + j) % 11}" for j in range(12)))
+         for i in range(80)],
+        ["doc_id", "text"],
+    )
+    ba = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    bb = docs.filter("doc_id % 13 = 0").select("doc_id", "text")
+    matrix = decontaminate_matrix(docs, {"a": ba, "b": bb})
+    got = {
+        (r.benchmark, r.doc_id): (r.n_sh, r.n_hit, r.contamination, r.contaminated)
+        for r in matrix.collect()
+    }
+    assert got  # non-degenerate fixture
+    for name, bdf in (("a", ba), ("b", bb)):
+        single = {
+            r.doc_id: (r.n_sh, r.n_hit, r.contamination, r.contaminated)
+            for r in decontaminate(docs, bdf).collect()
+            if r.n_hit > 0
+        }
+        mat = {d: v for (bn, d), v in got.items() if bn == name}
+        assert mat == single, name
