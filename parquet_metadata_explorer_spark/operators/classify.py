@@ -174,7 +174,8 @@ def train_quality_classifier(
     X = track_persist(
         ensure_parallelism(classifier_features(documents, target, B))
     )
-    X.count()
+    # no count(): the first GD round materializes the persist — a
+    # separate forcing job is pure scheduling overhead
     return _train_on(X, B, iters, lr)
 
 
@@ -303,6 +304,5 @@ def quality_classifier(
     X = track_persist(
         ensure_parallelism(classifier_features(documents, target, B))
     )
-    X.count()
     model = _train_on(X, B, iters, lr)
     return _scores_on(X, model, pareto_alpha)
