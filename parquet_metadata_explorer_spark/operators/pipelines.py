@@ -251,6 +251,8 @@ def prepare_corpus(
     contamination_threshold: float = 0.5,
     n_merges: int = 8,
     budget_tokens: int = 2048,
+    learned_filter: bool = False,
+    classifier_opts: dict | None = None,
 ) -> tuple:
     """The COMPLETE training-data preparation flow, wired end-to-end
     from already-verified operators:
@@ -275,6 +277,8 @@ def prepare_corpus(
         benchmark,
         min_quality=min_quality,
         contamination_threshold=contamination_threshold,
+        learned_filter=learned_filter,
+        classifier_opts=classifier_opts,
     )
     audit = {name: df.count() for name, df in stages.items()}
     final = stages["after_decontamination"]
@@ -299,13 +303,26 @@ def preparation_stages(
     benchmark: DataFrame,
     min_quality: float = 0.4,
     contamination_threshold: float = 0.5,
+    learned_filter: bool = False,
+    classifier_opts: dict | None = None,
 ) -> dict:
     """The prepare_corpus document-survival chain as lazy stage frames —
     shared by the pipeline runner and the boarded audit query.
 
     The quality gate applies BOTH the rule battery (quality_filter) and
     the declared ``min_quality`` threshold on text_stats' quality_score
-    (r5 ADVICE: the parameter was declared but unused)."""
+    (r5 ADVICE: the parameter was declared but unused).
+
+    ``learned_filter=True`` swaps the gate for the GPT-3 flow: the rule
+    battery only LABELS the corpus, ``quality_classifier`` distills the
+    labels into a cheap bag-feature scorer, and the gate becomes the
+    Pareto resample over the learned scores — higher recall than the
+    hard rules (borderline docs survive in proportion to their score)
+    at one extra bounded-shuffle training pass. ``classifier_opts``
+    forwards to quality_classifier (n_buckets/iters/lr/pareto_alpha —
+    alpha tunes the keep rate: smaller = heavier-tailed, more kept).
+    The boarded audit row pins the default rule gate; the learned gate
+    is the pipeline option (pytest e2e)."""
     from .dedup import line_dedup
     from .text import decontaminate, quality_filter, text_stats
 
@@ -315,9 +332,22 @@ def preparation_stages(
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id")
     )
-    kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
-        score_keep, "doc_id", "left_semi"
-    )
+    if learned_filter:
+        from .classify import quality_classifier
+
+        labels = documents.join(rule_keep, "doc_id", "left_semi").join(
+            score_keep, "doc_id", "left_semi"
+        ).select("doc_id")
+        scored = quality_classifier(
+            documents, labels, **(classifier_opts or {})
+        )
+        kept_q = documents.join(
+            scored.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+    else:
+        kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
+            score_keep, "doc_id", "left_semi"
+        )
     cleaned = (
         line_dedup(kept_q)
         .select("doc_id", F.col("cleaned_text").alias("text"))

@@ -2680,3 +2680,67 @@ def test_decontaminate_matrix_equals_per_benchmark(spark):
         }
         mat = {d: v for (bn, d), v in got.items() if bn == name}
         assert mat == single, name
+
+
+def test_prepare_corpus_learned_filter(spark, sf_dir):
+    """The GPT-3-flow option: rules LABEL, the distilled classifier's
+    Pareto resample GATES. The learned-kept set must equal the direct
+    quality_classifier keep set under the same labels/options, the
+    audit stays monotone, and the pipeline still packs end to end."""
+    from parquet_metadata_explorer_spark.operators.classify import (
+        quality_classifier,
+    )
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        prepare_corpus,
+        preparation_stages,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        quality_filter,
+        text_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    opts = {"n_buckets": 256, "iters": 3, "pareto_alpha": 2.0}
+
+    stages = preparation_stages(
+        train, bench, learned_filter=True, classifier_opts=opts
+    )
+    got = {r.doc_id for r in stages["after_quality"].select("doc_id").collect()}
+    # independent replay of the gate
+    labels = (
+        train.join(
+            quality_filter(train).filter("keep").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .join(
+            text_stats(train)
+            .filter(F.col("quality_score") >= 0.4)
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id")
+    )
+    expect = {
+        r.doc_id
+        for r in quality_classifier(train, labels, **opts)
+        .filter("keep")
+        .collect()
+    }
+    assert got == expect and got
+
+    packs, tokenized, merges, audit = prepare_corpus(
+        train, bench, n_merges=4, learned_filter=True, classifier_opts=opts
+    )
+    assert (
+        audit["input"]
+        >= audit["after_quality"]
+        >= audit["after_line_dedup"]
+        >= audit["after_exact"]
+        >= audit["after_decontamination"]
+        > 0
+    ), audit
+    assert packs.count() == audit["after_decontamination"]
