@@ -428,10 +428,20 @@ def prepare_corpus_increment(
     min_quality: float = 0.4,
     contamination_threshold: float = 0.5,
     key: str = "source",
+    classifier_model: dict | None = None,
+    pareto_alpha: float = 9.0,
 ) -> tuple:
     """One CDC run of the preparation pipeline: process TODAY'S arrivals
     only, against persisted catalogs from previous runs — the
     refreshing-corpus shape where history is never reprocessed.
+
+    ``classifier_model`` (a ``train_quality_classifier`` model dict,
+    trained ONCE on the seed corpus and frozen — the
+    semantic_dedup_increment convention) swaps the rule gate for the
+    learned Pareto resample: arrivals are scored map-side against the
+    broadcast weights, so the gate stays stateless and the per-batch
+    composition property is untouched (the keep decision is a pure
+    per-doc function, identical on any batch split).
 
         quality gate (stateless) → incremental line dedup (line-fp
         catalog) → incremental exact dedup (doc-fp catalog) →
@@ -457,15 +467,27 @@ def prepare_corpus_increment(
     from .dedup import incremental_exact_dedup, line_dedup_incremental
     from .text import decontaminate, quality_filter
 
-    rule_keep = quality_filter(new_docs).filter(F.col("keep")).select("doc_id")
-    score_keep = (
-        text_stats(new_docs)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
-    )
-    kept_q = new_docs.join(rule_keep, "doc_id", "left_semi").join(
-        score_keep, "doc_id", "left_semi"
-    )
+    if classifier_model is not None:
+        from .classify import classifier_scores
+
+        keep_ids = (
+            classifier_scores(new_docs, classifier_model, pareto_alpha)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        kept_q = new_docs.join(keep_ids, "doc_id", "left_semi")
+    else:
+        rule_keep = (
+            quality_filter(new_docs).filter(F.col("keep")).select("doc_id")
+        )
+        score_keep = (
+            text_stats(new_docs)
+            .filter(F.col("quality_score") >= min_quality)
+            .select("doc_id")
+        )
+        kept_q = new_docs.join(rule_keep, "doc_id", "left_semi").join(
+            score_keep, "doc_id", "left_semi"
+        )
     cleaned_full, new_line_fps = line_dedup_incremental(
         kept_q, state["line_fps"]
     )

@@ -2744,3 +2744,47 @@ def test_prepare_corpus_learned_filter(spark, sf_dir):
         > 0
     ), audit
     assert packs.count() == audit["after_decontamination"]
+
+
+def test_prepare_increment_frozen_classifier_gate(spark, sf_dir):
+    """The learned gate in CDC: a classifier trained ONCE on the seed
+    corpus (frozen — the semantic_dedup_increment convention) gates
+    arrivals map-side. Because the keep decision is a pure per-doc
+    function of (model, doc), the 2-batch replay must equal the
+    single-run pipeline on the union under the SAME frozen model."""
+    from parquet_metadata_explorer_spark.operators.classify import (
+        train_quality_classifier,
+    )
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        initial_prepare_state,
+        prepare_corpus_increment,
+    )
+    from parquet_metadata_explorer_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 17 = 3").select("doc_id", "text")
+    labels = quality_filter(docs).filter("keep").select("doc_id")
+    model = train_quality_classifier(docs, labels, n_buckets=128, iters=2)
+    alpha = 2.0
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+
+    state = initial_prepare_state(spark)
+    got = set()
+    for batch in (
+        docs.filter(F.col("doc_id") < cut),
+        docs.filter(F.col("doc_id") >= cut),
+    ):
+        final, state = prepare_corpus_increment(
+            batch, bench, state, classifier_model=model, pareto_alpha=alpha
+        )
+        state = {k: v.localCheckpoint() for k, v in state.items()}
+        got |= {(r.doc_id, r.text) for r in final.collect()}
+
+    single_state = initial_prepare_state(spark)
+    single, _ = prepare_corpus_increment(
+        docs, bench, single_state, classifier_model=model, pareto_alpha=alpha
+    )
+    expected = {(r.doc_id, r.text) for r in single.collect()}
+    assert got and got == expected
