@@ -241,3 +241,46 @@ def test_export_training_windows_round_trip(spark, tmp_path):
     expect = [vocab[t] for i in sorted(enc) for t in enc[i]]
     assert tape == expect
     assert summary["tokens"] == len(expect)
+
+
+def test_prepare_then_export_end_to_end(spark, tmp_path, sf_dir):
+    """The COMPLETE corpus-to-tensors path: prepare_corpus filters,
+    dedups and decontaminates, export_training_windows materializes the
+    survivors as trainer-ready id windows — and the exported token
+    count equals the prepared corpus's independently-computed BPE token
+    mass (nothing dropped or duplicated between the two halves)."""
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        prepare_corpus,
+        preparation_stages,
+    )
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+        bpe_tokenize_words,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    packs, tokenized, merges, audit = prepare_corpus(train, bench, n_merges=4)
+    final = preparation_stages(train, bench)["after_decontamination"]
+    merges_fast = bpe_merges_fast(final, n_merges=16, min_count=1)
+    out = str(tmp_path / "train_export")
+    summary = export_training_windows(
+        final, merges_fast, out, budget_tokens=256
+    )
+    expect_tokens = (
+        bpe_tokenize_words(final, merges_fast)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert summary["tokens"] == expect_tokens
+    assert summary["windows"] == -(-expect_tokens // 256)  # ceil division
+    win = spark.read.parquet(out + "/windows")
+    assert win.count() == summary["windows"]
+    assert audit["after_decontamination"] == final.count()
