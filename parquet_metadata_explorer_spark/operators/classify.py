@@ -287,6 +287,45 @@ def _scores_on(
     )
 
 
+def write_classifier(spark: SparkSession, model: dict, path: str) -> None:
+    """Persist a trained model as a (B+1)-row parquet table — bucket -1
+    carries the bias, a one-row header carries (n_buckets, iters, lr).
+    The at-rest form a serving job loads with ``read_classifier``; the
+    fixed-point longs round-trip exactly (no float re-parsing)."""
+    B = int(model["n_buckets"])
+    rows = [(-1, int(model["bias12"]))] + [
+        (b, int(model["w12"][b])) for b in range(B)
+    ]
+    spark.createDataFrame(rows, "bucket int, w12 long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/weights")
+    spark.createDataFrame(
+        [(B, int(model["iters"]), float(model["lr"]))],
+        "n_buckets int, iters int, lr double",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_classifier(spark: SparkSession, path: str) -> dict:
+    """Load a ``write_classifier`` model; inverse of the writer,
+    bit-exact (weights are integers)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    B = int(meta.n_buckets)
+    w12 = [0] * B
+    bias12 = 0
+    for r in spark.read.parquet(f"{path}/weights").collect():
+        if r.bucket == -1:
+            bias12 = int(r.w12)
+        else:
+            w12[r.bucket] = int(r.w12)
+    return {
+        "w12": w12,
+        "bias12": bias12,
+        "n_buckets": B,
+        "iters": int(meta.iters),
+        "lr": float(meta.lr),
+    }
+
+
 def quality_classifier(
     documents: DataFrame,
     target: DataFrame,

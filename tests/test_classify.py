@@ -157,3 +157,24 @@ def test_unseparable_labels_stay_near_base_rate(spark):
     import statistics
 
     assert 0.3 < statistics.mean(r.score for r in rows) < 0.7
+
+
+def test_model_round_trips_through_parquet(spark, tmp_path):
+    """write_classifier/read_classifier: the at-rest model serves
+    bit-identically to the in-memory one (fixed-point longs round-trip
+    exactly — no float re-parsing drift)."""
+    from parquet_metadata_explorer_spark.operators.classify import (
+        read_classifier,
+        write_classifier,
+    )
+
+    docs = _corpus(spark, n=80)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=128, iters=2)
+    path = str(tmp_path / "qcls_model")
+    write_classifier(spark, model, path)
+    loaded = read_classifier(spark, path)
+    assert loaded == model
+    a = sorted(map(tuple, classifier_scores(docs, model).collect()))
+    b = sorted(map(tuple, classifier_scores(docs, loaded).collect()))
+    assert a == b
