@@ -287,6 +287,114 @@ def _scores_on(
     )
 
 
+def classifier_eval(
+    scores: DataFrame, target: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """One-row evaluation report for a scored corpus against truth
+    labels: confusion counts at ``threshold``, precision/recall, and
+    the exact rank-sum AUC — all distributed.
+
+    AUC = (Σ ranks of positives − P(P+1)/2) / (P·N) with AVERAGE ranks
+    on ties (the Mann-Whitney estimator). The global rank is NOT a
+    single-reducer window: scores range-partition, per-partition ranks
+    fold with an exclusive prefix over the n_partitions COUNTS (the
+    pack_sequences two-phase machinery), and tie groups re-average
+    through one score-keyed aggregation — every shuffle is either
+    range-balanced or keyed by score values. Ratios snap via the
+    decimal discipline so the report is partition-invariant."""
+    from pyspark.sql import Window
+
+    spark = scores.sparkSession
+    tgt = target.select("doc_id").distinct().withColumn("is_t", F.lit(1))
+    labeled = track_persist(
+        scores.join(F.broadcast(tgt), "doc_id", "left").select(
+            "doc_id",
+            "score",
+            F.coalesce(F.col("is_t"), F.lit(0)).alias("y"),
+        )
+    )
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = (
+        labeled.repartitionByRange(n_parts, "score", "doc_id")
+        .sortWithinPartitions("score", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "lrank",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("score", "doc_id")
+        ),
+    )
+    counts = parted.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    per = {r["pid"]: r["c"] for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(per):
+        offsets.append((pid, acc))
+        acc += per[pid]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    ranked = local.join(F.broadcast(off_df), "pid").select(
+        "score", "y", (F.col("offset") + F.col("lrank")).alias("rank")
+    )
+    # average ranks within tie groups: one score-keyed aggregation
+    tie_avg = ranked.groupBy("score").agg(
+        # exact: decimal sum / count, round-12 like the Lloyd means
+        F.round(
+            F.sum(F.col("rank").cast("decimal(30,10)")) / F.count("*"), 12
+        ).alias("avg_rank")
+    )
+    agg = (
+        ranked.join(tie_avg, "score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+            F.sum(
+                F.when(F.col("y") == 1, F.col("avg_rank")).otherwise(
+                    F.lit(0).cast("decimal(30,10)")
+                )
+            ).alias("pos_rank_sum"),
+            F.sum(
+                (
+                    (F.col("y") == 1) & (F.col("score") > F.lit(threshold))
+                ).cast("long")
+            ).alias("tp"),
+            F.sum(
+                (
+                    (F.col("y") == 0) & (F.col("score") > F.lit(threshold))
+                ).cast("long")
+            ).alias("fp"),
+            F.sum(
+                (
+                    (F.col("y") == 1) & (F.col("score") <= F.lit(threshold))
+                ).cast("long")
+            ).alias("fn"),
+        )
+    )
+    pr = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rc = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    auc = (
+        F.col("pos_rank_sum").cast("double")
+        - F.col("p").cast("double") * (F.col("p").cast("double") + 1.0) / 2.0
+    ) / F.greatest(
+        F.col("p").cast("double")
+        * (F.col("n") - F.col("p")).cast("double"),
+        F.lit(1.0),
+    )
+    return agg.select(
+        "n",
+        "p",
+        "tp",
+        "fp",
+        "fn",
+        F.round(pr.cast("decimal(30,10)"), 4).cast("double").alias("precision"),
+        F.round(rc.cast("decimal(30,10)"), 4).cast("double").alias("recall"),
+        F.round(auc.cast("decimal(30,10)"), 6).cast("double").alias("auc"),
+    )
+
+
 def write_classifier(spark: SparkSession, model: dict, path: str) -> None:
     """Persist a trained model as a (B+1)-row parquet table — bucket -1
     carries the bias, a one-row header carries (n_buckets, iters, lr).

@@ -178,3 +178,77 @@ def test_model_round_trips_through_parquet(spark, tmp_path):
     a = sorted(map(tuple, classifier_scores(docs, model).collect()))
     b = sorted(map(tuple, classifier_scores(docs, loaded).collect()))
     assert a == b
+
+
+def test_classifier_eval_exact_auc(spark):
+    """The distributed rank-sum AUC must equal the hand-computed
+    Mann-Whitney statistic (average ranks on ties), and the confusion
+    counts must match a direct replay — on a fixture WITH score ties
+    and at two partitionings (the two-phase rank is the point)."""
+    from parquet_metadata_explorer_spark.operators.classify import (
+        classifier_eval,
+    )
+
+    rows = [
+        # (doc_id, score, is_positive) — ties at 0.4 and 0.7
+        (1, 0.9, 1), (2, 0.7, 1), (3, 0.7, 0), (4, 0.4, 1),
+        (5, 0.4, 0), (6, 0.4, 0), (7, 0.2, 0), (8, 0.1, 0),
+        (9, 0.95, 1), (10, 0.05, 0),
+    ]
+    scores = spark.createDataFrame(
+        [(d, s) for d, s, _ in rows], "doc_id long, score double"
+    )
+    target = spark.createDataFrame(
+        [(d,) for d, _, y in rows if y], "doc_id long"
+    )
+
+    # hand-computed Mann-Whitney with average ranks
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    ranks = {}
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j][1] == ordered[i][1]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[ordered[k][0]] = avg
+        i = j
+    P = sum(1 for *_, y in rows if y)
+    N = len(rows) - P
+    expect_auc = (
+        sum(ranks[d] for d, _, y in rows if y) - P * (P + 1) / 2
+    ) / (P * N)
+    tp = sum(1 for _, s, y in rows if y and s > 0.5)
+    fp = sum(1 for _, s, y in rows if not y and s > 0.5)
+    fn = P - tp
+
+    for df in (scores.coalesce(1), scores.repartition(16)):
+        r = classifier_eval(df, target).collect()[0]
+        assert r.n == 10 and r.p == P
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        assert r.auc == round(expect_auc, 6), (r.auc, expect_auc)
+        assert r.precision == round(tp / (tp + fp), 4)
+        assert r.recall == round(tp / (tp + fn), 4)
+
+
+def test_classifier_eval_on_trained_model(spark):
+    """End-to-end: evaluating the trained model on separable classes
+    reports near-perfect AUC; on unseparable labels, AUC ~ 0.5."""
+    from parquet_metadata_explorer_spark.operators.classify import (
+        classifier_eval,
+    )
+
+    docs = _corpus(spark, n=200)
+    target = docs.filter("pos").select("doc_id")
+    model = train_quality_classifier(docs, target, n_buckets=256, iters=4)
+    r = classifier_eval(classifier_scores(docs, model), target).collect()[0]
+    assert r.auc > 0.99
+
+    docs_u = _corpus(spark, n=200, sep=False)
+    target_u = docs_u.filter("pos").select("doc_id")
+    model_u = train_quality_classifier(docs_u, target_u, n_buckets=256, iters=3)
+    r_u = classifier_eval(
+        classifier_scores(docs_u, model_u), target_u
+    ).collect()[0]
+    assert 0.3 < r_u.auc < 0.7
