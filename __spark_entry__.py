@@ -1977,7 +1977,9 @@ sf AS (
   FROM X x LEFT JOIN mf m USING (doc_id)
   CROSS JOIN (SELECT w12 FROM {fw} WHERE bucket = -1) b(w12)
 )
-SELECT doc_id, round(p12::DOUBLE / 1000000000000.0, 6) AS score,
+SELECT doc_id,
+       round((p12::DOUBLE / 1000000000000.0)::DECIMAL(30,10), 6)::DOUBLE
+         AS score,
        (draw12 > (1000000000000 - p12)) AS keep
 FROM sf
 """

@@ -76,9 +76,17 @@ def classifier_features(
     the bigram slices reference it — an expression captured inside a
     ``transform`` lambda re-evaluates per element, so slicing
     ``tokens(text)`` directly would re-run the regexp pipeline once per
-    bigram (the quadratic trap dsir_resample measured at 15.4s → 2s)."""
+    bigram (the quadratic trap dsir_resample measured at 15.4s → 2s).
+
+    Null text coalesces to '' (the corpus_diff/corpus_manifest
+    convention): a null-text document gets an EMPTY feature array, so
+    it scores bias-only and stays in the training set — matching the
+    DuckDB oracle, whose X CTE builds from ALL documents and
+    coalesce(ms, 0)s the missing margin. Without the coalesce the doc
+    would carry null fb → null score → null keep, and the learned
+    gate's filter(keep) would silently drop it."""
     tokdf = documents.select(
-        "doc_id", tokens(F.col("text")).alias("t")
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("t")
     )
     fdf = tokdf.select(
         "doc_id", _feature_buckets(F.col("t"), n_buckets).alias("fb")
@@ -280,9 +288,24 @@ def _scores_on(
         (F.pow(u, F.lit(-1.0 / float(pareto_alpha))) - F.lit(1.0))
         * F.lit(1e12)
     ).cast("long")
+    # score rounds through the repo's decimal-snap discipline
+    # (relational._round_dec): double → DECIMAL(30,10) → exact round-6 →
+    # double, so exact half-way p12 values round identically on Spark
+    # and DuckDB (raw double F.round is BigDecimal-HALF_UP on the
+    # shortest repr vs DuckDB's floating multiply — they can differ).
+    score = (
+        F.round(
+            (F.col("p12").cast("double") / F.lit(1e12)).cast(
+                "decimal(30,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("score")
+    )
     return sc.select(
         "doc_id",
-        F.round(F.col("p12").cast("double") / F.lit(1e12), 6).alias("score"),
+        score,
         (draw12 > (F.lit(SCALE) - F.col("p12"))).alias("keep"),
     )
 

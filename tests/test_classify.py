@@ -65,7 +65,7 @@ def test_empty_and_degenerate_docs(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, ""), (3, "!!! ???"), (4, None)],
         "doc_id long, text string",
-    ).fillna({"text": ""})
+    )
     target = docs.filter("doc_id = 1").select("doc_id")
     out = quality_classifier(docs, target, n_buckets=64, iters=2).collect()
     assert len(out) == 4
@@ -74,6 +74,50 @@ def test_empty_and_degenerate_docs(spark):
     # the two token-less docs score identically (bias-only margin)
     by_id = {r.doc_id: r.score for r in out}
     assert by_id[2] == by_id[3] == by_id[4]
+
+
+def test_null_text_engine_parity(spark, tmp_path):
+    """A corpus with null-text documents replays bit-for-bit on DuckDB
+    through the BOARDED query + oracle pair: the null doc stays in the
+    training set, scores bias-only, and carries a non-null keep flag on
+    both engines. Guards the exact regression the r9 advice named —
+    fixtures without nulls let a filter(keep) drop null-text docs
+    silently while parity still passed."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    lex = list(entrymod.QCLS_LEX)
+    rows = []
+    for i in range(40):
+        pool = lex if i % 2 == 0 else ["plain", "words", "only", "here"]
+        rows.append((i, " ".join(pool[(i + j) % len(pool)] for j in range(12))))
+    rows += [(100, None), (101, ""), (102, None)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    sdf = entrymod.q_quality_classifier(spark, sf_dir)
+    s_rows = {r.doc_id: (r.score, r.keep) for r in sdf.collect()}
+    assert len(s_rows) == 43
+    # null-text docs: present, bias-only score, never null
+    assert s_rows[100] == s_rows[102]
+    assert s_rows[100][0] is not None and s_rows[100][1] is not None
+    assert s_rows[100][0] == s_rows[101][0]  # '' ≡ NULL: empty features
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    o_rows = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(entrymod._oracle_quality_classifier()).fetchall()
+    }
+    assert set(o_rows) == set(s_rows)
+    for k in s_rows:
+        assert s_rows[k] == o_rows[k], (k, s_rows[k], o_rows[k])
 
 
 def test_pareto_keep_rule_scales_with_score(spark):
