@@ -5528,73 +5528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) the committed r9 SLA head: the 27 r6-boarded entries whose
-        #    3-round freshness deadline is THIS round (SURVEY §2.4's
-        #    list — the r8 board named these slots 51+ verbatim)
-        "dedup_substring": q_dedup_substring,
-        "text_logprob2": q_text_logprob2,
-        "ann_pq": q_ann_pq,
-        "tpch_q11": q_tpch_q11,
-        "text_logprob": q_text_logprob,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_lines": q_dedup_lines,
-        "cluster_assign": q_cluster_assign,
-        "cluster_topterms": q_cluster_topterms,
-        "events_funnel": q_events_funnel,
-        "events_gapfill": q_events_gapfill,
-        "clean_corpus": q_clean_corpus,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "text_decontaminate": q_text_decontaminate,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_repetition": q_text_repetition,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "events_percentiles": q_events_percentiles,
-        "events_rollup_multires": q_events_rollup_multires,
-        "events_retention": q_events_retention,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q3": q_tpch_q3,
-        # B) new this round: semantic_increment (the CDC dedup twin over
-        #    frozen centroids, increment-exact oracle) and dsir_resample
-        #    (DSIR importance resampling, Gumbel top-k with
-        #    deterministic md5 noise). No existing row's values changed
-        #    in r9 (the IVF-PQ training fold is bit-identical; the board
-        #    pins SemDeDup's explicit k; zero-norm guards are
-        #    unreachable on the synthetic vectors).
-        "semantic_increment": q_semantic_increment,
-        "dsir_resample": q_dsir_resample,
-        "multimodal_neardup": q_multimodal_neardup,
-        # C) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # D) r7-boarded entries due r10, pulled forward into the spare
-        #    slots (11 of 39)
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
-        "text_redact": q_text_redact,
-        "dedup_simhash": q_dedup_simhash,
-        "hash_split": q_hash_split,
-        "sample_per_group": q_sample_per_group,
-        "pack_sequences": q_pack_sequences,
-        "ngram_freq": q_ngram_freq,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # E0) new late-r9 (never boarded — r10 head with the group-E
-        #     remainder): BM25 lexical retrieval + the leakage-safe
-        #     cluster-aware split
+        # A) the committed r10 head, part 1: the 13 late-r9 entries at
+        #    their FIRST driver rows (new last round — SURVEY §2.4's
+        #    r9 slots-51+ list verbatim). quality_classifier and
+        #    quality_distill also carry this round's value changes
+        #    (null-text docs kept bias-only; score through the
+        #    decimal-snap round — the r9 ADVICE items), so group B of
+        #    the rotation policy is folded in here.
         "text_bm25": q_text_bm25,
         "split_leakage_safe": q_split_leakage_safe,
         "hybrid_rrf": q_hybrid_rrf,
@@ -5608,9 +5548,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_manifest": q_corpus_manifest,
         "tokenizer_fertility": q_tokenizer_fertility,
         "decontaminate_matrix": q_decontaminate_matrix,
-        # E) remaining r7-boarded entries (due r10 — the committed r10
-        #    head; events_percentiles_approx is the one rows-only entry
-        #    by design, Spark's GK sketch, pytest rank-bounded)
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # D) the committed r10 head, part 2: the remaining 28
+        #    r7-boarded entries at their 3-round SLA deadline
+        #    (events_json through page_integrity in registry order;
+        #    events_percentiles_approx is the one rows-only entry by
+        #    design — Spark's GK sketch, pytest rank-bounded)
         "events_json": q_events_json,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -5639,12 +5591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
-        # F) r8-boarded entries (due r11): the r8 SLA head (the 23
-        #    r5-boarded entries + text_decontaminate_bloom's first
-        #    driver row — boarded ORACLED via the deterministic-hash
-        #    split-block variant, NOT rows-only; the r8 board proved the
-        #    hash match), the five r8 new/changed rows, and the r8
-        #    pull-forwards
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # E) r8-boarded entries (due r11 — the committed r11 head,
+        #    pre-staged in board order)
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
         "profile_lineitem": q_profile_lineitem,
@@ -5686,6 +5635,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
+        # F) r9-boarded entries (due r12)
+        "dedup_substring": q_dedup_substring,
+        "text_logprob2": q_text_logprob2,
+        "ann_pq": q_ann_pq,
+        "tpch_q11": q_tpch_q11,
+        "text_logprob": q_text_logprob,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_lines": q_dedup_lines,
+        "cluster_assign": q_cluster_assign,
+        "cluster_topterms": q_cluster_topterms,
+        "events_funnel": q_events_funnel,
+        "events_gapfill": q_events_gapfill,
+        "clean_corpus": q_clean_corpus,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "text_decontaminate": q_text_decontaminate,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_percentiles": q_events_percentiles,
+        "events_rollup_multires": q_events_rollup_multires,
+        "events_retention": q_events_retention,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q3": q_tpch_q3,
+        "semantic_increment": q_semantic_increment,
+        "dsir_resample": q_dsir_resample,
+        "multimodal_neardup": q_multimodal_neardup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "text_redact": q_text_redact,
+        "dedup_simhash": q_dedup_simhash,
+        "hash_split": q_hash_split,
+        "sample_per_group": q_sample_per_group,
+        "pack_sequences": q_pack_sequences,
+        "ngram_freq": q_ngram_freq,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
     }
 
 
