@@ -2037,7 +2037,7 @@ O_CORPUS_MANIFEST = f"""
 SELECT count(*)::bigint AS n_docs,
        sum(len({D_TOKS}))::bigint AS n_tokens,
        sum({_d_hash60("coalesce(text, '')")}::DECIMAL(38,0)) AS content_digest
-FROM documents
+FROM (SELECT coalesce(text, '') AS text FROM documents)
 """
 
 

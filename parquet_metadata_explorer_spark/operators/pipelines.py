@@ -181,17 +181,145 @@ def corpus_manifest(documents: DataFrame) -> DataFrame:
     corpus_diff answers WHAT changed, the manifest answers WHETHER.
 
     Scale shape: one map pass, one all-partials fold to a single row —
-    no shuffle beyond the final 1-row combine."""
+    no shuffle beyond the final 1-row combine.
+
+    Null text counts as an EMPTY document on both sides of the stamp:
+    the digest already hashes coalesce(text, '') and the token count
+    coalesces the same way (0 tokens), so a null-text doc contributes
+    (1, 0, hash60('')) — engines agree instead of diverging on
+    size(NULL) semantics."""
     from ..functions import hash60, tokens
 
+    txt = F.coalesce(F.col("text"), F.lit(""))
     return documents.select(
-        hash60(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
-        F.size(tokens(F.col("text"))).cast("long").alias("tk"),
+        hash60(txt).alias("h"),
+        F.size(tokens(txt)).cast("long").alias("tk"),
     ).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("tk").cast("long").alias("n_tokens"),
         F.sum(F.col("h").cast("decimal(38,0)")).alias("content_digest"),
     )
+
+
+def corpus_manifest_increment(
+    prev: DataFrame | None, arrivals: DataFrame
+) -> DataFrame:
+    """Fold a batch of ARRIVALS into a previous manifest — exact, not
+    approximate, because every manifest field is an order-invariant
+    sum (count, token longs, the decimal digest of 60-bit content
+    hashes). manifest(A ∪ B) ≡ fold(manifest(A), manifest(B)) by
+    construction, so a release pipeline stamps 100 TB incrementally:
+    each increment touches ONLY the new bytes, never re-reads history.
+
+    ``prev`` is a 1-row manifest DataFrame (or None for the first
+    batch); returns the folded 1-row manifest with the same schema."""
+    inc = corpus_manifest(arrivals)
+    if prev is None:
+        return inc
+    return (
+        prev.unionByName(inc)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("content_digest").cast("decimal(38,0)").alias(
+                "content_digest"
+            ),
+        )
+    )
+
+
+def stream_corpus_manifest(
+    spark,
+    docs_path: str,
+    state_dir: str,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str = None,
+):
+    """Maintain the reproducibility manifest CONTINUOUSLY as document
+    files land — the streaming twin of ``corpus_manifest``, same
+    crash-safe versioned-state protocol as ``stream_prepare_corpus``:
+    each micro-batch folds its arrivals through
+    ``corpus_manifest_increment`` and commits manifest version v+1
+    (batch_id + lineage recorded BEFORE the CURRENT flip, so a replay
+    before the flip recomputes the identical fold — the increment is a
+    pure function of (prev manifest, batch rows) — and a replay after
+    the flip sees its batch_id committed and skips). The accumulated
+    manifest equals the batch ``corpus_manifest`` on the union of all
+    arrived files EXACTLY, in any arrival order — the fold is
+    order-invariant, so this twin has NO first-arrival caveat.
+
+    Returns the StreamingQuery; read the current stamp with
+    ``read_corpus_manifest(spark, state_dir)``."""
+    import os
+    import uuid
+
+    ckpt = checkpoint_dir or f"{state_dir}/_checkpoint"
+    token_path = os.path.join(ckpt, "LINEAGE")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = f.read().strip()
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        token = uuid.uuid4().hex
+        with open(token_path, "w") as f:
+            f.write(token)
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+
+    def handle(batch_df, batch_id):
+        prev, v = read_corpus_manifest(spark, state_dir, with_version=True)
+        done = committed_batch_id(state_dir, v)
+        if done is not None:
+            lin = committed_lineage(state_dir, v)
+            if lin is not None and lin != token:
+                raise ValueError(
+                    "stream_corpus_manifest: state_dir has batches "
+                    f"committed by a different checkpoint lineage ({lin!r}"
+                    f" != {token!r}); reset state_dir and checkpoint "
+                    "together."
+                )
+            if batch_id <= done:
+                return
+        folded = corpus_manifest_increment(prev, batch_df)
+        vdir = os.path.join(state_dir, f"v={v + 1}")
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(vdir, "manifest")
+        )
+        with open(os.path.join(vdir, "BATCH"), "w") as f:
+            f.write(str(batch_id))
+        with open(os.path.join(vdir, "LINEAGE"), "w") as f:
+            f.write(token)
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v + 1))
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def read_corpus_manifest(spark, state_dir: str, with_version: bool = False):
+    """Current committed manifest stamp (None before the first batch);
+    with ``with_version`` returns (manifest, version) for the streaming
+    replay check."""
+    import os
+
+    cur = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return (None, 0) if with_version else None
+    with open(cur) as f:
+        v = int(f.read().strip())
+    df = spark.read.parquet(os.path.join(state_dir, f"v={v}", "manifest"))
+    return (df, v) if with_version else df
 
 
 def dataset_card(documents: DataFrame) -> DataFrame:

@@ -701,3 +701,106 @@ def test_stream_to_bm25_index_composition(spark, sf_dir, tmp_path):
     assert got == sorted(
         map(tuple, bm25_probe_topk(spark, idx, qs, k=10).collect())
     )
+
+
+def test_stream_corpus_manifest_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming manifest accumulates to EXACTLY the batch stamp on
+    the union of arrivals — in ANY arrival order (the fold is a sum of
+    order-invariant terms, so this twin has no first-arrival caveat) —
+    and replaying a crash window leaves the stamp and version
+    unchanged. A null-text document folds as an empty doc (0 tokens,
+    hash60('')) on the way through."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        corpus_manifest,
+        read_corpus_manifest,
+        stream_corpus_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, "")], "doc_id long, text string"
+    )
+    docs = docs.unionByName(extra)
+    src = str(tmp_path / "arrivals")
+    # deliberately NOT doc_id-ordered: batch by doc_id % 3
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/batch={i}"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        part = _glob.glob(f"{src}/batch={i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:03d}.parquet")
+
+    state_dir = str(tmp_path / "state")
+    q = stream_corpus_manifest(spark, flat, state_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_corpus_manifest(spark, state_dir).collect()[0]
+    exp = corpus_manifest(docs).collect()[0]
+    assert (got.n_docs, got.n_tokens, got.content_digest) == (
+        exp.n_docs,
+        exp.n_tokens,
+        exp.content_digest,
+    )
+    _, v = read_corpus_manifest(spark, state_dir, with_version=True)
+    assert v == 3
+
+    # crash-window replay, same checkpoint lineage: drop the last
+    # streaming commit marker and restart — batch 2 replays, handle
+    # sees its batch_id committed and skips; stamp and version hold
+    ckpt = f"{state_dir}/_checkpoint"
+    os.remove(f"{ckpt}/commits/2")
+    crc = f"{ckpt}/commits/.2.crc"
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+    q = stream_corpus_manifest(spark, flat, state_dir)
+    q.processAllAvailable()
+    q.stop()
+    again = read_corpus_manifest(spark, state_dir).collect()[0]
+    assert (again.n_docs, again.n_tokens, again.content_digest) == (
+        exp.n_docs,
+        exp.n_tokens,
+        exp.content_digest,
+    )
+    _, v2 = read_corpus_manifest(spark, state_dir, with_version=True)
+    assert v2 == 3
+
+    # a FRESH checkpoint against committed state must raise, not skip
+    import pytest as _pytest
+
+    q = stream_corpus_manifest(
+        spark, flat, state_dir, checkpoint_dir=str(tmp_path / "ckpt_fresh")
+    )
+    with _pytest.raises(Exception, match="lineage"):
+        q.processAllAvailable()
+    q.stop()
+    _, v3 = read_corpus_manifest(spark, state_dir, with_version=True)
+    assert v3 == 3  # nothing committed by the rejected lineage
+
+
+def test_corpus_manifest_increment_is_exact_fold(spark, sf_dir):
+    """manifest(A ∪ B) ≡ fold(manifest(A), manifest(B)) — the algebraic
+    property the streaming twin rides; exact on every field including
+    the decimal digest."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        corpus_manifest,
+        corpus_manifest_increment,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    folded = corpus_manifest_increment(corpus_manifest(a), b).collect()[0]
+    whole = corpus_manifest(docs).collect()[0]
+    assert tuple(folded) == tuple(whole)
