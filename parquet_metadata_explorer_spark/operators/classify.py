@@ -110,15 +110,23 @@ def classifier_features(
     )
 
 
-def _scored(X: DataFrame, w12: list, bias12: int):
+def _wrow(spark: SparkSession, w12: list, bias12: int) -> DataFrame:
+    """The per-round weight carrier: ONE 1-row driver structure that
+    both the margin broadcast and the in-engine update join derive
+    from."""
+    return spark.createDataFrame(
+        [(list(w12), int(bias12))], "w array<long>, b12 long"
+    )
+
+
+def _scored(X: DataFrame, w12: list, bias12: int, wrow: DataFrame = None):
     """One map pass: margin (exact long sum of w12 over the doc's
     occurrence buckets via the broadcast weight array), sigmoid snapped
     to integer p12, residual r12 and length-normalized gradient g12 —
     all codegen, zero Python."""
     spark = X.sparkSession
-    wrow = spark.createDataFrame(
-        [(list(w12), int(bias12))], "w array<long>, b12 long"
-    )
+    if wrow is None:
+        wrow = _wrow(spark, w12, bias12)
     ms = F.aggregate(
         "fb", F.lit(0).cast("long"), lambda acc, bk: acc + F.get(F.col("w"), bk)
     )
@@ -194,7 +202,8 @@ def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
     w12 = [0] * B
     bias12 = 0
     for _ in range(int(iters)):
-        sc = _scored(X, w12, bias12)
+        wrow = _wrow(spark, w12, bias12)
+        sc = _scored(X, w12, bias12, wrow=wrow)
         pairs = F.concat(
             F.transform(
                 "fb",
@@ -225,10 +234,15 @@ def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
                 F.sum(F.col("m").cast("decimal(38,0)")).alias("mass"),
             )
         )
-        wdf = spark.createDataFrame(
-            [(-1, int(bias12))] + [(b, int(w12[b])) for b in range(B)],
-            "bucket int, w12 long",
-        )
+        # the update-join weight table derives in-engine from the SAME
+        # 1-row weight carrier the margins broadcast (pos 0 via b12 =
+        # bias at bucket -1) — one driver structure per round, not two;
+        # values are byte-identical to the former createDataFrame(B+1)
+        wdf = wrow.select(
+            F.posexplode(
+                F.concat(F.array(F.col("b12")), F.col("w"))
+            ).alias("pos", "w12")
+        ).select((F.col("pos") - 1).cast("int").alias("bucket"), "w12")
         step = F.round(
             F.lit(float(lr))
             * F.coalesce(F.col("gs").cast("double"), F.lit(0.0))
