@@ -296,6 +296,53 @@ def decontaminate_matrix(
     )
 
 
+def stream_decontaminate_matrix(
+    spark,
+    docs_path: str,
+    benchmarks: dict,
+    out_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str = None,
+):
+    """Screen documents against every benchmark AS THEY LAND — the
+    streaming twin of ``decontaminate_matrix``. The batch operator is
+    per-document (shingle containment against broadcast eval suites,
+    no cross-document state), so each micro-batch screens exactly its
+    arrivals and the accumulated output equals the batch screen on the
+    union EXACTLY, in any arrival order — no state store, no caveat.
+
+    Idempotence is the batch-keyed overwrite-partition contract
+    (``stream_prepare_corpus``'s sink discipline, state-free here): a
+    replayed micro-batch re-screens the same files against the same
+    static benchmarks and overwrites ``out_dir/batch={id}`` with
+    identical rows.
+
+    This is the release-gate deployment shape: the N eval suites are
+    MB-scale constants pinned at stream start, arrivals are the moving
+    100 TB — each batch costs one map-side broadcast join over just the
+    new bytes."""
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+
+    def handle(batch_df, batch_id):
+        decontaminate_matrix(batch_df, benchmarks, threshold).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
 def _gram_instances(documents: DataFrame, n: int) -> DataFrame:
     """One row per n-gram OCCURRENCE (column ``ngram``) — every
     occurrence counts, unlike the dedup shingles' per-document

@@ -804,3 +804,70 @@ def test_corpus_manifest_increment_is_exact_fold(spark, sf_dir):
     folded = corpus_manifest_increment(corpus_manifest(a), b).collect()[0]
     whole = corpus_manifest(docs).collect()[0]
     assert tuple(folded) == tuple(whole)
+
+
+def test_stream_decontaminate_matrix_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming multi-benchmark screen accumulates to EXACTLY the
+    batch screen on the union of arrivals (per-document operator, no
+    state), and a crash-window replay overwrites its batch partition
+    with identical rows."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from parquet_metadata_explorer_spark.operators.text import (
+        decontaminate_matrix,
+        stream_decontaminate_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    benchmarks = {
+        "suite_a": docs.filter("doc_id % 13 = 1").select("doc_id", "text"),
+        "suite_b": docs.filter("doc_id % 17 = 2").select("doc_id", "text"),
+    }
+    src = str(tmp_path / "arrivals")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/batch={i}"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        part = _glob.glob(f"{src}/batch={i}/part-*.parquet")[0]
+        shutil.copy(part, f"{flat}/{i:03d}.parquet")
+
+    out_dir = str(tmp_path / "screened")
+    q = stream_decontaminate_matrix(spark, flat, benchmarks, out_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out_dir}/batch=*").select(
+            "doc_id", "benchmark", "n_sh", "n_hit", "contamination",
+            "contaminated",
+        ).collect()
+    }
+    exp = {tuple(r) for r in decontaminate_matrix(docs, benchmarks).collect()}
+    assert got == exp and got  # non-empty: the suites overlap the corpus
+
+    # crash-window replay: drop the last commit marker and restart —
+    # batch 2 re-screens and overwrites its partition with equal rows
+    ckpt = f"{out_dir}/_checkpoint"
+    os.remove(f"{ckpt}/commits/2")
+    crc = f"{ckpt}/commits/.2.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = stream_decontaminate_matrix(spark, flat, benchmarks, out_dir)
+    q.processAllAvailable()
+    q.stop()
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out_dir}/batch=*").select(
+            "doc_id", "benchmark", "n_sh", "n_hit", "contamination",
+            "contaminated",
+        ).collect()
+    }
+    assert again == exp
