@@ -177,6 +177,7 @@ def export_training_windows(
     budget_tokens: int = 2048,
     shard_max_windows: int = 100_000,
     mode: str = "error",
+    shuffle_seed: str = None,
 ) -> dict:
     """The pipeline's LAST step: materialize trainer-ready context
     windows — BPE-encode the corpus, lay every document's token ids on
@@ -282,6 +283,13 @@ def export_training_windows(
             F.size("token_ids").cast("long").alias("n_tokens"),
         )
     )
+    if shuffle_seed is not None:
+        # pre-shuffle the tape at rest (see shuffle_training_windows);
+        # the key column is dropped but the PERMUTATION persists as the
+        # written row/shard order a filename-ordered loader streams
+        windows = shuffle_training_windows(windows, shuffle_seed).drop(
+            "shuffle_key"
+        )
     # write order IS the commit protocol: the vocab sidecar lands first,
     # windows last — windows/_SUCCESS is the export's commit marker, so
     # a crash between the writes leaves no readable-but-torn export
@@ -302,6 +310,41 @@ def export_training_windows(
         "vocab_size": int(vocab_size),
         "out_path": out_path,
     }
+
+
+def shuffle_training_windows(
+    windows: DataFrame, seed: str = "shuf", id_col: str = "window_id"
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle of the exported window tape —
+    the step between ``export_training_windows`` and a training loader.
+    Loaders stream shards in filename order, so the mixing a training
+    run needs must exist AT REST: adjacent windows on the written tape
+    must come from far-apart documents, and re-shuffling 100 TB at load
+    time is exactly the thing a loader cannot do.
+
+    The shuffle key is ``hash60(seed || ':' || window_id)`` with the
+    window_id itself as the tie-break, so the permutation is a pure
+    function of (seed, window ids): the same seed reproduces the same
+    order on any cluster, any partitioning, any round — the
+    reproducibility contract training runs require — and a new seed is
+    a fresh epoch-order for multi-epoch training.
+
+    Scale shape: one range-partitioning exchange on the uniform 60-bit
+    key (range bounds from Spark's sampling; keys are hashes, so ranges
+    balance by construction — no skew surface) + a per-partition sort.
+    No window function, no single reducer. Write the result with
+    ordered part files (the default writer preserves partition index
+    order) and the at-rest tape IS the shuffled stream."""
+    from ..functions import hash60
+
+    key = hash60(
+        F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))
+    )
+    return (
+        windows.withColumn("shuffle_key", key)
+        .repartitionByRange("shuffle_key", id_col)
+        .sortWithinPartitions("shuffle_key", id_col)
+    )
 
 
 def write_metadata_report(

@@ -284,3 +284,88 @@ def test_prepare_then_export_end_to_end(spark, tmp_path, sf_dir):
     win = spark.read.parquet(out + "/windows")
     assert win.count() == summary["windows"]
     assert audit["after_decontamination"] == final.count()
+
+
+def test_shuffle_training_windows_contract(spark, tmp_path):
+    """The seeded tape shuffle: a PERMUTATION (same window multiset),
+    deterministic — the same seed reproduces the identical global order
+    under 1 partition and 16 partitions — and a different seed gives a
+    genuinely different order. Written shards carry the permutation at
+    rest: streaming the part files in filename order yields the
+    shuffle-key order a training loader needs."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        shuffle_training_windows,
+    )
+
+    windows = spark.createDataFrame(
+        [(i, [i * 3, i * 3 + 1], 2) for i in range(500)],
+        "window_id long, token_ids array<int>, n_tokens int",
+    )
+
+    def order(df):
+        return [
+            r.window_id
+            for r in df.collect()  # collect preserves partition+sort order
+        ]
+
+    o1 = order(shuffle_training_windows(windows.coalesce(1), "epoch0"))
+    o16 = order(shuffle_training_windows(windows.repartition(16), "epoch0"))
+    assert o1 == o16  # partition-invariant global order
+    assert sorted(o1) == list(range(500))  # a permutation
+    assert o1 != list(range(500))  # actually mixed
+    o_ep1 = order(shuffle_training_windows(windows, "epoch1"))
+    assert o_ep1 != o1  # fresh epoch order per seed
+
+    # at rest: filename-ordered part files stream in shuffle order
+    out = str(tmp_path / "tape")
+    shuffle_training_windows(windows, "epoch0").drop(
+        "shuffle_key"
+    ).write.parquet(out)
+    got = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        got.extend(pq.read_table(f).column("window_id").to_pylist())
+    assert got == o1
+
+
+def test_export_windows_shuffle_seed(spark, tmp_path):
+    """export_training_windows(shuffle_seed=...) writes the SAME window
+    set as the unshuffled export (ids, payloads, counts identical) —
+    only the at-rest order moves."""
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    merges = bpe_merges_fast(docs, n_merges=20)
+    plain = str(tmp_path / "plain")
+    mixed = str(tmp_path / "mixed")
+    s1 = export_training_windows(docs, merges, plain, budget_tokens=32)
+    s2 = export_training_windows(
+        docs, merges, mixed, budget_tokens=32, shuffle_seed="epoch0"
+    )
+    assert (s1["windows"], s1["tokens"], s1["vocab_size"]) == (
+        s2["windows"],
+        s2["tokens"],
+        s2["vocab_size"],
+    )
+    a = {
+        (r.window_id, tuple(r.token_ids))
+        for r in spark.read.parquet(plain + "/windows").collect()
+    }
+    b = {
+        (r.window_id, tuple(r.token_ids))
+        for r in spark.read.parquet(mixed + "/windows").collect()
+    }
+    assert a == b
