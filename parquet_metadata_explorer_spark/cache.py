@@ -27,6 +27,35 @@ def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def persist_scope(blocking: bool = False):
+    """Release ONLY the persists tracked inside the ``with`` block —
+    the long-running-stream discipline: a ``foreachBatch`` handler that
+    calls persisting operators (dedup kernels, the CM sketch, prepare
+    stages) would otherwise pin one arrivals-sized cache entry per
+    micro-batch until someone calls ``unpersist_all()``, which a
+    24/7 ingest job never does. Scoped release keeps the session-level
+    registry semantics for everyone else (entries tracked BEFORE the
+    scope are untouched).
+
+    Not safe under concurrent persisting jobs in one session (the
+    registry is a plain list); streams already serialize their batches,
+    which is the intended user."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > mark:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass  # session already stopped
+
+
 def unpersist_all(blocking: bool = False) -> int:
     """Unpersist every operator-cached DataFrame; returns how many were
     released."""

@@ -808,18 +808,27 @@ def stream_prepare_corpus(
                 )
             if batch_id <= done:
                 return  # replay of an already-committed micro-batch
-        final, new_state = prepare_corpus_increment(
-            batch_df,
-            benchmark,
-            state,
-            min_quality=min_quality,
-            contamination_threshold=contamination_threshold,
-            key=key,
-        )
-        final.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        save_prepare_state(
-            new_state, state_dir, v + 1, batch_id=batch_id, lineage=token
-        )
+        from ..cache import persist_scope
+
+        # scoped release: the increment's stages persist arrivals-sized
+        # intermediates; a 24/7 stream must not pin one per micro-batch.
+        # Everything the batch produces is WRITTEN inside the scope, so
+        # nothing released is still lazily referenced.
+        with persist_scope():
+            final, new_state = prepare_corpus_increment(
+                batch_df,
+                benchmark,
+                state,
+                min_quality=min_quality,
+                contamination_threshold=contamination_threshold,
+                key=key,
+            )
+            final.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
+            save_prepare_state(
+                new_state, state_dir, v + 1, batch_id=batch_id, lineage=token
+            )
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -331,9 +331,14 @@ def stream_decontaminate_matrix(
     )
 
     def handle(batch_df, batch_id):
-        decontaminate_matrix(batch_df, benchmarks, threshold).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/batch={batch_id}")
+        from ..cache import persist_scope
+
+        # scoped release: the screen persists the arrivals' shingles;
+        # a 24/7 stream must not pin one cache entry per micro-batch
+        with persist_scope():
+            decontaminate_matrix(batch_df, benchmarks, threshold).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch={batch_id}")
 
     ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
     return (

@@ -839,9 +839,15 @@ def test_stream_decontaminate_matrix_matches_batch(spark, sf_dir, tmp_path):
         shutil.copy(part, f"{flat}/{i:03d}.parquet")
 
     out_dir = str(tmp_path / "screened")
+    from parquet_metadata_explorer_spark.cache import _TRACKED
+
+    tracked_before = len(_TRACKED)
     q = stream_decontaminate_matrix(spark, flat, benchmarks, out_dir)
     q.processAllAvailable()
     q.stop()
+    # the 24/7 discipline: no per-micro-batch cache entry survives the
+    # batch (persist_scope releases what each handler tracked)
+    assert len(_TRACKED) == tracked_before
 
     got = {
         tuple(r)
