@@ -805,6 +805,14 @@ def test_corpus_manifest_increment_is_exact_fold(spark, sf_dir):
     whole = corpus_manifest(docs).collect()[0]
     assert tuple(folded) == tuple(whole)
 
+    # an EMPTY micro-batch is the fold's identity (its stamp is
+    # (0, NULL, NULL) and sums skip nulls), in either position
+    empty = docs.filter("doc_id < 0")
+    lead = corpus_manifest_increment(corpus_manifest(empty), docs)
+    mid = corpus_manifest_increment(corpus_manifest(docs), empty)
+    assert tuple(lead.collect()[0]) == tuple(whole)
+    assert tuple(mid.collect()[0]) == tuple(whole)
+
 
 def test_stream_decontaminate_matrix_matches_batch(spark, sf_dir, tmp_path):
     """The streaming multi-benchmark screen accumulates to EXACTLY the
