@@ -1,0 +1,153 @@
+"""Adversarial-corpus smoke net: every text/dedup/sampling operator over
+one deliberately hostile documents table.
+
+The boarded fixtures are clean ASCII with no nulls, so an operator can
+pass every oracle while silently misbehaving on the corpus states a
+real 100 TB pipeline contains: NULL text (failed extraction), empty
+strings, whitespace/punctuation-only bodies, CJK and emoji (no ASCII
+tokens), single-token docs, megabyte-long repetition, and exact
+duplicates of the nasty rows themselves. This net asserts the shared
+contract the r9 advice established for the classifier: every
+per-document operator KEEPS every input row (or documents why not),
+and no null/NaN leaks into a score-like output column.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def nasty(spark):
+    rows = [
+        (0, "a perfectly normal english sentence with several words"),
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "!!! ??? ... ---"),
+        (5, "世界你好世界"),  # CJK, no spaces
+        (6, "\U0001f600 \U0001f680 \U0001f984"),  # emoji tokens
+        (7, "word"),  # single token
+        (8, "spam " * 5000),  # long + maximally repetitive
+        (9, "a perfectly normal english sentence with several words"),  # dup of 0
+        (10, None),  # second null
+        (11, "tab\tseparated\tand\nnewlined\nlines\nhere"),
+        (12, "MiXeD CaSe AnD num8er5 0xdeadbeef"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _no_null(rows, field):
+    bad = [r.doc_id for r in rows if getattr(r, field) is None]
+    assert not bad, f"{field} null for doc_ids {bad}"
+
+
+def _no_nan(rows, field):
+    bad = [
+        r.doc_id
+        for r in rows
+        if getattr(r, field) is not None
+        and isinstance(getattr(r, field), float)
+        and math.isnan(getattr(r, field))
+    ]
+    assert not bad, f"{field} NaN for doc_ids {bad}"
+
+
+def test_text_per_doc_operators_keep_every_row(spark, nasty):
+    from parquet_metadata_explorer_spark.operators import text as T
+
+    n = nasty.count()
+    for name, fn, score_cols in [
+        ("text_stats", T.text_stats, ["quality_score"]),
+        ("language_id", T.language_id, []),
+        ("token_counts", T.token_counts, []),
+        ("repetition_stats", T.repetition_stats, []),
+        ("quality_filter", T.quality_filter, []),
+    ]:
+        out = fn(nasty)
+        rows = out.collect()
+        assert len(rows) == n, f"{name} dropped rows: {len(rows)} != {n}"
+        for c in score_cols:
+            _no_nan(rows, c)
+
+
+def test_fingerprints_and_dedup_families_run(spark, nasty):
+    from parquet_metadata_explorer_spark.operators import dedup as D
+
+    # exact dedup groups the two normal twins and the two nulls
+    # (null ≡ '' ≡ whitespace-only after normalization is NOT required —
+    # only that nothing crashes and the true twins pair)
+    groups = {
+        tuple(sorted(r.doc_ids))
+        for r in D.exact_duplicates(nasty).collect()
+    }
+    assert any({0, 9} <= set(g) for g in groups)
+
+    # minhash/simhash/ngram candidates: no crash, pairs are subsets of ids
+    ids = {r.doc_id for r in nasty.collect()}
+    for fn in (D.minhash_lsh_pairs, D.simhash_candidate_pairs):
+        for r in fn(nasty).collect():
+            assert r.doc_a in ids and r.doc_b in ids
+
+    sur = D.line_dedup(nasty).collect()
+    assert {r.doc_id for r in sur} <= ids and sur
+
+
+def test_chunk_bm25_and_heavyhitters_degenerates(spark, nasty):
+    from parquet_metadata_explorer_spark.operators import text as T
+
+    chunks = T.chunk_documents(nasty, chunk_size=4, overlap=1)
+    rows = chunks.collect()
+    # token-less docs produce no chunks; every produced chunk is
+    # non-empty and within budget
+    assert all(1 <= r.n_tokens <= 4 for r in rows)
+    assert {r.doc_id for r in rows} <= {0, 5, 6, 7, 8, 9, 11, 12}
+
+    hits = T.bm25_topk(nasty, [(99, "normal english sentence")], k=5)
+    got = hits.collect()
+    assert got and all(r.query_id == 99 for r in got)
+    assert got[0].doc_id in (0, 9)  # the twins are the best matches
+
+    # threshold mining over a corpus whose heavy item is 'spam'
+    freq = T.frequent_ngrams(nasty, n=1, threshold=1000)
+    f = {r.ngram: r.freq for r in freq.collect()}
+    assert f.get("spam") == 5000
+
+
+def test_sampling_and_manifest_degenerates(spark, nasty):
+    from parquet_metadata_explorer_spark.operators import sampling as S
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        corpus_manifest,
+    )
+
+    n = nasty.count()
+    split = S.hash_split(nasty, "doc_id", val_permille=300)
+    rows = split.collect()
+    assert len(rows) == n
+    assert {r.split for r in rows} <= {"train", "val"}
+
+    stamp = corpus_manifest(nasty).collect()[0]
+    assert stamp.n_docs == n
+    assert stamp.n_tokens is not None and stamp.n_tokens > 5000
+    assert stamp.content_digest is not None
+
+
+def test_dsir_and_classifier_keep_null_docs(spark, nasty):
+    from parquet_metadata_explorer_spark.operators.classify import (
+        quality_classifier,
+    )
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    target = nasty.filter("doc_id in (0, 9)").select("doc_id")
+    out = quality_classifier(nasty, target, n_buckets=64, iters=2).collect()
+    assert len(out) == nasty.count()
+    _no_null(out, "score")
+    _no_null(out, "keep")
+    _no_nan(out, "score")
+
+    res = dsir_resample(nasty, nasty.filter("doc_id in (0, 9)"), n_out=5)
+    kept = res.collect()
+    assert 0 < len(kept) <= 5
