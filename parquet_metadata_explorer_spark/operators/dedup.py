@@ -571,11 +571,19 @@ def embedding_near_duplicates(
         ti = rows[0][2]
         tj = rows[0][3]
         ids = np.array([r[1] for r in rows], dtype=np.int64)
-        mat = np.stack([np.asarray(r[4], dtype=np.float64) for r in rows])
+        from .similarity import stack_embeddings
+
+        mat = stack_embeddings(
+            [r[4] for r in rows], "embedding LSH tiles", ids=list(ids)
+        )
         # safe divide: a zero-norm row keeps its zeros, so its cosine
         # with everything is 0.0 < threshold — zero vectors never pair
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat /= np.where(nrm > 0.0, nrm, 1.0)
+        # zero-norm AND non-finite rows keep zeros: cosine 0 < threshold,
+        # so degenerate vectors never pair (contract tested in the nasty
+        # embeddings suite)
+        good = np.isfinite(nrm) & (nrm > 0.0)
+        mat = np.where(good, mat / np.where(good, nrm, 1.0), 0.0)
         if ti == tj:
             sims = rnd(mat @ mat.T)
             ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
@@ -1209,9 +1217,15 @@ def semantic_decontaminate(
     qpdf = benchmark.select("vec_id", "embedding").toPandas()
     corpus = ensure_parallelism(embeddings.select("vec_id", "embedding"))
     if not qpdf.empty:
-        q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        from .similarity import stack_embeddings
+
+        q_mat = stack_embeddings(
+            qpdf["embedding"].to_numpy(), "semantic_decontaminate benchmark",
+            ids=list(qpdf["vec_id"]),
+        )
         q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
-        q_mat = q_mat[q_norms[:, 0] > 0.0] / q_norms[q_norms[:, 0] > 0.0]
+        _qok = np.isfinite(q_norms[:, 0]) & (q_norms[:, 0] > 0.0)
+        q_mat = q_mat[_qok] / q_norms[_qok]
     if qpdf.empty or not len(q_mat):
         return corpus.select(
             "vec_id",
@@ -1224,10 +1238,15 @@ def semantic_decontaminate(
         q = bc.value
         for pdf in batches:
             ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            from .similarity import stack_embeddings as _stk
+
+            m = _stk(
+                pdf["embedding"].to_numpy(),
+                "semantic_decontaminate corpus", ids=list(ids),
+            )
             norms = np.linalg.norm(m, axis=1, keepdims=True)
-            ok = norms[:, 0] > 0.0
-            m = m / np.where(norms > 0.0, norms, 1.0)
+            ok = np.isfinite(norms[:, 0]) & (norms[:, 0] > 0.0)
+            m = np.where(ok[:, None], m / np.where(ok[:, None], norms, 1.0), 0.0)
             sims = m @ q.T
             # half-away-from-zero round to 6, matching DuckDB/Spark round()
             sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6

@@ -25,6 +25,89 @@ from ..functions import cosine, dot, ensure_parallelism
 LSH_PLANES = 8
 
 
+def stack_embeddings(values, who: str, ids=None):
+    """``np.stack`` for an embedding column with a DIAGNOSABLE failure
+    mode: one ragged or null vector anywhere in a 100 TB corpus (a
+    failed encoder batch) otherwise poisons every kernel with numpy's
+    context-free "all input arrays must have the same shape" from deep
+    inside an executor. This helper names the offending vec_ids (or
+    batch positions) and points at ``embedding_health`` — fail fast,
+    fail addressable. The green path is the same single np.stack call."""
+    import numpy as np
+
+    try:
+        return np.stack(values).astype(np.float64)
+    except (ValueError, TypeError):
+        lens = {}
+        for i, v in enumerate(values):
+            key = "null" if v is None else len(v)
+            lens.setdefault(key, []).append(
+                ids[i] if ids is not None else i
+            )
+        detail = ", ".join(
+            f"len={k}: {v[:5]}{'...' if len(v) > 5 else ''} ({len(v)} rows)"
+            for k, v in sorted(lens.items(), key=lambda kv: -len(kv[1]))
+        )
+        raise ValueError(
+            f"{who}: embedding column is ragged or null — every vector "
+            f"must share one model dimension. Offending "
+            f"{'vec_ids' if ids is not None else 'batch positions'} by "
+            f"length: {detail}. Run similarity.embedding_health(df) to "
+            "audit the corpus."
+        ) from None
+
+
+def embedding_health(embeddings: DataFrame, dim: int = None) -> DataFrame:
+    """One-scan corpus audit for the embedding defects that poison or
+    silently distort ANN/dedup kernels: null vectors, ragged lengths
+    (vs ``dim``, defaulting to the corpus's majority length), non-finite
+    components (NaN/Inf), and zero norms. Output: one row per defect
+    class — (defect, n_rows, example_ids array, capped at 5) — plus an
+    'ok' row, so `WHERE defect <> 'ok' AND n_rows > 0` is the release
+    gate. Pure codegen: size/exists/aggregate expressions, one map pass,
+    one tiny groupBy."""
+    e = F.col("embedding")
+    spark = embeddings.sparkSession
+    if dim is None:
+        mode = (
+            embeddings.filter(e.isNotNull())
+            .groupBy(F.size(e).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+            .limit(1)
+            .collect()
+        )
+        dim = int(mode[0]["d"]) if mode else 0
+    nonfinite = F.exists(
+        e, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == float("inf"))
+    )
+    sumsq = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    defect = (
+        F.when(e.isNull(), F.lit("null"))
+        .when(F.size(e) != F.lit(int(dim)), F.lit("wrong_length"))
+        .when(nonfinite, F.lit("non_finite"))
+        .when(sumsq == 0.0, F.lit("zero_norm"))
+        .otherwise(F.lit("ok"))
+    )
+    tagged = embeddings.select("vec_id", defect.alias("defect"))
+    counts = tagged.groupBy("defect").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    # bounded examples: the rank<=5 filter compiles to WindowGroupLimit,
+    # which prunes to 5 rows per defect per map partition BEFORE the
+    # shuffle — a collect_list over all ids would be corpus-sized state
+    w = Window.partitionBy("defect").orderBy("vec_id")
+    examples = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("defect")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("example_ids"))
+    )
+    return counts.join(examples, "defect").orderBy("defect")
+
+
 def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     """Exact top-k neighbors (by cosine) for each query vector, excluding
     self. Deterministic ranking: round to 6 decimals, tie-break on vec_id.
@@ -47,11 +130,16 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     if qpdf.empty:
         return spark.createDataFrame([], scored_empty_schema)
     q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
-    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat = stack_embeddings(
+        qpdf["embedding"].to_numpy(), "cosine_topk queries", ids=list(q_ids)
+    )
     # zero-norm contract: a zero-norm query has no defined cosine to
     # anything — it emits NO rows (dropped here); zero-norm corpus
     # vectors are excluded as candidates below. Never NaN in output.
-    q_ok = np.linalg.norm(q_mat, axis=1) > 0.0
+    _qn = np.linalg.norm(q_mat, axis=1)
+    # a degenerate query (zero norm, or NaN/Inf components making the
+    # norm non-finite) has no defined cosine — it emits NO rows
+    q_ok = np.isfinite(_qn) & (_qn > 0.0)
     q_ids, q_mat = q_ids[q_ok], q_mat[q_ok]
     if not len(q_ids):
         return spark.createDataFrame([], scored_empty_schema)
@@ -70,8 +158,14 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
         ids_q, mat_q = bc.value
         for pdf in batches:
             n_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            n_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n_ok = np.linalg.norm(n_mat, axis=1) > 0.0
+            n_mat = stack_embeddings(
+                pdf["embedding"].to_numpy(), "cosine_topk corpus",
+                ids=list(n_ids),
+            )
+            _nn = np.linalg.norm(n_mat, axis=1)
+            # degenerate corpus vectors (zero/non-finite norm) are
+            # never candidates — same contract as the query side
+            n_ok = np.isfinite(_nn) & (_nn > 0.0)
             n_ids, n_mat = n_ids[n_ok], n_mat[n_ok]
             if not len(n_ids):
                 continue
@@ -317,7 +411,10 @@ def multiband_lsh_buckets(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = stack_embeddings(
+                pdf["embedding"].to_numpy(), "lsh_buckets",
+                ids=list(pdf["vec_id"]) if "vec_id" in pdf else None,
+            )
             if w is None:
                 w = _plane_matrix(n_planes, mat.shape[1])
             bits = (mat @ w.T) > 0  # (n, n_planes)
@@ -384,7 +481,10 @@ def ivf_index(
         .toPandas()
         .sort_values("vec_id")
     )
-    centroids = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    centroids = stack_embeddings(
+        seeds["embedding"].to_numpy(), "k-means seeds",
+        ids=list(seeds["vec_id"]),
+    )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -400,7 +500,10 @@ def ivf_index(
 
             c = bc.value
             for pdf in batches:
-                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                mat = stack_embeddings(
+                    pdf["embedding"].to_numpy(), "k-means assign",
+                    ids=list(pdf["vec_id"]) if "vec_id" in pdf else None,
+                )
                 # squared euclidean via ||x||^2 - 2xc + ||c||^2
                 d = (
                     (mat * mat).sum(1)[:, None]
@@ -429,7 +532,10 @@ def ivf_index(
             sums = np.zeros((k, c.shape[1]))
             cnt = np.zeros(k, dtype=np.int64)
             for pdf in batches:
-                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                mat = stack_embeddings(
+                    pdf["embedding"].to_numpy(), "k-means fold",
+                    ids=list(pdf["vec_id"]) if "vec_id" in pdf else None,
+                )
                 d = (
                     (mat * mat).sum(1)[:, None]
                     - 2 * (mat @ c.T)
@@ -494,7 +600,9 @@ def ivf_ann_topk(
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank long"
         )
-    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat = stack_embeddings(
+        qpdf["embedding"].to_numpy(), "ann queries", ids=list(qpdf["vec_id"])
+    )
     d = (
         (q_mat * q_mat).sum(1)[:, None]
         - 2 * (q_mat @ centroids.T)

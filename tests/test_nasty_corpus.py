@@ -151,3 +151,73 @@ def test_dsir_and_classifier_keep_null_docs(spark, nasty):
     res = dsir_resample(nasty, nasty.filter("doc_id in (0, 9)"), n_out=5)
     kept = res.collect()
     assert 0 < len(kept) <= 5
+
+
+@pytest.fixture(scope="module")
+def nasty_embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),           # zero norm
+        (3, [float("nan"), 1.0, 0.0]),  # NaN component
+        (4, [1.0, 2.0]),                # ragged: wrong model dimension
+        (5, None),                      # null vector
+        (6, [float("inf"), 0.0, 0.0]),  # Inf component
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_health_classifies_every_defect(spark, nasty_embeddings):
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    rep = {
+        r.defect: (r.n_rows, list(r.example_ids))
+        for r in embedding_health(nasty_embeddings).collect()
+    }
+    assert rep["ok"] == (2, [0, 1])
+    assert rep["zero_norm"] == (1, [2])
+    assert rep["non_finite"] == (2, [3, 6])
+    assert rep["wrong_length"] == (1, [4])
+    assert rep["null"] == (1, [5])
+    # explicit dim overrides the majority vote
+    rep2 = {
+        r.defect: r.n_rows
+        for r in embedding_health(nasty_embeddings, dim=2).collect()
+    }
+    assert rep2["wrong_length"] == 5  # every 3-dim row is now wrong
+
+
+def test_ragged_corpus_fails_with_named_ids(spark, nasty_embeddings):
+    """A ragged or null vector must fail with the offending vec_ids and
+    a pointer to the audit — not numpy's context-free shape error from
+    inside an executor."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    with pytest.raises(Exception) as ei:
+        cosine_topk(nasty_embeddings, [0], k=3).collect()
+    msg = str(ei.value)
+    assert "embedding_health" in msg and "ragged" in msg
+
+
+def test_clean_corpus_contracts_hold(spark, nasty_embeddings):
+    """On the fixable subset (ragged/null rows removed): zero-norm and
+    non-finite vectors never pair, never rank, never emit NaN."""
+    import math
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    clean = nasty_embeddings.filter("vec_id not in (4, 5)")
+    out = cosine_topk(clean, [0, 2, 3], k=5).collect()
+    # zero-norm (2) and NaN (3) queries emit nothing; query 0 ranks only
+    # well-formed candidates
+    assert {r.query_id for r in out} == {0}
+    assert all(
+        r.cos is not None and not math.isnan(r.cos) for r in out
+    )
+    assert {r.neighbor_id for r in out} <= {1}  # 2/3/6 never candidates
