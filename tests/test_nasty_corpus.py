@@ -221,3 +221,73 @@ def test_clean_corpus_contracts_hold(spark, nasty_embeddings):
         r.cos is not None and not math.isnan(r.cos) for r in out
     )
     assert {r.neighbor_id for r in out} <= {1}  # 2/3/6 never candidates
+
+
+@pytest.fixture(scope="module")
+def nasty_events(spark):
+    import datetime as dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0), 100, "view", 1.0, "{}"),
+        (2, ts(5), 100, "click", 2.0, "{}"),
+        (3, ts(10), 100, "purchase", 30.0, "{}"),
+        (4, None, 100, "view", 1.0, "{}"),          # null timestamp
+        (5, ts(15), None, "view", 1.0, "{}"),       # null user
+        (6, ts(20), 200, None, 1.0, "{}"),          # null type
+        (7, ts(25), 200, "view", None, "{}"),       # null value
+        (8, ts(30), 200, "view", float("nan"), "{}"),  # NaN value
+        (9, ts(30), 200, "view", 5.0, None),        # null props, dup ts
+        (9, ts(30), 200, "view", 5.0, None),        # duplicate event_id
+        (10, dt.datetime(2099, 1, 1), 300, "view", 1.0, "{}"),  # far future
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_events_family_survives_nulls(spark, nasty_events):
+    """The events surface over hostile rows: no crash, no row explosion,
+    and null keys behave as SQL groups (null user is a session key like
+    any other) — the states a real clickstream contains."""
+    from parquet_metadata_explorer_spark.streaming import events as ev
+
+    wc = ev.windowed_counts(nasty_events).collect()
+    assert wc and all(r.n_events >= 1 for r in wc)
+
+    sess = ev.sessionize(nasty_events).collect()
+    # contract: NO event is lost — a null-ts event quarantines into its
+    # own null-boundary singleton session (nulls order first within the
+    # user; the gap vs null starts a fresh session for the real events),
+    # so real sessions are never polluted and nothing silently drops
+    assert sum(r.n_events for r in sess) == nasty_events.count()
+    nullsess = [r for r in sess if r.session_start is None]
+    assert len(nullsess) == 1 and nullsess[0].n_events == 1
+    real = [r for r in sess if r.session_start is not None]
+    assert sum(r.n_events for r in real) == nasty_events.filter(
+        "ts is not null"
+    ).count()
+
+    ints = ev.session_intervals(nasty_events).collect()
+    assert all(
+        r.start_ts <= r.end_ts
+        for r in ints
+        if r.start_ts is not None and r.end_ts is not None
+    )
+
+    gap = ev.gapfill_hourly(nasty_events, event_type="view").collect()
+    assert gap  # the 2024->2099 span is bounded by month-chunked carry
+
+    anom = ev.hourly_anomalies(nasty_events).collect()
+    import math
+
+    assert all(
+        r.z is None or not math.isnan(r.z) for r in anom if hasattr(r, "z")
+    )
