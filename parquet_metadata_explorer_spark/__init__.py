@@ -18,7 +18,7 @@ from .options import (  # noqa: F401
     SOURCE_FILE,
     SOURCE_PARQUET,
 )
-from .cache import unpersist_all  # noqa: F401
+from .cache import persist_scope, unpersist_all  # noqa: F401
 from .metrics import ScanMetrics  # noqa: F401
 from .parquet.io import clear_fs_options, set_fs_options  # noqa: F401
 from .sources.api import read_metadata, read_page_index  # noqa: F401

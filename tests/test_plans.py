@@ -712,3 +712,18 @@ def test_multimodal_neardup_codegen_after_hash(spark, sf_dir):
     # no Python stage OUTSIDE the cached hash relation
     outside = plan.split("InMemoryTableScan")[0]
     assert "MapInPandas" not in outside, plan
+
+
+def test_embedding_health_examples_are_group_limited(spark, sf_dir):
+    """embedding_health's example ids must stay bounded map-side: the
+    rank<=5 filter has to compile to WindowGroupLimit (per-partition
+    prune BEFORE the shuffle) — a plain collect_list would hold
+    corpus-sized per-defect state. Pinned so a Spark upgrade that stops
+    planning the group-limit pushdown is caught here, not at 100 TB."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = simple_plan(embedding_health(emb))
+    assert "WindowGroupLimit" in plan
