@@ -1243,6 +1243,7 @@ def semantic_decontaminate(
             m = _stk(
                 pdf["embedding"].to_numpy(),
                 "semantic_decontaminate corpus", ids=list(ids),
+                dim=q.shape[1],
             )
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             ok = np.isfinite(norms[:, 0]) & (norms[:, 0] > 0.0)

@@ -25,36 +25,58 @@ from ..functions import cosine, dot, ensure_parallelism
 LSH_PLANES = 8
 
 
-def stack_embeddings(values, who: str, ids=None):
+def stack_embeddings(values, who: str, ids=None, dim: int = None):
     """``np.stack`` for an embedding column with a DIAGNOSABLE failure
     mode: one ragged or null vector anywhere in a 100 TB corpus (a
     failed encoder batch) otherwise poisons every kernel with numpy's
     context-free "all input arrays must have the same shape" from deep
     inside an executor. This helper names the offending vec_ids (or
     batch positions) and points at ``embedding_health`` — fail fast,
-    fail addressable. The green path is the same single np.stack call."""
+    fail addressable. The green path is one null scan + the same single
+    np.stack call.
+
+    ``dim``, when the caller knows the model dimension (the query
+    matrix's width, a centroid table), closes the partition hole:
+    an Arrow batch that is INTERNALLY consistent but the wrong width
+    (every kernel batch sees only its partition's rows) stacks fine and
+    would otherwise surface as a shape error in the downstream GEMM."""
     import numpy as np
 
-    try:
-        return np.stack(values).astype(np.float64)
-    except (ValueError, TypeError):
+    def _detail():
         lens = {}
         for i, v in enumerate(values):
             key = "null" if v is None else len(v)
             lens.setdefault(key, []).append(
                 ids[i] if ids is not None else i
             )
-        detail = ", ".join(
+        return ", ".join(
             f"len={k}: {v[:5]}{'...' if len(v) > 5 else ''} ({len(v)} rows)"
             for k, v in sorted(lens.items(), key=lambda kv: -len(kv[1]))
         )
+
+    def _fail(why):
         raise ValueError(
-            f"{who}: embedding column is ragged or null — every vector "
-            f"must share one model dimension. Offending "
+            f"{who}: {why} — every vector must share one model "
+            f"dimension. Offending "
             f"{'vec_ids' if ids is not None else 'batch positions'} by "
-            f"length: {detail}. Run similarity.embedding_health(df) to "
-            "audit the corpus."
+            f"length: {_detail()}. Run similarity.embedding_health(df) "
+            "to audit the corpus."
         ) from None
+
+    if any(v is None for v in values):
+        _fail("embedding column contains NULL vectors")
+    try:
+        mat = np.stack(values).astype(np.float64)
+    except (ValueError, TypeError):
+        _fail("embedding column is ragged")
+    if mat.ndim != 2:
+        _fail("embedding column is ragged")
+    if dim is not None and mat.shape[1] != int(dim):
+        _fail(
+            f"embedding width {mat.shape[1]} != expected model "
+            f"dimension {int(dim)}"
+        )
+    return mat
 
 
 def embedding_health(embeddings: DataFrame, dim: int = None) -> DataFrame:
@@ -160,7 +182,7 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
             n_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
             n_mat = stack_embeddings(
                 pdf["embedding"].to_numpy(), "cosine_topk corpus",
-                ids=list(n_ids),
+                ids=list(n_ids), dim=mat_q.shape[1],
             )
             _nn = np.linalg.norm(n_mat, axis=1)
             # degenerate corpus vectors (zero/non-finite norm) are
@@ -503,6 +525,7 @@ def ivf_index(
                 mat = stack_embeddings(
                     pdf["embedding"].to_numpy(), "k-means assign",
                     ids=list(pdf["vec_id"]) if "vec_id" in pdf else None,
+                    dim=c.shape[1],
                 )
                 # squared euclidean via ||x||^2 - 2xc + ||c||^2
                 d = (
@@ -535,6 +558,7 @@ def ivf_index(
                 mat = stack_embeddings(
                     pdf["embedding"].to_numpy(), "k-means fold",
                     ids=list(pdf["vec_id"]) if "vec_id" in pdf else None,
+                    dim=c.shape[1],
                 )
                 d = (
                     (mat * mat).sum(1)[:, None]

@@ -200,7 +200,9 @@ def test_ragged_corpus_fails_with_named_ids(spark, nasty_embeddings):
     with pytest.raises(Exception) as ei:
         cosine_topk(nasty_embeddings, [0], k=3).collect()
     msg = str(ei.value)
-    assert "embedding_health" in msg and "ragged" in msg
+    assert "embedding_health" in msg
+    assert "ragged" in msg or "NULL vectors" in msg or "expected model" in msg
+    assert "vec_ids" in msg  # names the offenders
 
 
 def test_clean_corpus_contracts_hold(spark, nasty_embeddings):
