@@ -296,6 +296,14 @@ def hybrid_rrf_topk(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("dense_rank"),
     )
+    return _rrf_fuse(lex, dense, k, rrf_k)
+
+
+def _rrf_fuse(lex: DataFrame, dense: DataFrame, k: int, rrf_k: int):
+    """Reciprocal Rank Fusion of two serving-sized rank lists — shared
+    verbatim by the in-memory and the all-from-disk hybrid paths, so
+    the two can only differ if a retriever differs (and each retriever
+    carries its own disk ≡ memory contract)."""
     fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -322,6 +330,76 @@ def hybrid_rrf_topk(
             "query_id", "doc_id", "rrf_score", "lex_rank", "dense_rank", "rank"
         )
     )
+
+
+def hybrid_rrf_probe(
+    spark,
+    bm25_index_path: str,
+    ivfpq_index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    n_probe: int = 4,
+    rerank: int = 0,
+    embeddings: DataFrame = None,
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from materialized indexes — the
+    production query path: the lexical side probes the bucketed BM25
+    index (partition-pruned, join-free), the dense side probes the
+    IVF-PQ index (cell-pruned ADC, optional IVFADC-R rerank), and the
+    two rank lists fuse through the same ``_rrf_fuse`` the in-memory
+    composition uses. ZERO corpus scans at query time; both probes read
+    only the partitions their queries touch.
+
+    ``queries`` is the at-query-time knowledge: (doc_id, text,
+    embedding) — text feeds BM25, the vector feeds ADC (the index
+    stores CODES, not raw vectors, so the query embedding must arrive
+    with the query, exactly as a live service receives it). NULL text
+    degrades that query to dense-only, matching ``hybrid_rrf_topk``'s
+    null contract; self-matches drop on both sides.
+
+    Differs from the in-memory ``hybrid_rrf_topk`` ONLY in the dense
+    retriever (exact cosine vs IVF-PQ ADC — the documented
+    recall-for-scan-reduction trade); with the same retriever outputs
+    the fusion is bit-identical, which is what the composition pytest
+    pins."""
+    from .text import bm25_probe_topk
+
+    qrows = queries.select("doc_id", "text", "embedding").collect()
+    qtexts = [(int(r.doc_id), r.text or "") for r in qrows]
+    qtexts.sort()
+    lex_raw = bm25_probe_topk(spark, bm25_index_path, qtexts, k=k_each)
+    w_lex = Window.partitionBy("query_id").orderBy("rank")
+    lex = (
+        lex_raw.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    qvecs = queries.select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    dense_raw = ivfpq_probe_topk(
+        spark,
+        ivfpq_index_path,
+        qvecs,
+        k=k_each + 1,  # +1 headroom: the self row drops below
+        n_probe=n_probe,
+        rerank=rerank,
+        embeddings=embeddings,
+    )
+    w_d = Window.partitionBy("query_id").orderBy("rank")
+    dense = (
+        dense_raw.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dense_rank", F.row_number().over(w_d).cast("long"))
+        .filter(F.col("dense_rank") <= int(k_each))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            "dense_rank",
+        )
+    )
+    return _rrf_fuse(lex, dense, k, rrf_k)
 
 
 def _plane_weight(plane: int, dim_col):

@@ -2788,3 +2788,79 @@ def test_prepare_increment_frozen_classifier_gate(spark, sf_dir):
     )
     expected = {(r.doc_id, r.text) for r in single.collect()}
     assert got and got == expected
+
+
+def test_hybrid_rrf_probe_all_from_disk(spark, tmp_path):
+    """The full production serving path — BM25 probe + IVF-PQ probe +
+    RRF — with ZERO corpus scans at query time. The fusion must equal
+    _rrf_fuse over the same two retrievers' in-memory outputs
+    bit-for-bit (each side carries its own disk ≡ memory contract),
+    and a null-text query degrades to dense-only."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        _rrf_fuse,
+        hybrid_rrf_probe,
+        ivfpq_ann_topk,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bm25_path = str(tmp_path / "bm25")
+    pq_path = str(tmp_path / "ivfpq")
+    write_bm25_index(docs, bm25_path)
+    write_ivfpq_index(emb, pq_path)
+
+    qids = [0, 1]
+    queries = (
+        docs.filter(F.col("doc_id").isin(qids))
+        .select("doc_id", "text")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    got = hybrid_rrf_probe(
+        spark, bm25_path, pq_path, queries, k=6, k_each=12
+    ).collect()
+
+    # expected: same fusion over the in-memory twins of both retrievers
+    qtexts = sorted(
+        (int(r.doc_id), r.text or "") for r in queries.collect()
+    )
+    w = W.partitionBy("query_id").orderBy("rank")
+    lex = (
+        bm25_topk(docs, qtexts, k=12)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("lex_rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense = (
+        ivfpq_ann_topk(emb, qids, k=13)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dense_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("dense_rank") <= 12)
+        .select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "dense_rank"
+        )
+    )
+    exp = _rrf_fuse(lex, dense, 6, 60).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert got  # non-degenerate
+
+    # null-text query: dense-only fusion, no crash, no lex ranks
+    nulltext = queries.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit(None)).otherwise(F.col("text")),
+    )
+    got2 = hybrid_rrf_probe(
+        spark, bm25_path, pq_path, nulltext, k=6, k_each=12
+    ).collect()
+    q0 = [r for r in got2 if r.query_id == 0]
+    assert q0 and all(r.lex_rank is None for r in q0)
