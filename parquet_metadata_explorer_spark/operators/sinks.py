@@ -347,6 +347,41 @@ def shuffle_training_windows(
     )
 
 
+def export_training_epochs(
+    spark,
+    export_path: str,
+    seeds,
+    out_path: str = None,
+    shard_max_windows: int = 100_000,
+    mode: str = "error",
+) -> dict:
+    """Write one pre-shuffled epoch tree per seed from an EXISTING
+    ``export_training_windows`` export — the multi-epoch trainer layout
+    (``out/epoch=<seed>/``). The expensive work (BPE encode, the
+    token-granularity tape regroup) happened once in the export; each
+    epoch costs only one range exchange + write over the finished
+    window table, so K epochs are K cheap shuffles, not K pipeline
+    runs. Every epoch holds the SAME window set in a different
+    deterministic order (the ``shuffle_training_windows`` contract).
+
+    Returns {"epochs": [seed...], "windows": n, "out_path": ...}."""
+    windows = spark.read.parquet(f"{export_path}/windows")
+    out = out_path or f"{export_path}/epochs"
+    for seed in seeds:
+        (
+            shuffle_training_windows(windows, str(seed))
+            .drop("shuffle_key")
+            .write.mode(mode)
+            .option("maxRecordsPerFile", int(shard_max_windows))
+            .parquet(f"{out}/epoch={seed}")
+        )
+    return {
+        "epochs": [str(s) for s in seeds],
+        "windows": int(windows.count()),
+        "out_path": out,
+    }
+
+
 def write_metadata_report(
     spark: SparkSession,
     data_path: str,
