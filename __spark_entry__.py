@@ -2036,7 +2036,7 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_CORPUS_MANIFEST = f"""
 SELECT count(*)::bigint AS n_docs,
        sum(len({D_TOKS}))::bigint AS n_tokens,
-       sum({_d_hash60("coalesce(text, '')")}::DECIMAL(38,0)) AS content_digest
+       sum({_d_hash60("coalesce(text, '')")}::DECIMAL(38,0))::VARCHAR AS content_digest
 FROM (SELECT coalesce(text, '') AS text FROM documents)
 """
 

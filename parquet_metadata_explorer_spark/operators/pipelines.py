@@ -180,6 +180,14 @@ def corpus_manifest(documents: DataFrame) -> DataFrame:
     cheap identity check a release pipeline stamps next to a dataset:
     corpus_diff answers WHAT changed, the manifest answers WHETHER.
 
+    The digest is EMITTED AS DECIMAL TEXT (a string), not as a
+    decimal(38,0): the exact sum carries ~21 significant digits —
+    beyond float64's 15-17 — and pandas-based clients coerce wide
+    decimals to float64 (DuckDB ``fetchdf`` does; Spark ``collect``
+    keeps an exact Decimal), so two engines returning the IDENTICAL
+    exact value would hash differently client-side. A fixed-format
+    string survives every client verbatim (the r10 board red).
+
     Scale shape: one map pass, one all-partials fold to a single row —
     no shuffle beyond the final 1-row combine.
 
@@ -197,7 +205,9 @@ def corpus_manifest(documents: DataFrame) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("tk").cast("long").alias("n_tokens"),
-        F.sum(F.col("h").cast("decimal(38,0)")).alias("content_digest"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_digest"),
     )
 
 
@@ -207,7 +217,8 @@ def corpus_manifest_increment(
     """Fold a batch of ARRIVALS into a previous manifest — exact, not
     approximate, because every manifest field is an order-invariant
     sum (count, token longs, the decimal digest of 60-bit content
-    hashes). manifest(A ∪ B) ≡ fold(manifest(A), manifest(B)) by
+    hashes — carried as decimal TEXT in the schema, cast back to
+    decimal(38,0) for the fold, re-emitted as text). manifest(A ∪ B) ≡ fold(manifest(A), manifest(B)) by
     construction, so a release pipeline stamps 100 TB incrementally:
     each increment touches ONLY the new bytes, never re-reads history.
 
@@ -221,9 +232,9 @@ def corpus_manifest_increment(
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum("content_digest").cast("decimal(38,0)").alias(
-                "content_digest"
-            ),
+            F.sum(F.col("content_digest").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("content_digest"),
         )
     )
 

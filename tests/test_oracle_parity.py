@@ -7,6 +7,7 @@ entry and its ``oracle_sql()`` twin on the same parquet tables, normalize
 sf0.01.
 """
 
+import decimal
 import glob
 import math
 import sys
@@ -50,21 +51,80 @@ def normalize(rows, cols):
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
+# float64 holds 53 mantissa bits; wider exact integers/decimals degrade
+# when a client canonicalizes through pandas (DuckDB fetchdf coerces
+# DECIMAL and HUGEINT columns to float64; Spark collect keeps exact
+# Decimals) — identical exact values then hash DIFFERENTLY client-side.
+# This is the one failure class the exact fetchall/collect compare below
+# cannot see: corpus_manifest passed every local sweep and went red on
+# the r10 driver board exactly this way. Gate it here.
+_F64_EXACT_INT = 1 << 53
+
+
+def assert_client_proof(name, cols, rows, duck_types=None):
+    """Every output value must survive a pandas float64 round-trip
+    bit-for-bit, or be a type pandas never coerces (int64, string,
+    bytes, date). Decimals must be float64-exact; DuckDB HUGEINT
+    (sum(BIGINT) left uncast) must stay within 2^53."""
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                assert decimal.Decimal(float(v)) == v, (
+                    f"{name}.{cols[i]}: decimal value {v} exceeds float64 "
+                    "precision — a pandas-canonicalizing client (the "
+                    "driver) coerces one engine's copy to float64 and "
+                    "hash-mismatches the other; emit it as a string"
+                )
+            elif (
+                duck_types is not None
+                and isinstance(v, int)
+                and not isinstance(v, bool)
+                and abs(v) > _F64_EXACT_INT
+                and "HUGEINT" in str(duck_types[i]).upper()
+            ):
+                raise AssertionError(
+                    f"{name}.{cols[i]}: HUGEINT value {v} > 2^53 — pandas "
+                    "coerces HUGEINT to float64; cast the oracle column "
+                    "to ::BIGINT or emit a string"
+                )
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, duck, name):
     sql = ORACLES[name].replace("/root/testdata/sf0.01", SF)
     oracle = duck.sql(sql)
+    o_types = oracle.types
     o_rows, o_cols = oracle.fetchall(), [d[0] for d in oracle.description]
 
     sdf = QUERIES[name](spark, SF)
     s_rows, s_cols = sdf.collect(), sdf.columns
+
+    assert_client_proof(name, o_cols, o_rows, duck_types=o_types)
+    assert_client_proof(name, s_cols, s_rows)
 
     assert sorted(s_cols) == sorted(o_cols), f"{name}: column names differ"
     left, right = normalize(s_rows, s_cols), normalize(o_rows, o_cols)
     assert len(left) == len(right), f"{name}: row count {len(left)} vs oracle {len(right)}"
     mismatches = [(a, b) for a, b in zip(left, right) if a != b]
     assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+
+
+def test_client_proof_gate_catches_the_r10_red():
+    """The gate must red-flag the exact value class that took
+    corpus_manifest down on the r10 board (a 21-significant-digit
+    DECIMAL(38,0)), and pass its post-fix string form and ordinary
+    float64-exact decimals."""
+    wide = decimal.Decimal("296144174162535420451")  # the r10 board value
+    with pytest.raises(AssertionError, match="exceeds float64"):
+        assert_client_proof("corpus_manifest", ["content_digest"], [(wide,)])
+    # post-fix: a string survives any client verbatim
+    assert_client_proof("corpus_manifest", ["content_digest"], [(str(wide),)])
+    # float64-exact decimals (the snap-discipline outputs) stay legal
+    assert_client_proof("x", ["v"], [(decimal.Decimal("0.5"),)])
+    # HUGEINT beyond 2^53 is flagged only with the DuckDB type signal
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_client_proof("x", ["v"], [(1 << 60,)], duck_types=["HUGEINT"])
+    assert_client_proof("x", ["v"], [(1 << 60,)], duck_types=["BIGINT"])
 
 
 def test_all_queries_have_entries():
