@@ -120,15 +120,26 @@ def _wrow(spark: SparkSession, w12: list, bias12: int) -> DataFrame:
 
 
 def _scored(X: DataFrame, w12: list, bias12: int, wrow: DataFrame = None):
-    """One map pass: margin (exact long sum of w12 over the doc's
-    occurrence buckets via the broadcast weight array), sigmoid snapped
-    to integer p12, residual r12 and length-normalized gradient g12 —
-    all codegen, zero Python."""
+    """One map pass: margin (exact decimal(38,0) sum of w12 over the
+    doc's occurrence buckets via the broadcast weight array), sigmoid
+    snapped to integer p12, residual r12 and length-normalized gradient
+    g12 — all codegen, zero Python.
+
+    The margin accumulator is decimal(38,0), NOT long, for the same
+    reason the gradient folds are: |w12| reaches ~1.6e13 at the distill
+    operating point, so a multi-million-occurrence document (which a
+    100 TB corpus contains) overflows a 64-bit sum silently under
+    non-ANSI arithmetic, corrupting both scores and gradients. The
+    normalized z is O(max |w|) only AFTER the /n — the raw sum is not.
+    decimal(38,0) gives 10^38 of headroom (10^25 occurrences of the
+    largest weight) at identical double output for in-range values."""
     spark = X.sparkSession
     if wrow is None:
         wrow = _wrow(spark, w12, bias12)
     ms = F.aggregate(
-        "fb", F.lit(0).cast("long"), lambda acc, bk: acc + F.get(F.col("w"), bk)
+        "fb",
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, bk: acc + F.get(F.col("w"), bk),
     )
     sc = X.crossJoin(F.broadcast(wrow)).select(
         "doc_id", "fb", "n", "y", ms.alias("ms"), "b12"

@@ -186,17 +186,28 @@ def pack_batches_by_length(
     per-partition row_number, then one exclusive-prefix pass over the
     n_partitions row COUNTS (driver sees n_partitions rows). batch_max
     rides a window keyed by batch_id — every batch is exactly
-    ``batch_size`` rows, so no window partition ever exceeds it."""
+    ``batch_size`` rows, so no window partition ever exceeds it.
+
+    ``sized`` is persisted before the range exchange: the ranged
+    relation is evaluated THREE times (the range partitioner's sampling
+    job, the per-partition counts collect, the output job), so a
+    nondeterministic upstream — a ``sample()``, a changing source —
+    could otherwise see different rows per job and emit wrong
+    batch_ids. Same discipline as classifier_eval's identical
+    two-phase rank."""
+    from ..cache import track_persist
     from .text import BPE_REGEX
 
     spark = documents.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    sized = documents.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
-        .cast("long")
-        .alias("n_tokens"),
+    sized = track_persist(
+        documents.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(BPE_REGEX))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )
     parted = (
         sized.repartitionByRange(

@@ -321,7 +321,49 @@ def stream_decontaminate_matrix(
     This is the release-gate deployment shape: the N eval suites are
     MB-scale constants pinned at stream start, arrivals are the moving
     100 TB — each batch costs one map-side broadcast join over just the
-    new bytes."""
+    new bytes.
+
+    Checkpoint-lineage guard (the twins' shared protocol): batch ids
+    only mean "same files" within ONE checkpoint lineage — a fresh
+    checkpoint pointed at a populated ``out_dir`` would renumber
+    batches over different file groupings and leave the old lineage's
+    ``batch={id}`` partitions in place, silently duplicating documents
+    on read. A LINEAGE token minted in the checkpoint is stamped into
+    ``out_dir``; a mismatch with existing batch partitions raises
+    instead of mixing lineages (reset out_dir and checkpoint
+    together)."""
+    import glob as _glob
+    import os
+    import uuid
+
+    ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
+    token_path = os.path.join(ckpt, "LINEAGE")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = f.read().strip()
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        token = uuid.uuid4().hex
+        with open(token_path, "w") as f:
+            f.write(token)
+    out_token_path = os.path.join(out_dir, "LINEAGE")
+    if _glob.glob(os.path.join(out_dir, "batch=*")):
+        lin = None
+        if os.path.exists(out_token_path):
+            with open(out_token_path) as f:
+                lin = f.read().strip()
+        if lin != token:
+            raise ValueError(
+                "stream_decontaminate_matrix: out_dir has batch "
+                f"partitions written by a different checkpoint lineage "
+                f"({lin!r} != {token!r}); reading batch=* would mix two "
+                "batch numberings. Reset out_dir and checkpoint together."
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(out_token_path, "w") as f:
+            f.write(token)
+
     schema = spark.read.parquet(docs_path).schema
     stream = (
         spark.readStream.format("parquet")
@@ -340,7 +382,6 @@ def stream_decontaminate_matrix(
                 "overwrite"
             ).parquet(f"{out_dir}/batch={batch_id}")
 
-    ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", ckpt)

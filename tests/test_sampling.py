@@ -155,3 +155,37 @@ def test_pack_batches_empty(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_batches_by_length(docs).count() == 0
+
+
+def test_pack_batches_nondeterministic_input_consistent(spark):
+    """r10 VERDICT #6: the ranged relation is evaluated three times
+    (range-sampling job, counts collect, output job); without the
+    persist a nondeterministic upstream can show each job different
+    rows and emit wrong batch_ids. Feed an UNSEEDED rand() filter and
+    assert the output is internally consistent: batch_id is exactly
+    the global (n_tokens DESC, doc_id) rank div batch_size, and
+    batch_max matches each batch's true maximum."""
+    from parquet_metadata_explorer_spark.operators.sampling import (
+        pack_batches_by_length,
+    )
+
+    docs = _docs(spark, 400).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" pad" * 3))
+    )
+    flaky = docs.filter(F.rand() < 0.6)  # different rows per evaluation
+    rows = pack_batches_by_length(flaky, batch_size=8).collect()
+    assert rows, "filter kept nothing (p<1e-80)"
+    ranked = sorted(rows, key=lambda r: (-r.n_tokens, r.doc_id))
+    for rank, r in enumerate(ranked):
+        assert r.batch_id == rank // 8, (rank, r)
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for bid, batch in by_batch.items():
+        true_max = max(r.n_tokens for r in batch)
+        assert all(r.batch_max == true_max for r in batch), bid
+        assert all(
+            r.pad_waste == true_max - r.n_tokens for r in batch
+        ), bid
+    # doc_ids unique — no row duplicated across disagreeing jobs
+    assert len({r.doc_id for r in rows}) == len(rows)

@@ -885,3 +885,25 @@ def test_stream_decontaminate_matrix_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert again == exp
+
+    # lineage guard (r10 ADVICE): a FRESH checkpoint pointed at the
+    # populated out_dir would renumber batches over different file
+    # groupings and leave stale batch={id} partitions — must raise at
+    # setup, before anything is written
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint lineage"):
+        stream_decontaminate_matrix(
+            spark,
+            flat,
+            benchmarks,
+            out_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+        )
+    assert again == {
+        tuple(r)
+        for r in spark.read.parquet(f"{out_dir}/batch=*").select(
+            "doc_id", "benchmark", "n_sh", "n_hit", "contamination",
+            "contaminated",
+        ).collect()
+    }  # nothing written by the rejected lineage
