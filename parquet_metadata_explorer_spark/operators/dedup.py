@@ -1056,6 +1056,7 @@ def semantic_duplicates(
     cluster_cap: int = 4096,
     centroids=None,
     target_cluster_size: int = 32,
+    health_gate: bool = False,
 ) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023): k-means-cluster
     the embedding space (the exact-decimal distributed Lloyd trainer —
@@ -1087,6 +1088,12 @@ def semantic_duplicates(
     """
     from .graph import connected_components
 
+    if health_gate:
+        # whole-corpus pre-flight with named vec_ids BEFORE the Lloyd
+        # trainer launches (see similarity.assert_embedding_health)
+        from .similarity import assert_embedding_health
+
+        assert_embedding_health(embeddings, who="semantic_duplicates")
     if centroids is None and n_centroids is None:
         n_centroids = semdedup_auto_k(
             embeddings.count(), target_cluster_size

@@ -130,6 +130,36 @@ def embedding_health(embeddings: DataFrame, dim: int = None) -> DataFrame:
     return counts.join(examples, "defect").orderBy("defect")
 
 
+def assert_embedding_health(
+    embeddings: DataFrame, who: str = "embedding kernel", dim: int = None
+) -> None:
+    """Release-gate pre-flight over an embedding corpus: run the
+    ``embedding_health`` audit and RAISE — with defect classes, counts
+    and named example vec_ids — before the consumer launches any
+    GEMM/Lloyd job. This replaces the first kernel's mid-job
+    ``stack_embeddings`` failure (which names only the poisoned Arrow
+    batch it happened to hit) with a whole-corpus verdict up front:
+    one map pass + a defect-sized groupBy, then either silence or an
+    addressable error. Opt-in via ``health_gate=True`` on the index
+    builders / clustered dedup."""
+    bad = [
+        r
+        for r in embedding_health(embeddings, dim=dim).collect()
+        if r["defect"] != "ok" and r["n_rows"] > 0
+    ]
+    if bad:
+        detail = "; ".join(
+            f"{r['defect']}: {r['n_rows']} rows, e.g. "
+            f"vec_ids {sorted(r['example_ids'])}"
+            for r in bad
+        )
+        raise ValueError(
+            f"{who}: embedding corpus failed the health gate — {detail}. "
+            "Run similarity.embedding_health(df) for the full audit, "
+            "repair or drop the named vectors, then rebuild."
+        )
+
+
 def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     """Exact top-k neighbors (by cosine) for each query vector, excluding
     self. Deterministic ranking: round to 6 decimals, tie-break on vec_id.
@@ -1619,6 +1649,7 @@ def write_ivfpq_index(
     n_centroids: int = 32,
     iters: int = 3,
     coarse_iters: int = 3,
+    health_gate: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index to the lake, codes partitioned BY
     CELL — the layout that turns cell probing into FILE-LEVEL partition
@@ -1645,6 +1676,12 @@ def write_ivfpq_index(
 
     from .segments import segment_commit
 
+    if health_gate:
+        # pre-flight BEFORE touching the previous incarnation: a
+        # poisoned corpus must fail with named vec_ids while the old
+        # index is still intact and probe-able, not after the commit
+        # log is retired or mid-Lloyd
+        assert_embedding_health(embeddings, who="write_ivfpq_index")
     # retire any previous incarnation's commit log BEFORE the data
     # overwrite (same rebuild-crash ordering as the BM25 writer)
     shutil.rmtree(f"{path}/commits", ignore_errors=True)

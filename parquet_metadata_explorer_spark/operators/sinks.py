@@ -283,11 +283,18 @@ def export_training_windows(
             F.size("token_ids").cast("long").alias("n_tokens"),
         )
     )
+    assembled = None
     if shuffle_seed is not None:
         # pre-shuffle the tape at rest (see shuffle_training_windows);
         # the key column is dropped but the PERMUTATION persists as the
-        # written row/shard order a filename-ordered loader streams
-        windows = shuffle_training_windows(windows, shuffle_seed).drop(
+        # written row/shard order a filename-ordered loader streams.
+        # Persist first: repartitionByRange runs a range-bound SAMPLING
+        # job before the real exchange, and without the persist that
+        # sampling pass would recompute the whole BPE/posexplode/groupBy
+        # window assembly a second time — doubling the most expensive
+        # stage of the export (r10 ADVICE)
+        assembled = windows.persist()
+        windows = shuffle_training_windows(assembled, shuffle_seed).drop(
             "shuffle_key"
         )
     # write order IS the commit protocol: the vocab sidecar lands first,
@@ -304,6 +311,8 @@ def export_training_windows(
     n_tokens = out.agg(F.sum("n_tokens")).collect()[0][0] or 0
     toks.unpersist()
     vocab.unpersist()
+    if assembled is not None:
+        assembled.unpersist()
     return {
         "windows": int(n_windows),
         "tokens": int(n_tokens),
@@ -354,29 +363,69 @@ def export_training_epochs(
     out_path: str = None,
     shard_max_windows: int = 100_000,
     mode: str = "error",
+    single_pass: bool = True,
 ) -> dict:
     """Write one pre-shuffled epoch tree per seed from an EXISTING
     ``export_training_windows`` export — the multi-epoch trainer layout
     (``out/epoch=<seed>/``). The expensive work (BPE encode, the
     token-granularity tape regroup) happened once in the export; each
-    epoch costs only one range exchange + write over the finished
-    window table, so K epochs are K cheap shuffles, not K pipeline
-    runs. Every epoch holds the SAME window set in a different
+    epoch costs only a range exchange + write over the finished window
+    table. Every epoch holds the SAME window set in a different
     deterministic order (the ``shuffle_training_windows`` contract).
+
+    ``single_pass`` (the default) reads the window table ONCE and emits
+    all K epoch trees from one K×-replicated range exchange
+    (broadcast-join the seed list, key each copy by the IDENTICAL
+    ``hash60(seed || ':' || window_id)`` the per-seed path uses, range
+    partition by (epoch, key), dynamic-partition write by epoch): at
+    100 TB the source read dominates, so one read + K-way write beats
+    K reads + K writes — the shuffled bytes are K× either way. Each
+    epoch's at-rest tape is bit-identical to the per-seed path's (same
+    total (key, id) order; only shard boundaries may differ), which the
+    sinks pytest asserts. ``single_pass=False`` keeps the K-loop (K
+    small exchanges instead of one K×-sized one — the shape to prefer
+    when executor memory, not source I/O, is the binding constraint).
 
     Returns {"epochs": [seed...], "windows": n, "out_path": ...}."""
     windows = spark.read.parquet(f"{export_path}/windows")
     out = out_path or f"{export_path}/epochs"
-    for seed in seeds:
+    seeds = [str(s) for s in seeds]
+    if single_pass and seeds:
+        from ..functions import hash60
+
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        seeds_df = spark.createDataFrame(
+            [(s,) for s in seeds], "epoch string"
+        )
+        key = hash60(
+            F.concat(
+                F.col("epoch"), F.lit(":"), F.col("window_id").cast("string")
+            )
+        )
         (
-            shuffle_training_windows(windows, str(seed))
+            windows.crossJoin(F.broadcast(seeds_df))
+            .withColumn("shuffle_key", key)
+            .repartitionByRange(
+                n_parts * len(seeds), "epoch", "shuffle_key", "window_id"
+            )
+            .sortWithinPartitions("epoch", "shuffle_key", "window_id")
             .drop("shuffle_key")
             .write.mode(mode)
+            .partitionBy("epoch")
             .option("maxRecordsPerFile", int(shard_max_windows))
-            .parquet(f"{out}/epoch={seed}")
+            .parquet(out)
         )
+    else:
+        for seed in seeds:
+            (
+                shuffle_training_windows(windows, seed)
+                .drop("shuffle_key")
+                .write.mode(mode)
+                .option("maxRecordsPerFile", int(shard_max_windows))
+                .parquet(f"{out}/epoch={seed}")
+            )
     return {
-        "epochs": [str(s) for s in seeds],
+        "epochs": seeds,
         "windows": int(windows.count()),
         "out_path": out,
     }

@@ -316,3 +316,60 @@ def test_classifier_margin_survives_megadoc(spark):
     expected = round(1 / (1 + math.exp(-z)) * 1e12)
     assert out.p12 > 999_000_000_000, "margin wrapped int64"
     assert abs(out.p12 - expected) <= 2
+
+
+def test_health_gate_blocks_builds_before_any_job(spark, nasty_embeddings, tmp_path):
+    """r10 VERDICT #7: the embedding_health audit wired as a RELEASE
+    GATE. A poisoned corpus must fail the index build and the clustered
+    dedup at the gate — with named vec_ids — before any GEMM/Lloyd job
+    runs, and a previously-built index must stay intact and probe-able
+    after the rejected rebuild."""
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.dedup import (
+        semantic_duplicates,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    n, d = 48, 4
+    clean = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.cos(F.col("id") * 0.7 + i * 1.3),
+        ).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(clean, idx, k_cells=4, m=2, n_centroids=4,
+                      health_gate=True)  # clean corpus passes the gate
+    q = clean.filter("vec_id < 2")
+    before = [tuple(r) for r in ivfpq_probe_topk(
+        spark, idx, q, k=3, n_probe=4).collect()]
+    assert before
+
+    poisoned = clean.unionByName(
+        spark.createDataFrame(
+            [(900, [1.0, 2.0]), (901, None)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    with pytest.raises(ValueError) as ei:
+        write_ivfpq_index(poisoned, idx, k_cells=4, m=2, n_centroids=4,
+                          health_gate=True)
+    msg = str(ei.value)
+    assert "health gate" in msg and "900" in msg and "901" in msg
+    assert "wrong_length" in msg and "null" in msg
+
+    # the old index survived the rejected rebuild bit-for-bit
+    after = [tuple(r) for r in ivfpq_probe_topk(
+        spark, idx, q, k=3, n_probe=4).collect()]
+    assert after == before
+
+    with pytest.raises(ValueError, match="health gate"):
+        semantic_duplicates(poisoned, n_centroids=4, health_gate=True)
+    # ungated call keeps the pre-existing stack_embeddings contract
+    # (fails later, but still with named ids) — gate is opt-in
+    assert semantic_duplicates(clean, n_centroids=4).count() == n

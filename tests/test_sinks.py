@@ -414,3 +414,16 @@ def test_export_training_epochs(spark, tmp_path):
         spark, export, seeds=["e0"], out_path=str(tmp_path / "again")
     )
     assert tape("e0", res2["out_path"]) == t0
+
+    # the single-pass (one read, K-way dynamic-partition write) and the
+    # per-seed K-loop paths must write bit-identical at-rest tapes —
+    # same (hash60(seed:window_id), window_id) total order per epoch
+    res3 = export_training_epochs(
+        spark,
+        export,
+        seeds=["e0", "e1"],
+        out_path=str(tmp_path / "loop"),
+        single_pass=False,
+    )
+    assert tape("e0", res3["out_path"]) == t0
+    assert tape("e1", res3["out_path"]) == t1
