@@ -1219,6 +1219,100 @@ def bm25_topk(
     return _bm25_score_topk(candidates, k, k1, b)
 
 
+def _mlt_query_terms(
+    documents: DataFrame, m_terms: int, max_df_ratio: float
+):
+    """The distributed query-term selection of ``bm25_more_like_this``
+    (shared with its equivalence test): per document, the top
+    ``m_terms`` terms by round-12 tf·idf (ties to the lexicographically
+    FIRST term), over terms whose document frequency is at most
+    ``max_df_ratio`` of the corpus — Lucene MoreLikeThis's "interesting
+    terms" with its min/max-df guard rails. Returns
+    ((query_id, term, idf), postings, doclen, stats); the rank<=m
+    filter compiles to WindowGroupLimit, so selection prunes map-side
+    before any shuffle."""
+    postings, doclen = _corpus_postings(documents)
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    eligible = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("n_docs") * F.lit(float(max_df_ratio))),
+            )
+        )
+        .select("term", _bm25_idf().alias("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("idf") * F.col("tf").cast("double"), 12).desc(),
+        F.col("term"),
+    )
+    qsel = (
+        postings.join(eligible, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(m_terms))
+        .select(F.col("doc_id").alias("query_id"), "term", "idf")
+    )
+    return qsel, postings, doclen, stats
+
+
+def bm25_more_like_this(
+    documents: DataFrame,
+    k: int = 10,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Corpus-sized lexical retrieval: every document is a query — the
+    Lucene MoreLikeThis shape, distributed. ``bm25_topk`` serves a
+    DRIVER-SIDE query list (the serving contract); this operator is the
+    twin for the pipeline jobs that need lexical neighbors of the WHOLE
+    corpus (near-dup triage beyond shingles, related-document mining,
+    weak-supervision pairing), where any driver-side query set would be
+    the scale ceiling the dense side already shed in r9
+    (``table_mode=auto``). Output (query_id, doc_id, score, rank): the
+    top ``k`` OTHER documents per querying document.
+
+    Semantics (self-contained, not an approximation of all-terms BM25):
+    each document queries with its top ``m_terms`` terms by round-12
+    tf·idf — ties to the lexicographically first term — over terms with
+    df ≤ ``max_df_ratio``·N (MoreLikeThis's interesting-term selection
+    + stop-term guard); candidates score with the EXACT shared Okapi
+    scorer (``_bm25_score_topk``: round-12 term scores, decimal sum,
+    round-6 final), self-match excluded, so a per-doc probe of
+    ``bm25_topk`` with the same term set returns bit-identical scores
+    (pytest-asserted equivalence).
+
+    Scale shape: ONE corpus tokenize (the persisted postings feed
+    selection, df and the probe), term-selection via WindowGroupLimit
+    (map-side prune to m rows per doc before the shuffle), then the one
+    honest join — selected query terms against postings on ``term``.
+    The pair space is bounded by Σ_selected-terms df(t) ≤
+    m·N·(max_df cap) by CONSTRUCTION: the df guard is part of the
+    semantics, so no skewed stop-word key can ever explode the join
+    (the dedup auto-df-cap discipline applied to retrieval). Scoring
+    shuffles on (query_id, doc_id) with map-side combine; top-k uses
+    the 32-way local prune before the per-query window."""
+    qsel, postings, doclen, stats = _mlt_query_terms(
+        documents, m_terms, max_df_ratio
+    )
+    candidates = (
+        qsel.join(postings, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
+    )
+    return _bm25_score_topk(candidates, k, k1, b)
+
+
 BM25_INDEX_BUCKETS = 64
 
 

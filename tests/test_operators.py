@@ -2864,3 +2864,52 @@ def test_hybrid_rrf_probe_all_from_disk(spark, tmp_path):
     ).collect()
     q0 = [r for r in got2 if r.query_id == 0]
     assert q0 and all(r.lex_rank is None for r in q0)
+
+
+def test_bm25_more_like_this_matches_per_doc_probe(spark):
+    """Corpus-as-queries lexical retrieval must be BIT-identical to
+    probing bm25_topk per document with the same selected term set
+    (self row dropped, ranks recomputed) — the equivalence that makes
+    the distributed MoreLikeThis an exact composition, not a new
+    scoring convention. Also: partition-count invariance, self-match
+    exclusion, and the df guard keeping stop-terms out of every query."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        _mlt_query_terms,
+        bm25_more_like_this,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    mlt = bm25_more_like_this(docs, k=5, m_terms=6, max_df_ratio=0.25)
+    rows = mlt.collect()
+    assert rows
+    assert all(r.doc_id != r.query_id for r in rows)  # self excluded
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    # the same selection the operator used (shared helper)
+    qsel, *_ = _mlt_query_terms(docs, 6, 0.25)
+    sel = {}
+    for r in qsel.collect():
+        sel.setdefault(r.query_id, set()).add(r.term)
+    # equivalence on 3 sample query docs
+    for qid in sorted(by_q)[:3]:
+        qtext = " ".join(sorted(sel[qid]))
+        probe = bm25_topk(docs, [(int(qid), qtext)], k=6).collect()
+        expect = [r for r in probe if r.doc_id != qid]
+        expect.sort(key=lambda r: (-r.score, r.doc_id))
+        expect = expect[:5]
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [(r.doc_id, r.score) for r in got] == [
+            (r.doc_id, r.score) for r in expect
+        ], qid
+
+    # partition-count invariance (the decimal-snap discipline)
+    again = bm25_more_like_this(
+        docs.repartition(7), k=5, m_terms=6, max_df_ratio=0.25
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
