@@ -1852,7 +1852,10 @@ def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
 
 
 def ivfpq_index_increment(
-    new_embeddings: DataFrame, path: str, batch_id: str = None
+    new_embeddings: DataFrame,
+    path: str,
+    batch_id: str = None,
+    health_gate: bool = False,
 ) -> None:
     """faiss-style ``add()`` for the materialized IVF-PQ index: encode
     ONLY the arrivals against the index's FROZEN coarse centroids and
@@ -1875,6 +1878,10 @@ def ivfpq_index_increment(
     from .segments import recover_retired, validate_batch_id
 
     spark = new_embeddings.sparkSession
+    if health_gate:
+        # pre-flight the ARRIVALS before touching the commit log — a
+        # poisoned CDC batch fails with named vec_ids, index untouched
+        assert_embedding_health(new_embeddings, who="ivfpq_index_increment")
     recover_retired(path)  # heal a crashed compaction swap on open
     segment_commits(path, "IVF-PQ index")  # layout gate
     if batch_id is None:

@@ -370,6 +370,20 @@ def test_health_gate_blocks_builds_before_any_job(spark, nasty_embeddings, tmp_p
 
     with pytest.raises(ValueError, match="health gate"):
         semantic_duplicates(poisoned, n_centroids=4, health_gate=True)
+
+    # the CDC increment gates its ARRIVALS the same way, index untouched
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_index_increment,
+    )
+
+    bad_arrivals = spark.createDataFrame(
+        [(902, [float("nan")] * d)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="health gate"):
+        ivfpq_index_increment(bad_arrivals, idx, batch_id="b1",
+                              health_gate=True)
+    assert [tuple(r) for r in ivfpq_probe_topk(
+        spark, idx, q, k=3, n_probe=4).collect()] == before
     # ungated call keeps the pre-existing stack_embeddings contract
     # (fails later, but still with named ids) — gate is opt-in
     assert semantic_duplicates(clean, n_centroids=4).count() == n
