@@ -1725,6 +1725,80 @@ def bm25_probe_topk(
     return _bm25_score_topk(candidates, k, k1, b)
 
 
+def bm25_more_like_this_from_index(
+    spark,
+    path: str,
+    k: int = 10,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``bm25_more_like_this`` served from a MATERIALIZED index — the
+    corpus-job twin of ``bm25_probe_topk``: no tokenize, no corpus
+    scan; the postings relation (with the Lucene-style denormalized
+    doc length) IS the input, so the whole job does ZERO corpus-sized
+    joins. Bucket pruning does not apply (every document queries, so
+    every bucket participates — this is a full-index batch job by
+    nature, not a serve-path probe), but only COMMITTED batches are
+    visible and df/n_docs/total_len fold over the commit log exactly
+    as the probe's do. Selection, df guard and scoring are the same
+    expressions as the in-memory operator, so results match it
+    bit-for-bit (pytest-asserted)."""
+    from .segments import recover_retired
+
+    recover_retired(path)
+    commits = _bm25_commits(path)
+    batches = sorted(commits)
+    stats = spark.createDataFrame(
+        [
+            (
+                sum(n for n, _t in commits.values()),
+                sum(t for _n, t in commits.values()),
+            )
+        ],
+        "n_docs long, total_len long",
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/dfreq")
+        .filter(F.col("batch").isin(batches))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    eligible = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("n_docs") * F.lit(float(max_df_ratio))),
+            )
+        )
+        .select("term", _bm25_idf().alias("idf"))
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(batches))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("idf") * F.col("tf").cast("double"), 12).desc(),
+        F.col("term"),
+    )
+    qsel = (
+        postings.join(eligible, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(m_terms))
+        .select(F.col("doc_id").alias("query_id"), "term", "idf")
+    )
+    candidates = (
+        qsel.join(postings, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
+    )
+    return _bm25_score_topk(candidates, k, k1, b)
+
+
 def _bpe_wrap(symbols) -> str:
     """Double-separator wrapped symbol string: ``␟s1␟␟s2␟…␟sn␟``.
 

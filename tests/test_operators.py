@@ -2913,3 +2913,37 @@ def test_bm25_more_like_this_matches_per_doc_probe(spark):
         docs.repartition(7), k=5, m_terms=6, max_df_ratio=0.25
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_bm25_more_like_this_from_index_matches_memory(spark, tmp_path):
+    """The disk-served MoreLikeThis must reproduce the in-memory
+    operator BIT-identically — the disk ≡ memory contract extended to
+    the corpus-as-queries job — including across a committed CDC
+    increment (in-memory on the union == from-index base+increment)."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_increment,
+        bm25_more_like_this,
+        bm25_more_like_this_from_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    base = docs.filter("doc_id % 3 != 0")
+    arrivals = docs.filter("doc_id % 3 = 0")
+
+    path = str(tmp_path / "bm25_mlt")
+    write_bm25_index(base, path)
+    mem = sorted(map(tuple, bm25_more_like_this(base, k=5).collect()))
+    disk = sorted(
+        map(tuple, bm25_more_like_this_from_index(spark, path, k=5).collect())
+    )
+    assert disk == mem and disk
+
+    bm25_index_increment(arrivals, path, batch_id="b1")
+    mem_u = sorted(map(tuple, bm25_more_like_this(docs, k=5).collect()))
+    disk_u = sorted(
+        map(tuple, bm25_more_like_this_from_index(spark, path, k=5).collect())
+    )
+    assert disk_u == mem_u
