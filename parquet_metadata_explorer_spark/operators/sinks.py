@@ -170,6 +170,76 @@ def compact_dataset(
     return n
 
 
+def _tape_offsets(toks: DataFrame) -> DataFrame:
+    """Global token offsets for a (doc_id, n_bpe_tokens, bpe_tokens)
+    relation — the pack_sequences two-phase distributed prefix sum
+    (range-partition by doc_id, per-partition window, one exclusive
+    pass over the n_partitions totals). Returns (doc_id, bpe_tokens,
+    doc_start). Shared by the base export and the incremental export
+    (which adds the committed tape length to every offset)."""
+    from pyspark.sql import Window
+
+    spark = toks.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        toks.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parted.withColumn(
+        "local_end",
+        F.sum("n_bpe_tokens").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = parted.groupBy("pid").agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).collect()
+    sums = {r["pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid] or 0
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "pid int, offset long")
+    return local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "bpe_tokens",
+        (F.col("offset") + F.col("local_end") - F.col("n_bpe_tokens")).alias(
+            "doc_start"
+        ),
+    )
+
+
+def _assemble_windows(stream: DataFrame, budget_tokens: int) -> DataFrame:
+    """Cut a (pos, token_id) token stream into exact
+    ``budget_tokens``-id windows: (window_id, token_ids, n_tokens).
+    The one honest token-granularity regroup — uniform keys (every
+    window holds exactly budget_tokens ids), no skew surface."""
+    return (
+        stream.select(
+            F.floor(F.col("pos") / F.lit(budget_tokens)).alias("window_id"),
+            "pos",
+            "token_id",
+        )
+        .groupBy("window_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda x: x["token_id"],
+            ).alias("token_ids")
+        )
+        .select(
+            "window_id",
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def export_training_windows(
     documents: DataFrame,
     merges_df: DataFrame,
@@ -212,38 +282,7 @@ def export_training_windows(
     toks.persist()
 
     # global token offsets: the pack_sequences two-phase prefix sum
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parted = (
-        toks.repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    local = parted.withColumn(
-        "local_end",
-        F.sum("n_bpe_tokens").over(
-            Window.partitionBy("pid")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    totals = parted.groupBy("pid").agg(
-        F.sum("n_bpe_tokens").alias("t")
-    ).collect()
-    sums = {r["pid"]: r["t"] for r in totals}
-    offsets, acc = [], 0
-    for pid in sorted(sums):
-        offsets.append((pid, acc))
-        acc += sums[pid] or 0
-    if not offsets:
-        offsets = [(0, 0)]
-    off_df = spark.createDataFrame(offsets, "pid int, offset long")
-    placed = local.join(F.broadcast(off_df), "pid").select(
-        "doc_id",
-        "bpe_tokens",
-        (F.col("offset") + F.col("local_end") - F.col("n_bpe_tokens")).alias(
-            "doc_start"
-        ),
-    )
+    placed = _tape_offsets(toks)
 
     # deterministic vocab ids: rank over the distinct token set
     # (vocab-sized — see docstring)
@@ -264,25 +303,7 @@ def export_training_windows(
         F.posexplode("bpe_tokens").alias("idx", "token"),
         (F.col("doc_start") + F.col("idx")).alias("pos"),
     ).join(F.broadcast(vocab), "token")
-    windows = (
-        stream.select(
-            F.floor(F.col("pos") / F.lit(budget_tokens)).alias("window_id"),
-            "pos",
-            "token_id",
-        )
-        .groupBy("window_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda x: x["token_id"],
-            ).alias("token_ids")
-        )
-        .select(
-            "window_id",
-            "token_ids",
-            F.size("token_ids").cast("long").alias("n_tokens"),
-        )
-    )
+    windows = _assemble_windows(stream, budget_tokens)
     assembled = None
     if shuffle_seed is not None:
         # pre-shuffle the tape at rest (see shuffle_training_windows);
@@ -297,9 +318,13 @@ def export_training_windows(
         windows = shuffle_training_windows(assembled, shuffle_seed).drop(
             "shuffle_key"
         )
-    # write order IS the commit protocol: the vocab sidecar lands first,
-    # windows last — windows/_SUCCESS is the export's commit marker, so
-    # a crash between the writes leaves no readable-but-torn export
+    # write order IS the commit protocol: the merges and vocab sidecars
+    # land first, windows next — windows/_SUCCESS is the export's
+    # commit marker, so a crash between the writes leaves no
+    # readable-but-torn export; the versioned tape STATE (the
+    # incremental-export lineage, see export_training_windows_increment)
+    # lands last and its CURRENT pointer flips atomically
+    merges_df.write.mode(mode).parquet(f"{out_path}/merges")
     vocab.write.mode(mode).parquet(f"{out_path}/vocab")
     (
         windows.write.mode(mode)
@@ -309,6 +334,19 @@ def export_training_windows(
     out = spark.read.parquet(f"{out_path}/windows")
     n_windows = out.count()
     n_tokens = out.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    _write_tape_state(
+        documents.agg(F.max("doc_id").alias("max_doc_id")).select(
+            F.lit(int(budget_tokens)).cast("long").alias("budget_tokens"),
+            F.lit(int(n_tokens)).cast("long").alias("total_tokens"),
+            F.lit(int(n_windows)).cast("long").alias("n_windows"),
+            "max_doc_id",
+            F.lit(int(vocab_size)).cast("long").alias("vocab_size"),
+            F.lit(-1).cast("long").alias("rewritten_window_id"),
+        ),
+        out_path,
+        version=1,
+        batch_id="base",
+    )
     toks.unpersist()
     vocab.unpersist()
     if assembled is not None:
@@ -318,6 +356,258 @@ def export_training_windows(
         "tokens": int(n_tokens),
         "vocab_size": int(vocab_size),
         "out_path": out_path,
+    }
+
+
+def _write_tape_state(
+    manifest: DataFrame, export_path: str, version: int, batch_id: str
+) -> None:
+    """Commit tape-state version v: write manifest + BATCH marker under
+    ``state/v=<v>``, then flip ``state/CURRENT`` atomically — the
+    stream_corpus_manifest versioned-state protocol. A crash before the
+    flip leaves the new version invisible; a retry overwrites it."""
+    import os
+
+    vdir = os.path.join(export_path, "state", f"v={version}")
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vdir, "manifest")
+    )
+    with open(os.path.join(vdir, "BATCH"), "w") as f:
+        f.write(str(batch_id))
+    sdir = os.path.join(export_path, "state")
+    tmp = os.path.join(sdir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(sdir, "CURRENT"))
+
+
+def _read_tape_state(spark, export_path: str):
+    """(manifest Row, version) of the committed tape state; raises on a
+    pre-state export (rebuilt bases always write v=1)."""
+    import os
+
+    cur = os.path.join(export_path, "state", "CURRENT")
+    if not os.path.exists(cur):
+        raise ValueError(
+            "export_training_windows_increment: no tape state under "
+            f"{export_path}/state — the base export predates the "
+            "incremental protocol; re-run export_training_windows."
+        )
+    with open(cur) as f:
+        v = int(f.read().strip())
+    row = spark.read.parquet(
+        os.path.join(export_path, "state", f"v={v}", "manifest")
+    ).collect()[0]
+    return row, v
+
+
+def _tape_batch_committed(export_path: str, version: int, batch_id: str):
+    """True if ``batch_id`` was committed by any state version ≤
+    ``version`` (idempotent-replay check; n_increments file reads)."""
+    import os
+
+    for i in range(1, version + 1):
+        p = os.path.join(export_path, "state", f"v={i}", "BATCH")
+        if os.path.exists(p):
+            with open(p) as f:
+                if f.read().strip() == str(batch_id):
+                    return True
+    return False
+
+
+def read_training_vocab(spark, export_path: str, upto: int = None):
+    """The committed (token, token_id) table: base vocab plus every
+    committed increment's delta. Ids are export-lineage-specific (an
+    increment appends NEW tokens at ids ≥ the prior vocab_size); the
+    sidecar is the source of truth for decoding either way."""
+    import os
+
+    if upto is None:
+        _m, upto = _read_tape_state(spark, export_path)
+    vocab = spark.read.parquet(f"{export_path}/vocab")
+    for i in range(2, upto + 1):
+        d = os.path.join(export_path, "state", f"v={i}", "vocab_delta")
+        if os.path.exists(d):
+            vocab = vocab.unionByName(spark.read.parquet(d))
+    return vocab
+
+
+def read_training_tape(spark, export_path: str):
+    """The committed window table across base + increments, with
+    superseded tail windows resolved: each increment that extended a
+    PARTIAL tail window re-emits that window_id in full, so the reader
+    drops the stale copy from every earlier version (driver state is
+    one (version, window_id) pair per increment — bounded by increment
+    count, never by corpus). Returns (windows_df, vocab_df)."""
+    import os
+
+    _m, v = _read_tape_state(spark, export_path)
+    # rewritten_window_id per version (tiny manifests, driver-side)
+    rewritten = []  # (version, window_id)
+    for i in range(2, v + 1):
+        row = spark.read.parquet(
+            os.path.join(export_path, "state", f"v={i}", "manifest")
+        ).collect()[0]
+        if row["rewritten_window_id"] is not None and int(
+            row["rewritten_window_id"]
+        ) >= 0:
+            rewritten.append((i, int(row["rewritten_window_id"])))
+
+    def _frame(df, version):
+        stale = [wid for (j, wid) in rewritten if j > version]
+        if stale:
+            df = df.filter(~F.col("window_id").isin(stale))
+        return df
+
+    windows = _frame(spark.read.parquet(f"{export_path}/windows"), 1)
+    for i in range(2, v + 1):
+        windows = windows.unionByName(
+            _frame(
+                spark.read.parquet(
+                    os.path.join(export_path, "state", f"v={i}", "windows")
+                ),
+                i,
+            )
+        )
+    return windows, read_training_vocab(spark, export_path, upto=v)
+
+
+def export_training_windows_increment(
+    new_documents: DataFrame, export_path: str, batch_id: str = None
+) -> dict:
+    """CDC for the training-tape export: fold a batch of ARRIVALS into
+    an existing export, touching ONLY the new bytes — the
+    ``corpus_manifest_increment`` discipline applied to the pipeline's
+    terminal sink. Arrivals are BPE-encoded with the export's FROZEN
+    merge table (so the symbol stream of any document is identical to
+    what the base export would have produced), placed on the tape
+    after the committed ``total_tokens``, and cut into windows with
+    the shared assembly. If the committed tape ends in a PARTIAL
+    window, that one window (a single row) is read back, its ids
+    prepended at their original positions, and the window re-emitted
+    in full — versioned supersession, resolved by
+    ``read_training_tape``; history is never rewritten beyond that row.
+
+    Contracts: arrivals-only with STRICTLY INCREASING doc_ids
+    (min(new doc_id) > committed max — the tape is doc_id-ordered, so
+    out-of-order arrivals would belong in the middle of history;
+    raises otherwise); new tokens get vocab ids appended at
+    ``vocab_size + rank(token)`` (a vocab-sized window, the base
+    export's own bound), so ids are lineage-specific while the DECODED
+    symbol tape equals the batch export on the union EXACTLY
+    (pytest-asserted). Replays are idempotent via ``batch_id`` (an
+    already-committed id is a no-op); a crash before the CURRENT flip
+    leaves the increment invisible and the retry overwrites it.
+
+    Scale shape: one arrivals-sized encode + prefix sum + window
+    regroup, one vocab-sized anti-join/rank, ONE history row read.
+    A 100 TB tape absorbs a 1 GB day of arrivals for the cost of the
+    1 GB, not the 100 TB."""
+    import os
+    import uuid
+
+    from .text import bpe_tokenize_words
+
+    spark = new_documents.sparkSession
+    manifest, v = _read_tape_state(spark, export_path)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    if _tape_batch_committed(export_path, v, batch_id):
+        return {"committed": False, "version": v, "out_path": export_path}
+    budget = int(manifest["budget_tokens"])
+    total = int(manifest["total_tokens"])
+    vocab_size = int(manifest["vocab_size"])
+
+    mn = new_documents.agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+    if mn is None:
+        return {"committed": False, "version": v, "out_path": export_path}
+    if not (mn > manifest["max_doc_id"]):
+        raise ValueError(
+            "export_training_windows_increment: arrivals must have "
+            f"strictly increasing doc_ids (min arrival {mn!r} <= "
+            f"committed max {manifest['max_doc_id']!r}) — the tape is "
+            "doc_id-ordered and history is immutable."
+        )
+
+    merges_df = spark.read.parquet(f"{export_path}/merges")
+    toks = bpe_tokenize_words(
+        new_documents, merges_df, with_tokens=True
+    ).select("doc_id", "n_bpe_tokens", "bpe_tokens")
+    toks.persist()
+    placed = _tape_offsets(toks).withColumn(
+        "doc_start", F.col("doc_start") + F.lit(total)
+    )
+
+    # vocab delta: new distinct tokens at ids >= vocab_size, token-asc
+    from pyspark.sql import Window
+
+    existing = read_training_vocab(spark, export_path, upto=v)
+    new_tokens = (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .distinct()
+        .join(existing.select("token"), "token", "left_anti")
+        .select(
+            "token",
+            (
+                F.row_number().over(Window.orderBy("token"))
+                - 1
+                + F.lit(vocab_size)
+            ).alias("token_id"),
+        )
+    )
+    new_tokens.persist()
+    n_new_tokens = new_tokens.count()
+    vocab_all = existing.unionByName(new_tokens)
+
+    stream = placed.select(
+        F.posexplode("bpe_tokens").alias("idx", "token"),
+        (F.col("doc_start") + F.col("idx")).alias("pos"),
+    ).join(F.broadcast(vocab_all), "token").select("pos", "token_id")
+
+    rewritten_id = -1
+    tail_len = total % budget
+    if tail_len:
+        rewritten_id = total // budget
+        committed_windows, _vocab = read_training_tape(spark, export_path)
+        tail = committed_windows.filter(
+            F.col("window_id") == rewritten_id
+        ).select(
+            F.posexplode("token_ids").alias("idx", "token_id"),
+            (F.lit(rewritten_id * budget) + F.col("idx")).alias("pos"),
+        ).select("pos", "token_id")
+        stream = stream.unionByName(tail)
+
+    windows = _assemble_windows(stream, budget)
+    vdir = os.path.join(export_path, "state", f"v={v + 1}")
+    windows.write.mode("overwrite").parquet(os.path.join(vdir, "windows"))
+    if n_new_tokens:
+        new_tokens.write.mode("overwrite").parquet(
+            os.path.join(vdir, "vocab_delta")
+        )
+    new_total = total + int(
+        toks.agg(F.sum("n_bpe_tokens")).collect()[0][0] or 0
+    )
+    new_manifest = new_documents.agg(
+        F.max("doc_id").alias("max_doc_id")
+    ).select(
+        F.lit(budget).cast("long").alias("budget_tokens"),
+        F.lit(new_total).cast("long").alias("total_tokens"),
+        F.lit((new_total + budget - 1) // budget)
+        .cast("long")
+        .alias("n_windows"),
+        "max_doc_id",
+        F.lit(vocab_size + n_new_tokens).cast("long").alias("vocab_size"),
+        F.lit(rewritten_id).cast("long").alias("rewritten_window_id"),
+    )
+    _write_tape_state(new_manifest, export_path, v + 1, batch_id)
+    toks.unpersist()
+    new_tokens.unpersist()
+    return {
+        "committed": True,
+        "version": v + 1,
+        "tokens": new_total,
+        "vocab_size": vocab_size + n_new_tokens,
+        "out_path": export_path,
     }
 
 

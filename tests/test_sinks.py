@@ -427,3 +427,98 @@ def test_export_training_epochs(spark, tmp_path):
     )
     assert tape("e0", res3["out_path"]) == t0
     assert tape("e1", res3["out_path"]) == t1
+
+
+def test_export_training_windows_increment_matches_batch(spark, tmp_path):
+    """CDC tape export: base + two increments must equal the batch
+    export on the union — same window boundaries, same DECODED symbol
+    sequence per window (vocab ids are lineage-specific; each side
+    decodes through its own sidecar). Also: the strictly-increasing
+    doc_id contract raises, replays are idempotent, and a crash-window
+    replay (CURRENT reverted) recommits identically."""
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+        export_training_windows_increment,
+        read_training_tape,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1))
+          + (" zzznovel" if i >= 40 else ""))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    base = docs.filter("doc_id < 40")
+    arr1 = docs.filter("doc_id >= 40 and doc_id < 50")
+    arr2 = docs.filter("doc_id >= 50")
+    merges = bpe_merges_fast(base, n_merges=20)
+
+    pA = str(tmp_path / "inc")
+    export_training_windows(base, merges, pA, budget_tokens=32)
+    r1 = export_training_windows_increment(arr1, pA, batch_id="b1")
+    r2 = export_training_windows_increment(arr2, pA, batch_id="b2")
+    assert r1["committed"] and r2["committed"]
+
+    pB = str(tmp_path / "batch")
+    res = export_training_windows(docs, merges, pB, budget_tokens=32)
+
+    def decoded(windows, vocab):
+        return {
+            (r.window_id, r.idx, r.token)
+            for r in windows.select(
+                "window_id", F.posexplode("token_ids").alias("idx", "tid")
+            )
+            .join(vocab.withColumnRenamed("token_id", "tid"), "tid")
+            .collect()
+        }
+
+    wA, vA = read_training_tape(spark, pA)
+    wB = spark.read.parquet(f"{pB}/windows")
+    vB = spark.read.parquet(f"{pB}/vocab")
+    assert wA.count() == res["windows"] == wB.count()
+    expected = decoded(wA, vA)  # materialize once: later steps
+    # overwrite v=3's files, so this plan must not re-run afterwards
+    assert expected == decoded(wB, vB)
+    # novel symbols (the frozen merges never saw 'zzznovel', so it
+    # splits into sub-symbols unseen in the base corpus) entered via a
+    # vocab delta at appended ids, and both lineages end at the same
+    # vocabulary cardinality
+    assert vA.count() == vB.count()
+    base_vocab_size = spark.read.parquet(f"{pA}/vocab").count()
+    delta = vA.filter(F.col("token_id") >= base_vocab_size)
+    assert delta.count() >= 1
+    assert delta.filter("token like '%z%'").count() >= 1
+
+    # contract: overlapping/old doc_ids must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly increasing"):
+        export_training_windows_increment(arr1, pA, batch_id="b3")
+
+    # idempotent replay: an already-committed batch_id is a no-op
+    again = export_training_windows_increment(arr2, pA, batch_id="b2")
+    assert again["committed"] is False
+    wA2, vA2 = read_training_tape(spark, pA)
+    assert decoded(wA2, vA2) == expected
+
+    # crash-window replay: revert CURRENT to v=2 (as if the b2 commit
+    # flip never landed) and re-run — the retry overwrites v=3 and the
+    # tape is bit-identical
+    import os
+
+    with open(os.path.join(pA, "state", "CURRENT"), "w") as f:
+        f.write("2")
+    r2b = export_training_windows_increment(arr2, pA, batch_id="b2")
+    assert r2b["committed"] and r2b["version"] == 3
+    # a real replay is a RESTARTED driver (the crash killed the
+    # session); this same-session simulation read the first v=3 before
+    # the overwrite, so the shared FileStatusCache holds the old part
+    # files — reset it the way Spark's own suites do
+    spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+    wA3, vA3 = read_training_tape(spark, pA)
+    assert decoded(wA3, vA3) == expected
