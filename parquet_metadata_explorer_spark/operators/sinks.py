@@ -534,9 +534,6 @@ def export_training_windows_increment(
         new_documents, merges_df, with_tokens=True
     ).select("doc_id", "n_bpe_tokens", "bpe_tokens")
     toks.persist()
-    placed = _tape_offsets(toks).withColumn(
-        "doc_start", F.col("doc_start") + F.lit(total)
-    )
 
     # vocab delta: new distinct tokens at ids >= vocab_size, token-asc
     from pyspark.sql import Window
@@ -556,52 +553,63 @@ def export_training_windows_increment(
         )
     )
     new_tokens.persist()
-    n_new_tokens = new_tokens.count()
-    vocab_all = existing.unionByName(new_tokens)
-
-    stream = placed.select(
-        F.posexplode("bpe_tokens").alias("idx", "token"),
-        (F.col("doc_start") + F.col("idx")).alias("pos"),
-    ).join(F.broadcast(vocab_all), "token").select("pos", "token_id")
-
-    rewritten_id = -1
-    tail_len = total % budget
-    if tail_len:
-        rewritten_id = total // budget
-        committed_windows, _vocab = read_training_tape(spark, export_path)
-        tail = committed_windows.filter(
-            F.col("window_id") == rewritten_id
-        ).select(
-            F.posexplode("token_ids").alias("idx", "token_id"),
-            (F.lit(rewritten_id * budget) + F.col("idx")).alias("pos"),
-        ).select("pos", "token_id")
-        stream = stream.unionByName(tail)
-
-    windows = _assemble_windows(stream, budget)
-    vdir = os.path.join(export_path, "state", f"v={v + 1}")
-    windows.write.mode("overwrite").parquet(os.path.join(vdir, "windows"))
-    if n_new_tokens:
-        new_tokens.write.mode("overwrite").parquet(
-            os.path.join(vdir, "vocab_delta")
+    try:
+        placed = _tape_offsets(toks).withColumn(
+            "doc_start", F.col("doc_start") + F.lit(total)
         )
-    new_total = total + int(
-        toks.agg(F.sum("n_bpe_tokens")).collect()[0][0] or 0
-    )
-    new_manifest = new_documents.agg(
-        F.max("doc_id").alias("max_doc_id")
-    ).select(
-        F.lit(budget).cast("long").alias("budget_tokens"),
-        F.lit(new_total).cast("long").alias("total_tokens"),
-        F.lit((new_total + budget - 1) // budget)
-        .cast("long")
-        .alias("n_windows"),
-        "max_doc_id",
-        F.lit(vocab_size + n_new_tokens).cast("long").alias("vocab_size"),
-        F.lit(rewritten_id).cast("long").alias("rewritten_window_id"),
-    )
-    _write_tape_state(new_manifest, export_path, v + 1, batch_id)
-    toks.unpersist()
-    new_tokens.unpersist()
+        n_new_tokens = new_tokens.count()
+        vocab_all = existing.unionByName(new_tokens)
+
+        stream = placed.select(
+            F.posexplode("bpe_tokens").alias("idx", "token"),
+            (F.col("doc_start") + F.col("idx")).alias("pos"),
+        ).join(F.broadcast(vocab_all), "token").select("pos", "token_id")
+
+        rewritten_id = -1
+        tail_len = total % budget
+        if tail_len:
+            rewritten_id = total // budget
+            committed_windows, _vocab = read_training_tape(
+                spark, export_path
+            )
+            tail = committed_windows.filter(
+                F.col("window_id") == rewritten_id
+            ).select(
+                F.posexplode("token_ids").alias("idx", "token_id"),
+                (F.lit(rewritten_id * budget) + F.col("idx")).alias("pos"),
+            ).select("pos", "token_id")
+            stream = stream.unionByName(tail)
+
+        windows = _assemble_windows(stream, budget)
+        vdir = os.path.join(export_path, "state", f"v={v + 1}")
+        windows.write.mode("overwrite").parquet(
+            os.path.join(vdir, "windows")
+        )
+        if n_new_tokens:
+            new_tokens.write.mode("overwrite").parquet(
+                os.path.join(vdir, "vocab_delta")
+            )
+        new_total = total + int(
+            toks.agg(F.sum("n_bpe_tokens")).collect()[0][0] or 0
+        )
+        new_manifest = new_documents.agg(
+            F.max("doc_id").alias("max_doc_id")
+        ).select(
+            F.lit(budget).cast("long").alias("budget_tokens"),
+            F.lit(new_total).cast("long").alias("total_tokens"),
+            F.lit((new_total + budget - 1) // budget)
+            .cast("long")
+            .alias("n_windows"),
+            "max_doc_id",
+            F.lit(vocab_size + n_new_tokens).cast("long").alias(
+                "vocab_size"
+            ),
+            F.lit(rewritten_id).cast("long").alias("rewritten_window_id"),
+        )
+        _write_tape_state(new_manifest, export_path, v + 1, batch_id)
+    finally:
+        toks.unpersist()
+        new_tokens.unpersist()
     return {
         "committed": True,
         "version": v + 1,
@@ -719,6 +727,87 @@ def export_training_epochs(
         "windows": int(windows.count()),
         "out_path": out,
     }
+
+
+def stream_export_training_windows(
+    spark,
+    docs_path: str,
+    export_path: str,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str = None,
+):
+    """Maintain the training tape CONTINUOUSLY as document files land —
+    the streaming twin of the export sink, completing the pattern the
+    manifest/prepare twins set: each micro-batch folds its arrivals
+    through ``export_training_windows_increment``, so the accumulated
+    tape equals the batch export on the union of all arrived files
+    EXACTLY at the decoded-symbol level (the increment's contract).
+    Requires an existing BASE export (the merge table must be trained
+    and frozen before a stream can encode against it) and arrivals
+    with strictly increasing doc_ids in arrival order — the tape is
+    doc_id-ordered, so the ingest layout must already deliver files in
+    id order (the CDC convention every increment enforces; violations
+    raise rather than corrupt).
+
+    Crash safety is the increment's own versioned-state protocol
+    (batch ids recorded per version, CURRENT flipped last): a replayed
+    micro-batch sees its lineage-scoped batch_id committed and no-ops.
+    The LINEAGE token (the twins' shared guard) scopes batch ids to
+    ONE checkpoint lineage — a fresh checkpoint pointed at existing
+    tape state raises at setup instead of renumbering batches over
+    different file groupings. Each handler runs inside a
+    ``persist_scope`` so a 24/7 stream pins no per-batch caches."""
+    import os
+    import uuid
+
+    from ..cache import persist_scope
+
+    ckpt = checkpoint_dir or f"{export_path}/_stream_checkpoint"
+    token_path = os.path.join(ckpt, "LINEAGE")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = f.read().strip()
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        token = uuid.uuid4().hex
+        with open(token_path, "w") as f:
+            f.write(token)
+    # lineage guard: if the tape already has stream-committed versions,
+    # they must carry THIS checkpoint's token
+    _m, v = _read_tape_state(spark, export_path)
+    for i in range(2, v + 1):
+        p = os.path.join(export_path, "state", f"v={i}", "BATCH")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            bid = f.read().strip()
+        if ":" in bid and bid.split(":", 1)[0] != token:
+            raise ValueError(
+                "stream_export_training_windows: tape state has "
+                f"batches committed by a different checkpoint lineage "
+                f"({bid.split(':', 1)[0]!r} != {token!r}); reset the "
+                "stream checkpoint and the increments together."
+            )
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+
+    def handle(batch_df, batch_id):
+        with persist_scope():
+            export_training_windows_increment(
+                batch_df, export_path, batch_id=f"{token}:{batch_id}"
+            )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
 
 
 def write_metadata_report(

@@ -522,3 +522,79 @@ def test_export_training_windows_increment_matches_batch(spark, tmp_path):
     spark._jvm.org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
     wA3, vA3 = read_training_tape(spark, pA)
     assert decoded(wA3, vA3) == expected
+
+
+def test_stream_export_training_windows_matches_batch(spark, tmp_path):
+    """The streaming tape twin: arrivals folded per micro-batch must
+    accumulate to the batch export on the union at the decoded-symbol
+    level, and a fresh checkpoint against existing stream-committed
+    tape state must raise (lineage guard), leaving the tape unchanged."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+        read_training_tape,
+        stream_export_training_windows,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    base = docs.filter("doc_id < 40")
+    merges = bpe_merges_fast(base, n_merges=20)
+
+    pA = str(tmp_path / "stream_tape")
+    export_training_windows(base, merges, pA, budget_tokens=32)
+    pB = str(tmp_path / "batch_tape")
+    export_training_windows(docs, merges, pB, budget_tokens=32)
+
+    # two arrival files in doc_id order (filename order = arrival order)
+    flat = str(tmp_path / "arrivals")
+    os.makedirs(flat)
+    for n, (lo, hi) in enumerate([(40, 50), (50, 60)]):
+        d = str(tmp_path / f"slice{n}")
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(
+            1
+        ).write.parquet(d)
+        shutil.copy(
+            _glob.glob(f"{d}/part-*.parquet")[0], f"{flat}/{n:03d}.parquet"
+        )
+
+    q = stream_export_training_windows(spark, flat, pA)
+    q.processAllAvailable()
+    q.stop()
+
+    def decoded(windows, vocab):
+        return {
+            (r.window_id, r.idx, r.token)
+            for r in windows.select(
+                "window_id", F.posexplode("token_ids").alias("idx", "tid")
+            )
+            .join(vocab.withColumnRenamed("token_id", "tid"), "tid")
+            .collect()
+        }
+
+    wA, vA = read_training_tape(spark, pA)
+    expected = decoded(
+        spark.read.parquet(f"{pB}/windows"),
+        spark.read.parquet(f"{pB}/vocab"),
+    )
+    got = decoded(wA, vA)
+    assert got == expected and got
+
+    # fresh checkpoint against stream-committed state: raise at setup
+    with _pytest.raises(ValueError, match="checkpoint lineage"):
+        stream_export_training_windows(
+            spark, flat, pA, checkpoint_dir=str(tmp_path / "ckpt_fresh")
+        )
+    wA2, vA2 = read_training_tape(spark, pA)
+    assert decoded(wA2, vA2) == expected
