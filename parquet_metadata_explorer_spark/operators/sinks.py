@@ -684,8 +684,17 @@ def export_training_epochs(
     small exchanges instead of one K×-sized one — the shape to prefer
     when executor memory, not source I/O, is the binding constraint).
 
-    Returns {"epochs": [seed...], "windows": n, "out_path": ...}."""
-    windows = spark.read.parquet(f"{export_path}/windows")
+    Returns {"epochs": [seed...], "windows": n, "out_path": ...}.
+
+    Incremented exports are resolved through ``read_training_tape``
+    (supersession included), so every epoch tree reflects the full
+    committed tape, not just the base windows."""
+    import os
+
+    if os.path.exists(os.path.join(export_path, "state", "CURRENT")):
+        windows, _vocab = read_training_tape(spark, export_path)
+    else:
+        windows = spark.read.parquet(f"{export_path}/windows")
     out = out_path or f"{export_path}/epochs"
     seeds = [str(s) for s in seeds]
     if single_pass and seeds:

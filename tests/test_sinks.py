@@ -598,3 +598,74 @@ def test_stream_export_training_windows_matches_batch(spark, tmp_path):
         )
     wA2, vA2 = read_training_tape(spark, pA)
     assert decoded(wA2, vA2) == expected
+
+
+def test_epochs_and_exact_boundary_over_incremented_tape(spark, tmp_path):
+    """(1) export_training_epochs over an INCREMENTED export must shuffle
+    the full committed tape (supersession resolved), not just the base
+    windows. (2) An increment landing on an EXACT window boundary
+    (committed total % budget == 0) re-emits nothing — rewritten_window_id
+    stays -1 and the decoded tape still equals the batch export."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_epochs,
+        export_training_windows,
+        export_training_windows_increment,
+        read_training_tape,
+        _read_tape_state,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bpe_merges_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    base = docs.filter("doc_id < 40")
+    merges = bpe_merges_fast(base, n_merges=20)
+
+    # learn the base token total, then re-export with budget == total
+    # so the committed tape ends EXACTLY on a window boundary
+    probe = str(tmp_path / "probe")
+    res0 = export_training_windows(base, merges, probe, budget_tokens=32)
+    total = res0["tokens"]
+
+    pA = str(tmp_path / "exact")
+    export_training_windows(base, merges, pA, budget_tokens=total)
+    export_training_windows_increment(
+        docs.filter("doc_id >= 40"), pA, batch_id="b1"
+    )
+    m, v = _read_tape_state(spark, pA)
+    assert v == 2 and int(m["rewritten_window_id"]) == -1  # no tail rewrite
+
+    pB = str(tmp_path / "exact_batch")
+    export_training_windows(docs, merges, pB, budget_tokens=total)
+
+    def decoded(windows, vocab):
+        return {
+            (r.window_id, r.idx, r.token)
+            for r in windows.select(
+                "window_id", F.posexplode("token_ids").alias("idx", "tid")
+            )
+            .join(vocab.withColumnRenamed("token_id", "tid"), "tid")
+            .collect()
+        }
+
+    wA, vA = read_training_tape(spark, pA)
+    assert decoded(wA, vA) == decoded(
+        spark.read.parquet(f"{pB}/windows"),
+        spark.read.parquet(f"{pB}/vocab"),
+    )
+
+    # epochs over the incremented export cover the FULL tape
+    res = export_training_epochs(spark, pA, seeds=["e0"])
+    ids = []
+    for f in sorted(glob.glob(f"{res['out_path']}/epoch=e0/part-*.parquet")):
+        ids.extend(pq.read_table(f).column("window_id").to_pylist())
+    assert sorted(ids) == sorted(r.window_id for r in wA.collect())
+    assert len(ids) == wA.count() == 2  # base window + the appended one
