@@ -258,6 +258,78 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 10) -> DataFrame:
     )
 
 
+def hybrid_knn_graph(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    n_bands: int = 16,
+    planes_per_band="auto",
+) -> DataFrame:
+    """Corpus-sized hybrid related-items graph: EVERY document's top-k
+    related documents by Reciprocal Rank Fusion of the two corpus-scale
+    retrievers — ``bm25_more_like_this`` (lexical, df-guarded term
+    join) and ``knn_graph`` (dense, LSH-bucketed) — the corpus-as-
+    queries twin of ``hybrid_rrf_topk`` exactly as the MoreLikeThis
+    operator is the twin of ``bm25_topk``. Requires ``vec_id`` to
+    carry the same ids as ``doc_id`` (the repo-wide embedding-table
+    convention). Output (query_id, doc_id, rrf_score, lex_rank,
+    dense_rank, rank).
+
+    score(d) = Σ_sources 1/(rrf_k + rank_s(d)) — a doc found by one
+    retriever contributes that one term; the fusion needs no score
+    calibration across modalities (Cormack et al. 2009), which is what
+    makes it safe to run blind over a whole corpus.
+
+    Scale shape: both inputs are top-``k_each`` PER DOCUMENT (corpus ×
+    k_each rows, linear in the corpus), fused by one full-outer join on
+    (query_id, doc_id) and ranked by a per-query window whose groups
+    are ≤ 2·k_each rows — uniform by construction, no skew surface.
+    The heavy lifting lives in the two retrievers, each with its own
+    documented scale story. RRF arithmetic is 1/(integer+integer) in
+    doubles — engine-exact, no rounding discipline needed."""
+    from pyspark.sql import Window
+
+    from .text import bm25_more_like_this
+
+    lex = bm25_more_like_this(
+        documents, k=k_each, m_terms=m_terms, max_df_ratio=max_df_ratio
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    dense = knn_graph(
+        embeddings, k=k_each, n_bands=n_bands,
+        planes_per_band=planes_per_band,
+    ).select(
+        F.col("src").alias("query_id"),
+        F.col("dst").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(int(rrf_k)) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        (contrib("lex_rank") + contrib("dense_rank")).alias("rrf_score"),
+        "lex_rank",
+        "dense_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id", "doc_id", "rrf_score", "lex_rank", "dense_rank",
+            "rank",
+        )
+    )
+
+
 def hybrid_rrf_topk(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -2947,3 +2947,59 @@ def test_bm25_more_like_this_from_index_matches_memory(spark, tmp_path):
         map(tuple, bm25_more_like_this_from_index(spark, path, k=5).collect())
     )
     assert disk_u == mem_u
+
+
+def test_hybrid_knn_graph_is_exact_fusion_of_components(spark):
+    """The corpus-sized hybrid graph must equal the RRF fusion computed
+    in plain Python from its two component rank tables (same params) —
+    fusion adds arithmetic, never new candidates or reordering."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph,
+        knn_graph,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_more_like_this,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    params = dict(k_each=10, rrf_k=60, m_terms=6, max_df_ratio=0.25)
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in hybrid_knn_graph(
+            docs, emb, k=5, n_bands=16, planes_per_band=4, **params
+        ).collect()
+    }
+    assert got
+
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in bm25_more_like_this(
+            docs, k=10, m_terms=6, max_df_ratio=0.25
+        ).collect()
+    }
+    dense = {
+        (r.src, r.dst): r.rank
+        for r in knn_graph(emb, k=10, n_bands=16,
+                           planes_per_band=4).collect()
+    }
+    import collections
+
+    scores = collections.defaultdict(float)
+    for (q, d), rk in lex.items():
+        scores[(q, d)] += 1.0 / (60 + rk)
+    for (q, d), rk in dense.items():
+        scores[(q, d)] += 1.0 / (60 + rk)
+    by_q = collections.defaultdict(list)
+    for (q, d), s in scores.items():
+        by_q[q].append((-s, d))
+    expected = {}
+    for q, lst in by_q.items():
+        for rank, (neg_s, d) in enumerate(sorted(lst)[:5], start=1):
+            expected[(q, d)] = (-neg_s, lex.get((q, d)),
+                                dense.get((q, d)), rank)
+    assert got == expected
