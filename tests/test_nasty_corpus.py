@@ -387,3 +387,21 @@ def test_health_gate_blocks_builds_before_any_job(spark, nasty_embeddings, tmp_p
     # ungated call keeps the pre-existing stack_embeddings contract
     # (fails later, but still with named ids) — gate is opt-in
     assert semantic_duplicates(clean, n_centroids=4).count() == n
+
+
+def test_more_like_this_survives_nasty(spark, nasty):
+    """Corpus-as-queries retrieval over the hostile table: no crash on
+    null/empty/CJK/emoji docs, self never retrieved, and the exact
+    duplicate pair must find each other at rank 1 both ways. Docs with
+    no df-eligible terms (stop-term-only bodies) legitimately return
+    no rows — the Lucene MoreLikeThis convention, unlike the
+    keep-every-row per-document operators."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_more_like_this,
+    )
+
+    rows = bm25_more_like_this(nasty, k=3, max_df_ratio=0.9).collect()
+    assert rows
+    assert all(r.query_id != r.doc_id for r in rows)
+    best = {r.query_id: r.doc_id for r in rows if r.rank == 1}
+    assert best.get(0) == 9 and best.get(9) == 0  # the duplicate pair
