@@ -7,10 +7,12 @@ and PNG with REAL pixels (stdlib zlib inflate + the five row unfilters
 depth/color combination — 1/2/4/8/16-bit gray, 8/16-bit
 RGB/gray+alpha/RGBA, 1/2/4/8-bit PLTE palette — so
 ``multimodal.decode_features``, ``resize_binary`` and ``image_dhash``
-work on actual pixel grids — and baseline-sequential JPEG with REAL
-pixels (canonical Huffman decode, dequantize, float IDCT, chroma
-upsampling, JFIF YCbCr→RGB; progressive/12-bit variants return
-header-only dimensions, the documented contract). AVI parses the RIFF
+work on actual pixel grids — and baseline-sequential AND progressive
+JPEG with REAL pixels (canonical Huffman decode, dequantize, float
+IDCT, chroma upsampling, JFIF YCbCr→RGB; progressive accumulates
+spectral-selection + successive-approximation scans per block before
+the shared IDCT; 12/16-bit and arithmetic variants return header-only
+dimensions, the documented contract). AVI parses the RIFF
 container (avih dims/timing + real ``movi`` frame boundaries for the
 video stream) so frame sampling is container-aware. Payloads no strict
 parser accepts fall back to the deterministic byte-derived features, so
@@ -619,17 +621,213 @@ def _jpeg_decode_baseline(comps, qt, huff_dc, huff_ac, scan_map,
     return planes
 
 
+def _jpeg_refine_nonzero(blk, k0, k1, bit, bits):
+    """AC successive-approximation correction bits (T.81 G.1.2.3): one
+    bit per already-nonzero coefficient in the band; a 1 appends
+    ``bit`` to the magnitude if that magnitude bit is still clear."""
+    for k in range(k0, k1 + 1):
+        c = blk[k]
+        if c != 0 and bits.bit():
+            if (abs(c) & bit) == 0:
+                blk[k] = c + (bit if c > 0 else -bit)
+
+
+def _jpeg_ac_first(blk, bits, table, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block; returns the EOBRUN
+    counting FURTHER all-zero-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("jpeg: progressive AC index overflow")
+        blk[k] = _jpeg_extend(bits.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(blk, bits, table, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (the T.81 G.1.2.3
+    correction pass): new coefficients arrive as ±2^Al, every nonzero
+    coefficient visited consumes one correction bit. Returns EOBRUN."""
+    bit = 1 << al
+    if eobrun > 0:
+        _jpeg_refine_nonzero(blk, ss, se, bit, bits)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(table)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.bits(r)
+                _jpeg_refine_nonzero(blk, k, se, bit, bits)
+                return eobrun
+            # r == 15: skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("jpeg: refine scan size != 1")
+            val = bit if bits.bit() else -bit
+        while k <= se:
+            c = blk[k]
+            if c != 0:
+                if bits.bit() and (abs(c) & bit) == 0:
+                    blk[k] = c + (bit if c > 0 else -bit)
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return 0
+
+
+def _jpeg_decode_progressive(comps, qt, scans, width, height):
+    """Progressive (SOF2) decode: accumulate per-block zigzag
+    coefficients across every scan (spectral selection + successive
+    approximation), then dequantize/IDCT once — the exact integer
+    reconstruction baseline would have produced from the same
+    coefficients. ``scans`` carries per-scan Huffman-table SNAPSHOTS
+    (DHT may be redefined between scans) and restart segments.
+    Returns {cid: (plane rows, pw, ph)} like the baseline decoder."""
+    maxh = max(h for _c, h, _v, _q in comps)
+    maxv = max(v for _c, _h, v, _q in comps)
+    mcux = (width + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (height + 8 * maxv - 1) // (8 * maxv)
+    geom = {cid: (h, v) for cid, h, v, _q in comps}
+    store = {
+        cid: [[0] * 64 for _ in range(mcux * h * mcuy * v)]
+        for cid, h, v, _q in comps
+    }
+
+    def nonint_grid(cid):
+        # JPEG A.2: a one-component scan covers ceil(samples/8) blocks
+        # of THAT component, not the MCU-padded grid
+        h, v = geom[cid]
+        sw = (width * h + maxh - 1) // maxh
+        sh = (height * v + maxv - 1) // maxv
+        return (sw + 7) // 8, (sh + 7) // 8
+
+    for scomps, ss, se, ah, al, hdc, hac, segments, ri in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+        if ss > 0 and len(scomps) != 1:
+            raise ValueError("jpeg: progressive AC scan must be 1-comp")
+        bits = _JpegBits(segments[0])
+        seg_idx = 0
+        if ss == 0:  # DC scan (interleaved when ns>1)
+            pred = {cid: 0 for cid, _d, _a in scomps}
+            if len(scomps) > 1:
+                units = mcux * mcuy
+            else:
+                nw, nh = nonint_grid(scomps[0][0])
+                units = nw * nh
+            for u in range(units):
+                if ri and u and u % ri == 0:
+                    seg_idx += 1
+                    bits = _JpegBits(segments[seg_idx])
+                    pred = {cid: 0 for cid in pred}
+                if len(scomps) > 1:
+                    my, mx = divmod(u, mcux)
+                    targets = []
+                    for cid, dci, _aci in scomps:
+                        h, v = geom[cid]
+                        bw = mcux * h
+                        for by in range(v):
+                            for bx in range(h):
+                                targets.append((
+                                    cid, dci,
+                                    (my * v + by) * bw + mx * h + bx,
+                                ))
+                else:
+                    cid, dci, _aci = scomps[0]
+                    h, _v = geom[cid]
+                    nw, _nh = nonint_grid(cid)
+                    by, bx = divmod(u, nw)
+                    targets = [(cid, dci, by * (mcux * h) + bx)]
+                for cid, dci, idx in targets:
+                    blk = store[cid][idx]
+                    if ah == 0:
+                        t = bits.huff(hdc[dci])
+                        diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                        pred[cid] += diff
+                        blk[0] = pred[cid] << al
+                    elif bits.bit():
+                        blk[0] |= 1 << al
+        else:  # AC scan: one component, non-interleaved
+            cid, _dci, aci = scomps[0]
+            table = hac[aci]
+            h, _v = geom[cid]
+            bw = mcux * h
+            nw, nh = nonint_grid(cid)
+            eobrun = 0
+            for u in range(nw * nh):
+                if ri and u and u % ri == 0:
+                    seg_idx += 1
+                    bits = _JpegBits(segments[seg_idx])
+                    eobrun = 0
+                by, bx = divmod(u, nw)
+                blk = store[cid][by * bw + bx]
+                if ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        blk, bits, table, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        blk, bits, table, ss, se, al, eobrun
+                    )
+
+    planes = {}
+    for cid, h, v, tq in comps:
+        q = qt[tq]
+        bw, bh = mcux * h, mcuy * v
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for i, zz in enumerate(store[cid]):
+            coef = [0] * 64
+            for k in range(64):
+                coef[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
+            block = _jpeg_idct_block(coef)
+            by, bx = divmod(i, bw)
+            y0, x0 = by * 8, bx * 8
+            for yy in range(8):
+                plane[y0 + yy][x0 : x0 + 8] = block[yy]
+        planes[cid] = (plane, bw * 8, bh * 8)
+    return planes
+
+
 def parse_jpeg(b: bytes) -> Optional[dict]:
     """JPEG: strict marker-segment walk for dimensions/channels on ANY
-    SOF variant, plus REAL pixels for the dominant on-disk shape —
+    SOF variant, plus REAL pixels for the two dominant on-disk shapes —
     BASELINE SEQUENTIAL (SOF0, 8-bit, 1 or 3 components, any sampling
     factors, restart intervals honored): hand-rolled canonical Huffman
     decode, dequantize, dezigzag, float IDCT (+128 level shift,
     clamped), nearest-neighbor chroma upsampling and the JFIF
-    YCbCr→RGB transform. Progressive (SOF2), 12/16-bit and arithmetic
-    streams return header-only metadata — the documented contract
-    (tested) — and ANY entropy-decode failure demotes to header-only
-    rather than erroring, like the PNG path."""
+    YCbCr→RGB transform — and PROGRESSIVE (SOF2, 8-bit, 1 or 3
+    components): every scan's coefficients accumulate per block
+    (spectral selection bands, successive-approximation first +
+    refinement passes, EOBRUN, per-scan DHT snapshots, restarts), then
+    one shared dequant/IDCT reconstructs pixels bit-identical to a
+    baseline encoding of the same quantized coefficients (the encoder-
+    twin pytest). 12/16-bit, arithmetic and lossless streams return
+    header-only metadata — the documented contract (tested) — and ANY
+    entropy-decode failure demotes to header-only rather than
+    erroring, like the PNG path."""
     if b[:2] != b"\xff\xd8" or len(b) < 4:
         return None
     pos, n = 2, len(b)
@@ -640,6 +838,7 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
     huff_ac = {}
     restart_interval = 0
     scan = None
+    prog_scans = []
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             return None  # lost marker sync: not a JPEG stream
@@ -712,10 +911,28 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
             ns = seg[0] if seg else 0
             if len(seg) >= 1 + 2 * ns:
                 scan_map = {}
+                scomps = []
                 for i in range(ns):
                     cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                     scan_map[cid] = (tabs >> 4, tabs & 0x0F)
+                    scomps.append((cid, tabs >> 4, tabs & 0x0F))
                 scan = (scan_map, pos + seglen)
+                if sof_marker == 0xC2 and len(seg) >= 4 + 2 * ns:
+                    # progressive: record this scan (with Huffman-table
+                    # SNAPSHOTS — DHT may be redefined between scans)
+                    # and keep walking past its entropy data
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ahal = seg[3 + 2 * ns]
+                    segments, end = _jpeg_entropy_segments(
+                        b, pos + seglen
+                    )
+                    prog_scans.append((
+                        scomps, ss, se, ahal >> 4, ahal & 0x0F,
+                        dict(huff_dc), dict(huff_ac), segments,
+                        restart_interval,
+                    ))
+                    pos = end
+                    continue
             break  # baseline: single scan
         pos += seglen
     if sof is None:
@@ -741,23 +958,41 @@ def parse_jpeg(b: bytes) -> Optional[dict]:
         # rather than risk decoding garbage without an error.
         and (ncomp != 1 or comps[0][1:3] == (1, 1))
     )
-    if not decodable:
+    prog_decodable = (
+        sof_marker == 0xC2
+        and precision == 8
+        and ncomp in (1, 3)
+        and prog_scans
+        and len(comps) == ncomp
+    )
+    if decodable:
+        try:
+            scan_map, data_pos = scan
+            for cid, _h, _v, tq in comps:
+                if tq not in qt or cid not in scan_map:
+                    return meta
+                dc_id, ac_id = scan_map[cid]
+                if dc_id not in huff_dc or ac_id not in huff_ac:
+                    return meta
+            segments, _end = _jpeg_entropy_segments(b, data_pos)
+            planes = _jpeg_decode_baseline(
+                comps, qt, huff_dc, huff_ac, scan_map, segments,
+                width, height, restart_interval,
+            )
+        except (ValueError, IndexError, KeyError):
+            return meta  # corrupt entropy data: header-only, like PNG
+    elif prog_decodable:
+        try:
+            for cid, _h, _v, tq in comps:
+                if tq not in qt:
+                    return meta
+            planes = _jpeg_decode_progressive(
+                comps, qt, prog_scans, width, height
+            )
+        except (ValueError, IndexError, KeyError):
+            return meta  # malformed scan structure: header-only
+    else:
         return meta
-    try:
-        scan_map, data_pos = scan
-        for cid, _h, _v, tq in comps:
-            if tq not in qt or cid not in scan_map:
-                return meta
-            dc_id, ac_id = scan_map[cid]
-            if dc_id not in huff_dc or ac_id not in huff_ac:
-                return meta
-        segments, _end = _jpeg_entropy_segments(b, data_pos)
-        planes = _jpeg_decode_baseline(
-            comps, qt, huff_dc, huff_ac, scan_map, segments,
-            width, height, restart_interval,
-        )
-    except (ValueError, IndexError, KeyError):
-        return meta  # corrupt entropy data: header-only, like PNG
     maxh = max(h for _c, h, _v, _q in comps)
     maxv = max(v for _c, _h, v, _q in comps)
     out = bytearray()

@@ -1373,3 +1373,404 @@ def test_jpeg_dhash_matches_bmp(spark):
     assert rows[1][1] == "bmp" and rows[2][1] == "jpeg"
     ham = bin((rows[1][0] ^ rows[2][0]) & ((1 << 64) - 1)).count("1")
     assert ham <= 6, (ham, rows)
+
+
+# -- JPEG progressive encode/decode (round 11) --------------------------------
+
+
+class _SymCounter:
+    """Pass-1 sink: collects the Huffman alphabets the scans will use."""
+
+    def __init__(self):
+        self.dc_syms, self.ac_syms = [], []
+
+    def sym_dc(self, s, enc=None):
+        self.dc_syms.append(s)
+
+    def sym_ac(self, s, enc=None):
+        self.ac_syms.append(s)
+
+    def bits(self, v, n):
+        pass
+
+
+class _SymWriter:
+    """Pass-2 sink: entropy-codes into a _JpegWriter."""
+
+    def __init__(self, wtr, dc_enc, ac_enc):
+        self.w, self.dc_enc, self.ac_enc = wtr, dc_enc, ac_enc
+
+    def sym_dc(self, s, enc=None):
+        c, ln = self.dc_enc[s]
+        self.w.bits(c, ln)
+
+    def sym_ac(self, s, enc=None):
+        c, ln = self.ac_enc[s]
+        self.w.bits(c, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.w.bits(v, n)
+
+
+def _jpeg_plan_blocks(pixels: np.ndarray, subsample=(1, 1)):
+    """Geometry + per-component quantized zigzag blocks (raster order
+    over the MCU-padded grid) — the shared front half of the baseline
+    and progressive encoders (all-ones quantization)."""
+    h, w = pixels.shape[:2]
+    gray = pixels.ndim == 2
+    sh, sv = subsample
+    if gray:
+        planes = [(1, 1, 1, pixels.astype(float))]
+    else:
+        p = pixels.astype(float)
+        Y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        Cb = (-0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1]
+              + 0.5 * p[:, :, 2] + 128)
+        Cr = (0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1]
+              - 0.081312 * p[:, :, 2] + 128)
+        if (sh, sv) != (1, 1):
+            ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+
+            def down(c):
+                o = np.zeros((ch, cw))
+                for y in range(ch):
+                    for x in range(cw):
+                        o[y, x] = c[y * sv : y * sv + sv,
+                                    x * sh : x * sh + sh].mean()
+                return o
+
+            planes = [(1, sh, sv, Y), (2, 1, 1, down(Cb)),
+                      (3, 1, 1, down(Cr))]
+        else:
+            planes = [(1, 1, 1, Y), (2, 1, 1, Cb), (3, 1, 1, Cr)]
+    maxh = max(ph for _c, ph, _v, _p in planes)
+    maxv = max(pv for _c, _h, pv, _p in planes)
+    mcux = (w + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+    blocks = {}
+    meta = []
+    for cid, ph, pv, plane in planes:
+        meta.append((cid, ph, pv))
+        pw, phh = mcux * 8 * ph, mcuy * 8 * pv
+        arr = np.zeros((phh, pw))
+        src_h, src_w = plane.shape
+        arr[:src_h, :src_w] = plane
+        if src_w < pw:
+            arr[:, src_w:] = arr[:, src_w - 1 : src_w]
+        if src_h < phh:
+            arr[src_h:, :] = arr[src_h - 1 : src_h, :]
+        comp = []
+        for by in range(mcuy * pv):
+            for bx in range(mcux * ph):
+                block = [
+                    [arr[by * 8 + y, bx * 8 + x] for x in range(8)]
+                    for y in range(8)
+                ]
+                F = _jpeg_fdct_block(block)
+                comp.append([
+                    int(round(F[codecs._JPEG_ZIGZAG[k] // 8]
+                               [codecs._JPEG_ZIGZAG[k] % 8]))
+                    for k in range(64)
+                ])
+        blocks[cid] = comp
+    return meta, maxh, maxv, mcux, mcuy, blocks, w, h
+
+
+def _emit_dc_first(sink, meta, mcux, mcuy, blocks, al):
+    pred = {cid: 0 for cid, _h, _v in meta}
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for cid, ph, pv in meta:
+            bw = mcux * ph
+            for by in range(pv):
+                for bx in range(ph):
+                    zz = blocks[cid][(my * pv + by) * bw + mx * ph + bx]
+                    v = zz[0] >> al  # arithmetic shift (T.81 G.1.2.1)
+                    diff = v - pred[cid]
+                    pred[cid] = v
+                    t, mb = _mag_bits(diff)
+                    sink.sym_dc(t)
+                    sink.bits(mb, t)
+
+
+def _emit_dc_refine(sink, meta, mcux, mcuy, blocks, al):
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for cid, ph, pv in meta:
+            bw = mcux * ph
+            for by in range(pv):
+                for bx in range(ph):
+                    zz = blocks[cid][(my * pv + by) * bw + mx * ph + bx]
+                    sink.bits((zz[0] >> al) & 1, 1)
+
+
+def _nonint_grid(cid, meta, maxh, maxv, w, h):
+    ph, pv = next((a, b) for c, a, b in meta if c == cid)
+    sw = (w * ph + maxh - 1) // maxh
+    sh = (h * pv + maxv - 1) // maxv
+    return (sw + 7) // 8, (sh + 7) // 8, ph
+
+
+def _scan_blocks(cid, meta, maxh, maxv, mcux, w, h, blocks):
+    """The component's blocks in NON-interleaved scan order (A.2)."""
+    nw, nh, ph = _nonint_grid(cid, meta, maxh, maxv, w, h)
+    bw = mcux * ph
+    return [blocks[cid][by * bw + bx] for by in range(nh)
+            for bx in range(nw)]
+
+
+def _emit_eobrun(sink, run):
+    while run > 0:
+        r = run.bit_length() - 1
+        if r > 14:
+            r = 14
+        take = min(run, (1 << (r + 1)) - 1)
+        sink.sym_ac(r << 4)
+        sink.bits(take - (1 << r), r)
+        run -= take
+
+
+def _emit_ac_first(sink, scan_blocks, ss, se, al):
+    eob_batch = 0
+    for zz in scan_blocks:
+        vals = [(k, (abs(zz[k]) >> al) * (1 if zz[k] > 0 else -1))
+                for k in range(ss, se + 1)]
+        vals = [(k, v) for k, v in vals if v != 0]
+        if not vals:
+            eob_batch += 1
+            continue
+        _emit_eobrun(sink, eob_batch)
+        eob_batch = 0
+        prev = ss - 1
+        for k, v in vals:
+            run = k - prev - 1
+            while run > 15:
+                sink.sym_ac(0xF0)
+                run -= 16
+            s, mb = _mag_bits(v)
+            sink.sym_ac((run << 4) | s)
+            sink.bits(mb, s)
+            prev = k
+        if prev < se:
+            eob_batch = 1  # EOB for this block, batchable with next
+    _emit_eobrun(sink, eob_batch)
+
+
+def _emit_ac_refine(sink, scan_blocks, ss, se, al):
+    """Mirror of the decoder's G.1.2.3 walk: new ±1<<al coefficients
+    with runs counted over zero-HISTORY positions, one correction bit
+    per nonzero-history coefficient encountered, EOB batching."""
+    ah = al + 1
+
+    def corrections(sink, zz, k0):
+        for k in range(k0, se + 1):
+            if abs(zz[k]) >> ah:
+                sink.bits((abs(zz[k]) >> al) & 1, 1)
+
+    eob_batch = []
+    for zz in scan_blocks:
+        new = [k for k in range(ss, se + 1)
+               if (abs(zz[k]) >> ah) == 0 and (abs(zz[k]) >> al) == 1]
+        if not new:
+            eob_batch.append(zz)
+            continue
+        if eob_batch:
+            _emit_eobrun(sink, len(eob_batch))
+            for bz in eob_batch:
+                corrections(sink, bz, ss)
+            eob_batch = []
+        k = ss
+        for j in new:
+            # run of zero-history positions strictly before j
+            r = sum(1 for x in range(k, j) if (abs(zz[x]) >> ah) == 0)
+            while r > 15:
+                sink.sym_ac(0xF0)
+                # ZRL consumes 16 zero-history positions; emit the
+                # correction bits for nonzero-history coefs passed
+                passed = 0
+                while passed < 16:
+                    if (abs(zz[k]) >> ah) == 0:
+                        passed += 1
+                    else:
+                        sink.bits((abs(zz[k]) >> al) & 1, 1)
+                    k += 1
+                r -= 16
+            sink.sym_ac((r << 4) | 1)
+            sink.bits(1 if zz[j] > 0 else 0, 1)
+            while k <= j:
+                if (abs(zz[k]) >> ah) != 0:
+                    sink.bits((abs(zz[k]) >> al) & 1, 1)
+                k += 1  # zero-history positions consume nothing
+        if k <= se:
+            # EOB closing this block covers [k, se] correction bits
+            _emit_eobrun(sink, 1)
+            corrections(sink, zz, k)
+    if eob_batch:
+        _emit_eobrun(sink, len(eob_batch))
+        for bz in eob_batch:
+            corrections(sink, bz, ss)
+
+
+def make_jpeg_progressive(pixels: np.ndarray, subsample=(1, 1), al=1,
+                          bands=((1, 5), (6, 63))) -> bytes:
+    """Progressive JPEG encoder (test twin of the SOF2 decoder):
+    DC-first at Al, per-component AC-first scans over ``bands`` at Al,
+    then DC refine and per-component AC refines down to level 0 —
+    spectral selection AND successive approximation, EOBRUN batching,
+    all-ones quantization. Same quantized coefficients as
+    make_jpeg_full, so pixels must decode BIT-identically."""
+    meta, maxh, maxv, mcux, mcuy, blocks, w, h = _jpeg_plan_blocks(
+        pixels, subsample
+    )
+
+    def run_scans(sink):
+        _emit_dc_first(sink, meta, mcux, mcuy, blocks, al)
+        for cid, _ph, _pv in meta:
+            sb = _scan_blocks(cid, meta, maxh, maxv, mcux, w, h, blocks)
+            for ss, se in bands:
+                _emit_ac_first(sink, sb, ss, se, al)
+        for lvl in range(al - 1, -1, -1):
+            _emit_dc_refine(sink, meta, mcux, mcuy, blocks, lvl)
+            for cid, _ph, _pv in meta:
+                sb = _scan_blocks(cid, meta, maxh, maxv, mcux, w, h,
+                                  blocks)
+                for ss, se in bands:
+                    _emit_ac_refine(sink, sb, ss, se, lvl)
+
+    cnt = _SymCounter()
+    run_scans(cnt)
+    cnt.ac_syms.append(0x00)  # EOB always in the alphabet
+    dc_counts, dc_symlist, dc_enc = _enc_tables(cnt.dc_syms)
+    ac_counts, ac_symlist, ac_enc = _enc_tables(cnt.ac_syms)
+
+    def seg(marker, body):
+        return (bytes([0xFF, marker])
+                + (len(body) + 2).to_bytes(2, "big") + body)
+
+    def sos(scomps, ss, se, ah, lvl):
+        body = bytes([len(scomps)])
+        for cid in scomps:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | lvl])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(meta)])
+    for cid, ph, pv in meta:
+        sof += bytes([cid, (ph << 4) | pv, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_symlist))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_symlist))
+
+    def entropy(emit):
+        wtr = _JpegWriter()
+        emit(_SymWriter(wtr, dc_enc, ac_enc))
+        wtr.flush()
+        return bytes(wtr.out)
+
+    all_cids = [cid for cid, _h, _v in meta]
+    out += sos(all_cids, 0, 0, 0, al)
+    out += entropy(lambda s: _emit_dc_first(s, meta, mcux, mcuy, blocks,
+                                            al))
+    for cid, _ph, _pv in meta:
+        sb = _scan_blocks(cid, meta, maxh, maxv, mcux, w, h, blocks)
+        for ss, se in bands:
+            out += sos([cid], ss, se, 0, al)
+            out += entropy(
+                lambda s, sb=sb, ss=ss, se=se:
+                _emit_ac_first(s, sb, ss, se, al)
+            )
+    for lvl in range(al - 1, -1, -1):
+        out += sos(all_cids, 0, 0, lvl + 1, lvl)
+        out += entropy(lambda s, lvl=lvl: _emit_dc_refine(
+            s, meta, mcux, mcuy, blocks, lvl))
+        for cid, _ph, _pv in meta:
+            sb = _scan_blocks(cid, meta, maxh, maxv, mcux, w, h, blocks)
+            for ss, se in bands:
+                out += sos([cid], ss, se, lvl + 1, lvl)
+                out += entropy(
+                    lambda s, sb=sb, ss=ss, se=se, lvl=lvl:
+                    _emit_ac_refine(s, sb, ss, se, lvl)
+                )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_parse_jpeg_progressive_equals_baseline_gray():
+    """Progressive decode must be BIT-identical to the baseline decode
+    of the same quantized coefficients — gray, spectral selection +
+    successive approximation."""
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 255, (16, 24)).astype(np.uint8)
+    base = codecs.parse_jpeg(make_jpeg_full(img))
+    prog = codecs.parse_jpeg(make_jpeg_progressive(img))
+    assert prog is not None and "pixels" in prog, prog
+    assert prog["pixels"] == base["pixels"]
+    assert (prog["width"], prog["height"], prog["channels"]) == (24, 16, 1)
+
+
+def test_parse_jpeg_progressive_equals_baseline_rgb():
+    """4:4:4 color with two AC bands and Al=1 SA must equal baseline."""
+    rng = np.random.RandomState(32)
+    img = rng.randint(0, 255, (17, 13, 3)).astype(np.uint8)
+    base = codecs.parse_jpeg(make_jpeg_full(img))
+    prog = codecs.parse_jpeg(make_jpeg_progressive(img))
+    assert prog is not None and "pixels" in prog, prog
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_parse_jpeg_progressive_subsampled_and_al0():
+    """4:2:0 (non-interleaved AC grids smaller than the padded store)
+    and a spectral-selection-only encoding (al=0, no SA) both equal
+    their baseline twins."""
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 255, (20, 18, 3)).astype(np.uint8)
+    base = codecs.parse_jpeg(make_jpeg_full(img, subsample=(2, 2)))
+    prog = codecs.parse_jpeg(make_jpeg_progressive(img, subsample=(2, 2)))
+    assert prog is not None and "pixels" in prog, prog
+    assert prog["pixels"] == base["pixels"]
+
+    img2 = rng.randint(0, 255, (9, 11, 3)).astype(np.uint8)
+    base2 = codecs.parse_jpeg(make_jpeg_full(img2))
+    prog2 = codecs.parse_jpeg(make_jpeg_progressive(img2, al=0))
+    assert prog2 is not None and "pixels" in prog2, prog2
+    assert prog2["pixels"] == base2["pixels"]
+
+
+def test_parse_jpeg_progressive_fuzz_total():
+    """Truncation and mutation over a progressive stream: header-only
+    or None, never an exception, and never garbage claiming pixels
+    from a malformed scan structure."""
+    rng = np.random.RandomState(34)
+    img = rng.randint(0, 255, (8, 16)).astype(np.uint8)
+    good = make_jpeg_progressive(img)
+    for cut in range(0, len(good), 7):
+        r = codecs.sniff_media(bytes(good[:cut]))
+        assert r is None or isinstance(r, dict)
+    import random
+
+    rr = random.Random(35)
+    for _ in range(300):
+        bb = bytearray(good)
+        for _ in range(rr.randint(1, 4)):
+            bb[rr.randrange(len(bb))] = rr.randrange(256)
+        r = codecs.sniff_media(bytes(bb))
+        assert r is None or isinstance(r, dict)
+
+
+def test_parse_jpeg_progressive_sparse_long_runs():
+    """A sparse-spectrum image (flat blocks with one bright pixel each)
+    forces long zero runs — ZRL chunks in the AC-first scan, >15
+    zero-history runs in the refine scan, and cross-block EOBRUN
+    batching — all of which must still reconstruct bit-identically."""
+    img = np.full((24, 24), 100, np.uint8)
+    img[3, 5] = 250
+    img[11, 17] = 0
+    base = codecs.parse_jpeg(make_jpeg_full(img))
+    prog = codecs.parse_jpeg(make_jpeg_progressive(img, al=2,
+                                                   bands=((1, 63),)))
+    assert prog is not None and "pixels" in prog, prog
+    assert prog["pixels"] == base["pixels"]
