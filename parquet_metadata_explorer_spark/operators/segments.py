@@ -10,8 +10,10 @@ pipeline supplies its own batch id, and concurrent increments safe
 Both index types share these helpers VERBATIM so the lifecycle
 semantics — what "committed" means, how torn segments are vacuumed,
 how the compaction swap publishes and recovers — cannot drift between
-them. Everything here is driver-side filesystem metadata work;
-commit logs hold one tiny row per batch.
+them. Everything here is driver-side filesystem metadata work (commit
+logs hold one tiny row per batch) except the two tombstone helpers,
+which read/write the deletion set as ordinary Spark relations so both
+indexes share the delete protocol verbatim too.
 """
 
 from __future__ import annotations
@@ -93,7 +95,8 @@ def vacuum_uncommitted(path: str, tables, committed: set) -> None:
     data from crashed increments that a retry under a FRESH random id
     would otherwise strand forever. ``tables`` are the two-level
     partitioned relations under ``path`` (outer partition dir, then
-    ``batch=<id>``)."""
+    ``batch=<id>``) or one-level ones (``batch=<id>`` directly under
+    the table root — the tombstones layout)."""
     import os
     import shutil
 
@@ -105,12 +108,63 @@ def vacuum_uncommitted(path: str, tables, committed: set) -> None:
             odir = f"{root}/{outer}"
             if "=" not in outer or not os.path.isdir(odir):
                 continue
+            if (
+                outer.startswith("batch=")
+                and outer[len("batch=") :] not in committed
+            ):
+                shutil.rmtree(odir, ignore_errors=True)
+                continue
             for seg_dir in os.listdir(odir):
                 if (
                     seg_dir.startswith("batch=")
                     and seg_dir[len("batch=") :] not in committed
                 ):
                     shutil.rmtree(f"{odir}/{seg_dir}", ignore_errors=True)
+
+
+def tombstone_ids(spark, path: str, id_col: str, batches):
+    """The committed deletion set of an index: a DataFrame of the ids
+    whose rows every probe must anti-join away, or ``None`` when the
+    index has no ``tombstones`` table at all (the common no-deletes
+    case — callers skip the anti-join entirely, so indexes that never
+    delete pay nothing). Tombstone segments ride the SAME commit log
+    as data segments (one-level ``tombstones/batch=<id>`` partitions),
+    so the ``batches`` visibility filter makes torn deletes invisible
+    exactly like torn increments."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = f"{path}/tombstones"
+    # an empty dir (every segment vacuumed) counts as no tombstones —
+    # reading it would fail schema inference
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch=") for e in os.listdir(root)
+    ):
+        return None
+    return (
+        spark.read.parquet(f"{path}/tombstones")
+        .filter(F.col("batch").isin(sorted(batches)))
+        .select(id_col)
+    )
+
+
+def write_tombstones(ids, path: str, batch_id: str) -> None:
+    """Land one delete batch's id rows under their own
+    ``tombstones/batch=<id>`` partition — dynamic partition overwrite,
+    the same idempotent-retry shape as data segments (a torn earlier
+    attempt of the SAME batch id is replaced, other batches' files are
+    never rewritten). The caller commits LAST, so data-without-commit
+    is invisible to ``tombstone_ids``."""
+    from pyspark.sql import functions as F
+
+    (
+        ids.withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{path}/tombstones")
+    )
 
 
 def recover_retired(path: str) -> None:

@@ -1755,8 +1755,11 @@ def write_ivfpq_index(
         # log is retired or mid-Lloyd
         assert_embedding_health(embeddings, who="write_ivfpq_index")
     # retire any previous incarnation's commit log BEFORE the data
-    # overwrite (same rebuild-crash ordering as the BM25 writer)
+    # overwrite (same rebuild-crash ordering as the BM25 writer); the
+    # old tombstones go with it — a prior incarnation's deletes must
+    # never anti-join vectors out of the fresh corpus
     shutil.rmtree(f"{path}/commits", ignore_errors=True)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
     spark = embeddings.sparkSession
     cc, cells, pq_cb, pq_codes = ivfpq_index(
         embeddings,
@@ -1955,13 +1958,30 @@ def ivfpq_index_increment(
         # poisoned CDC batch fails with named vec_ids, index untouched
         assert_embedding_health(new_embeddings, who="ivfpq_index_increment")
     recover_retired(path)  # heal a crashed compaction swap on open
-    segment_commits(path, "IVF-PQ index")  # layout gate
+    commits = segment_commits(path, "IVF-PQ index")  # layout gate
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     else:
         validate_batch_id(batch_id)
     if segment_committed(path, batch_id):
         return  # already committed — idempotent replay
+    # re-adding a tombstoned vec_id before compaction clears it would
+    # be silently suppressed by the probe's anti-join — fail loudly
+    # instead (zero cost for indexes that have never seen a delete)
+    tomb = _ivfpq_tombstones(spark, path, sorted(commits))
+    if tomb is not None:
+        clash = (
+            new_embeddings.select("vec_id")
+            .join(tomb, "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"vec_id {clash[0].vec_id!r} is tombstoned in the IVF-PQ "
+                f"index at {path} — run ivfpq_index_compact to resolve "
+                "deletes physically before re-adding a deleted vec_id"
+            )
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
     # eager path: hold both persist handles and release before return
     # (a per-micro-batch CDC driver must not accumulate pinned caches)
@@ -1984,6 +2004,87 @@ def ivfpq_index_increment(
     finally:
         packed.unpersist()
         cells.unpersist()
+
+
+def _ivfpq_tombstones(spark, path: str, batches):
+    """Committed deleted vec_ids (shared protocol — see
+    operators/segments.py), or None when the index has never seen a
+    delete (probes then skip the anti-join entirely)."""
+    from .segments import tombstone_ids
+
+    return tombstone_ids(spark, path, "vec_id", batches)
+
+
+def ivfpq_index_delete(spark, path: str, vec_ids, batch_id: str = None) -> int:
+    """Tombstone delete for the materialized IVF-PQ index — the dense
+    twin of ``bm25_index_delete`` (same segment-log protocol): remove
+    vectors from a 100 TB index WITHOUT rebuilding or retraining.
+    Lands one delete batch as a ``tombstones/batch=<id>`` id segment
+    plus a commit row with a NEGATIVE ``n_vectors``; the probe
+    anti-joins tombstoned ids off the code scan, and because ADC
+    scoring has no corpus-level constants (the frozen models never see
+    the deletion), a probe after a delete is BIT-identical to the same
+    probe against an index whose deleted vectors were never added
+    (pytest-asserted via the frozen-models sibling construction).
+
+    ``vec_ids`` is a DataFrame with a ``vec_id`` column or an iterable
+    of ids. Only ids actually present (and not already tombstoned)
+    count — finding them scans the committed codes once (one row per
+    vector; vec_id does not prune the cell layout — batch takedowns
+    amortize it); 0 found means nothing is written. A deleted vec_id
+    stays deleted until ``ivfpq_index_compact`` physically drops its
+    code row AND its tombstone — re-adding before that is rejected
+    loudly by ``ivfpq_index_increment``. Same crash/replay safety as
+    the BM25 twin: tombstone data first, commit LAST (torn deletes
+    invisible), idempotent committed-batch_id replays, dynamic
+    partition overwrite for torn retries; run deletes from the
+    maintenance owner with increments quiesced."""
+    import uuid
+
+    from .segments import (
+        recover_retired,
+        segment_commit,
+        segment_committed,
+        segment_commits,
+        validate_batch_id,
+        write_tombstones,
+    )
+
+    recover_retired(path)  # heal a crashed compaction swap on open
+    commits = segment_commits(path, "IVF-PQ index")  # layout gate
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    else:
+        validate_batch_id(batch_id)
+    if segment_committed(path, batch_id):
+        # idempotent replay: report the committed batch's own count
+        return -commits[batch_id]["n_vectors"]
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select("vec_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(i,) for i in vec_ids], ["vec_id"]
+        ).distinct()
+    batches = sorted(commits)
+    prior = _ivfpq_tombstones(spark, path, batches)
+    if prior is not None:
+        ids = ids.join(prior, "vec_id", "left_anti")
+    found = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("batch").isin(batches))
+        .select("vec_id")
+        .join(ids, "vec_id", "left_semi")
+        .persist()
+    )
+    try:
+        n = found.count()
+        if not n:
+            return 0  # nothing present to delete — no segment, no commit
+        write_tombstones(found, path, batch_id)
+        segment_commit(path, batch_id, {"n_vectors": -n})
+        return n
+    finally:
+        found.unpersist()
 
 
 def ivfpq_index_compact(spark, path: str) -> int:
@@ -2011,7 +2112,7 @@ def ivfpq_index_compact(spark, path: str) -> int:
     recover_retired(path)
     clear_stale_builds(path, "compact")  # crashed builds under old pids
     commits = segment_commits(path, "IVF-PQ index")
-    vacuum_uncommitted(path, ("codes",), set(commits))
+    vacuum_uncommitted(path, ("codes", "tombstones"), set(commits))
     if set(commits) == {"base"}:
         return 0
     batches = sorted(commits)
@@ -2022,6 +2123,12 @@ def ivfpq_index_compact(spark, path: str) -> int:
         .filter(F.col("batch").isin(batches))
         .select("vec_id", "codes", "cell")
     )
+    # deletes resolve physically here: tombstoned vectors' code rows
+    # are dropped from the fold and the tombstone segments are NOT
+    # copied into the build — their vec_ids are then free to re-add
+    tomb = _ivfpq_tombstones(spark, path, batches)
+    if tomb is not None:
+        rows = rows.join(tomb, "vec_id", "left_anti")
     build = f"{path}.compact-{os.getpid()}"
     shutil.rmtree(build, ignore_errors=True)
     (
@@ -2103,6 +2210,13 @@ def ivfpq_probe_topk(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(sorted(probed_cells)) & F.col("batch").isin(batches)
     )
+    # deletes: tombstoned vectors are anti-joined off the (one row per
+    # vector) code scan BEFORE the per-subspace explode — the frozen
+    # models carry no corpus constants, so exclusion alone makes the
+    # probe equal an index that never held the deleted vectors
+    tomb = _ivfpq_tombstones(spark, path, batches)
+    if tomb is not None:
+        codes = codes.join(tomb, "vec_id", "left_anti")
     exploded = codes.select(
         "vec_id",
         "cell",

@@ -1345,8 +1345,11 @@ def write_bm25_index(
     # retire any previous incarnation's commit log BEFORE the data
     # overwrite: a crash mid-rebuild must leave NO committed batches
     # (the probe then refuses loudly), never stale commit rows whose
-    # corpus constants describe data that no longer exists
+    # corpus constants describe data that no longer exists; the old
+    # tombstones go with it — a prior incarnation's deletes must never
+    # anti-join docs out of the fresh corpus
     shutil.rmtree(f"{path}/commits", ignore_errors=True)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
     postings, doclen = _corpus_postings(documents, track=False)
     try:
         stats = doclen.agg(
@@ -1525,13 +1528,30 @@ def bm25_index_increment(
     recover_retired(path)  # heal a crashed compaction swap on open
     stats = _read_bm25_stats(path)
     n_buckets = int(stats["n_buckets"])
-    _bm25_commits(path)  # layout gate: refuse a commit-log-less index
+    commits = _bm25_commits(path)  # layout gate: refuse a commit-log-less index
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     else:
         validate_batch_id(batch_id)
     if segment_committed(path, batch_id):
         return  # already committed — idempotent replay
+    # re-adding a tombstoned doc_id before compaction clears it would
+    # be silently suppressed by the probes' anti-join — fail loudly
+    # instead (zero cost for indexes that have never seen a delete)
+    tomb = _bm25_tombstones(new_documents.sparkSession, path, sorted(commits))
+    if tomb is not None:
+        clash = (
+            new_documents.select("doc_id")
+            .join(tomb, "doc_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"doc_id {clash[0].doc_id!r} is tombstoned in the BM25 "
+                f"index at {path} — run bm25_index_compact to resolve "
+                "deletes physically before re-adding a deleted doc_id"
+            )
     postings, doclen = _corpus_postings(new_documents, track=False)
     try:
         batch = doclen.agg(
@@ -1551,6 +1571,128 @@ def bm25_index_increment(
         _bm25_commit(path, batch_id, batch.n_docs, batch.total_len)
     finally:
         postings.unpersist()
+
+
+def _bm25_tombstones(spark, path: str, batches):
+    """Committed deleted doc_ids (shared protocol — see
+    operators/segments.py), or None when the index has never seen a
+    delete (probes then skip the anti-join entirely)."""
+    from .segments import tombstone_ids
+
+    return tombstone_ids(spark, path, "doc_id", batches)
+
+
+def bm25_index_delete(spark, path: str, doc_ids, batch_id: str = None) -> int:
+    """Tombstone delete for the materialized BM25 index — the takedown
+    / right-to-be-forgotten half of the log-structured lifecycle:
+    remove documents from a 100 TB index WITHOUT rebuilding it. Lands
+    one delete batch as (a) a ``tombstones/batch=<id>`` id segment the
+    probes anti-join away and (b) NEGATIVE df-delta rows under the
+    ordinary ``dfreq`` layout plus a commit row with NEGATIVE corpus
+    constants — both fold through the probes' existing SUMs, so after
+    a delete every probe (``bm25_probe_topk``,
+    ``bm25_more_like_this_from_index``) is BIT-identical to the same
+    probe against an index rebuilt on the filtered corpus
+    (pytest-asserted): surviving df = base df − deleted-doc df,
+    n_docs/total_len likewise, and the deleted docs' posting rows are
+    excluded by the anti-join. ``ivfpq_index_delete`` is the dense
+    twin (same protocol).
+
+    ``doc_ids`` is a DataFrame with a ``doc_id`` column or an iterable
+    of ids (the corpus's doc_id type). Only ids actually present in
+    the index (and not already tombstoned) generate deltas — the
+    returned count is how many documents the delete actually removed;
+    0 means nothing was written (no empty segments, no commit row).
+    Deriving the deltas scans the committed postings once (doc_id does
+    not prune the term-bucketed layout — batch takedowns amortize this
+    one filter-scan; its output is delete-sized). A deleted doc_id
+    stays deleted until ``bm25_index_compact`` physically drops its
+    rows AND its tombstone — re-adding it before that is rejected
+    loudly by ``bm25_index_increment`` (the probe's anti-join would
+    otherwise silently suppress the re-add).
+
+    Commit protocol (identical to the increment, crash + replay
+    safety pytest-asserted): segment data first — tombstone ids, then
+    df deltas — commit row LAST, so a torn delete is INVISIBLE to
+    every probe; retrying a torn batch_id recomputes the same deltas
+    from the same committed state and replaces exactly its own
+    partitions (dynamic overwrite); an already-committed batch_id
+    returns its recorded count without writing. Run deletes from the
+    maintenance owner with increments quiesced (a concurrent increment
+    of the SAME doc_ids could race the delta scan)."""
+    import uuid
+
+    from .segments import (
+        recover_retired,
+        segment_committed,
+        validate_batch_id,
+        write_tombstones,
+    )
+
+    recover_retired(path)  # heal a crashed compaction swap on open
+    n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    commits = _bm25_commits(path)  # layout gate
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    else:
+        validate_batch_id(batch_id)
+    if segment_committed(path, batch_id):
+        # idempotent replay: report the committed batch's own count
+        return -commits[batch_id][0]
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(i,) for i in doc_ids], ["doc_id"]
+        ).distinct()
+    batches = sorted(commits)
+    prior = _bm25_tombstones(spark, path, batches)
+    if prior is not None:
+        ids = ids.join(prior, "doc_id", "left_anti")
+    victims = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(batches))
+        .select("doc_id", "term", "dl")
+        .join(ids, "doc_id", "left_semi")
+        .persist()
+    )
+    try:
+        removed = (
+            victims.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            )
+            .collect()[0]
+        )
+        if not removed.n:
+            return 0  # nothing present to delete — no segment, no commit
+        write_tombstones(
+            victims.select("doc_id").distinct(), path, batch_id
+        )
+        # negative df deltas ride the ordinary dfreq layout: the
+        # probe's sum(df) then yields exactly the filtered corpus's df
+        (
+            victims.groupBy("term")
+            .agg((-F.count("*")).cast("long").alias("df"))
+            .select(
+                "term",
+                "df",
+                F.pmod(hash60(F.col("term")), F.lit(n_buckets)).alias(
+                    "bucket"
+                ),
+                F.lit(batch_id).alias("batch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch")
+            .parquet(f"{path}/dfreq")
+        )
+        _bm25_commit(path, batch_id, -removed.n, -removed.t)
+        return removed.n
+    finally:
+        victims.unpersist()
 
 
 def bm25_index_compact(spark, path: str) -> int:
@@ -1598,7 +1740,7 @@ def bm25_index_compact(spark, path: str) -> int:
     clear_stale_builds(path, "compact")  # crashed builds under old pids
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
-    vacuum_uncommitted(path, ("postings", "dfreq"), set(commits))
+    vacuum_uncommitted(path, ("postings", "dfreq", "tombstones"), set(commits))
     if set(commits) == {"base"}:
         return 0
     batches = sorted(commits)
@@ -1606,8 +1748,14 @@ def bm25_index_compact(spark, path: str) -> int:
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("batch").isin(batches))
         .select("doc_id", "term", "tf", "dl")
-        .persist()
     )
+    # deletes resolve physically here: tombstoned docs' rows are
+    # dropped from the fold and the tombstone segments are NOT copied
+    # into the build — after the swap their doc_ids are free to re-add
+    tomb = _bm25_tombstones(spark, path, batches)
+    if tomb is not None:
+        rows = rows.join(tomb, "doc_id", "left_anti")
+    rows = rows.persist()
     try:
         build = f"{path}.compact-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
@@ -1718,6 +1866,12 @@ def bm25_probe_topk(
         & F.col("batch").isin(batches)
         & F.col("term").isin(terms)
     )
+    # deletes: tombstoned docs' postings are anti-joined away; their
+    # df and corpus constants are already exact via the negative-delta
+    # folds above, so the probe equals a filtered-corpus rebuild
+    tomb = _bm25_tombstones(spark, path, batches)
+    if tomb is not None:
+        postings = postings.join(tomb, "doc_id", "left_anti")
     candidates = (
         postings.join(F.broadcast(probe), "term")
         .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
@@ -1781,6 +1935,12 @@ def bm25_more_like_this_from_index(
         .filter(F.col("batch").isin(batches))
         .select("term", "doc_id", "tf", "dl")
     )
+    # deletes: one anti-join excludes tombstoned docs both as queries
+    # (qsel derives from postings) and as candidates; df/n_docs are
+    # already exact via the negative-delta commit folds above
+    tomb = _bm25_tombstones(spark, path, batches)
+    if tomb is not None:
+        postings = postings.join(tomb, "doc_id", "left_anti")
     w = Window.partitionBy("doc_id").orderBy(
         F.round(F.col("idf") * F.col("tf").cast("double"), 12).desc(),
         F.col("term"),

@@ -1,0 +1,269 @@
+"""Tombstone deletes for the materialized indexes — the takedown /
+right-to-be-forgotten half of the log-structured lifecycle.
+
+The contracts under test:
+- BM25: a probe after ``bm25_index_delete`` is BIT-identical to the
+  same probe against an index rebuilt on the filtered corpus (negative
+  df-delta segments + negative commit-row corpus constants fold through
+  the probe's existing sums; the tombstone anti-join removes the
+  postings).
+- IVF-PQ: a probe after ``ivfpq_index_delete`` is BIT-identical to the
+  same probe against a sibling index whose deleted vectors were never
+  added (models frozen on the same base batch, so the equivalence is
+  constructable through the public API).
+- Both: deletes ride the shared segment-commit protocol (torn deletes
+  invisible, committed-batch_id replays idempotent, compaction resolves
+  deletes physically and clears the tombstones), and re-adding a
+  tombstoned id before compaction fails loudly instead of being
+  silently suppressed by the probes' anti-join.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_metadata_explorer_spark.operators.segments import (
+    segment_commits,
+    write_tombstones,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bm25_delete_equals_filtered_rebuild(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_increment,
+        bm25_more_like_this,
+        bm25_more_like_this_from_index,
+        bm25_probe_topk,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+
+    doomed = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    survivors = docs.join(doomed, "doc_id", "left_anti")
+    expected_n = doomed.count()
+    qs = [(1, "fast hash join"), (2, "slow stream filter")]
+
+    n = bm25_index_delete(spark, path, doomed, batch_id="del-1")
+    assert n == expected_n
+
+    # the probe equals BOTH the in-memory scorer over the filtered
+    # corpus and a fresh index built on it — exact df / n_docs /
+    # total_len via the negative-delta folds, postings via the
+    # anti-join
+    after = _rows(bm25_probe_topk(spark, path, qs, k=10))
+    assert after == _rows(bm25_topk(survivors, qs, k=10))
+    fresh = str(tmp_path / "fresh")
+    write_bm25_index(survivors, fresh)
+    assert after == _rows(bm25_probe_topk(spark, fresh, qs, k=10))
+    # no deleted doc can appear in any result
+    deleted_ids = {r.doc_id for r in doomed.collect()}
+    assert not deleted_ids & {t[1] for t in after}
+
+    # the corpus-sized batch job inherits the same equivalence
+    assert _rows(
+        bm25_more_like_this_from_index(spark, path, k=5, m_terms=4)
+    ) == _rows(bm25_more_like_this(survivors, k=5, m_terms=4))
+
+    # deleting ids that are absent (or already tombstoned) writes
+    # nothing — no new commit row, no empty segments
+    before_commits = set(segment_commits(path, "BM25 index"))
+    assert bm25_index_delete(spark, path, [999999, 888888]) == 0
+    assert bm25_index_delete(spark, path, doomed) == 0
+    assert set(segment_commits(path, "BM25 index")) == before_commits
+
+    # compaction resolves the delete physically: probe unchanged,
+    # tombstones gone, no deleted doc's postings survive
+    assert bm25_index_compact(spark, path) >= 1
+    assert _rows(bm25_probe_topk(spark, path, qs, k=10)) == after
+    assert not os.path.isdir(f"{path}/tombstones")
+    left = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("doc_id").isin(sorted(deleted_ids)[:50]))
+        .count()
+    )
+    assert left == 0
+
+    # after compaction the doc_ids are free again: re-adding them makes
+    # the index equal a full rebuild over the original corpus
+    bm25_index_increment(docs.join(doomed, "doc_id", "left_semi"), path)
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    assert _rows(bm25_probe_topk(spark, path, qs, k=10)) == _rows(
+        bm25_probe_topk(spark, full, qs, k=10)
+    )
+
+
+def test_bm25_delete_commit_protocol(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    qs = [(1, "fast hash join")]
+    before = _rows(bm25_probe_topk(spark, path, qs, k=10))
+
+    # a TORN delete (tombstone data written, no commit row) is
+    # invisible to the probe — never half-applied
+    torn_ids = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    write_tombstones(torn_ids, path, "torn-del")
+    assert _rows(bm25_probe_topk(spark, path, qs, k=10)) == before
+    # compaction (here: nothing to fold) still vacuums the torn segment
+    assert bm25_index_compact(spark, path) == 0
+    assert not os.path.isdir(f"{path}/tombstones/batch=torn-del")
+
+    # a committed delete replayed under the same batch_id reports its
+    # recorded count and writes nothing new
+    doomed = docs.filter(F.col("doc_id") % 13 == 1).select("doc_id")
+    n = bm25_index_delete(spark, path, doomed, batch_id="del-a")
+    assert n == doomed.count()
+    commits_after = segment_commits(path, "BM25 index")
+    assert bm25_index_delete(spark, path, doomed, batch_id="del-a") == n
+    assert segment_commits(path, "BM25 index") == commits_after
+
+    # re-adding a tombstoned doc_id before compaction fails loudly
+    readd = docs.join(doomed, "doc_id", "left_semi").limit(3)
+    with pytest.raises(Exception, match="tombstoned"):
+        bm25_index_increment(readd, path, batch_id="readd-1")
+    # ...and the failed attempt committed nothing
+    assert set(segment_commits(path, "BM25 index")) == set(commits_after)
+
+    # reserved / unsafe batch ids are rejected before any work
+    with pytest.raises(ValueError, match="Invalid batch_id"):
+        bm25_index_delete(spark, path, doomed, batch_id="base")
+    with pytest.raises(ValueError, match="Invalid batch_id"):
+        bm25_index_delete(spark, path, doomed, batch_id="bad id!")
+
+
+def test_ivfpq_delete_equals_never_added_sibling(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_increment,
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    doomed = b2.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    params = dict(k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2)
+    queries = e.filter(F.col("vec_id").isin([0, 2, 4]))
+
+    # index under test: base(b1) + increment(b2) + delete(doomed ⊂ b2)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(b1, path, **params)
+    ivfpq_index_increment(b2, path, batch_id="adds-1")
+    n = ivfpq_index_delete(spark, path, doomed, batch_id="del-1")
+    assert n == doomed.count()
+
+    # sibling: SAME base batch (deterministic training → identical
+    # frozen models) whose deleted vectors were never added
+    sibling = str(tmp_path / "sibling")
+    write_ivfpq_index(b1, sibling, **params)
+    ivfpq_index_increment(
+        b2.join(doomed, "vec_id", "left_anti"), sibling, batch_id="adds-1"
+    )
+
+    after = _rows(ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3))
+    assert after == _rows(
+        ivfpq_probe_topk(spark, sibling, queries, k=10, n_probe=3)
+    )
+    deleted_ids = {r.vec_id for r in doomed.collect()}
+    assert not deleted_ids & {t[1] for t in after}
+
+    # the IVFADC-R exact-rerank serve path inherits the exclusion
+    rr = _rows(
+        ivfpq_probe_topk(
+            spark, path, queries, k=5, n_probe=3, rerank=20, embeddings=e
+        )
+    )
+    assert rr == _rows(
+        ivfpq_probe_topk(
+            spark, sibling, queries, k=5, n_probe=3, rerank=20, embeddings=e
+        )
+    )
+
+    # absent / already-tombstoned ids: nothing written
+    before_commits = set(segment_commits(path, "IVF-PQ index"))
+    assert ivfpq_index_delete(spark, path, [999999]) == 0
+    assert ivfpq_index_delete(spark, path, doomed) == 0
+    assert set(segment_commits(path, "IVF-PQ index")) == before_commits
+    # committed replay reports the recorded count, writes nothing
+    assert ivfpq_index_delete(spark, path, doomed, batch_id="del-1") == n
+
+    # re-add before compaction is rejected loudly
+    with pytest.raises(Exception, match="tombstoned"):
+        ivfpq_index_increment(
+            e.join(doomed, "vec_id", "left_semi").limit(2),
+            path,
+            batch_id="readd-1",
+        )
+
+    # compaction resolves the delete physically and frees the ids
+    assert ivfpq_index_compact(spark, path) >= 1
+    assert (
+        _rows(ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3))
+        == after
+    )
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("vec_id").isin(sorted(deleted_ids)[:50]))
+        .count()
+        == 0
+    )
+    ivfpq_index_increment(
+        e.join(doomed, "vec_id", "left_semi"), path, batch_id="readd-2"
+    )
+    # the re-added index serves the same rows as the never-deleted one
+    full = str(tmp_path / "ivfpq-full")
+    write_ivfpq_index(b1, full, **params)
+    ivfpq_index_increment(b2, full, batch_id="adds-1")
+    assert _rows(
+        ivfpq_probe_topk(spark, path, queries, k=10, n_probe=3)
+    ) == _rows(ivfpq_probe_topk(spark, full, queries, k=10, n_probe=3))
+
+
+def test_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """A full rebuild over a path that previously saw deletes must not
+    inherit the old incarnation's tombstones — they describe a corpus
+    that no longer exists."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_delete,
+        bm25_probe_topk,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    doomed = docs.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    assert bm25_index_delete(spark, path, doomed, batch_id="del-1") > 0
+
+    write_bm25_index(docs, path)  # rebuild over the same path
+    qs = [(1, "fast hash join"), (2, "window merge sort")]
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert _rows(bm25_probe_topk(spark, path, qs, k=10)) == _rows(
+        bm25_topk(docs, qs, k=10)
+    )
