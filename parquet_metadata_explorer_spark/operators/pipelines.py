@@ -743,6 +743,121 @@ def committed_lineage(state_dir: str, version: int):
         return f.read().strip()
 
 
+def forget_documents(
+    spark, out_dir: str, doc_ids, state_dir: str = None, key: str = "source"
+) -> int:
+    """Physical erasure from the prepared corpus at rest — the
+    pipeline-level half of the right-to-be-forgotten story (the index
+    halves are ``bm25_index_delete`` / ``ivfpq_index_delete``; compose
+    all three for a full takedown). Rewrites ONLY the batch partitions
+    that actually contain the doomed doc_ids: one partition-pruned
+    read + anti-join into a dot-prefixed build dir (invisible to every
+    reader), then a per-partition rename swap — untouched partitions'
+    files are never rewritten, so a takedown against a 100 TB corpus
+    is priced at the affected partitions, not the corpus.
+
+    Returns how many documents were erased (0 = nothing written).
+    With ``state_dir`` given, the source-count catalog is decremented
+    by the erased docs per source in a NEW catalog version (so the
+    temperature-mix policy view stays honest), carrying the current
+    version's BATCH/LINEAGE markers forward — a crashed streaming
+    micro-batch replay still skips correctly after a forget. The
+    dedup fingerprint catalogs are kept BY CONTRACT: they are one-way
+    hashes, and keeping them means forgotten content is also never
+    re-admitted by a later arrival of the same bytes (erase-and-block,
+    the conservative reading; rebuild the catalogs if re-admission is
+    the policy you want).
+
+    Crash semantics: the swap heals on the next run (a ``.retired``
+    sibling with a missing live dir renames back; with a live dir it
+    is dropped), stale builds from crashed runs are cleared by pid
+    glob, and the erase itself is idempotent — a retry finds only the
+    still-present doc_ids. Run from the maintenance owner with the
+    stream quiesced (readers racing a swap may transiently miss one
+    partition, the compaction caveat). A partition whose every doc is
+    erased disappears entirely."""
+    import glob
+    import os
+    import shutil
+
+    # recovery-on-open: heal crashed swaps, clear crashed builds
+    for retired in glob.glob(f"{out_dir}/batch=*.retired"):
+        live = retired[: -len(".retired")]
+        if os.path.exists(live):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, live)
+    for stale in glob.glob(f"{out_dir}/.forget-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(i,) for i in doc_ids], ["doc_id"]
+        ).distinct()
+
+    corpus = spark.read.parquet(out_dir)
+    doomed = corpus.join(ids, "doc_id", "left_semi").persist()
+    try:
+        per_source = {
+            r[0]: r[1]
+            for r in doomed.groupBy(key)
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        n_erased = int(sum(per_source.values()))
+        if not n_erased:
+            return 0
+        affected = sorted(
+            r.batch for r in doomed.select("batch").distinct().collect()
+        )
+        build = f"{out_dir}/.forget-{os.getpid()}"
+        (
+            corpus.filter(F.col("batch").isin(affected))
+            .join(ids, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(build)
+        )
+        for b in affected:
+            live = f"{out_dir}/batch={b}"
+            fresh = f"{build}/batch={b}"
+            retired = f"{live}.retired"
+            os.rename(live, retired)
+            if os.path.isdir(fresh):
+                os.rename(fresh, live)
+            shutil.rmtree(retired, ignore_errors=True)
+        shutil.rmtree(build, ignore_errors=True)
+    finally:
+        doomed.unpersist()
+
+    if state_dir is not None:
+        state, v = load_prepare_state(spark, state_dir)
+        erased = spark.createDataFrame(
+            [(s, int(n)) for s, n in sorted(per_source.items())],
+            f"{key} string, erased long",
+        )
+        state["source_counts"] = (
+            state["source_counts"]
+            .join(erased, key, "left")
+            .select(
+                key,
+                (F.col("n_docs") - F.coalesce(F.col("erased"), F.lit(0)))
+                .cast("long")
+                .alias("n_docs"),
+            )
+        )
+        save_prepare_state(
+            state,
+            state_dir,
+            v + 1,
+            batch_id=committed_batch_id(state_dir, v),
+            lineage=committed_lineage(state_dir, v),
+        )
+    return n_erased
+
+
 def stream_prepare_corpus(
     spark,
     docs_path: str,

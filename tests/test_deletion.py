@@ -267,3 +267,94 @@ def test_rebuild_clears_stale_tombstones(spark, tmp_path):
     assert _rows(bm25_probe_topk(spark, path, qs, k=10)) == _rows(
         bm25_topk(docs, qs, k=10)
     )
+
+
+def test_forget_documents_erases_only_affected_partitions(spark, tmp_path):
+    """Pipeline-level physical erasure: only partitions holding doomed
+    docs are rewritten (untouched partitions keep their exact files),
+    the source-count catalog is decremented in a NEW version that
+    carries the stream's BATCH/LINEAGE replay markers forward, the
+    fingerprint catalogs are kept by contract, and the erase is
+    idempotent and crash-healing."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        committed_batch_id,
+        committed_lineage,
+        forget_documents,
+        initial_prepare_state,
+        load_prepare_state,
+        save_prepare_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.mode("overwrite").parquet(
+            f"{out}/batch={b}"
+        )
+    state_dir = str(tmp_path / "state")
+    state = initial_prepare_state(spark)
+    state["source_counts"] = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    state["exact_fps"] = spark.createDataFrame([("aa",), ("bb",)], ["fp"])
+    save_prepare_state(state, state_dir, 1, batch_id=2, lineage="lin-1")
+
+    # doom a set confined to batches 0 and 1 (doc_id % 3 in {0, 1})
+    doomed = docs.filter(F.col("doc_id") % 6 < 2).select("doc_id")
+    expected = doomed.count()
+    survivors = docs.join(doomed, "doc_id", "left_anti")
+
+    def files(b):
+        d = f"{out}/batch={b}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    untouched_before = files(2)
+    n = forget_documents(spark, out, doomed, state_dir=state_dir)
+    assert n == expected
+    # corpus at rest == survivors, untouched partition's files identical
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select("doc_id", "source").collect())
+    )
+    assert got == sorted(
+        map(tuple, survivors.select("doc_id", "source").collect())
+    )
+    assert files(2) == untouched_before
+
+    # catalog version bumped, counts decremented, markers carried,
+    # fingerprints kept by contract
+    new_state, v = load_prepare_state(spark, state_dir)
+    assert v == 2
+    assert committed_batch_id(state_dir, v) == 2
+    assert committed_lineage(state_dir, v) == "lin-1"
+    want_counts = sorted(
+        map(
+            tuple,
+            survivors.groupBy("source").agg(F.count("*").alias("n")).collect(),
+        )
+    )
+    assert (
+        sorted(map(tuple, new_state["source_counts"].collect())) == want_counts
+    )
+    assert sorted(r.fp for r in new_state["exact_fps"].collect()) == ["aa", "bb"]
+
+    # idempotent: nothing left to erase, no new catalog version
+    assert forget_documents(spark, out, doomed, state_dir=state_dir) == 0
+    assert load_prepare_state(spark, state_dir)[1] == 2
+
+    # erasing EVERY doc of one batch removes the partition entirely
+    rest_b2 = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    assert forget_documents(spark, out, rest_b2) == rest_b2.count()
+    assert not os.path.isdir(f"{out}/batch=2")
+
+    # crash-heal: a stranded .retired partition (live missing) is
+    # renamed back on the next run
+    os.rename(f"{out}/batch=0", f"{out}/batch=0.retired")
+    assert forget_documents(spark, out, [999999]) == 0
+    assert os.path.isdir(f"{out}/batch=0")
+    assert not os.path.isdir(f"{out}/batch=0.retired")
