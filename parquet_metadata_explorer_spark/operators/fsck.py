@@ -1,0 +1,341 @@
+"""Integrity verification (fsck) for the at-rest indexes.
+
+After years of increments, deletes and compactions a 100 TB serving
+index is trusted on faith unless its internal invariants can be
+re-proven from the data itself. Every quantity the lifecycle stores is
+an exact integer derived from another stored quantity, so each check
+below is an EXACT equality — a healthy index (fresh build, any
+increment/delete/compact history) produces only the ``ok`` row, and
+any discrepancy (partial file loss, manual tampering, a torn write
+that slipped a commit, a contract-violating double-add) is named with
+bounded examples. The report shape is ``embedding_health``'s:
+one row per defect class — (defect, n_rows, examples array<string>,
+capped at 5) — so ``WHERE defect <> 'ok'`` is the gate.
+
+Scale shape: everything is partial-aggregated groupBys and joins over
+the index's own relations (never the corpus); the example lists
+compile to WindowGroupLimit (map-side prune to 5 rows per defect
+before the shuffle); the commit log and sidecars are driver-sized by
+construction. Run it like compaction — from the maintenance owner, or
+against a quiesced snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hash60
+
+
+def _index_report(tagged: DataFrame) -> DataFrame:
+    """(defect, key) rows -> one row per defect class with an exact
+    count and <=5 example keys (WindowGroupLimit prunes map-side, the
+    embedding_health discipline)."""
+    counts = tagged.groupBy("defect").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w = Window.partitionBy("defect").orderBy("key")
+    examples = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("defect")
+        .agg(F.sort_array(F.collect_list("key")).alias("examples"))
+    )
+    return counts.join(examples, "defect").orderBy("defect")
+
+
+def _tag(df: DataFrame, key_col, defect: str) -> DataFrame:
+    return df.select(
+        F.lit(defect).alias("defect"), key_col.cast("string").alias("key")
+    )
+
+
+def _orphan_segments(spark, path: str, tables, committed) -> DataFrame:
+    """Filesystem-level scan for segment dirs with no commit row —
+    vacuumable crash debris, reported so the operator can see it
+    accumulating (compaction removes it)."""
+    import os
+
+    orphans = []
+    for table in tables:
+        root = f"{path}/{table}"
+        if not os.path.isdir(root):
+            continue
+        for outer in os.listdir(root):
+            if not os.path.isdir(f"{root}/{outer}") or "=" not in outer:
+                continue
+            if outer.startswith("batch="):
+                if outer[len("batch=") :] not in committed:
+                    orphans.append(f"{table}/{outer}")
+                continue
+            for seg in os.listdir(f"{root}/{outer}"):
+                if (
+                    seg.startswith("batch=")
+                    and seg[len("batch=") :] not in committed
+                ):
+                    orphans.append(f"{table}/{outer}/{seg}")
+    return spark.createDataFrame(
+        [(o,) for o in sorted(set(orphans))], "key string"
+    ).select(F.lit("orphan_segment").alias("defect"), "key")
+
+
+def bm25_index_verify(spark, path: str) -> DataFrame:
+    """fsck for the materialized BM25 index. Exact invariants checked:
+
+    - ``commit_constants_mismatch``: each positive (data) commit row's
+      (n_docs, total_len) must equal the fold recomputed from that
+      batch's own postings; a commit with no postings at all is the
+      degenerate case. Keys are batch ids.
+    - ``tombstone_count_mismatch``: each negative (delete) commit
+      row's -n_docs must equal its tombstone-segment id count.
+    - ``df_mismatch``: per term, the committed ``dfreq`` fold
+      (sum of per-batch deltas, deletes included) must equal the live
+      posting-row count (tombstones anti-joined) — THE scoring
+      invariant: a drifted df silently mis-weights idf. Keys are terms.
+    - ``doclen_inconsistent``: within a (batch, doc), the denormalized
+      ``dl`` must be constant and equal sum(tf) — the Lucene-norm
+      denormalization contract. Keys are batch:doc_id.
+    - ``bucket_mismatch``: every postings/dfreq row must sit in the
+      partition ``pmod(hash60(term), n_buckets)`` the probe will
+      compute for it — a mis-bucketed posting is invisible to every
+      probe of its term. Keys are terms.
+    - ``duplicate_doc``: a doc_id present in more than one committed
+      data batch (the arrivals-only contract violated; scores would
+      double-count silently). Keys are doc_ids.
+    - ``orphan_segment``: data dirs with no commit row (vacuumable).
+    - ``ok``: the live document count (data batches minus tombstones).
+
+    Cites the writer/probe pair these invariants come from:
+    write_bm25_index / bm25_index_increment / bm25_index_delete /
+    bm25_probe_topk in operators/text.py."""
+    from .segments import recover_retired
+    from .text import _bm25_commits, _bm25_tombstones, _read_bm25_stats
+
+    recover_retired(path)
+    n_buckets = int(_read_bm25_stats(path)["n_buckets"])
+    commits = _bm25_commits(path)
+    batches = sorted(commits)
+    pos = [b for b in batches if commits[b][0] >= 0]
+    neg = [b for b in batches if commits[b][0] < 0]
+
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("batch").isin(batches)
+    )
+    dfreq = spark.read.parquet(f"{path}/dfreq").filter(
+        F.col("batch").isin(batches)
+    )
+    tomb = _bm25_tombstones(spark, path, batches)
+
+    per_doc = (
+        post.filter(F.col("batch").isin(pos))
+        .groupBy("batch", "doc_id")
+        .agg(
+            F.min("dl").alias("dl_min"),
+            F.max("dl").alias("dl_max"),
+            F.sum("tf").cast("long").alias("tl"),
+        )
+    )
+    per_batch = per_doc.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl_min").cast("long").alias("total_len"),
+    )
+    expected = spark.createDataFrame(
+        [(b, commits[b][0], commits[b][1]) for b in pos],
+        "batch string, e_docs long, e_len long",
+    )
+    const_bad = (
+        expected.join(per_batch, "batch", "left")
+        .filter(
+            (F.coalesce(F.col("n_docs"), F.lit(0)) != F.col("e_docs"))
+            | (F.coalesce(F.col("total_len"), F.lit(0)) != F.col("e_len"))
+        )
+        .select("batch")
+    )
+
+    dl_bad = per_doc.filter(
+        (F.col("dl_min") != F.col("dl_max")) | (F.col("dl_min") != F.col("tl"))
+    ).select(F.concat_ws(":", "batch", "doc_id").alias("key"))
+
+    dup_doc = (
+        per_doc.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("doc_id")
+    )
+
+    live = post if tomb is None else post.join(tomb, "doc_id", "left_anti")
+    actual_df = live.groupBy("term").agg(
+        F.count("*").cast("long").alias("adf")
+    )
+    stored_df = dfreq.groupBy("term").agg(
+        F.sum("df").cast("long").alias("sdf")
+    )
+    df_bad = (
+        actual_df.join(stored_df, "term", "full_outer")
+        .filter(
+            F.coalesce(F.col("adf"), F.lit(0))
+            != F.coalesce(F.col("sdf"), F.lit(0))
+        )
+        .select("term")
+    )
+
+    right_bucket = F.pmod(hash60(F.col("term")), F.lit(n_buckets))
+    bucket_bad = (
+        post.filter(F.col("bucket") != right_bucket)
+        .select("term")
+        .unionByName(
+            dfreq.filter(F.col("bucket") != right_bucket).select("term")
+        )
+        .distinct()
+    )
+
+    tagged = [
+        _tag(const_bad, F.col("batch"), "commit_constants_mismatch"),
+        _tag(dl_bad, F.col("key"), "doclen_inconsistent"),
+        _tag(dup_doc, F.col("doc_id"), "duplicate_doc"),
+        _tag(df_bad, F.col("term"), "df_mismatch"),
+        _tag(bucket_bad, F.col("term"), "bucket_mismatch"),
+        _orphan_segments(
+            spark, path, ("postings", "dfreq", "tombstones"), set(commits)
+        ),
+    ]
+    if neg:
+        tombs = spark.read.parquet(f"{path}/tombstones").filter(
+            F.col("batch").isin(neg)
+        )
+        t_counts = tombs.groupBy("batch").agg(
+            F.count("*").cast("long").alias("n_ids")
+        )
+        t_expected = spark.createDataFrame(
+            [(b, -commits[b][0]) for b in neg], "batch string, e_ids long"
+        )
+        t_bad = (
+            t_expected.join(t_counts, "batch", "left")
+            .filter(
+                F.coalesce(F.col("n_ids"), F.lit(0)) != F.col("e_ids")
+            )
+            .select("batch")
+        )
+        tagged.append(_tag(t_bad, F.col("batch"), "tombstone_count_mismatch"))
+    ok = (
+        per_doc
+        if tomb is None
+        else per_doc.join(tomb, "doc_id", "left_anti")
+    ).select("doc_id")
+    tagged.append(_tag(ok, F.col("doc_id"), "ok"))
+
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return _index_report(out)
+
+
+def ivfpq_index_verify(spark, path: str) -> DataFrame:
+    """fsck for the materialized IVF-PQ index. Exact invariants:
+
+    - ``commit_count_mismatch``: each positive commit row's n_vectors
+      must equal its batch's code-row count; negative (delete) rows
+      must equal their tombstone id counts.
+    - ``codes_malformed``: every code row must pack exactly m
+      sub-codes (m from the codebook sidecar), each a valid cluster id
+      for its subspace — a short or out-of-range code crashes or
+      silently mis-scores ADC. Keys are vec_ids.
+    - ``cell_unknown``: a code row assigned to a cell the coarse
+      sidecar does not define (the probe would either never scan it or
+      fail to score it). Keys are vec_ids.
+    - ``duplicate_vec``: a vec_id present more than once across
+      committed segments (double-add; it would appear twice in every
+      probed ranking). Keys are vec_ids.
+    - ``orphan_segment``: code dirs with no commit row (vacuumable).
+    - ``ok``: the live vector count (tombstones anti-joined).
+
+    The invariants come from write_ivfpq_index / ivfpq_index_increment
+    / ivfpq_index_delete / ivfpq_probe_topk in operators/similarity.py."""
+    from .segments import recover_retired, segment_commits
+    from .similarity import _ivfpq_tombstones, _read_ivfpq_sidecars
+
+    recover_retired(path)
+    commits = segment_commits(path, "IVF-PQ index")
+    batches = sorted(commits)
+    pos = [b for b in batches if commits[b]["n_vectors"] >= 0]
+    neg = [b for b in batches if commits[b]["n_vectors"] < 0]
+    cc, pq_cb = _read_ivfpq_sidecars(spark, path)
+    m = max(s for s, _c in pq_cb) + 1
+    n_clusters = {
+        s: max(c for s2, c in pq_cb if s2 == s) + 1
+        for s in {s for s, _c in pq_cb}
+    }
+    max_cluster = max(n_clusters.values())
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("batch").isin(batches)
+    )
+    tomb = _ivfpq_tombstones(spark, path, batches)
+
+    per_batch = codes.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    expected = spark.createDataFrame(
+        [(b, commits[b]["n_vectors"]) for b in pos],
+        "batch string, e long",
+    )
+    count_bad = (
+        expected.join(per_batch, "batch", "left")
+        .filter(F.coalesce(F.col("n"), F.lit(0)) != F.col("e"))
+        .select("batch")
+    )
+
+    c = F.col("codes")
+    malformed = codes.filter(
+        c.isNull()
+        | (F.size(c) != F.lit(int(m)))
+        | F.exists(
+            c, lambda x: x.isNull() | (x < 0) | (x >= F.lit(int(max_cluster)))
+        )
+    ).select("vec_id")
+
+    cell_bad = codes.filter(
+        ~F.col("cell").isin(sorted(cc))
+    ).select("vec_id")
+
+    dup_vec = (
+        codes.groupBy("vec_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("vec_id")
+    )
+
+    tagged = [
+        _tag(count_bad, F.col("batch"), "commit_count_mismatch"),
+        _tag(malformed, F.col("vec_id"), "codes_malformed"),
+        _tag(cell_bad, F.col("vec_id"), "cell_unknown"),
+        _tag(dup_vec, F.col("vec_id"), "duplicate_vec"),
+        _orphan_segments(
+            spark, path, ("codes", "tombstones"), set(commits)
+        ),
+    ]
+    if neg:
+        tombs = spark.read.parquet(f"{path}/tombstones").filter(
+            F.col("batch").isin(neg)
+        )
+        t_counts = tombs.groupBy("batch").agg(
+            F.count("*").cast("long").alias("n_ids")
+        )
+        t_expected = spark.createDataFrame(
+            [(b, -commits[b]["n_vectors"]) for b in neg],
+            "batch string, e_ids long",
+        )
+        t_bad = (
+            t_expected.join(t_counts, "batch", "left")
+            .filter(F.coalesce(F.col("n_ids"), F.lit(0)) != F.col("e_ids"))
+            .select("batch")
+        )
+        tagged.append(_tag(t_bad, F.col("batch"), "commit_count_mismatch"))
+    ok = (codes if tomb is None else codes.join(tomb, "vec_id", "left_anti"))
+    tagged.append(_tag(ok, F.col("vec_id"), "ok"))
+
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return _index_report(out)

@@ -1,0 +1,236 @@
+"""Index fsck: a healthy index — any lifecycle history — reports only
+the ``ok`` row; every planted corruption class is named with bounded
+example keys. The checks are exact-integer invariant replays, so there
+is no tolerance to tune and no false-positive class."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+from pyspark.sql import functions as F
+
+from parquet_metadata_explorer_spark.functions import tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+def _defects(report):
+    return {
+        r.defect: (r.n_rows, list(r.examples)) for r in report.collect()
+    }
+
+
+def _only_ok(report, n_live):
+    d = _defects(report)
+    assert set(d) == {"ok"}, d
+    assert d["ok"][0] == n_live
+    return d
+
+
+def _n_indexed(docs):
+    """Docs the BM25 index actually holds: >=1 token (doclen derives
+    from postings, so token-less docs never enter the index)."""
+    return docs.filter(F.size(tokens(F.col("text"))) > 0).count()
+
+
+def _write_file(path, table):
+    """Out-of-band rewrite of a Spark-written parquet file: drop the
+    Hadoop local-FS .crc sidecar, which would otherwise reject the
+    rewritten bytes before Spark ever sees them."""
+    papq.write_table(table, path)
+    crc = os.path.join(
+        os.path.dirname(path), f".{os.path.basename(path)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _tamper_parquet(path, column, mutate):
+    """Rewrite one parquet file with ``column`` run through ``mutate``
+    on its first row — the manual-corruption stand-in. Type and column
+    order are preserved so the file stays schema-compatible with its
+    siblings."""
+    t = papq.read_table(path)
+    col = t.column(column).to_pylist()
+    col[0] = mutate(col[0])
+    idx = t.schema.get_field_index(column)
+    arr = pa.array(col, type=t.schema.field(column).type)
+    t = t.set_column(idx, t.schema.field(column), arr)
+    _write_file(path, t)
+
+
+def _first_file(d):
+    return next(
+        os.path.join(r, f)
+        for r, _dd, fs in sorted(os.walk(d))
+        for f in sorted(fs)
+        if f.endswith(".parquet")
+    )
+
+
+def test_bm25_fsck_healthy_and_corrupted(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_increment,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bm25")
+
+    # healthy at every lifecycle stage: build, increment, delete,
+    # compact — only the ok row, counting live docs exactly
+    write_bm25_index(b1, path)
+    _only_ok(bm25_index_verify(spark, path), _n_indexed(b1))
+    bm25_index_increment(b2, path, batch_id="adds-1")
+    _only_ok(bm25_index_verify(spark, path), _n_indexed(docs))
+    doomed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    bm25_index_delete(spark, path, doomed, batch_id="del-1")
+    n_live = _n_indexed(docs.join(doomed, "doc_id", "left_anti"))
+    _only_ok(bm25_index_verify(spark, path), n_live)
+    bm25_index_compact(spark, path)
+    _only_ok(bm25_index_verify(spark, path), n_live)
+
+    # corruption 1: a lost dfreq partition — df folds short
+    victim = sorted(
+        d for d in os.listdir(f"{path}/dfreq") if d.startswith("bucket=")
+    )[0]
+    saved = str(tmp_path / "saved-dfreq")
+    shutil.copytree(f"{path}/dfreq/{victim}", saved)
+    shutil.rmtree(f"{path}/dfreq/{victim}")
+    d = _defects(bm25_index_verify(spark, path))
+    assert d["df_mismatch"][0] > 0 and d["df_mismatch"][1]
+    shutil.rmtree(f"{path}/dfreq/{victim}", ignore_errors=True)
+    shutil.copytree(saved, f"{path}/dfreq/{victim}")
+
+    # corruption 2: a tampered posting (tf bumped) breaks the
+    # denormalized-doclen contract
+    f0 = _first_file(f"{path}/postings")
+    orig = papq.read_table(f0)
+    _tamper_parquet(f0, "tf", lambda v: v + 1)
+    d = _defects(bm25_index_verify(spark, path))
+    assert d["doclen_inconsistent"][0] == 1
+    # tf drives neither stored df nor the dl-summed commit constants
+    assert "commit_constants_mismatch" not in d
+    assert "df_mismatch" not in d
+    _write_file(f0, orig)
+
+    # corruption 3: an orphan segment dir (crash debris) is reported
+    os.makedirs(f"{path}/postings/bucket=0/batch=zzz", exist_ok=True)
+    shutil.copy(
+        _first_file(f"{path}/postings"),
+        f"{path}/postings/bucket=0/batch=zzz/part-0.parquet",
+    )
+    d = _defects(bm25_index_verify(spark, path))
+    assert d["orphan_segment"][0] == 1
+    assert "batch=zzz" in d["orphan_segment"][1][0]
+    shutil.rmtree(f"{path}/postings/bucket=0/batch=zzz")
+
+    # corruption 4: a double-added batch (arrivals-only contract
+    # violated) — internally consistent, so ONLY the duplicate check
+    # can catch it
+    from parquet_metadata_explorer_spark.operators.text import (
+        _bm25_commit,
+        _bm25_dfreq,
+        _bm25_segment_write,
+        _corpus_postings,
+        _read_bm25_stats,
+    )
+
+    # draw from the SURVIVORS: a deleted-then-compacted doc_id is
+    # legitimately free to re-add and must not count as a duplicate
+    postings, doclen = _corpus_postings(
+        b2.join(doomed, "doc_id", "left_anti").limit(20), track=False
+    )
+    try:
+        stats = doclen.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        _bm25_segment_write(
+            postings.join(doclen, "doc_id"),
+            _bm25_dfreq(postings),
+            path,
+            int(_read_bm25_stats(path)["n_buckets"]),
+            "dup-1",
+            fresh=False,
+        )
+        _bm25_commit(path, "dup-1", stats.n, stats.t)
+    finally:
+        postings.unpersist()
+    d = _defects(bm25_index_verify(spark, path))
+    # every doc the duplicate segment actually holds is flagged
+    assert d["duplicate_doc"][0] == stats.n > 0
+    assert "commit_constants_mismatch" not in d  # each batch self-consistent
+
+    # corruption 5: a tampered commit row
+    cf = f"{path}/commits/commit-dup-1.parquet"
+    _tamper_parquet(cf, "n_docs", lambda v: v + 1)
+    d = _defects(bm25_index_verify(spark, path))
+    assert d["commit_constants_mismatch"] == (1, ["dup-1"])
+
+
+def test_ivfpq_fsck_healthy_and_corrupted(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        ivfpq_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_increment,
+        write_ivfpq_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ann")
+    write_ivfpq_index(b1, path, k_cells=8, m=8, n_centroids=16, iters=2,
+                      coarse_iters=2)
+    _only_ok(ivfpq_index_verify(spark, path), b1.count())
+    ivfpq_index_increment(b2, path, batch_id="adds-1")
+    doomed = e.filter(F.col("vec_id") % 10 == 1).select("vec_id")
+    ivfpq_index_delete(spark, path, doomed, batch_id="del-1")
+    n_live = e.count() - doomed.count()
+    _only_ok(ivfpq_index_verify(spark, path), n_live)
+    ivfpq_index_compact(spark, path)
+    _only_ok(ivfpq_index_verify(spark, path), n_live)
+
+    # corruption 1: a truncated code vector
+    f0 = _first_file(f"{path}/codes")
+    orig = papq.read_table(f0)
+    _tamper_parquet(f0, "codes", lambda v: v[:-1])
+    d = _defects(ivfpq_index_verify(spark, path))
+    assert d["codes_malformed"][0] == 1
+    _write_file(f0, orig)
+
+    # corruption 2: an out-of-range cluster id
+    _tamper_parquet(f0, "codes", lambda v: [9999] + v[1:])
+    d = _defects(ivfpq_index_verify(spark, path))
+    assert d["codes_malformed"][0] == 1
+    _write_file(f0, orig)
+
+    # corruption 3: a committed row landed in a cell the coarse
+    # sidecar does not define (also throws the batch count off)
+    alien = f"{path}/codes/cell=999/batch=base"
+    os.makedirs(alien, exist_ok=True)
+    shutil.copy(f0, f"{alien}/part-0.parquet")
+    d = _defects(ivfpq_index_verify(spark, path))
+    assert d["cell_unknown"][0] > 0
+    assert d["commit_count_mismatch"][0] == 1
+    shutil.rmtree(f"{path}/codes/cell=999")
+
+    # corruption 4: a duplicated segment file (double-served vectors)
+    dup = f0.replace(".parquet", "-dup.parquet")
+    shutil.copy(f0, dup)
+    d = _defects(ivfpq_index_verify(spark, path))
+    assert d["duplicate_vec"][0] == orig.num_rows
+    assert d["commit_count_mismatch"][0] == 1
+    os.remove(dup)
+    _only_ok(ivfpq_index_verify(spark, path), n_live)
