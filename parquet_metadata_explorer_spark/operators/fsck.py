@@ -339,3 +339,175 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return _index_report(out)
+
+
+def tape_verify(spark, export_path: str) -> DataFrame:
+    """fsck for the training-tape export — the terminal artifact a
+    trainer consumes, where silent corruption is costliest (a drifted
+    window wastes a training run, not a query). Invariants over the
+    RESOLVED tape (base + committed increments, superseded tail
+    windows dropped — the same view ``read_training_tape`` serves):
+
+    - ``window_id_gap_or_dup``: resolved window_ids must be exactly
+      0..n_windows-1 (the manifest's count) — a gap is lost data, a
+      duplicate double-trains.
+    - ``window_size_mismatch``: n_tokens must equal size(token_ids).
+    - ``window_underfilled``: every window except the last must hold
+      exactly budget_tokens ids (pack_sequences semantics: documents
+      straddle boundaries so no window is under-filled); the last is
+      1..budget.
+    - ``token_out_of_vocab``: every id must decode — 0 <= id < the
+      committed vocab size (base + deltas).
+    - ``vocab_not_dense``: vocab ids must be exactly 0..V-1 with no
+      duplicate tokens (a duplicate decodes ambiguously).
+    - ``manifest_mismatch``: the committed manifest's total_tokens /
+      vocab_size must equal the folds recomputed from the data.
+    - ``ok``: the resolved window count.
+
+    Invariants come from export_training_windows /
+    export_training_windows_increment / read_training_tape in
+    operators/sinks.py."""
+    from .sinks import _read_tape_state, read_training_tape
+
+    manifest, _v = _read_tape_state(spark, export_path)
+    n_windows = int(manifest["n_windows"])
+    budget = int(manifest["budget_tokens"])
+    windows, vocab = read_training_tape(spark, export_path)
+    windows = windows.select("window_id", "token_ids", "n_tokens")
+
+    per_id = windows.groupBy("window_id").agg(F.count("*").alias("n"))
+    dup_or_oob = per_id.filter(
+        (F.col("n") > 1)
+        | (F.col("window_id") < 0)
+        | (F.col("window_id") >= n_windows)
+    ).select("window_id")
+    missing = spark.range(n_windows).join(
+        per_id, F.col("id") == F.col("window_id"), "left_anti"
+    ).select(F.col("id").alias("window_id"))
+    gap_dup = dup_or_oob.unionByName(missing)
+
+    size_bad = windows.filter(
+        F.col("n_tokens") != F.size("token_ids")
+    ).select("window_id")
+    underfilled = windows.filter(
+        (
+            (F.col("window_id") < n_windows - 1)
+            & (F.col("n_tokens") != budget)
+        )
+        | (F.col("n_tokens") > budget)
+        | (F.col("n_tokens") <= 0)
+    ).select("window_id")
+
+    v_size = vocab.count()
+    oov = windows.filter(
+        F.exists(
+            "token_ids",
+            lambda t: t.isNull() | (t < 0) | (t >= F.lit(int(v_size))),
+        )
+    ).select("window_id")
+
+    dup_tok = (
+        vocab.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.col("token").alias("key"))
+    )
+    sparse_ids = (
+        spark.range(v_size)
+        .join(vocab, F.col("id") == F.col("token_id"), "left_anti")
+        .select(F.col("id").cast("string").alias("key"))
+        .unionByName(
+            vocab.filter(
+                (F.col("token_id") < 0) | (F.col("token_id") >= v_size)
+            ).select(F.col("token_id").cast("string").alias("key"))
+        )
+    )
+    not_dense = dup_tok.unionByName(sparse_ids)
+
+    totals = windows.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+    ).select(
+        F.when(F.col("t") != int(manifest["total_tokens"]), F.lit("total_tokens"))
+        .when(F.lit(v_size) != int(manifest["vocab_size"]), F.lit("vocab_size"))
+        .alias("key")
+    ).filter(F.col("key").isNotNull())
+
+    tagged = [
+        _tag(gap_dup, F.col("window_id"), "window_id_gap_or_dup"),
+        _tag(size_bad, F.col("window_id"), "window_size_mismatch"),
+        _tag(underfilled, F.col("window_id"), "window_underfilled"),
+        _tag(oov, F.col("window_id"), "token_out_of_vocab"),
+        _tag(not_dense, F.col("key"), "vocab_not_dense"),
+        _tag(totals, F.col("key"), "manifest_mismatch"),
+        _tag(windows.select("window_id"), F.col("window_id"), "ok"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return _index_report(out)
+
+
+def corpus_verify(
+    spark, out_dir: str, state_dir: str = None, key: str = "source"
+) -> DataFrame:
+    """fsck for the CDC corpus sink (``out_dir/batch=<id>`` partitions
+    + the versioned catalogs):
+
+    - ``duplicate_doc``: a doc_id present more than once at rest (the
+      pipeline's exact-dedup guarantee violated — e.g. a partition
+      restored from the wrong backup).
+    - ``source_count_mismatch``: the source-count catalog (the
+      temperature-mix policy input) vs the counts recomputed from the
+      data, per source — checked when ``state_dir`` is given;
+      ``forget_documents`` keeps this exact, so any drift is real.
+    - ``stranded_maintenance_dir``: ``*.retired`` / ``.forget-*``
+      debris from a crashed forget run (healable on its next open).
+    - ``ok``: the at-rest document count."""
+    import glob
+    import os
+
+    corpus = spark.read.parquet(out_dir).select("doc_id", F.col(key))
+
+    dup = (
+        corpus.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("doc_id")
+    )
+    stranded = spark.createDataFrame(
+        [
+            (os.path.basename(p),)
+            for p in sorted(
+                glob.glob(f"{out_dir}/batch=*.retired")
+                + glob.glob(f"{out_dir}/.forget-*")
+            )
+        ],
+        "key string",
+    ).select(F.lit("stranded_maintenance_dir").alias("defect"), "key")
+
+    tagged = [
+        _tag(dup, F.col("doc_id"), "duplicate_doc"),
+        stranded,
+        _tag(corpus, F.col("doc_id"), "ok"),
+    ]
+    if state_dir is not None:
+        from .pipelines import load_prepare_state
+
+        state, _v = load_prepare_state(spark, state_dir)
+        actual = corpus.groupBy(key).agg(
+            F.count("*").cast("long").alias("a")
+        )
+        mismatch = (
+            state["source_counts"]
+            .join(actual, key, "full_outer")
+            .filter(
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                != F.coalesce(F.col("a"), F.lit(0))
+            )
+            .select(F.col(key))
+        )
+        tagged.insert(1, _tag(mismatch, F.col(key), "source_count_mismatch"))
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return _index_report(out)

@@ -234,3 +234,117 @@ def test_ivfpq_fsck_healthy_and_corrupted(spark, tmp_path):
     assert d["commit_count_mismatch"][0] == 1
     os.remove(dup)
     _only_ok(ivfpq_index_verify(spark, path), n_live)
+
+
+def test_tape_fsck_healthy_and_corrupted(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.fsck import tape_verify
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+        export_training_windows_increment,
+    )
+    from parquet_metadata_explorer_spark.operators.text import bpe_merges_fast
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 7}" for j in range(i % 9 + 1)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    merges = bpe_merges_fast(docs, n_merges=20)
+    out = str(tmp_path / "tape")
+    s = export_training_windows(docs, merges, out, budget_tokens=32)
+    _only_ok(tape_verify(spark, out), s["windows"])
+
+    # an incremented tape (superseded tail resolved) is also healthy
+    arrivals = spark.createDataFrame(
+        [(100 + i, " ".join(f"w{j % 7}" for j in range(5))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    export_training_windows_increment(arrivals, out, batch_id="inc-1")
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        _read_tape_state,
+    )
+
+    n_resolved = int(_read_tape_state(spark, out)[0]["n_windows"])
+    _only_ok(tape_verify(spark, out), n_resolved)
+
+    # corruption 1: a tampered window payload (one id chopped) — size
+    # vs n_tokens breaks, and the recomputed total drifts off the
+    # manifest
+    f0 = _first_file(f"{out}/windows")
+    orig = papq.read_table(f0)
+    _tamper_parquet(f0, "token_ids", lambda v: v[:-1])
+    d = _defects(tape_verify(spark, out))
+    assert d["window_size_mismatch"][0] == 1
+    _write_file(f0, orig)
+
+    # corruption 2: an out-of-vocab id (undecodable window)
+    _tamper_parquet(f0, "token_ids", lambda v: [10**6] + v[1:])
+    d = _defects(tape_verify(spark, out))
+    assert d["token_out_of_vocab"][0] == 1
+    _write_file(f0, orig)
+
+    # corruption 3: a duplicated shard — every window in it
+    # double-trains
+    dup = f0.replace(".parquet", "-dup.parquet")
+    shutil.copy(f0, dup)
+    d = _defects(tape_verify(spark, out))
+    # the shard's superseded tail window is dropped from BOTH copies
+    # by the resolver, so only its resolved ids duplicate
+    os.remove(dup)
+    orig_ids = set(orig.column("window_id").to_pylist())
+    # the increment superseded one base window: both of ITS copies are
+    # dropped by the resolver, so it never duplicates
+    stale = {int(_read_tape_state(spark, out)[0]["rewritten_window_id"])}
+    assert d["window_id_gap_or_dup"][0] == len(orig_ids - stale) > 0
+
+    # corruption 4: a duplicate vocab token (ambiguous decode)
+    vf = _first_file(f"{out}/vocab")
+    vorig = papq.read_table(vf)
+    _tamper_parquet(vf, "token", lambda v: vorig.column("token").to_pylist()[1])
+    d = _defects(tape_verify(spark, out))
+    assert d["vocab_not_dense"][0] > 0
+    _write_file(vf, vorig)
+    _only_ok(tape_verify(spark, out), n_resolved)
+
+
+def test_corpus_fsck_healthy_and_corrupted(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.fsck import corpus_verify
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        forget_documents,
+        initial_prepare_state,
+        save_prepare_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.parquet(f"{out}/batch={b}")
+    state_dir = str(tmp_path / "state")
+    state = initial_prepare_state(spark)
+    state["source_counts"] = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    save_prepare_state(state, state_dir, 1)
+    _only_ok(corpus_verify(spark, out, state_dir), docs.count())
+
+    # stays healthy through a forget (counts move together)
+    doomed = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    forget_documents(spark, out, doomed, state_dir=state_dir)
+    _only_ok(corpus_verify(spark, out, state_dir), docs.count() - doomed.count())
+
+    # corruption 1: a partition restored from the wrong backup —
+    # duplicates at rest AND catalog drift
+    shutil.copytree(f"{out}/batch=1", f"{out}/batch=9")
+    d = _defects(corpus_verify(spark, out, state_dir))
+    assert d["duplicate_doc"][0] > 0
+    assert d["source_count_mismatch"][0] > 0
+    shutil.rmtree(f"{out}/batch=9")
+
+    # corruption 2: crash debris from a torn forget run
+    os.makedirs(f"{out}/.forget-123", exist_ok=True)
+    d = _defects(corpus_verify(spark, out, state_dir))
+    assert d["stranded_maintenance_dir"] == (1, [".forget-123"])
+    shutil.rmtree(f"{out}/.forget-123")
+    _only_ok(corpus_verify(spark, out, state_dir), docs.count() - doomed.count())
