@@ -122,6 +122,72 @@ def vacuum_uncommitted(path: str, tables, committed: set) -> None:
                     shutil.rmtree(f"{odir}/{seg_dir}", ignore_errors=True)
 
 
+def mint_generation(path: str) -> str:
+    """Mint a fresh index GENERATION token — written by every base
+    build and every compaction build, because both REUSE the ``base``
+    batch id: without the token, a snapshot pinned on ``{base}`` would
+    silently alias a different folded state after maintenance."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    gen = uuid.uuid4().hex
+    tmp = f"{path}/.GENERATION.tmp"
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.replace(tmp, f"{path}/GENERATION")
+    return gen
+
+
+def read_generation(path: str):
+    import os
+
+    p = f"{path}/GENERATION"
+    if not os.path.exists(p):
+        return None  # pre-generation index layout
+    with open(p) as f:
+        return f.read().strip()
+
+
+def resolve_snapshot(commits: dict, snapshot, label: str, generation=None):
+    """Restrict a probe's visibility set to a PINNED snapshot — the
+    snapshot-isolation read: a pin captured before concurrent
+    increments/deletes landed keeps serving exactly the pinned state
+    (an eval run stays internally consistent on a moving index).
+    ``snapshot=None`` means the live commit set; otherwise it is the
+    dict a ``*_index_snapshot`` helper returned ({generation,
+    batches}; a bare batch list is accepted without the generation
+    check). Raises if the pin crosses a compaction or rebuild — batch
+    ids fold away AND ``base`` is reused, so the generation token is
+    what makes invalidation loud instead of a silent alias of a state
+    that never existed."""
+    if snapshot is None:
+        return commits
+    if isinstance(snapshot, dict):
+        pinned_gen = snapshot.get("generation")
+        batches = snapshot["batches"]
+    else:
+        pinned_gen, batches = None, list(snapshot)
+    if (
+        pinned_gen is not None
+        and generation is not None
+        and pinned_gen != generation
+    ):
+        raise ValueError(
+            f"{label}: snapshot was taken on a different index "
+            "generation (the index was compacted or rebuilt since the "
+            "pin) — take a new snapshot."
+        )
+    missing = sorted(set(batches) - set(commits))
+    if missing:
+        raise ValueError(
+            f"{label}: snapshot references batches missing from the "
+            f"commit log ({missing}) — the index was compacted or "
+            "rebuilt since the pin; take a new snapshot."
+        )
+    return {b: commits[b] for b in batches}
+
+
 def tombstone_ids(spark, path: str, id_col: str, batches):
     """The committed deletion set of an index: a DataFrame of the ids
     whose rows every probe must anti-join away, or ``None`` when the

@@ -1760,6 +1760,9 @@ def write_ivfpq_index(
     # never anti-join vectors out of the fresh corpus
     shutil.rmtree(f"{path}/commits", ignore_errors=True)
     shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    from .segments import mint_generation
+
+    mint_generation(path)  # rebuilds invalidate snapshot pins loudly
     spark = embeddings.sparkSession
     cc, cells, pq_cb, pq_codes = ivfpq_index(
         embeddings,
@@ -2141,6 +2144,11 @@ def ivfpq_index_compact(spark, path: str) -> int:
     )
     for sidecar in ("coarse", "codebook"):
         shutil.copytree(f"{path}/{sidecar}", f"{build}/{sidecar}")
+    from .segments import mint_generation
+
+    # compaction reuses the 'base' batch id, so it must mint a new
+    # generation — snapshot pins crossing the swap fail loudly
+    mint_generation(build)
     segment_commit(
         build,
         "base",
@@ -2148,6 +2156,21 @@ def ivfpq_index_compact(spark, path: str) -> int:
     )
     swap_publish(path, build)
     return len(batches)
+
+
+def ivfpq_index_snapshot(path: str) -> list:
+    """Pin the index's CURRENT committed batch set for
+    snapshot-isolation probes (``ivfpq_probe_topk(snapshot=...)``) —
+    the dense twin of ``bm25_index_snapshot``: later increments and
+    deletes stay invisible to pinned reads; compaction/rebuild
+    invalidates pins loudly."""
+    from .segments import read_generation, recover_retired, segment_commits
+
+    recover_retired(path)
+    return {
+        "generation": read_generation(path),
+        "batches": sorted(segment_commits(path, "IVF-PQ index")),
+    }
 
 
 def ivfpq_probe_topk(
@@ -2159,6 +2182,7 @@ def ivfpq_probe_topk(
     rerank: int = 0,
     embeddings: DataFrame = None,
     table_mode: str = "auto",
+    snapshot: list = None,
 ) -> DataFrame:
     """ADC top-k against a MATERIALIZED IVF-PQ index (no training, no
     embedding scan): load the sidecar centroid tables (driver-sized),
@@ -2187,10 +2211,22 @@ def ivfpq_probe_topk(
     commit log's batch ids, so a torn ``ivfpq_index_increment``
     contributes nothing.
     """
-    from .segments import recover_retired, segment_commits
+    from .segments import (
+        read_generation,
+        recover_retired,
+        resolve_snapshot,
+        segment_commits,
+    )
 
     recover_retired(path)  # heal a crashed compaction swap on open
-    batches = sorted(segment_commits(path, "IVF-PQ index"))
+    # snapshot pin: the code scan and the tombstone set both flow from
+    # this one visibility set (see bm25_probe_topk's twin)
+    batches = sorted(
+        resolve_snapshot(
+            segment_commits(path, "IVF-PQ index"), snapshot,
+            "ivfpq_probe_topk", generation=read_generation(path),
+        )
+    )
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
     queries = queries.select("vec_id", "embedding")
     mode = table_mode

@@ -1350,6 +1350,9 @@ def write_bm25_index(
     # anti-join docs out of the fresh corpus
     shutil.rmtree(f"{path}/commits", ignore_errors=True)
     shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    from .segments import mint_generation
+
+    mint_generation(path)  # rebuilds invalidate snapshot pins loudly
     postings, doclen = _corpus_postings(documents, track=False)
     try:
         stats = doclen.agg(
@@ -1773,6 +1776,11 @@ def bm25_index_compact(spark, path: str) -> int:
         )
         os.makedirs(f"{build}/stats")
         _write_bm25_stats(f"{build}/stats", n_buckets)
+        from .segments import mint_generation
+
+        # compaction reuses the 'base' batch id, so it must mint a new
+        # generation — snapshot pins crossing the swap fail loudly
+        mint_generation(build)
         _bm25_commit(
             build,
             "base",
@@ -1799,6 +1807,25 @@ def bm25_query_buckets(queries, n_buckets: int) -> list:
     )
 
 
+def bm25_index_snapshot(path: str) -> list:
+    """Pin the index's CURRENT committed batch set — the handle for
+    snapshot-isolation probes: pass it as ``snapshot=`` to
+    ``bm25_probe_topk`` / ``bm25_more_like_this_from_index`` and every
+    later increment or delete stays invisible to those reads (an eval
+    run stays internally consistent on a moving index). Pins are a
+    sorted batch-id list (tiny, serializable — store it with the eval
+    artifact). Compaction/rebuild folds batch ids away, so pinned
+    probes RAISE after maintenance instead of serving a partial
+    state."""
+    from .segments import read_generation, recover_retired
+
+    recover_retired(path)
+    return {
+        "generation": read_generation(path),
+        "batches": sorted(_bm25_commits(path)),
+    }
+
+
 def bm25_probe_topk(
     spark,
     path: str,
@@ -1806,6 +1833,7 @@ def bm25_probe_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    snapshot: list = None,
 ) -> DataFrame:
     """BM25 top-k against a MATERIALIZED index (no corpus scan, no
     tokenize): the query terms' hash buckets are computed driver-side
@@ -1822,13 +1850,21 @@ def bm25_probe_topk(
     in-memory scorer runs, so results match bit-for-bit; doc length
     comes denormalized off the posting row — the probe does zero
     corpus-sized joins."""
-    from .segments import recover_retired
+    from .segments import recover_retired, resolve_snapshot
 
     recover_retired(path)  # heal a crashed compaction swap on open
     qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
-    commits = _bm25_commits(path)
+    # snapshot pin: everything below — scans, df folds, corpus
+    # constants, tombstones — flows from this one visibility set, so
+    # restricting it IS the snapshot-isolation read
+    from .segments import read_generation
+
+    commits = resolve_snapshot(
+        _bm25_commits(path), snapshot, "bm25_probe_topk",
+        generation=read_generation(path),
+    )
     batches = sorted(commits)
     buckets = bm25_query_buckets(queries, n_buckets)
     qterms = spark.createDataFrame(qrows, "query_id long, term string")
@@ -1887,6 +1923,7 @@ def bm25_more_like_this_from_index(
     max_df_ratio: float = 0.25,
     k1: float = 1.2,
     b: float = 0.75,
+    snapshot: list = None,
 ) -> DataFrame:
     """``bm25_more_like_this`` served from a MATERIALIZED index — the
     corpus-job twin of ``bm25_probe_topk``: no tokenize, no corpus
@@ -1899,10 +1936,15 @@ def bm25_more_like_this_from_index(
     as the probe's do. Selection, df guard and scoring are the same
     expressions as the in-memory operator, so results match it
     bit-for-bit (pytest-asserted)."""
-    from .segments import recover_retired
+    from .segments import recover_retired, resolve_snapshot
 
     recover_retired(path)
-    commits = _bm25_commits(path)
+    from .segments import read_generation
+
+    commits = resolve_snapshot(
+        _bm25_commits(path), snapshot, "bm25_more_like_this_from_index",
+        generation=read_generation(path),
+    )
     batches = sorted(commits)
     stats = spark.createDataFrame(
         [
