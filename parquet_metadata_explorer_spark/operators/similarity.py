@@ -445,6 +445,8 @@ def hybrid_rrf_probe(
     n_probe: int = 4,
     rerank: int = 0,
     embeddings: DataFrame = None,
+    bm25_snapshot: list = None,
+    ivfpq_snapshot: list = None,
 ) -> DataFrame:
     """Hybrid retrieval served ENTIRELY from materialized indexes — the
     production query path: the lexical side probes the bucketed BM25
@@ -465,13 +467,17 @@ def hybrid_rrf_probe(
     retriever (exact cosine vs IVF-PQ ADC — the documented
     recall-for-scan-reduction trade); with the same retriever outputs
     the fusion is bit-identical, which is what the composition pytest
-    pins."""
+    pins. ``bm25_snapshot`` / ``ivfpq_snapshot`` pin each side's index
+    state (see ``bm25_index_snapshot``) so the FUSED serving path is
+    snapshot-isolated end-to-end."""
     from .text import bm25_probe_topk
 
     qrows = queries.select("doc_id", "text", "embedding").collect()
     qtexts = [(int(r.doc_id), r.text or "") for r in qrows]
     qtexts.sort()
-    lex_raw = bm25_probe_topk(spark, bm25_index_path, qtexts, k=k_each)
+    lex_raw = bm25_probe_topk(
+        spark, bm25_index_path, qtexts, k=k_each, snapshot=bm25_snapshot
+    )
     w_lex = Window.partitionBy("query_id").orderBy("rank")
     lex = (
         lex_raw.filter(F.col("doc_id") != F.col("query_id"))
@@ -489,6 +495,7 @@ def hybrid_rrf_probe(
         n_probe=n_probe,
         rerank=rerank,
         embeddings=embeddings,
+        snapshot=ivfpq_snapshot,
     )
     w_d = Window.partitionBy("query_id").orderBy("rank")
     dense = (

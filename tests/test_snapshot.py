@@ -108,3 +108,51 @@ def test_ivfpq_snapshot_probe_is_isolated(spark, tmp_path):
         )
         == live
     )
+
+
+def test_hybrid_probe_is_pinnable_end_to_end(spark, tmp_path):
+    """The fused serving path accepts both pins: a hybrid probe with
+    snapshots taken before new arrivals serves the pre-arrival fusion
+    bit-for-bit."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_rrf_probe,
+        ivfpq_index_increment,
+        ivfpq_index_snapshot,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_increment,
+        bm25_index_snapshot,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half = F.col("doc_id") % 2 == 0
+    bp, ip = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    write_bm25_index(docs.filter(half), bp)
+    write_ivfpq_index(
+        e.filter(F.col("vec_id") % 2 == 0), ip,
+        k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2,
+    )
+    queries = (
+        docs.filter(F.col("doc_id").isin([0, 2]))
+        .join(e.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select("doc_id", "text", "embedding")
+    )
+    pins = dict(
+        bm25_snapshot=bm25_index_snapshot(bp),
+        ivfpq_snapshot=ivfpq_index_snapshot(ip),
+    )
+    before = _rows(hybrid_rrf_probe(spark, bp, ip, queries, k=6, k_each=12))
+
+    bm25_index_increment(docs.filter(~half), bp, batch_id="adds-1")
+    ivfpq_index_increment(
+        e.filter(F.col("vec_id") % 2 == 1), ip, batch_id="adds-1"
+    )
+    live = _rows(hybrid_rrf_probe(spark, bp, ip, queries, k=6, k_each=12))
+    pinned = _rows(
+        hybrid_rrf_probe(spark, bp, ip, queries, k=6, k_each=12, **pins)
+    )
+    assert pinned == before
+    assert live != before
