@@ -511,3 +511,19 @@ def corpus_verify(
     for t in tagged[1:]:
         out = out.unionByName(t)
     return _index_report(out)
+
+
+def assert_index_ok(report: DataFrame, who: str) -> None:
+    """Strict gate over any fsck report: silence when only the ``ok``
+    row is present, else a ValueError naming every defect class with
+    its count and example keys — the ``assert_embedding_health``
+    discipline applied to at-rest artifacts."""
+    bad = [r for r in report.collect() if r.defect != "ok"]
+    if bad:
+        raise ValueError(
+            f"{who}: integrity check failed — "
+            + "; ".join(
+                f"{r.defect} ({r.n_rows} rows, e.g. {list(r.examples)})"
+                for r in bad
+            )
+        )

@@ -2097,7 +2097,7 @@ def ivfpq_index_delete(spark, path: str, vec_ids, batch_id: str = None) -> int:
         found.unpersist()
 
 
-def ivfpq_index_compact(spark, path: str) -> int:
+def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
     """Segment merge for the IVF-PQ index — the same Lucene-style
     lifecycle close as ``bm25_index_compact``: fold every COMMITTED
     batch's codes back into one ``base`` segment (codes are already
@@ -2161,6 +2161,13 @@ def ivfpq_index_compact(spark, path: str) -> int:
         "base",
         {"n_vectors": sum(s["n_vectors"] for s in commits.values())},
     )
+    if verify:
+        # prove the fold BEFORE publishing (see the BM25 twin)
+        from .fsck import assert_index_ok, ivfpq_index_verify
+
+        assert_index_ok(
+            ivfpq_index_verify(spark, build), "ivfpq_index_compact"
+        )
     swap_publish(path, build)
     return len(batches)
 

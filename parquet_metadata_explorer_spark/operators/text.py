@@ -1698,7 +1698,7 @@ def bm25_index_delete(spark, path: str, doc_ids, batch_id: str = None) -> int:
         victims.unpersist()
 
 
-def bm25_index_compact(spark, path: str) -> int:
+def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
     """Segment merge — the Lucene counterpart that completes the
     log-structured lifecycle: fold every COMMITTED batch back into one
     ``base`` segment so a long-running CDC pipeline's probe cost stays
@@ -1787,6 +1787,15 @@ def bm25_index_compact(spark, path: str) -> int:
             sum(n for n, _t in commits.values()),
             sum(t for _n, t in commits.values()),
         )
+        if verify:
+            # prove the fold BEFORE publishing: fsck the build while
+            # the live index is still intact — a failed fold raises
+            # with named defects and the swap never happens
+            from .fsck import assert_index_ok, bm25_index_verify
+
+            assert_index_ok(
+                bm25_index_verify(spark, build), "bm25_index_compact"
+            )
         swap_publish(path, build)
         return len(batches)
     finally:

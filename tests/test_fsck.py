@@ -348,3 +348,52 @@ def test_corpus_fsck_healthy_and_corrupted(spark, tmp_path):
     assert d["stranded_maintenance_dir"] == (1, [".forget-123"])
     shutil.rmtree(f"{out}/.forget-123")
     _only_ok(corpus_verify(spark, out, state_dir), docs.count() - doomed.count())
+
+
+def test_assert_index_ok_and_verified_compaction(spark, tmp_path):
+    """The strict gate raises with named defects, and compaction with
+    verify=True proves the fold before publishing (values identical to
+    an unverified compaction)."""
+    import pytest
+
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        assert_index_ok,
+        bm25_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_increment,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    bm25_index_increment(
+        docs.filter(F.col("doc_id") % 2 == 1), path, batch_id="adds-1"
+    )
+    bm25_index_delete(
+        spark, path, docs.filter(F.col("doc_id") % 9 == 4).select("doc_id"),
+        batch_id="del-1",
+    )
+    qs = [(1, "fast hash join")]
+    before = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+
+    # healthy gate: silent
+    assert_index_ok(bm25_index_verify(spark, path), "pre-compact")
+    # verified compaction publishes and serves identically
+    assert bm25_index_compact(spark, path, verify=True) >= 1
+    assert (
+        sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+        == before
+    )
+
+    # a corrupted index makes the gate raise with the defect named
+    victim = sorted(
+        d for d in os.listdir(f"{path}/dfreq") if d.startswith("bucket=")
+    )[0]
+    shutil.rmtree(f"{path}/dfreq/{victim}")
+    with pytest.raises(ValueError, match="df_mismatch"):
+        assert_index_ok(bm25_index_verify(spark, path), "post-corruption")
