@@ -31,7 +31,12 @@ from ..functions import hash60
 def _index_report(tagged: DataFrame) -> DataFrame:
     """(defect, key) rows -> one row per defect class with an exact
     count and <=5 example keys (WindowGroupLimit prunes map-side, the
-    embedding_health discipline)."""
+    embedding_health discipline). The tagged union is persisted
+    (session cache registry) because counts and examples both consume
+    it — without the persist every check's scan DAG would run twice."""
+    from ..cache import track_persist
+
+    tagged = track_persist(tagged)
     counts = tagged.groupBy("defect").agg(
         F.count("*").cast("long").alias("n_rows")
     )
@@ -49,6 +54,26 @@ def _tag(df: DataFrame, key_col, defect: str) -> DataFrame:
     return df.select(
         F.lit(defect).alias("defect"), key_col.cast("string").alias("key")
     )
+
+
+def _tombstone_batch_counts(spark, path: str, neg) -> DataFrame:
+    """Per delete-batch tombstone-id counts, EMPTY (not a crash) when
+    the tombstones table is missing or vacuumed bare — that loss is
+    precisely a defect the caller's left join then reports as
+    tombstone/commit count mismatches for every delete batch."""
+    import os
+
+    troot = f"{path}/tombstones"
+    if os.path.isdir(troot) and any(
+        e.startswith("batch=") for e in os.listdir(troot)
+    ):
+        return (
+            spark.read.parquet(troot)
+            .filter(F.col("batch").isin(sorted(neg)))
+            .groupBy("batch")
+            .agg(F.count("*").cast("long").alias("n_ids"))
+        )
+    return spark.createDataFrame([], "batch string, n_ids long")
 
 
 def _orphan_segments(spark, path: str, tables, committed) -> DataFrame:
@@ -201,12 +226,7 @@ def bm25_index_verify(spark, path: str) -> DataFrame:
         ),
     ]
     if neg:
-        tombs = spark.read.parquet(f"{path}/tombstones").filter(
-            F.col("batch").isin(neg)
-        )
-        t_counts = tombs.groupBy("batch").agg(
-            F.count("*").cast("long").alias("n_ids")
-        )
+        t_counts = _tombstone_batch_counts(spark, path, neg)
         t_expected = spark.createDataFrame(
             [(b, -commits[b][0]) for b in neg], "batch string, e_ids long"
         )
@@ -266,7 +286,6 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
         s: max(c for s2, c in pq_cb if s2 == s) + 1
         for s in {s for s, _c in pq_cb}
     }
-    max_cluster = max(n_clusters.values())
 
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("batch").isin(batches)
@@ -287,11 +306,20 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
     )
 
     c = F.col("codes")
+    # each sub-code validates against ITS OWN subspace's cluster count
+    # (zip_with pairs code i with bound i; a short code null-pads, and
+    # the size check flags it regardless)
+    bounds = F.array(
+        *[F.lit(int(n_clusters.get(s, 0))) for s in range(int(m))]
+    )
     malformed = codes.filter(
         c.isNull()
         | (F.size(c) != F.lit(int(m)))
         | F.exists(
-            c, lambda x: x.isNull() | (x < 0) | (x >= F.lit(int(max_cluster)))
+            F.zip_with(
+                c, bounds, lambda x, b: x.isNull() | (x < 0) | (x >= b)
+            ),
+            lambda v: v,
         )
     ).select("vec_id")
 
@@ -316,12 +344,7 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
         ),
     ]
     if neg:
-        tombs = spark.read.parquet(f"{path}/tombstones").filter(
-            F.col("batch").isin(neg)
-        )
-        t_counts = tombs.groupBy("batch").agg(
-            F.count("*").cast("long").alias("n_ids")
-        )
+        t_counts = _tombstone_batch_counts(spark, path, neg)
         t_expected = spark.createDataFrame(
             [(b, -commits[b]["n_vectors"]) for b in neg],
             "batch string, e_ids long",
@@ -424,13 +447,20 @@ def tape_verify(spark, export_path: str) -> DataFrame:
     )
     not_dense = dup_tok.unionByName(sparse_ids)
 
-    totals = windows.agg(
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
-    ).select(
-        F.when(F.col("t") != int(manifest["total_tokens"]), F.lit("total_tokens"))
-        .when(F.lit(v_size) != int(manifest["vocab_size"]), F.lit("vocab_size"))
-        .alias("key")
-    ).filter(F.col("key").isNotNull())
+    # independent checks, so BOTH drifts are reported when both exist
+    totals = (
+        windows.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"))
+        .filter(F.col("t") != int(manifest["total_tokens"]))
+        .select(F.lit("total_tokens").alias("key"))
+        .unionByName(
+            spark.createDataFrame(
+                [("vocab_size",)]
+                if int(v_size) != int(manifest["vocab_size"])
+                else [],
+                "key string",
+            )
+        )
+    )
 
     tagged = [
         _tag(gap_dup, F.col("window_id"), "window_id_gap_or_dup"),
@@ -462,10 +492,22 @@ def corpus_verify(
       ``forget_documents`` keeps this exact, so any drift is real.
     - ``stranded_maintenance_dir``: ``*.retired`` / ``.forget-*``
       debris from a crashed forget run (healable on its next open).
+    - ``pending_forget``: a FORGET-PENDING marker in ``state_dir`` — a
+      forget run died between its partition swaps and its catalog
+      commit; the next ``forget_documents`` call reconciles it (any
+      ``source_count_mismatch`` reported alongside is that same
+      in-flight state, not independent drift).
     - ``ok``: the at-rest document count."""
     import glob
     import os
 
+    if state_dir is not None and key != "source":
+        raise ValueError(
+            "corpus_verify: the source-count catalog is keyed on "
+            f"'source' (see _STATE_SCHEMAS) — key={key!r} cannot be "
+            "checked against it. Pass state_dir=None for a "
+            "catalog-less verify."
+        )
     corpus = spark.read.parquet(out_dir).select("doc_id", F.col(key))
 
     dup = (
@@ -491,8 +533,16 @@ def corpus_verify(
         _tag(corpus, F.col("doc_id"), "ok"),
     ]
     if state_dir is not None:
-        from .pipelines import load_prepare_state
+        from .pipelines import forget_pending_path, load_prepare_state
 
+        if os.path.exists(forget_pending_path(state_dir)):
+            tagged.insert(
+                0,
+                spark.createDataFrame(
+                    [("pending_forget", "FORGET-PENDING")],
+                    "defect string, key string",
+                ),
+            )
         state, _v = load_prepare_state(spark, state_dir)
         actual = corpus.groupBy(key).agg(
             F.count("*").cast("long").alias("a")

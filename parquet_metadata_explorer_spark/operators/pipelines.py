@@ -743,6 +743,47 @@ def committed_lineage(state_dir: str, version: int):
         return f.read().strip()
 
 
+def _reconcile_source_counts(spark, out_dir: str, state_dir: str) -> None:
+    """Set the source-count catalog to the at-rest truth — the
+    invariant ``corpus_verify`` checks (catalog ≡ per-source counts
+    recomputed from the data). Recompute-from-truth is what makes the
+    forget protocol's crash recovery idempotent: no matter where a
+    previous run died (before, during or after the partition swaps),
+    one reconcile pass lands the catalog exactly right. The new
+    version carries the stream's BATCH/LINEAGE replay markers
+    forward."""
+    import glob
+    import os
+
+    state, v = load_prepare_state(spark, state_dir)
+    if glob.glob(f"{out_dir}/batch=*"):
+        counts = (
+            spark.read.parquet(out_dir)
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+    else:  # every partition erased — an empty dir has no schema
+        counts = spark.createDataFrame([], "source string, n_docs long")
+    state["source_counts"] = counts
+    save_prepare_state(
+        state,
+        state_dir,
+        v + 1,
+        batch_id=committed_batch_id(state_dir, v),
+        lineage=committed_lineage(state_dir, v),
+    )
+
+
+def forget_pending_path(state_dir: str) -> str:
+    """The forget protocol's in-flight marker: present from just
+    before the partition swaps until the catalog reconcile commits.
+    ``forget_documents`` heals it on open; ``corpus_verify`` reports a
+    stranded one as ``pending_forget``."""
+    import os
+
+    return os.path.join(state_dir, "FORGET-PENDING")
+
+
 def forget_documents(
     spark, out_dir: str, doc_ids, state_dir: str = None, key: str = "source"
 ) -> int:
@@ -757,11 +798,22 @@ def forget_documents(
     is priced at the affected partitions, not the corpus.
 
     Returns how many documents were erased (0 = nothing written).
-    With ``state_dir`` given, the source-count catalog is decremented
-    by the erased docs per source in a NEW catalog version (so the
+    With ``state_dir`` given, the source-count catalog is brought back
+    to the at-rest truth in a NEW catalog version (so the
     temperature-mix policy view stays honest), carrying the current
     version's BATCH/LINEAGE markers forward — a crashed streaming
     micro-batch replay still skips correctly after a forget. The
+    catalog update is recompute-from-truth behind a FORGET-PENDING
+    marker written BEFORE the swaps: a crash in any window (mid-swap,
+    or after the swaps but before the catalog commit) leaves the
+    marker, and the next call — even a no-op retry — reconciles the
+    catalog from the post-crash data before doing anything else, so
+    the catalog can never drift permanently. The one recompute is a
+    column-pruned count over the corpus — the price of exactness; the
+    marker means it is paid only by forgets and crash recoveries,
+    never by reads. The catalog invariant requires the pipeline's
+    default ``key="source"`` (the stored schema) — a different key
+    with ``state_dir`` raises up front, before any mutation. The
     dedup fingerprint catalogs are kept BY CONTRACT: they are one-way
     hashes, and keeping them means forgotten content is also never
     re-admitted by a later arrival of the same bytes (erase-and-block,
@@ -780,7 +832,15 @@ def forget_documents(
     import os
     import shutil
 
-    # recovery-on-open: heal crashed swaps, clear crashed builds
+    if state_dir is not None and key != "source":
+        raise ValueError(
+            "forget_documents: the source-count catalog is keyed on "
+            f"'source' (see _STATE_SCHEMAS) — key={key!r} cannot "
+            "maintain it. Pass state_dir=None to erase without a "
+            "catalog, or use the default key."
+        )
+    # recovery-on-open: heal crashed swaps, clear crashed builds, and
+    # finish a crashed run's catalog reconcile BEFORE anything else
     for retired in glob.glob(f"{out_dir}/batch=*.retired"):
         live = retired[: -len(".retired")]
         if os.path.exists(live):
@@ -789,24 +849,22 @@ def forget_documents(
             os.rename(retired, live)
     for stale in glob.glob(f"{out_dir}/.forget-*"):
         shutil.rmtree(stale, ignore_errors=True)
+    if state_dir is not None and os.path.exists(forget_pending_path(state_dir)):
+        _reconcile_source_counts(spark, out_dir, state_dir)
+        os.remove(forget_pending_path(state_dir))
 
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select("doc_id").distinct()
     else:
-        ids = spark.createDataFrame(
-            [(i,) for i in doc_ids], ["doc_id"]
-        ).distinct()
+        rows = [(i,) for i in doc_ids]
+        if not rows:
+            return 0  # nothing requested — match the 0-found contract
+        ids = spark.createDataFrame(rows, ["doc_id"]).distinct()
 
     corpus = spark.read.parquet(out_dir)
     doomed = corpus.join(ids, "doc_id", "left_semi").persist()
     try:
-        per_source = {
-            r[0]: r[1]
-            for r in doomed.groupBy(key)
-            .agg(F.count("*").cast("long").alias("n"))
-            .collect()
-        }
-        n_erased = int(sum(per_source.values()))
+        n_erased = doomed.count()
         if not n_erased:
             return 0
         affected = sorted(
@@ -820,6 +878,11 @@ def forget_documents(
             .partitionBy("batch")
             .parquet(build)
         )
+        # the marker goes down BEFORE the first swap: from here until
+        # the catalog commit, any crash leaves it for recovery-on-open
+        if state_dir is not None:
+            with open(forget_pending_path(state_dir), "w") as f:
+                f.write("in-flight")
         for b in affected:
             live = f"{out_dir}/batch={b}"
             fresh = f"{build}/batch={b}"
@@ -833,29 +896,9 @@ def forget_documents(
         doomed.unpersist()
 
     if state_dir is not None:
-        state, v = load_prepare_state(spark, state_dir)
-        erased = spark.createDataFrame(
-            [(s, int(n)) for s, n in sorted(per_source.items())],
-            f"{key} string, erased long",
-        )
-        state["source_counts"] = (
-            state["source_counts"]
-            .join(erased, key, "left")
-            .select(
-                key,
-                (F.col("n_docs") - F.coalesce(F.col("erased"), F.lit(0)))
-                .cast("long")
-                .alias("n_docs"),
-            )
-        )
-        save_prepare_state(
-            state,
-            state_dir,
-            v + 1,
-            batch_id=committed_batch_id(state_dir, v),
-            lineage=committed_lineage(state_dir, v),
-        )
-    return n_erased
+        _reconcile_source_counts(spark, out_dir, state_dir)
+        os.remove(forget_pending_path(state_dir))
+    return int(n_erased)
 
 
 def stream_prepare_corpus(

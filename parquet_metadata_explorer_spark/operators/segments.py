@@ -164,20 +164,23 @@ def resolve_snapshot(commits: dict, snapshot, label: str, generation=None):
     if snapshot is None:
         return commits
     if isinstance(snapshot, dict):
-        pinned_gen = snapshot.get("generation")
+        # ANY generation mismatch invalidates — including None vs a
+        # token: every build and compaction mints one, so a pin
+        # without a token against a token-bearing index means the
+        # index was rebuilt since (the silent-alias case). Only a
+        # legacy pin against a legacy index (both None) passes on the
+        # batch check alone.
+        if snapshot.get("generation") != generation:
+            raise ValueError(
+                f"{label}: snapshot was taken on a different index "
+                "generation (the index was compacted or rebuilt since "
+                "the pin) — take a new snapshot."
+            )
         batches = snapshot["batches"]
     else:
-        pinned_gen, batches = None, list(snapshot)
-    if (
-        pinned_gen is not None
-        and generation is not None
-        and pinned_gen != generation
-    ):
-        raise ValueError(
-            f"{label}: snapshot was taken on a different index "
-            "generation (the index was compacted or rebuilt since the "
-            "pin) — take a new snapshot."
-        )
+        # bare batch list: the UNCHECKED escape hatch — no generation
+        # guard, caller accepts the compaction-alias risk
+        batches = list(snapshot)
     missing = sorted(set(batches) - set(commits))
     if missing:
         raise ValueError(

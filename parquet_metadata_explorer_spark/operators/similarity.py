@@ -445,8 +445,8 @@ def hybrid_rrf_probe(
     n_probe: int = 4,
     rerank: int = 0,
     embeddings: DataFrame = None,
-    bm25_snapshot: list = None,
-    ivfpq_snapshot: list = None,
+    bm25_snapshot: dict = None,
+    ivfpq_snapshot: dict = None,
 ) -> DataFrame:
     """Hybrid retrieval served ENTIRELY from materialized indexes — the
     production query path: the lexical side probes the bucketed BM25
@@ -2067,14 +2067,23 @@ def ivfpq_index_delete(spark, path: str, vec_ids, batch_id: str = None) -> int:
     else:
         validate_batch_id(batch_id)
     if segment_committed(path, batch_id):
-        # idempotent replay: report the committed batch's own count
-        return -commits[batch_id]["n_vectors"]
+        committed_n = commits[batch_id]["n_vectors"]
+        if committed_n >= 0:
+            # the id belongs to a DATA segment — see the BM25 twin
+            raise ValueError(
+                f"batch_id {batch_id!r} is already committed as a DATA "
+                f"segment of the IVF-PQ index at {path} — delete "
+                "batches need their own ids (the increment/delete "
+                "namespaces share the commit log)."
+            )
+        return -committed_n  # idempotent replay: the recorded count
     if isinstance(vec_ids, DataFrame):
         ids = vec_ids.select("vec_id").distinct()
     else:
-        ids = spark.createDataFrame(
-            [(i,) for i in vec_ids], ["vec_id"]
-        ).distinct()
+        rows = [(i,) for i in vec_ids]
+        if not rows:
+            return 0  # empty request — match the 0-found contract
+        ids = spark.createDataFrame(rows, ["vec_id"]).distinct()
     batches = sorted(commits)
     prior = _ivfpq_tombstones(spark, path, batches)
     if prior is not None:
@@ -2172,7 +2181,7 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
     return len(batches)
 
 
-def ivfpq_index_snapshot(path: str) -> list:
+def ivfpq_index_snapshot(path: str) -> dict:
     """Pin the index's CURRENT committed batch set for
     snapshot-isolation probes (``ivfpq_probe_topk(snapshot=...)``) —
     the dense twin of ``bm25_index_snapshot``: later increments and
@@ -2196,7 +2205,7 @@ def ivfpq_probe_topk(
     rerank: int = 0,
     embeddings: DataFrame = None,
     table_mode: str = "auto",
-    snapshot: list = None,
+    snapshot: dict = None,
 ) -> DataFrame:
     """ADC top-k against a MATERIALIZED IVF-PQ index (no training, no
     embedding scan): load the sidecar centroid tables (driver-sized),

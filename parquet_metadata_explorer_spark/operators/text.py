@@ -1640,14 +1640,25 @@ def bm25_index_delete(spark, path: str, doc_ids, batch_id: str = None) -> int:
     else:
         validate_batch_id(batch_id)
     if segment_committed(path, batch_id):
-        # idempotent replay: report the committed batch's own count
-        return -commits[batch_id][0]
+        committed_n = commits[batch_id][0]
+        if committed_n >= 0:
+            # the id belongs to a DATA segment — silently skipping the
+            # takedown (and returning a nonsense count) would be the
+            # worst failure mode a delete can have
+            raise ValueError(
+                f"batch_id {batch_id!r} is already committed as a DATA "
+                f"segment of the BM25 index at {path} — delete batches "
+                "need their own ids (the increment/delete namespaces "
+                "share the commit log)."
+            )
+        return -committed_n  # idempotent replay: the recorded count
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select("doc_id").distinct()
     else:
-        ids = spark.createDataFrame(
-            [(i,) for i in doc_ids], ["doc_id"]
-        ).distinct()
+        rows = [(i,) for i in doc_ids]
+        if not rows:
+            return 0  # empty request — match the 0-found contract
+        ids = spark.createDataFrame(rows, ["doc_id"]).distinct()
     batches = sorted(commits)
     prior = _bm25_tombstones(spark, path, batches)
     if prior is not None:
@@ -1816,16 +1827,18 @@ def bm25_query_buckets(queries, n_buckets: int) -> list:
     )
 
 
-def bm25_index_snapshot(path: str) -> list:
+def bm25_index_snapshot(path: str) -> dict:
     """Pin the index's CURRENT committed batch set — the handle for
-    snapshot-isolation probes: pass it as ``snapshot=`` to
-    ``bm25_probe_topk`` / ``bm25_more_like_this_from_index`` and every
-    later increment or delete stays invisible to those reads (an eval
-    run stays internally consistent on a moving index). Pins are a
-    sorted batch-id list (tiny, serializable — store it with the eval
-    artifact). Compaction/rebuild folds batch ids away, so pinned
-    probes RAISE after maintenance instead of serving a partial
-    state."""
+    snapshot-isolation probes: pass the returned dict as
+    ``snapshot=`` to ``bm25_probe_topk`` /
+    ``bm25_more_like_this_from_index`` and every later increment or
+    delete stays invisible to those reads (an eval run stays
+    internally consistent on a moving index). Pins are a tiny
+    serializable dict ``{generation, batches}`` — store it WHOLE with
+    the eval artifact (the generation token is what detects
+    compaction/rebuild, which REUSES batch ids; a bare batch list is
+    accepted but unchecked). Pinned probes RAISE after maintenance
+    instead of serving a partial or aliased state."""
     from .segments import read_generation, recover_retired
 
     recover_retired(path)
@@ -1842,7 +1855,7 @@ def bm25_probe_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    snapshot: list = None,
+    snapshot: dict = None,
 ) -> DataFrame:
     """BM25 top-k against a MATERIALIZED index (no corpus scan, no
     tokenize): the query terms' hash buckets are computed driver-side
@@ -1932,7 +1945,7 @@ def bm25_more_like_this_from_index(
     max_df_ratio: float = 0.25,
     k1: float = 1.2,
     b: float = 0.75,
-    snapshot: list = None,
+    snapshot: dict = None,
 ) -> DataFrame:
     """``bm25_more_like_this`` served from a MATERIALIZED index — the
     corpus-job twin of ``bm25_probe_topk``: no tokenize, no corpus

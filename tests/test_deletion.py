@@ -358,3 +358,98 @@ def test_forget_documents_erases_only_affected_partitions(spark, tmp_path):
     assert forget_documents(spark, out, [999999]) == 0
     assert os.path.isdir(f"{out}/batch=0")
     assert not os.path.isdir(f"{out}/batch=0.retired")
+
+
+def test_delete_guards(spark, tmp_path):
+    """Review hardening: an empty delete request returns 0 (no crash),
+    and a delete batch_id colliding with a committed DATA segment
+    raises instead of silently skipping the takedown."""
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_index_delete,
+        ivfpq_index_increment,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_delete,
+        bm25_index_increment,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    bm25_index_increment(
+        docs.filter(F.col("doc_id") % 2 == 1), path, batch_id="adds-1"
+    )
+    assert bm25_index_delete(spark, path, []) == 0
+    with pytest.raises(ValueError, match="DATA segment"):
+        bm25_index_delete(spark, path, [1, 2], batch_id="adds-1")
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ip = str(tmp_path / "ann")
+    write_ivfpq_index(e.filter(F.col("vec_id") % 2 == 0), ip,
+                      k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2)
+    ivfpq_index_increment(
+        e.filter(F.col("vec_id") % 2 == 1), ip, batch_id="adds-1"
+    )
+    assert ivfpq_index_delete(spark, ip, []) == 0
+    with pytest.raises(ValueError, match="DATA segment"):
+        ivfpq_index_delete(spark, ip, [1], batch_id="adds-1")
+
+
+def test_forget_crash_window_reconciles(spark, tmp_path):
+    """Review hardening: a forget that dies between its partition
+    swaps and its catalog commit leaves the FORGET-PENDING marker; the
+    next call — even a no-op retry and even an empty request — first
+    reconciles the catalog from the at-rest truth, so the drift can
+    never be permanent. A non-default key with state_dir raises BEFORE
+    any mutation."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        forget_documents,
+        forget_pending_path,
+        initial_prepare_state,
+        load_prepare_state,
+        save_prepare_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        docs.filter(F.col("doc_id") % 2 == b).write.parquet(f"{out}/batch={b}")
+    state_dir = str(tmp_path / "state")
+    state = initial_prepare_state(spark)
+    # a DELIBERATELY stale catalog + the in-flight marker = the exact
+    # post-swap pre-commit crash state
+    state["source_counts"] = spark.createDataFrame(
+        [("bogus", 10**6)], "source string, n_docs long"
+    )
+    save_prepare_state(state, state_dir, 1, batch_id=5, lineage="lin-9")
+    open(forget_pending_path(state_dir), "w").write("in-flight")
+
+    import os
+
+    assert forget_documents(spark, out, [], state_dir=state_dir) == 0
+    assert not os.path.exists(forget_pending_path(state_dir))
+    new_state, v = load_prepare_state(spark, state_dir)
+    want = sorted(
+        map(
+            tuple,
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect(),
+        )
+    )
+    assert sorted(map(tuple, new_state["source_counts"].collect())) == want
+    # the stream's replay markers survived the reconcile version
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        committed_batch_id,
+        committed_lineage,
+    )
+
+    assert committed_batch_id(state_dir, v) == 5
+    assert committed_lineage(state_dir, v) == "lin-9"
+
+    with pytest.raises(ValueError, match="keyed on 'source'"):
+        forget_documents(
+            spark, out, [1], state_dir=state_dir, key="lang"
+        )

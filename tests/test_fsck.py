@@ -397,3 +397,48 @@ def test_assert_index_ok_and_verified_compaction(spark, tmp_path):
     shutil.rmtree(f"{path}/dfreq/{victim}")
     with pytest.raises(ValueError, match="df_mismatch"):
         assert_index_ok(bm25_index_verify(spark, path), "post-corruption")
+
+
+def test_fsck_reports_lost_tombstones_and_double_manifest_drift(
+    spark, tmp_path
+):
+    """Review hardening: (a) a lost tombstones table on an index with
+    committed deletes is REPORTED (count mismatch per delete batch),
+    never a crash; (b) when both manifest totals drift, BOTH keys are
+    named."""
+    import pytest
+
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+        tape_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.sinks import (
+        export_training_windows,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_delete,
+        bpe_merges_fast,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    bm25_index_delete(
+        spark, path, docs.filter(F.col("doc_id") % 4 == 1).select("doc_id"),
+        batch_id="del-1",
+    )
+    shutil.rmtree(f"{path}/tombstones")
+    d = _defects(bm25_index_verify(spark, path))
+    assert d["tombstone_count_mismatch"] == (1, ["del-1"])
+
+    small = docs.limit(40).select("doc_id", "text")
+    merges = bpe_merges_fast(small, n_merges=10)
+    out = str(tmp_path / "tape")
+    export_training_windows(small, merges, out, budget_tokens=64)
+    mf = _first_file(f"{out}/state/v=1/manifest")
+    _tamper_parquet(mf, "total_tokens", lambda v: v + 7)
+    _tamper_parquet(mf, "vocab_size", lambda v: v + 3)
+    d = _defects(tape_verify(spark, out))
+    assert d["manifest_mismatch"][0] == 2
+    assert sorted(d["manifest_mismatch"][1]) == ["total_tokens", "vocab_size"]

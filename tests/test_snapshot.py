@@ -156,3 +156,24 @@ def test_hybrid_probe_is_pinnable_end_to_end(spark, tmp_path):
     )
     assert pinned == before
     assert live != before
+
+
+def test_legacy_pin_against_rebuilt_index_raises(spark, tmp_path):
+    """Review hardening: a pin WITHOUT a generation token (legacy
+    layout) against a token-bearing index means the index was rebuilt
+    since the pin — it must raise, not silently serve the new corpus."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_snapshot,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path)
+    legacy_pin = {"generation": None,
+                  "batches": bm25_index_snapshot(path)["batches"]}
+    with pytest.raises(ValueError, match="generation"):
+        bm25_probe_topk(
+            spark, path, [(1, "fast hash join")], k=5, snapshot=legacy_pin
+        )
