@@ -901,6 +901,75 @@ def forget_documents(
     return int(n_erased)
 
 
+def takedown(
+    spark,
+    doc_ids,
+    corpus_dir: str = None,
+    state_dir: str = None,
+    bm25_path: str = None,
+    ivfpq_path: str = None,
+    batch_id: str = None,
+) -> dict:
+    """One-call right-to-be-forgotten across every serving surface a
+    document reaches: physical erasure from the prepared corpus
+    (``forget_documents``) plus tombstone deletes from the lexical and
+    dense indexes (``bm25_index_delete`` / ``ivfpq_index_delete`` —
+    the convention ties vec_id to doc_id, the retrieval-corpus
+    contract). Pass only the surfaces that exist; ``batch_id`` (with
+    ``-bm25`` / ``-ivfpq`` suffixes, so the two commit logs never
+    collide with each other) makes the index halves idempotent on
+    retry, and the corpus half is idempotent by construction. Returns
+    ``{"corpus": n, "bm25": n, "ivfpq": n}`` for the surfaces
+    touched.
+
+    The training tape is NOT covered: windows mix documents, so tape
+    erasure means re-exporting from the forgotten corpus — regenerate
+    it (the tape is a derived artifact) rather than patching it.
+    Run from the maintenance owner with writers quiesced, like each
+    component."""
+    from .similarity import ivfpq_index_delete
+    from .text import bm25_index_delete
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct().persist()
+    else:
+        rows = [(i,) for i in doc_ids]
+        if not rows:
+            return {
+                k: 0
+                for k, p in (
+                    ("corpus", corpus_dir),
+                    ("bm25", bm25_path),
+                    ("ivfpq", ivfpq_path),
+                )
+                if p is not None
+            }
+        ids = spark.createDataFrame(rows, ["doc_id"]).distinct().persist()
+    try:
+        out = {}
+        # indexes first: a serving index must never return a doc the
+        # corpus no longer holds, so the anti-join side goes dark
+        # before the at-rest bytes disappear
+        if bm25_path is not None:
+            out["bm25"] = bm25_index_delete(
+                spark, bm25_path, ids,
+                batch_id=batch_id and f"{batch_id}-bm25",
+            )
+        if ivfpq_path is not None:
+            out["ivfpq"] = ivfpq_index_delete(
+                spark, ivfpq_path,
+                ids.select(F.col("doc_id").alias("vec_id")),
+                batch_id=batch_id and f"{batch_id}-ivfpq",
+            )
+        if corpus_dir is not None:
+            out["corpus"] = forget_documents(
+                spark, corpus_dir, ids, state_dir=state_dir
+            )
+        return out
+    finally:
+        ids.unpersist()
+
+
 def stream_prepare_corpus(
     spark,
     docs_path: str,

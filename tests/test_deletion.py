@@ -453,3 +453,83 @@ def test_forget_crash_window_reconciles(spark, tmp_path):
         forget_documents(
             spark, out, [1], state_dir=state_dir, key="lang"
         )
+
+
+def test_takedown_composes_all_surfaces(spark, tmp_path):
+    """One call erases a doc set everywhere it is served: corpus at
+    rest (+ catalog), BM25 index, IVF-PQ index — and a same-batch_id
+    retry is idempotent across all three."""
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+        corpus_verify,
+        ivfpq_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        initial_prepare_state,
+        save_prepare_state,
+        takedown,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "corpus")
+    docs.write.parquet(f"{out}/batch=0")
+    state_dir = str(tmp_path / "state")
+    st = initial_prepare_state(spark)
+    st["source_counts"] = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    save_prepare_state(st, state_dir, 1)
+    bp, ip = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    write_bm25_index(docs, bp)
+    write_ivfpq_index(e, ip, k_cells=8, m=8, n_centroids=16, iters=2,
+                      coarse_iters=2)
+
+    doomed = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    n = doomed.count()
+    res = takedown(
+        spark, doomed, corpus_dir=out, state_dir=state_dir,
+        bm25_path=bp, ivfpq_path=ip, batch_id="td-1",
+    )
+    assert res["corpus"] == n and res["ivfpq"] > 0 and res["bm25"] > 0
+
+    bad = {r.doc_id for r in doomed.collect()}
+    at_rest = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert not bad & at_rest
+    hits = bm25_probe_topk(spark, bp, [(1, "fast hash join")], k=20)
+    assert not bad & {r.doc_id for r in hits.collect()}
+    nn = ivfpq_probe_topk(
+        spark, ip, e.filter(F.col("vec_id").isin([0, 2])), k=20, n_probe=4
+    )
+    assert not bad & {r.neighbor_id for r in nn.collect()}
+
+    # every surface still fsck-clean after the composed takedown
+    for rep in (
+        bm25_index_verify(spark, bp),
+        ivfpq_index_verify(spark, ip),
+        corpus_verify(spark, out, state_dir),
+    ):
+        assert {r.defect for r in rep.collect()} == {"ok"}
+
+    # idempotent replay: the index halves report their recorded
+    # counts, the corpus half finds nothing left
+    res2 = takedown(
+        spark, doomed, corpus_dir=out, state_dir=state_dir,
+        bm25_path=bp, ivfpq_path=ip, batch_id="td-1",
+    )
+    assert res2["bm25"] == res["bm25"] and res2["ivfpq"] == res["ivfpq"]
+    assert res2["corpus"] == 0
+    # empty request touches nothing
+    assert takedown(spark, [], corpus_dir=out, bm25_path=bp) == {
+        "corpus": 0, "bm25": 0,
+    }
