@@ -508,7 +508,26 @@ def corpus_verify(
             "checked against it. Pass state_dir=None for a "
             "catalog-less verify."
         )
-    corpus = spark.read.parquet(out_dir).select("doc_id", F.col(key))
+    # read ONLY the live partitions: a stranded batch=N.retired dir
+    # from a crashed swap must be reported ONCE as
+    # stranded_maintenance_dir, not parsed as partition value
+    # "N.retired" and double-counted as duplicate_doc /
+    # source_count_mismatch data defects (it can even flip the
+    # inferred batch partition type to string). basePath keeps the
+    # batch partition column parsed from the live dirs only.
+    live = sorted(
+        p
+        for p in glob.glob(f"{out_dir}/batch=*")
+        if not p.endswith(".retired")
+    )
+    if live:
+        corpus = (
+            spark.read.option("basePath", out_dir)
+            .parquet(*live)
+            .select("doc_id", F.col(key))
+        )
+    else:  # every partition erased — an empty dir has no schema
+        corpus = spark.createDataFrame([], f"doc_id long, `{key}` string")
 
     dup = (
         corpus.groupBy("doc_id")

@@ -852,6 +852,11 @@ def forget_documents(
     if state_dir is not None and os.path.exists(forget_pending_path(state_dir)):
         _reconcile_source_counts(spark, out_dir, state_dir)
         os.remove(forget_pending_path(state_dir))
+    if not glob.glob(f"{out_dir}/batch=*"):
+        # every partition already erased — an empty dir has no schema
+        # to infer, and there is nothing left to forget (the same
+        # guard _reconcile_source_counts applies on the catalog side)
+        return 0
 
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select("doc_id").distinct()
@@ -909,6 +914,7 @@ def takedown(
     bm25_path: str = None,
     ivfpq_path: str = None,
     batch_id: str = None,
+    compact: bool = False,
 ) -> dict:
     """One-call right-to-be-forgotten across every serving surface a
     document reaches: physical erasure from the prepared corpus
@@ -922,13 +928,28 @@ def takedown(
     ``{"corpus": n, "bm25": n, "ivfpq": n}`` for the surfaces
     touched.
 
+    Erasure semantics, stated precisely: the CORPUS half is physical
+    (the bytes leave the disk in this call), but the INDEX halves are
+    LOGICAL until the next compaction — tombstones make the deleted
+    documents unservable immediately, while their posting/code bytes
+    remain at rest inside earlier segments until
+    ``bm25_index_compact`` / ``ivfpq_index_compact`` folds them away.
+    ``compact=True`` runs both compactions (verified: the fold is
+    fsck'd before the swap) inside this call, making index erasure
+    physical too. Snapshot pins minted BEFORE the takedown continue to
+    serve the deleted documents until they are released — pins are
+    immutable by contract (see resolve_snapshot); a compliance-grade
+    erasure must also retire outstanding pins (compaction bumps the
+    generation token, so pinned readers fail loudly on next use
+    rather than silently serving stale rows).
+
     The training tape is NOT covered: windows mix documents, so tape
     erasure means re-exporting from the forgotten corpus — regenerate
     it (the tape is a derived artifact) rather than patching it.
     Run from the maintenance owner with writers quiesced, like each
     component."""
-    from .similarity import ivfpq_index_delete
-    from .text import bm25_index_delete
+    from .similarity import ivfpq_index_compact, ivfpq_index_delete
+    from .text import bm25_index_compact, bm25_index_delete
 
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select("doc_id").distinct().persist()
@@ -955,12 +976,16 @@ def takedown(
                 spark, bm25_path, ids,
                 batch_id=batch_id and f"{batch_id}-bm25",
             )
+            if compact:
+                bm25_index_compact(spark, bm25_path, verify=True)
         if ivfpq_path is not None:
             out["ivfpq"] = ivfpq_index_delete(
                 spark, ivfpq_path,
                 ids.select(F.col("doc_id").alias("vec_id")),
                 batch_id=batch_id and f"{batch_id}-ivfpq",
             )
+            if compact:
+                ivfpq_index_compact(spark, ivfpq_path, verify=True)
         if corpus_dir is not None:
             out["corpus"] = forget_documents(
                 spark, corpus_dir, ids, state_dir=state_dir

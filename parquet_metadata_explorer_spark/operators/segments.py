@@ -156,14 +156,25 @@ def resolve_snapshot(commits: dict, snapshot, label: str, generation=None):
     (an eval run stays internally consistent on a moving index).
     ``snapshot=None`` means the live commit set; otherwise it is the
     dict a ``*_index_snapshot`` helper returned ({generation,
-    batches}; a bare batch list is accepted without the generation
-    check). Raises if the pin crosses a compaction or rebuild — batch
-    ids fold away AND ``base`` is reused, so the generation token is
-    what makes invalidation loud instead of a silent alias of a state
-    that never existed."""
+    batches}; set ``"unchecked": True`` in the dict to skip the
+    generation guard — the explicit opt-in that replaced the old
+    silent bare-list escape hatch, which could alias a compacted
+    state without any error). Raises if the pin crosses a compaction
+    or rebuild — batch ids fold away AND ``base`` is reused, so the
+    generation token is what makes invalidation loud instead of a
+    silent alias of a state that never existed."""
     if snapshot is None:
         return commits
-    if isinstance(snapshot, dict):
+    if not isinstance(snapshot, dict):
+        raise ValueError(
+            f"{label}: snapshot must be the dict an *_index_snapshot "
+            "helper returned ({'generation': ..., 'batches': [...]}) — "
+            f"got {type(snapshot).__name__}. A bare batch list skips "
+            "the generation guard and can silently alias a compacted "
+            "state; to opt into that risk explicitly, pass "
+            "{'batches': [...], 'unchecked': True}."
+        )
+    if not snapshot.get("unchecked", False):
         # ANY generation mismatch invalidates — including None vs a
         # token: every build and compaction mints one, so a pin
         # without a token against a token-bearing index means the
@@ -176,11 +187,13 @@ def resolve_snapshot(commits: dict, snapshot, label: str, generation=None):
                 "generation (the index was compacted or rebuilt since "
                 "the pin) — take a new snapshot."
             )
-        batches = snapshot["batches"]
-    else:
-        # bare batch list: the UNCHECKED escape hatch — no generation
-        # guard, caller accepts the compaction-alias risk
-        batches = list(snapshot)
+    batches = snapshot.get("batches")
+    if batches is None:
+        raise ValueError(
+            f"{label}: snapshot dict has no 'batches' key — expected "
+            "the {'generation': ..., 'batches': [...]} shape an "
+            "*_index_snapshot helper returns."
+        )
     missing = sorted(set(batches) - set(commits))
     if missing:
         raise ValueError(

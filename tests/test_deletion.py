@@ -533,3 +533,77 @@ def test_takedown_composes_all_surfaces(spark, tmp_path):
     assert takedown(spark, [], corpus_dir=out, bm25_path=bp) == {
         "corpus": 0, "bm25": 0,
     }
+
+
+def test_forget_on_fully_erased_corpus_returns_zero(spark, tmp_path):
+    """r12 advice regression: once every partition has been erased the
+    out_dir holds no batch=* dirs and has no schema to infer —
+    forget_documents must return 0 (nothing left to forget), not fail
+    with 'Unable to infer schema', mirroring the guard
+    _reconcile_source_counts already applied on the catalog side."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        forget_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    docs.limit(20).write.parquet(f"{out}/batch=0")
+    all_ids = docs.limit(20).select("doc_id")
+    assert forget_documents(spark, out, all_ids) == 20
+    assert not os.path.isdir(f"{out}/batch=0")
+    # the corpus is now fully erased: both a real id set and a retry
+    # of the same set come back 0 without touching Spark's reader
+    assert forget_documents(spark, out, all_ids) == 0
+    assert forget_documents(spark, out, [1, 2, 3]) == 0
+
+
+def test_takedown_compact_makes_index_erasure_physical(spark, tmp_path):
+    """r12 advice regression: takedown(compact=True) runs the verified
+    compactions after the tombstone deletes, so the deleted documents'
+    posting/code bytes leave the disk in the same call (tombstone
+    segments resolved and vacuumed) — and the serving results are
+    unchanged from the tombstone-only path."""
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+        ivfpq_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.pipelines import takedown
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bp, ip = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    write_bm25_index(docs, bp)
+    write_ivfpq_index(e, ip, k_cells=8, m=8, n_centroids=16, iters=2,
+                      coarse_iters=2)
+
+    doomed = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    bad = {r.doc_id for r in doomed.collect()}
+    res = takedown(
+        spark, doomed, bm25_path=bp, ivfpq_path=ip,
+        batch_id="td-c", compact=True,
+    )
+    assert res["bm25"] > 0 and res["ivfpq"] > 0
+    # physical: no tombstone segments remain on either index
+    assert not os.path.isdir(f"{bp}/tombstones")
+    assert not os.path.isdir(f"{ip}/tombstones")
+    # serving correct and fsck-clean on the compacted state
+    hits = bm25_probe_topk(spark, bp, [(1, "fast hash join")], k=20)
+    assert not bad & {r.doc_id for r in hits.collect()}
+    nn = ivfpq_probe_topk(
+        spark, ip, e.filter(F.col("vec_id").isin([0, 2])), k=20, n_probe=4
+    )
+    assert not bad & {r.neighbor_id for r in nn.collect()}
+    for rep in (bm25_index_verify(spark, bp), ivfpq_index_verify(spark, ip)):
+        assert {r.defect for r in rep.collect()} == {"ok"}

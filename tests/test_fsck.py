@@ -442,3 +442,49 @@ def test_fsck_reports_lost_tombstones_and_double_manifest_drift(
     d = _defects(tape_verify(spark, out))
     assert d["manifest_mismatch"][0] == 2
     assert sorted(d["manifest_mismatch"][1]) == ["total_tokens", "vocab_size"]
+
+
+def test_corpus_fsck_ignores_retired_debris_as_data(spark, tmp_path):
+    """r12 advice regression: a stranded batch=N.retired dir from a
+    crashed swap must be reported ONCE as stranded_maintenance_dir —
+    not parsed as partition value 'N.retired' and ingested as live
+    rows, which would double-count every doc as duplicate_doc and
+    drift every source count."""
+    from parquet_metadata_explorer_spark.operators.fsck import corpus_verify
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        initial_prepare_state,
+        save_prepare_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        docs.filter(F.col("doc_id") % 2 == b).write.parquet(f"{out}/batch={b}")
+    state_dir = str(tmp_path / "state")
+    state = initial_prepare_state(spark)
+    state["source_counts"] = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    save_prepare_state(state, state_dir, 1)
+
+    # crashed-swap debris: a .retired copy NEXT TO the still-live dir
+    shutil.copytree(f"{out}/batch=1", f"{out}/batch=1.retired")
+    d = _defects(corpus_verify(spark, out, state_dir))
+    assert d["stranded_maintenance_dir"] == (1, ["batch=1.retired"])
+    assert "duplicate_doc" not in d
+    assert "source_count_mismatch" not in d
+    assert d["ok"][0] == docs.count()
+    shutil.rmtree(f"{out}/batch=1.retired")
+
+    # fully-erased corpus: no live batch dirs at all — the verify
+    # still runs (an empty report: zero rows to tag, no defects; the
+    # assert_index_ok gate reads that as healthy) instead of failing
+    # schema inference
+    for b in range(2):
+        shutil.rmtree(f"{out}/batch={b}")
+    d = _defects(corpus_verify(spark, out))
+    assert d.get("ok", (0, []))[0] == 0 and not [
+        k for k in d if k != "ok"
+    ]

@@ -177,3 +177,48 @@ def test_legacy_pin_against_rebuilt_index_raises(spark, tmp_path):
         bm25_probe_topk(
             spark, path, [(1, "fast hash join")], k=5, snapshot=legacy_pin
         )
+
+
+def test_pin_shape_guards(spark, tmp_path):
+    """r12 advice regression: a malformed dict pin (no 'batches') gets
+    a descriptive ValueError, a bare batch list is rejected outright
+    (the old silent escape hatch could alias a compacted state), and
+    the generation guard is skippable only by the explicit
+    {'unchecked': True} opt-in."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_index_compact,
+        bm25_index_increment,
+        bm25_index_snapshot,
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    qs = [(1, "fast hash join")]
+    pin = bm25_index_snapshot(path)
+
+    with pytest.raises(ValueError, match="no 'batches' key"):
+        bm25_probe_topk(spark, path, qs, k=5,
+                        snapshot={"generation": pin["generation"]})
+    with pytest.raises(ValueError, match="unchecked"):
+        bm25_probe_topk(spark, path, qs, k=5, snapshot=list(pin["batches"]))
+
+    # the explicit opt-in skips ONLY the generation check — missing
+    # batches still fail loudly after a compaction folds them away
+    live = _rows(bm25_probe_topk(spark, path, qs, k=5))
+    assert _rows(
+        bm25_probe_topk(
+            spark, path, qs, k=5,
+            snapshot={"batches": pin["batches"], "unchecked": True},
+        )
+    ) == live
+    bm25_index_increment(docs.filter(F.col("doc_id") % 2 == 1), path,
+                         batch_id="adds-1")
+    bm25_index_compact(spark, path)
+    with pytest.raises(ValueError, match="missing from the"):
+        bm25_probe_topk(
+            spark, path, qs, k=5,
+            snapshot={"batches": ["adds-1"], "unchecked": True},
+        )
