@@ -4803,6 +4803,129 @@ def q_text_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_probe_topk(spark, path, BM25_QUERIES, k=BM25_K)
 
 
+MLT_K, MLT_M, MLT_MAXDF = 10, 8, 0.25
+
+
+def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-sized lexical retrieval (r11, oracled r12): EVERY document
+    queries the corpus with its top-m tf·idf terms — the Lucene
+    MoreLikeThis shape, distributed, closing the driver-side query
+    ceiling text_bm25's fixed three-query list has by design. Term
+    selection prunes map-side (WindowGroupLimit) and the one honest
+    term join is df-guarded BY CONSTRUCTION (df ≤ max_df_ratio·N), so
+    no stop-word key can explode it; scoring is the exact shared Okapi
+    scorer text_bm25 boards (round-12 term scores, decimal(30,15) sum,
+    round-6 final). The oracle composes the SAME postings/idf/score
+    CTEs as text_bm25's plus one windowed term-selection CTE — the
+    r11 verdict's #2, spending one of the swap-audit's freed rotation
+    slots."""
+    return text.bm25_more_like_this(
+        _table(spark, sf_dir, "documents"),
+        k=MLT_K,
+        m_terms=MLT_M,
+        max_df_ratio=MLT_MAXDF,
+        k1=BM25_K1,
+        b=BM25_B,
+    )
+
+
+def _oracle_bm25_more_like_this() -> str:
+    k1, b = BM25_K1, BM25_B
+    num_c = repr(k1 + 1.0)  # the Spark-side F.lit(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    return f"""
+WITH toks AS (SELECT doc_id, {D_TOKS} AS t FROM documents),
+postings AS MATERIALIZED (
+  SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+doclen AS MATERIALIZED (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+  FROM doclen
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+eligible AS (
+  SELECT d.term,
+         round(ln((s.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+                  / (d.df::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE), 12) AS idf
+  FROM dfreq d CROSS JOIN stats s
+  WHERE d.df <= greatest(1::BIGINT,
+                         floor(s.n_docs::DOUBLE * {MLT_MAXDF!r}::DOUBLE)::BIGINT)
+),
+qsel AS (
+  SELECT query_id, term, idf FROM (
+    SELECT po.doc_id AS query_id, po.term, e.idf,
+           row_number() OVER (
+             PARTITION BY po.doc_id
+             ORDER BY round(e.idf * po.tf::DOUBLE, 12) DESC, po.term
+           ) AS rn
+    FROM postings po JOIN eligible e USING (term)
+  ) WHERE rn <= {MLT_M}
+),
+scored AS (
+  SELECT q.query_id, po.doc_id,
+         sum(round(q.idf * ((po.tf::DOUBLE * {num_c}::DOUBLE)
+               / (po.tf::DOUBLE + {k1!r}::DOUBLE
+                  * ({one_minus_b}::DOUBLE
+                     + {b!r}::DOUBLE * l.dl::DOUBLE
+                       / (s.total_len::DOUBLE / s.n_docs::DOUBLE)))),
+               12)::DECIMAL(30,15)) AS sc
+  FROM qsel q
+  JOIN postings po USING (term)
+  JOIN doclen l ON l.doc_id = po.doc_id
+  CROSS JOIN stats s
+  WHERE po.doc_id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(sc, 6)::DOUBLE AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(sc, 6)::DOUBLE DESC, doc_id
+         )::BIGINT AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {MLT_K}
+"""
+
+
+def q_bm25_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health on the driver board (r12, the r11 verdict's #6):
+    build (cached) the materialized BM25 index text_bm25_probe serves
+    from, run the 6-invariant fsck, and return its report — a healthy
+    index yields exactly ONE deterministic row ('ok', n_indexed docs,
+    5 example ids). ROWS-ONLY by design, the events_percentiles_approx
+    precedent: the report derives from index artifacts this package
+    writes to scratch space, which the oracle harness's pre-registered
+    testdata views cannot see — its exactness evidence is the planted-
+    corruption matrix in tests/test_fsck.py (15 classes, each named)."""
+    import os
+
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+    )
+
+    def complete(p):
+        return all(
+            os.path.exists(f"{p}/{part}/_SUCCESS")
+            for part in ("postings", "dfreq", "stats")
+        ) and os.path.exists(f"{p}/commits/commit-base.parquet")
+
+    path = _bm25_index_path(sf_dir)
+    _publish_cached_build(
+        path,
+        complete,
+        lambda build: text.write_bm25_index(
+            _table(spark, sf_dir, "documents"), build
+        ),
+    )
+    return bm25_index_verify(spark, path)
+
+
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub exercised end-to-end: a deterministic email + IPv4 is
     appended to every document (the corpus itself contains none), then
@@ -5528,72 +5651,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) the committed r11 head: the r8-boarded entries at their
-        #    3-round SLA deadline, in registry order — MINUS tpch_q6,
-        #    deferred one round (first slot of the r12 board) to make
-        #    room for the corpus_manifest re-board; its covering signal
-        #    is the full-registry sf0.01 parity sweep at two partition
-        #    counts (SURVEY §2.4 records the exception)
-        "pruned_read": q_pruned_read,
-        "source_overlap": q_source_overlap,
-        "profile_lineitem": q_profile_lineitem,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "page_reconstruct_bss": q_page_reconstruct_bss,
-        "dataset_card": q_dataset_card,
-        "text_quality_filter": q_text_quality_filter,
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        "ann_ivfpq": q_ann_ivfpq,
-        "ann_ivfpq_probe": q_ann_ivfpq_probe,
-        "text_ccnet_buckets": q_text_ccnet_buckets,
-        "dedup_semantic": q_dedup_semantic,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "salted_stats": q_salted_stats,
-        "window_top_orders": q_window_top_orders,
-        "cube_orders": q_cube_orders,
-        "supplier_part_revenue": q_supplier_part_revenue,
-        "rollup_orders": q_rollup_orders,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "set_ops": q_set_ops,
-        "scalar_functions": q_scalar_functions,
-        "prepare_corpus_audit": q_prepare_corpus_audit,
-        "page_content_scan": q_page_content_scan,
-        # B) value-changed this round: content_digest re-emitted as
-        #    decimal TEXT on both engines (the r10 board red was
-        #    client-side float64 coercion of a 21-digit decimal, not a
-        #    value divergence) — re-boarded for a green
-        #    rows+schema+hash driver row
-        "corpus_manifest": q_corpus_manifest,
-        # C) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # D) the committed r12 head: the deferred tpch_q6 first, then
-        #    the r9-boarded entries at their deadline (minus
-        #    text_logprob2, moved off-rotation — see group F)
+        # A) the committed r12 head: the deferred tpch_q6 first
+        #    (closing its documented 4-round gap — the only prior SLA
+        #    exception), then the r9-boarded entries at their 3-round
+        #    deadline in registry order — MINUS text_fingerprint,
+        #    deferred one round (gap 4, the tpch_q6 precedent) to seat
+        #    the round's new oracled entry in group B; it takes the
+        #    r13 board's first pull-forward slot and its covering
+        #    signal meanwhile is the full-registry sf0.01 parity sweep
+        #    at both partition counts (SURVEY §2.4 records the
+        #    exception)
         "tpch_q6": q_tpch_q6,
         "dedup_substring": q_dedup_substring,
         "ann_pq": q_ann_pq,
@@ -5634,10 +5701,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "ngram_freq": q_ngram_freq,
         "text_tokens": q_text_tokens,
+        # B) new oracled entry this round (r11 verdict #2, spending one
+        #    of the swap audit's two freed rotation slots): the
+        #    corpus-sized MoreLikeThis retrieval gets the strongest
+        #    signal the project has — a DuckDB rows+schema+hash row
+        "bm25_more_like_this": q_bm25_more_like_this,
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # D) the committed r13 head: the deferred text_fingerprint
+        #    first, then the r10-boarded entries at their deadline,
+        #    then the new rows-only fsck entry (r11 verdict #6,
+        #    spending the second freed slot — the
+        #    events_percentiles_approx precedent) in its FIRST board
+        #    seat; 1 + 39 + 1 + 9 contract = 50 exactly
         "text_fingerprint": q_text_fingerprint,
-        # E) r10-boarded entries (due r13; corpus_manifest moved to
-        #    group B above, text_bm25_probe moved off-rotation — the
-        #    r13 board gains two pull-forward slots)
         "text_bm25": q_text_bm25,
         "split_leakage_safe": q_split_leakage_safe,
         "hybrid_rrf": q_hybrid_rrf,
@@ -5677,6 +5763,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
+        "bm25_index_fsck": q_bm25_index_fsck,
+        # E) r11-boarded entries (due r14)
+        "pruned_read": q_pruned_read,
+        "source_overlap": q_source_overlap,
+        "profile_lineitem": q_profile_lineitem,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "page_reconstruct_bss": q_page_reconstruct_bss,
+        "dataset_card": q_dataset_card,
+        "text_quality_filter": q_text_quality_filter,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "ann_ivfpq": q_ann_ivfpq,
+        "ann_ivfpq_probe": q_ann_ivfpq_probe,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
+        "dedup_semantic": q_dedup_semantic,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "salted_stats": q_salted_stats,
+        "window_top_orders": q_window_top_orders,
+        "cube_orders": q_cube_orders,
+        "supplier_part_revenue": q_supplier_part_revenue,
+        "rollup_orders": q_rollup_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "scalar_functions": q_scalar_functions,
+        "prepare_corpus_audit": q_prepare_corpus_audit,
+        "page_content_scan": q_page_content_scan,
+        "corpus_manifest": q_corpus_manifest,
         # F) OFF-ROTATION (r11 swap-audit outcome, SURVEY §2.4): these
         #    two entries' driver evidence is strictly subsumed by
         #    boarded entries, so they no longer consume board slots —
@@ -5731,6 +5860,10 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": O_TEXT_REPETITION,
         "text_logprob": O_TEXT_LOGPROB,
         "text_bm25": _oracle_text_bm25(),
+        # the MoreLikeThis oracle composes text_bm25's postings/idf/
+        # Okapi CTEs plus one windowed term-selection CTE (the qsel
+        # twin of _mlt_query_terms) — bit-exact at sf0.001 and sf0.01
+        "bm25_more_like_this": _oracle_bm25_more_like_this(),
         "split_leakage_safe": _oracle_split_leakage_safe(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         # same oracle as text_bm25 BY CONSTRUCTION (disk ≡ memory is

@@ -70,6 +70,11 @@ def main() -> None:
         "split_leakage_safe",
         "hybrid_rrf",
         "text_bm25_probe",
+        # r12: the corpus-sized retrieval pair + the fsck seat get
+        # driver-visible bench rows (r11 verdict #3/#6) so drift on the
+        # biggest corpus-scale operators is recorded per-round
+        "bm25_more_like_this",
+        "bm25_index_fsck",
         "text_heavyhitters",
         "text_chunks",
         "quality_classifier",
@@ -180,6 +185,24 @@ def main() -> None:
     print(
         f"# ann_ivfpq_build: {timings['ann_ivfpq_build']:.3f}s best of "
         f"{runs['ann_ivfpq_build']}",
+        file=sys.stderr,
+    )
+
+    # hybrid_knn_graph row (r12): the corpus-sized hybrid related-items
+    # fusion (MoreLikeThis + LSH kNN graph under RRF) — not a queries()
+    # entry (its fusion exactness is pytest-recomputed from the two
+    # component rank tables), so it gets its own timed block here.
+    docs = entrymod._table(spark, sf_dir, "documents")
+    runs["hybrid_knn_graph"] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = similarity.hybrid_knn_graph(docs, emb, k=10, k_each=20).count()
+        runs["hybrid_knn_graph"].append(round(time.monotonic() - t0, 3))
+        spark.catalog.clearCache()
+    timings["hybrid_knn_graph"] = min(runs["hybrid_knn_graph"])
+    print(
+        f"# hybrid_knn_graph: {timings['hybrid_knn_graph']:.3f}s best of "
+        f"{runs['hybrid_knn_graph']} ({n} rows)",
         file=sys.stderr,
     )
 

@@ -61,11 +61,12 @@ def _tombstone_batch_counts(spark, path: str, neg) -> DataFrame:
     the tombstones table is missing or vacuumed bare — that loss is
     precisely a defect the caller's left join then reports as
     tombstone/commit count mismatches for every delete batch."""
-    import os
+    from .lakefs import for_path
 
+    lake, lp = for_path(path)
     troot = f"{path}/tombstones"
-    if os.path.isdir(troot) and any(
-        e.startswith("batch=") for e in os.listdir(troot)
+    if any(
+        e.startswith("batch=") for e in lake.listdir(f"{lp}/tombstones")
     ):
         return (
             spark.read.parquet(troot)
@@ -80,21 +81,20 @@ def _orphan_segments(spark, path: str, tables, committed) -> DataFrame:
     """Filesystem-level scan for segment dirs with no commit row —
     vacuumable crash debris, reported so the operator can see it
     accumulating (compaction removes it)."""
-    import os
+    from .lakefs import for_path
 
+    lake, lp = for_path(path)
     orphans = []
     for table in tables:
-        root = f"{path}/{table}"
-        if not os.path.isdir(root):
-            continue
-        for outer in os.listdir(root):
-            if not os.path.isdir(f"{root}/{outer}") or "=" not in outer:
+        root = f"{lp}/{table}"
+        for outer in lake.listdir(root):
+            if not lake.isdir(f"{root}/{outer}") or "=" not in outer:
                 continue
             if outer.startswith("batch="):
                 if outer[len("batch=") :] not in committed:
                     orphans.append(f"{table}/{outer}")
                 continue
-            for seg in os.listdir(f"{root}/{outer}"):
+            for seg in lake.listdir(f"{root}/{outer}"):
                 if (
                     seg.startswith("batch=")
                     and seg[len("batch=") :] not in committed
@@ -134,10 +134,11 @@ def bm25_index_verify(spark, path: str) -> DataFrame:
     Cites the writer/probe pair these invariants come from:
     write_bm25_index / bm25_index_increment / bm25_index_delete /
     bm25_probe_topk in operators/text.py."""
-    from .segments import recover_retired
+    from .segments import recover_retired, resolve_index_root
     from .text import _bm25_commits, _bm25_tombstones, _read_bm25_stats
 
     recover_retired(path)
+    path = resolve_index_root(path)  # pointer layout -> live generation
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
     batches = sorted(commits)
@@ -272,10 +273,11 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
 
     The invariants come from write_ivfpq_index / ivfpq_index_increment
     / ivfpq_index_delete / ivfpq_probe_topk in operators/similarity.py."""
-    from .segments import recover_retired, segment_commits
+    from .segments import recover_retired, resolve_index_root, segment_commits
     from .similarity import _ivfpq_tombstones, _read_ivfpq_sidecars
 
     recover_retired(path)
+    path = resolve_index_root(path)  # pointer layout -> live generation
     commits = segment_commits(path, "IVF-PQ index")
     batches = sorted(commits)
     pos = [b for b in batches if commits[b]["n_vectors"] >= 0]

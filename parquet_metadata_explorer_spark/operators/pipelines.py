@@ -701,22 +701,20 @@ def save_prepare_state(
     never trust a batch_id minted by a different checkpoint."""
     import os
 
+    from .lakefs import for_path
+
+    lake, sd = for_path(state_dir)
     for name in _STATE_SCHEMAS:
         state[name].write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v={version}", name)
         )
     if batch_id is not None:
-        with open(os.path.join(state_dir, f"v={version}", "BATCH"), "w") as f:
-            f.write(str(batch_id))
+        lake.write_text(f"{sd}/v={version}/BATCH", str(batch_id))
     if lineage is not None:
-        with open(
-            os.path.join(state_dir, f"v={version}", "LINEAGE"), "w"
-        ) as f:
-            f.write(lineage)
-    tmp = os.path.join(state_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+        lake.write_text(f"{sd}/v={version}/LINEAGE", lineage)
+    # the CURRENT flip is the catalog's atomic publish: temp+move on
+    # POSIX, atomic single-object PUT on object stores (lakefs)
+    lake.write_text(f"{sd}/CURRENT", str(version))
 
 
 def committed_batch_id(state_dir: str, version: int):
@@ -724,11 +722,13 @@ def committed_batch_id(state_dir: str, version: int):
     batch-mode versions or v=0)."""
     import os
 
-    p = os.path.join(state_dir, f"v={version}", "BATCH")
-    if version <= 0 or not os.path.exists(p):
+    from .lakefs import for_path
+
+    lake, sd = for_path(state_dir)
+    p = f"{sd}/v={version}/BATCH"
+    if version <= 0 or not lake.exists(p):
         return None
-    with open(p) as f:
-        return int(f.read().strip())
+    return int(lake.read_text(p).strip())
 
 
 def committed_lineage(state_dir: str, version: int):
@@ -736,11 +736,13 @@ def committed_lineage(state_dir: str, version: int):
     (None for batch-mode versions, v=0, or pre-lineage state dirs)."""
     import os
 
-    p = os.path.join(state_dir, f"v={version}", "LINEAGE")
-    if version <= 0 or not os.path.exists(p):
+    from .lakefs import for_path
+
+    lake, sd = for_path(state_dir)
+    p = f"{sd}/v={version}/LINEAGE"
+    if version <= 0 or not lake.exists(p):
         return None
-    with open(p) as f:
-        return f.read().strip()
+    return lake.read_text(p).strip()
 
 
 def _reconcile_source_counts(spark, out_dir: str, state_dir: str) -> None:
@@ -752,11 +754,11 @@ def _reconcile_source_counts(spark, out_dir: str, state_dir: str) -> None:
     one reconcile pass lands the catalog exactly right. The new
     version carries the stream's BATCH/LINEAGE replay markers
     forward."""
-    import glob
-    import os
+    from .lakefs import for_path
 
+    lake, od = for_path(out_dir)
     state, v = load_prepare_state(spark, state_dir)
-    if glob.glob(f"{out_dir}/batch=*"):
+    if any(e.startswith("batch=") for e in lake.listdir(od)):
         counts = (
             spark.read.parquet(out_dir)
             .groupBy("source")
@@ -827,10 +829,21 @@ def forget_documents(
     still-present doc_ids. Run from the maintenance owner with the
     stream quiesced (readers racing a swap may transiently miss one
     partition, the compaction caveat). A partition whose every doc is
-    erased disappears entirely."""
-    import glob
+    erased disappears entirely.
+
+    Filesystem semantics: the per-partition publish is an atomic
+    directory-rename swap, so the corpus sink requires a
+    RENAME-CAPABLE filesystem (POSIX, HDFS; lakefs refuses loudly on
+    an object store instead of degrading to a non-atomic copy). On a
+    flat-namespace store (S3), physically erase by rewriting the
+    corpus generation behind a CURRENT-pointer catalog (the
+    stream_prepare_corpus discipline) or rely on the index-side
+    tombstones + full rewrite cadence — see ARCHITECTURE.md §10."""
     import os
-    import shutil
+
+    from .lakefs import for_path
+
+    lake, od = for_path(out_dir)
 
     if state_dir is not None and key != "source":
         raise ValueError(
@@ -841,18 +854,25 @@ def forget_documents(
         )
     # recovery-on-open: heal crashed swaps, clear crashed builds, and
     # finish a crashed run's catalog reconcile BEFORE anything else
-    for retired in glob.glob(f"{out_dir}/batch=*.retired"):
-        live = retired[: -len(".retired")]
-        if os.path.exists(live):
-            shutil.rmtree(retired, ignore_errors=True)
-        else:
-            os.rename(retired, live)
-    for stale in glob.glob(f"{out_dir}/.forget-*"):
-        shutil.rmtree(stale, ignore_errors=True)
-    if state_dir is not None and os.path.exists(forget_pending_path(state_dir)):
+    entries = lake.listdir(od)
+    for name in entries:
+        if name.startswith("batch=") and name.endswith(".retired"):
+            live = name[: -len(".retired")]
+            if lake.exists(f"{od}/{live}"):
+                lake.rmtree(f"{od}/{name}")
+            else:
+                lake.move(f"{od}/{name}", f"{od}/{live}")
+        elif name.startswith(".forget-"):
+            lake.rmtree(f"{od}/{name}")
+    marker_lake, mp = (
+        for_path(forget_pending_path(state_dir))
+        if state_dir is not None
+        else (None, None)
+    )
+    if state_dir is not None and marker_lake.exists(mp):
         _reconcile_source_counts(spark, out_dir, state_dir)
-        os.remove(forget_pending_path(state_dir))
-    if not glob.glob(f"{out_dir}/batch=*"):
+        marker_lake.rmfile(mp)
+    if not any(e.startswith("batch=") for e in lake.listdir(od)):
         # every partition already erased — an empty dir has no schema
         # to infer, and there is nothing left to forget (the same
         # guard _reconcile_source_counts applies on the catalog side)
@@ -886,23 +906,23 @@ def forget_documents(
         # the marker goes down BEFORE the first swap: from here until
         # the catalog commit, any crash leaves it for recovery-on-open
         if state_dir is not None:
-            with open(forget_pending_path(state_dir), "w") as f:
-                f.write("in-flight")
+            marker_lake.write_text(mp, "in-flight")
+        bd = for_path(build)[1]
         for b in affected:
-            live = f"{out_dir}/batch={b}"
-            fresh = f"{build}/batch={b}"
+            live = f"{od}/batch={b}"
+            fresh = f"{bd}/batch={b}"
             retired = f"{live}.retired"
-            os.rename(live, retired)
-            if os.path.isdir(fresh):
-                os.rename(fresh, live)
-            shutil.rmtree(retired, ignore_errors=True)
-        shutil.rmtree(build, ignore_errors=True)
+            lake.move(live, retired)
+            if lake.isdir(fresh):
+                lake.move(fresh, live)
+            lake.rmtree(retired)
+        lake.rmtree(bd)
     finally:
         doomed.unpersist()
 
     if state_dir is not None:
         _reconcile_source_counts(spark, out_dir, state_dir)
-        os.remove(forget_pending_path(state_dir))
+        marker_lake.rmfile(mp)
     return int(n_erased)
 
 

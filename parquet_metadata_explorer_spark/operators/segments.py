@@ -14,6 +14,26 @@ them. Everything here is driver-side filesystem metadata work (commit
 logs hold one tiny row per batch) except the two tombstone helpers,
 which read/write the deletion set as ordinary Spark relations so both
 indexes share the delete protocol verbatim too.
+
+Every filesystem touch routes through ``operators/lakefs.py`` (the
+pyarrow.fs shim), so the maintenance plane runs unchanged against a
+local directory or an object-store URI. Two publish disciplines
+coexist (see lakefs's module docstring for the exact semantics):
+
+- **flat layout** (the default): the index lives directly at ``path``;
+  compaction publishes with directory renames (``swap_publish``) —
+  POSIX/HDFS only.
+- **pointer layout** (``write_*_index(layout="pointer")``): the live
+  index lives at ``path/<generation-dir>`` named by the one-object
+  ``path/CURRENT`` pointer. Publishes build a complete sibling
+  generation and atomically flip CURRENT (atomic PUT — no rename
+  anywhere in the lifecycle), then vacuum unreferenced generations
+  (delete-after-commit). ``resolve_index_root`` is the one resolution
+  point every open goes through, so probes/increments/deletes/fsck
+  are layout-agnostic. Retained generations (``vacuum=False``) keep
+  serving IN-FLIGHT scans across a compaction — the grace-period
+  story for pinned readers; ``vacuum_generations`` reclaims them
+  later.
 """
 
 from __future__ import annotations
@@ -34,34 +54,33 @@ def validate_batch_id(batch_id: str) -> None:
 
 
 def segment_commit(path: str, batch_id: str, stats: dict) -> None:
-    """Append one batch's commit row as its own file — temp name
-    (dot-prefixed, so a crashed write is invisible to every reader) +
-    os.replace, the atomic publish. ``stats`` maps column name to an
-    int (per-index corpus constants, summed at read time). A batch
-    with no commit file does not exist as far as any probe is
-    concerned."""
-    import os
-
+    """Append one batch's commit row as its own file — an all-or-
+    nothing small-file publish through the lakefs shim (temp+move on
+    POSIX, atomic single-object PUT on object stores). ``stats`` maps
+    column name to an int (per-index corpus constants, summed at read
+    time). A batch with no commit file does not exist as far as any
+    probe is concerned."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    commits = f"{path}/commits"
-    os.makedirs(commits, exist_ok=True)
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    commits = f"{p}/commits"
+    lake.mkdirs(commits)
     table = pa.table(
         {
             "batch": pa.array([batch_id], pa.string()),
             **{k: pa.array([int(v)], pa.int64()) for k, v in sorted(stats.items())},
         }
     )
-    tmp = f"{commits}/.commit-{batch_id}.parquet.tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, f"{commits}/commit-{batch_id}.parquet")
+    lake.write_table(table, f"{commits}/commit-{batch_id}.parquet")
 
 
 def segment_committed(path: str, batch_id: str) -> bool:
-    import os
+    from .lakefs import for_path
 
-    return os.path.exists(f"{path}/commits/commit-{batch_id}.parquet")
+    lake, p = for_path(path)
+    return lake.exists(f"{p}/commits/commit-{batch_id}.parquet")
 
 
 def segment_commits(path: str, label: str) -> dict:
@@ -69,19 +88,17 @@ def segment_commits(path: str, label: str) -> dict:
     visibility set. Raises loudly on an index with no commit log
     (legacy layout or an interrupted base build) instead of silently
     scoring against nothing."""
-    import os
+    from .lakefs import for_path
 
-    import pyarrow.parquet as pq
-
-    commits = f"{path}/commits"
+    lake, p = for_path(path)
+    commits = f"{p}/commits"
     out = {}
-    if os.path.isdir(commits):
-        for f in sorted(os.listdir(commits)):
-            if f.startswith("commit-") and f.endswith(".parquet"):
-                d = pq.read_table(f"{commits}/{f}").to_pydict()
-                out[d["batch"][0]] = {
-                    k: int(v[0]) for k, v in d.items() if k != "batch"
-                }
+    for f in lake.listdir(commits):
+        if f.startswith("commit-") and f.endswith(".parquet"):
+            d = lake.read_table(f"{commits}/{f}").to_pydict()
+            out[d["batch"][0]] = {
+                k: int(v[0]) for k, v in d.items() if k != "batch"
+            }
     if not out:
         raise ValueError(
             f"{label} at {path} has no committed batches (legacy "
@@ -96,30 +113,30 @@ def vacuum_uncommitted(path: str, tables, committed: set) -> None:
     would otherwise strand forever. ``tables`` are the two-level
     partitioned relations under ``path`` (outer partition dir, then
     ``batch=<id>``) or one-level ones (``batch=<id>`` directly under
-    the table root — the tombstones layout)."""
-    import os
-    import shutil
+    the table root — the tombstones layout). Pure delete-after-commit:
+    everything removed was already invisible to every probe, so a
+    crash mid-vacuum strands debris, never breaks an index."""
+    from .lakefs import for_path
 
+    lake, p = for_path(path)
     for table in tables:
-        root = f"{path}/{table}"
-        if not os.path.isdir(root):
-            continue
-        for outer in os.listdir(root):
+        root = f"{p}/{table}"
+        for outer in lake.listdir(root):
             odir = f"{root}/{outer}"
-            if "=" not in outer or not os.path.isdir(odir):
+            if "=" not in outer or not lake.isdir(odir):
                 continue
             if (
                 outer.startswith("batch=")
                 and outer[len("batch=") :] not in committed
             ):
-                shutil.rmtree(odir, ignore_errors=True)
+                lake.rmtree(odir)
                 continue
-            for seg_dir in os.listdir(odir):
+            for seg_dir in lake.listdir(odir):
                 if (
                     seg_dir.startswith("batch=")
                     and seg_dir[len("batch=") :] not in committed
                 ):
-                    shutil.rmtree(f"{odir}/{seg_dir}", ignore_errors=True)
+                    lake.rmtree(f"{odir}/{seg_dir}")
 
 
 def mint_generation(path: str) -> str:
@@ -127,26 +144,24 @@ def mint_generation(path: str) -> str:
     build and every compaction build, because both REUSE the ``base``
     batch id: without the token, a snapshot pinned on ``{base}`` would
     silently alias a different folded state after maintenance."""
-    import os
     import uuid
 
-    os.makedirs(path, exist_ok=True)
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    lake.mkdirs(p)
     gen = uuid.uuid4().hex
-    tmp = f"{path}/.GENERATION.tmp"
-    with open(tmp, "w") as f:
-        f.write(gen)
-    os.replace(tmp, f"{path}/GENERATION")
+    lake.write_text(f"{p}/GENERATION", gen)
     return gen
 
 
 def read_generation(path: str):
-    import os
+    from .lakefs import for_path
 
-    p = f"{path}/GENERATION"
-    if not os.path.exists(p):
+    lake, p = for_path(path)
+    if not lake.exists(f"{p}/GENERATION"):
         return None  # pre-generation index layout
-    with open(p) as f:
-        return f.read().strip()
+    return lake.read_text(f"{p}/GENERATION").strip()
 
 
 def resolve_snapshot(commits: dict, snapshot, label: str, generation=None):
@@ -213,15 +228,15 @@ def tombstone_ids(spark, path: str, id_col: str, batches):
     as data segments (one-level ``tombstones/batch=<id>`` partitions),
     so the ``batches`` visibility filter makes torn deletes invisible
     exactly like torn increments."""
-    import os
-
     from pyspark.sql import functions as F
 
-    root = f"{path}/tombstones"
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
     # an empty dir (every segment vacuumed) counts as no tombstones —
     # reading it would fail schema inference
-    if not os.path.isdir(root) or not any(
-        e.startswith("batch=") for e in os.listdir(root)
+    if not any(
+        e.startswith("batch=") for e in lake.listdir(f"{p}/tombstones")
     ):
         return None
     return (
@@ -257,12 +272,15 @@ def recover_retired(path: str) -> None:
     convention — so a crashed swap never strands readers behind a
     misleading 'no committed batches' error until the next maintenance
     run. Two openers racing the rename are safe: the loser's rename
-    fails and the live path exists either way."""
-    import os
+    fails and the live path exists either way. Pointer-layout indexes
+    never hit this path (their root always exists; publishes are
+    CURRENT flips), so the rename requirement stays POSIX-only."""
+    from .lakefs import for_path
 
-    if not os.path.exists(path) and os.path.exists(f"{path}.retired"):
+    lake, p = for_path(path)
+    if not lake.exists(p) and lake.exists(f"{p}.retired"):
         try:
-            os.rename(f"{path}.retired", path)
+            lake.move(f"{p}.retired", p)
         except OSError:
             pass  # a racing opener already recovered it
 
@@ -273,11 +291,15 @@ def clear_stale_builds(path: str, prefix: str) -> None:
     would otherwise strand a full index-sized copy forever. Safe under
     the single-maintenance-owner discipline compaction already
     requires."""
-    import glob
-    import shutil
+    import posixpath
 
-    for stale in glob.glob(f"{path}.{prefix}-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    parent, base = posixpath.split(p.rstrip("/"))
+    for entry in lake.listdir(parent or "."):
+        if entry.startswith(f"{base}.{prefix}-"):
+            lake.rmtree(f"{parent}/{entry}" if parent else entry)
 
 
 def swap_publish(path: str, build: str) -> None:
@@ -286,12 +308,114 @@ def swap_publish(path: str, build: str) -> None:
     copy — a crash mid-swap leaves a complete index either live or at
     the DETERMINISTIC retired name, which ``recover_retired`` renames
     back on the next maintenance run. Not atomic against writers: the
-    single-maintenance-owner discipline applies."""
-    import os
-    import shutil
+    single-maintenance-owner discipline applies. Rename-capable
+    filesystems only (POSIX/HDFS) — object-store indexes use the
+    pointer layout, whose publish is ``publish_generation`` (CURRENT
+    flip, no rename)."""
+    from .lakefs import for_path
 
-    retired = f"{path}.retired"
-    shutil.rmtree(retired, ignore_errors=True)
-    os.rename(path, retired)
-    os.rename(build, path)
-    shutil.rmtree(retired, ignore_errors=True)
+    lake, p = for_path(path)
+    _, b = for_path(build)[1], build
+    retired = f"{p}.retired"
+    lake.rmtree(retired)
+    lake.move(p, retired)
+    lake.move(for_path(build)[1], p)
+    lake.rmtree(retired)
+
+
+# -- pointer-generation layout (object-store publishes) ---------------
+
+GEN_PREFIX = "gen-"
+CURRENT_POINTER = "CURRENT"
+
+
+def pointer_layout(path: str) -> bool:
+    """True when ``path`` is a pointer-layout index root (holds a
+    CURRENT pointer naming the live generation dir)."""
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    return lake.exists(f"{p}/{CURRENT_POINTER}")
+
+
+def resolve_index_root(path: str) -> str:
+    """THE one resolution point every index open goes through: a
+    pointer-layout root resolves to its live generation dir; a flat
+    index resolves to itself. Returned in the caller's namespace, so
+    Spark reads/writes address the same URI scheme the caller used."""
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    if lake.exists(f"{p}/{CURRENT_POINTER}"):
+        gen = lake.read_text(f"{p}/{CURRENT_POINTER}").strip()
+        if not gen.startswith(GEN_PREFIX) or "/" in gen or ".." in gen:
+            raise ValueError(
+                f"index at {path}: CURRENT pointer names an invalid "
+                f"generation {gen!r} — expected a '{GEN_PREFIX}*' "
+                "sibling directory name"
+            )
+        return f"{path}/{gen}"
+    return path
+
+
+def begin_generation_build(path: str) -> str:
+    """A fresh generation dir for a pointer-mode build (base build or
+    compaction fold). The name is final from the start — no rename on
+    publish — but the generation is INVISIBLE until CURRENT names it,
+    the same data-then-commit discipline as segment files."""
+    import uuid
+
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    gen = f"{GEN_PREFIX}{uuid.uuid4().hex[:12]}"
+    lake.mkdirs(f"{p}/{gen}")
+    return f"{path}/{gen}"
+
+
+def publish_generation(path: str, build: str, vacuum: bool = True) -> None:
+    """Atomically flip CURRENT to a fully-built generation dir (the
+    one-object PUT that replaces the flat layout's directory-rename
+    swap), then — delete-after-commit — vacuum every generation the
+    pointer no longer references. ``vacuum=False`` retains the
+    superseded generations: snapshot pins still invalidate loudly on
+    their generation token, but a reader whose SCAN is already in
+    flight keeps its files until ``vacuum_generations`` reclaims them
+    (the grace-period contract)."""
+    import posixpath
+
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    gen = posixpath.basename(build.rstrip("/"))
+    lake.write_text(f"{p}/{CURRENT_POINTER}", gen)
+    if vacuum:
+        vacuum_generations(path)
+
+
+def vacuum_generations(path: str) -> int:
+    """Delete every ``gen-*`` dir the CURRENT pointer does not
+    reference — superseded generations retained by
+    ``publish_generation(vacuum=False)`` and orphans from crashed
+    builds (a crash before the flip leaves a complete-or-partial but
+    UNREFERENCED generation; a crash after the flip leaves the old
+    one). Returns how many were reclaimed. Run it like compaction —
+    after in-flight readers of retained generations have drained."""
+    import posixpath
+
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
+    current = None
+    if lake.exists(f"{p}/{CURRENT_POINTER}"):
+        current = lake.read_text(f"{p}/{CURRENT_POINTER}").strip()
+    n = 0
+    for entry in lake.listdir(p):
+        if (
+            entry.startswith(GEN_PREFIX)
+            and entry != current
+            and lake.isdir(f"{p}/{entry}")
+        ):
+            lake.rmtree(f"{p}/{entry}")
+            n += 1
+    return n

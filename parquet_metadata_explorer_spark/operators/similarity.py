@@ -1729,6 +1729,7 @@ def write_ivfpq_index(
     iters: int = 3,
     coarse_iters: int = 3,
     health_gate: bool = False,
+    layout: str = "auto",
 ) -> None:
     """Materialize the IVF-PQ index to the lake, codes partitioned BY
     CELL — the layout that turns cell probing into FILE-LEVEL partition
@@ -1746,27 +1747,58 @@ def write_ivfpq_index(
     interrupted build has no committed batches and the probe refuses
     it loudly; ``ivfpq_index_increment`` lands arrivals as further
     committed segments against the frozen models (the faiss ``add()``
-    shape), and ``ivfpq_index_compact`` folds them back."""
-    import os
-    import shutil
+    shape), and ``ivfpq_index_compact`` folds them back.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    ``layout``: same contract as ``write_bm25_index`` — ``"flat"``
+    (default on a fresh path, POSIX rename publishes), ``"pointer"``
+    (object-store layout: live index at ``path/gen-*`` named by the
+    atomic CURRENT pointer, publishes are one-object flips), or
+    ``"auto"`` (keep the path's existing layout)."""
+    from .segments import (
+        begin_generation_build,
+        pointer_layout,
+        publish_generation,
+    )
 
-    from .segments import segment_commit
-
+    if layout not in ("auto", "flat", "pointer"):
+        raise ValueError(
+            f"Invalid layout: {layout!r} (one of auto, flat, pointer)"
+        )
     if health_gate:
         # pre-flight BEFORE touching the previous incarnation: a
         # poisoned corpus must fail with named vec_ids while the old
         # index is still intact and probe-able, not after the commit
         # log is retired or mid-Lloyd
         assert_embedding_health(embeddings, who="write_ivfpq_index")
+    if layout == "pointer" or (layout == "auto" and pointer_layout(path)):
+        build = begin_generation_build(path)
+        _write_ivfpq_into(
+            embeddings, build, k_cells, m, n_centroids, iters, coarse_iters
+        )
+        publish_generation(path, build)
+        return
+    _write_ivfpq_into(
+        embeddings, path, k_cells, m, n_centroids, iters, coarse_iters
+    )
+
+
+def _write_ivfpq_into(
+    embeddings, path, k_cells, m, n_centroids, iters, coarse_iters
+) -> None:
+    """The flat base build at exactly ``path`` (both layouts share it —
+    the pointer wrapper aims it at a fresh generation dir)."""
+    import pyarrow as pa
+
+    from .lakefs import for_path
+    from .segments import segment_commit
+
+    lake, lp = for_path(path)
     # retire any previous incarnation's commit log BEFORE the data
     # overwrite (same rebuild-crash ordering as the BM25 writer); the
     # old tombstones go with it — a prior incarnation's deletes must
     # never anti-join vectors out of the fresh corpus
-    shutil.rmtree(f"{path}/commits", ignore_errors=True)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    lake.rmtree(f"{lp}/commits")
+    lake.rmtree(f"{lp}/tombstones")
     from .segments import mint_generation
 
     mint_generation(path)  # rebuilds invalidate snapshot pins loudly
@@ -1798,11 +1830,11 @@ def write_ivfpq_index(
         # it BEFORE writing so the old _SUCCESS vanishes first — a crash
         # mid-write leaves no _SUCCESS and _ivfpq_index_complete
         # correctly reports the index incomplete.
-        d = f"{path}/{subdir}"
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d)
-        pq.write_table(table, f"{d}/part-00000.parquet")
-        open(f"{d}/_SUCCESS", "w").close()
+        d = f"{lp}/{subdir}"
+        lake.rmtree(d)
+        lake.mkdirs(d)
+        lake.write_table(table, f"{d}/part-00000.parquet")
+        lake.write_bytes(f"{d}/_SUCCESS", b"")
 
     cents = sorted(cc.items())
     _sidecar("coarse", pa.table({
@@ -1960,7 +1992,7 @@ def ivfpq_index_increment(
     import uuid
 
     from .segments import segment_commit, segment_committed, segment_commits
-    from .segments import recover_retired, validate_batch_id
+    from .segments import recover_retired, resolve_index_root, validate_batch_id
 
     spark = new_embeddings.sparkSession
     if health_gate:
@@ -1968,6 +2000,7 @@ def ivfpq_index_increment(
         # poisoned CDC batch fails with named vec_ids, index untouched
         assert_embedding_health(new_embeddings, who="ivfpq_index_increment")
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     commits = segment_commits(path, "IVF-PQ index")  # layout gate
     if batch_id is None:
         batch_id = uuid.uuid4().hex
@@ -2057,10 +2090,12 @@ def ivfpq_index_delete(spark, path: str, vec_ids, batch_id: str = None) -> int:
         segment_committed,
         segment_commits,
         validate_batch_id,
+        resolve_index_root,
         write_tombstones,
     )
 
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     commits = segment_commits(path, "IVF-PQ index")  # layout gate
     if batch_id is None:
         batch_id = uuid.uuid4().hex
@@ -2106,7 +2141,9 @@ def ivfpq_index_delete(spark, path: str, vec_ids, batch_id: str = None) -> int:
         found.unpersist()
 
 
-def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
+def ivfpq_index_compact(
+    spark, path: str, verify: bool = False, vacuum: bool = True
+) -> int:
     """Segment merge for the IVF-PQ index — the same Lucene-style
     lifecycle close as ``bm25_index_compact``: fold every COMMITTED
     batch's codes back into one ``base`` segment (codes are already
@@ -2115,13 +2152,22 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
     torn segments, swap-publish with the shared crash-recoverable
     protocol. The model sidecars (coarse, codebook) are carried over
     unchanged — compaction never touches the models. Returns how many
-    batches were folded (0 = already compact; still vacuums)."""
-    import os
-    import shutil
+    batches were folded (0 = already compact; still vacuums).
 
+    On the POINTER layout the publish is a new-generation build + an
+    atomic CURRENT flip instead of the rename swap (see the BM25
+    twin); ``vacuum=False`` retains the superseded generation for
+    in-flight scans — reclaim with ``segments.vacuum_generations``."""
+    import os
+
+    from .lakefs import for_path
     from .segments import (
+        begin_generation_build,
         clear_stale_builds,
+        pointer_layout,
+        publish_generation,
         recover_retired,
+        resolve_index_root,
         segment_commit,
         segment_commits,
         swap_publish,
@@ -2129,7 +2175,11 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
     )
 
     recover_retired(path)
-    clear_stale_builds(path, "compact")  # crashed builds under old pids
+    pointer = pointer_layout(path)
+    user_path = path
+    path = resolve_index_root(path)  # fold FROM the live generation
+    if not pointer:
+        clear_stale_builds(path, "compact")  # crashed builds, old pids
     commits = segment_commits(path, "IVF-PQ index")
     vacuum_uncommitted(path, ("codes", "tombstones"), set(commits))
     if set(commits) == {"base"}:
@@ -2148,8 +2198,11 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
     tomb = _ivfpq_tombstones(spark, path, batches)
     if tomb is not None:
         rows = rows.join(tomb, "vec_id", "left_anti")
-    build = f"{path}.compact-{os.getpid()}"
-    shutil.rmtree(build, ignore_errors=True)
+    if pointer:
+        build = begin_generation_build(user_path)
+    else:
+        build = f"{path}.compact-{os.getpid()}"
+        for_path(build)[0].rmtree(for_path(build)[1])
     (
         rows.withColumn("batch", F.lit("base"))
         .repartition("cell")
@@ -2158,8 +2211,9 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
         .partitionBy("cell", "batch")
         .parquet(f"{build}/codes")
     )
+    lake, lp = for_path(path)
     for sidecar in ("coarse", "codebook"):
-        shutil.copytree(f"{path}/{sidecar}", f"{build}/{sidecar}")
+        lake.copy_tree(f"{lp}/{sidecar}", f"{for_path(build)[1]}/{sidecar}")
     from .segments import mint_generation
 
     # compaction reuses the 'base' batch id, so it must mint a new
@@ -2177,7 +2231,10 @@ def ivfpq_index_compact(spark, path: str, verify: bool = False) -> int:
         assert_index_ok(
             ivfpq_index_verify(spark, build), "ivfpq_index_compact"
         )
-    swap_publish(path, build)
+    if pointer:
+        publish_generation(user_path, build, vacuum=vacuum)
+    else:
+        swap_publish(path, build)
     return len(batches)
 
 
@@ -2187,9 +2244,15 @@ def ivfpq_index_snapshot(path: str) -> dict:
     the dense twin of ``bm25_index_snapshot``: later increments and
     deletes stay invisible to pinned reads; compaction/rebuild
     invalidates pins loudly."""
-    from .segments import read_generation, recover_retired, segment_commits
+    from .segments import (
+        read_generation,
+        recover_retired,
+        resolve_index_root,
+        segment_commits,
+    )
 
     recover_retired(path)
+    path = resolve_index_root(path)  # pin the LIVE generation's state
     return {
         "generation": read_generation(path),
         "batches": sorted(segment_commits(path, "IVF-PQ index")),
@@ -2237,11 +2300,13 @@ def ivfpq_probe_topk(
     from .segments import (
         read_generation,
         recover_retired,
+        resolve_index_root,
         resolve_snapshot,
         segment_commits,
     )
 
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     # snapshot pin: the code scan and the tombstone set both flow from
     # this one visibility set (see bm25_probe_topk's twin)
     batches = sorted(

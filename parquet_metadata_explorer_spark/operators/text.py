@@ -1317,7 +1317,10 @@ BM25_INDEX_BUCKETS = 64
 
 
 def write_bm25_index(
-    documents: DataFrame, path: str, n_buckets: int = BM25_INDEX_BUCKETS
+    documents: DataFrame,
+    path: str,
+    n_buckets: int = BM25_INDEX_BUCKETS,
+    layout: str = "auto",
 ) -> None:
     """Materialize the BM25 inverted index to the lake, postings
     partitioned by (term-hash bucket, batch) — the layout that turns a
@@ -1338,18 +1341,54 @@ def write_bm25_index(
     of trusting a keyword default (a mismatched modulus would silently
     drop query terms' postings). Everything stored is integers, so a
     probe from disk reproduces ``bm25_topk`` BIT-identically
-    (pytest-asserted)."""
-    import os
-    import shutil
+    (pytest-asserted).
 
+    ``layout``: ``"flat"`` puts the index directly at ``path`` (the
+    default on a fresh path — compaction then publishes with POSIX
+    directory renames); ``"pointer"`` uses the object-store layout
+    (live index at ``path/gen-*`` named by the atomic ``CURRENT``
+    pointer — every publish is a one-object flip, no rename anywhere;
+    see operators/segments.py). ``"auto"`` keeps whatever layout the
+    path already has. Probes/increments/deletes are layout-agnostic
+    (they open through ``resolve_index_root``)."""
+    from .segments import (
+        begin_generation_build,
+        pointer_layout,
+        publish_generation,
+    )
+
+    if layout not in ("auto", "flat", "pointer"):
+        raise ValueError(
+            f"Invalid layout: {layout!r} (one of auto, flat, pointer)"
+        )
+    if layout == "pointer" or (layout == "auto" and pointer_layout(path)):
+        # rebuild-as-new-generation: the fresh gen dir starts empty
+        # (no stale commits/tombstones to retire), becomes visible
+        # only at the CURRENT flip, and the superseded generation is
+        # vacuumed AFTER the flip — delete-after-commit
+        build = begin_generation_build(path)
+        _write_bm25_into(documents, build, n_buckets)
+        publish_generation(path, build)
+        return
+    _write_bm25_into(documents, path, n_buckets)
+
+
+def _write_bm25_into(
+    documents: DataFrame, path: str, n_buckets: int
+) -> None:
+    """The flat base build at exactly ``path`` (both layouts share it —
+    the pointer wrapper just aims it at a fresh generation dir)."""
+    from .lakefs import for_path
+
+    lake, p = for_path(path)
     # retire any previous incarnation's commit log BEFORE the data
     # overwrite: a crash mid-rebuild must leave NO committed batches
     # (the probe then refuses loudly), never stale commit rows whose
     # corpus constants describe data that no longer exists; the old
     # tombstones go with it — a prior incarnation's deletes must never
     # anti-join docs out of the fresh corpus
-    shutil.rmtree(f"{path}/commits", ignore_errors=True)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    lake.rmtree(f"{p}/commits")
+    lake.rmtree(f"{p}/tombstones")
     from .segments import mint_generation
 
     mint_generation(path)  # rebuilds invalidate snapshot pins loudly
@@ -1367,10 +1406,9 @@ def write_bm25_index(
             "base",
             fresh=True,
         )
-        d = f"{path}/stats"
-        shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(d)
-        _write_bm25_stats(d, n_buckets)
+        lake.rmtree(f"{p}/stats")
+        lake.mkdirs(f"{p}/stats")
+        _write_bm25_stats(f"{path}/stats", n_buckets)
         # commit LAST: an interrupted build has no committed batches and
         # the probe refuses it loudly instead of serving partial data
         _bm25_commit(path, "base", stats.n_docs, stats.total_len or 0)
@@ -1447,17 +1485,21 @@ def _write_bm25_stats(stats_dir: str, n_buckets: int) -> None:
     once by the base build, never replaced — the mutable corpus
     constants live in the commit log instead)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
+    from .lakefs import for_path
+
+    lake, d = for_path(stats_dir)
+    lake.mkdirs(d)
     table = pa.table({"n_buckets": pa.array([int(n_buckets)], pa.int64())})
-    pq.write_table(table, f"{stats_dir}/part-00000.parquet")
-    open(f"{stats_dir}/_SUCCESS", "w").close()
+    lake.write_table(table, f"{d}/part-00000.parquet")
+    lake.write_bytes(f"{d}/_SUCCESS", b"")
 
 
 def _read_bm25_stats(path: str) -> dict:
-    import pyarrow.parquet as pq
+    from .lakefs import for_path
 
-    d = pq.read_table(f"{path}/stats/part-00000.parquet").to_pydict()
+    lake, p = for_path(path)
+    d = lake.read_table(f"{p}/stats/part-00000.parquet").to_pydict()
     stats = {k: v[0] for k, v in d.items()}
     if "n_buckets" not in stats:
         raise ValueError(
@@ -1524,11 +1566,13 @@ def bm25_index_increment(
 
     from .segments import (
         recover_retired,
+        resolve_index_root,
         segment_committed,
         validate_batch_id,
     )
 
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     stats = _read_bm25_stats(path)
     n_buckets = int(stats["n_buckets"])
     commits = _bm25_commits(path)  # layout gate: refuse a commit-log-less index
@@ -1627,12 +1671,14 @@ def bm25_index_delete(spark, path: str, doc_ids, batch_id: str = None) -> int:
 
     from .segments import (
         recover_retired,
+        resolve_index_root,
         segment_committed,
         validate_batch_id,
         write_tombstones,
     )
 
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)  # layout gate
     if batch_id is None:
@@ -1709,7 +1755,9 @@ def bm25_index_delete(spark, path: str, doc_ids, batch_id: str = None) -> int:
         victims.unpersist()
 
 
-def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
+def bm25_index_compact(
+    spark, path: str, verify: bool = False, vacuum: bool = True
+) -> int:
     """Segment merge — the Lucene counterpart that completes the
     log-structured lifecycle: fold every COMMITTED batch back into one
     ``base`` segment so a long-running CDC pipeline's probe cost stays
@@ -1739,19 +1787,36 @@ def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
     compaction from the single maintenance owner with increments
     quiesced (the same single-compactor discipline as a Lucene merge
     scheduler); probes racing the swap may transiently error and
-    retry."""
-    import os
-    import shutil
+    retry.
 
+    On the POINTER layout (object stores) the publish is instead a
+    new-generation build + atomic CURRENT flip — no rename anywhere,
+    and no crash window at all: the pointer names a complete
+    generation before and after, orphan builds are vacuumed
+    delete-after-commit. ``vacuum=False`` (pointer layout only)
+    RETAINS the superseded generation so in-flight scans keep their
+    files — the snapshot grace period; reclaim later with
+    ``segments.vacuum_generations``."""
+    import os
+
+    from .lakefs import for_path
     from .segments import (
+        begin_generation_build,
         clear_stale_builds,
+        pointer_layout,
+        publish_generation,
         recover_retired,
+        resolve_index_root,
         swap_publish,
         vacuum_uncommitted,
     )
 
     recover_retired(path)
-    clear_stale_builds(path, "compact")  # crashed builds under old pids
+    pointer = pointer_layout(path)
+    user_path = path
+    path = resolve_index_root(path)  # fold FROM the live generation
+    if not pointer:
+        clear_stale_builds(path, "compact")  # crashed builds, old pids
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     commits = _bm25_commits(path)
     vacuum_uncommitted(path, ("postings", "dfreq", "tombstones"), set(commits))
@@ -1771,8 +1836,11 @@ def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
         rows = rows.join(tomb, "doc_id", "left_anti")
     rows = rows.persist()
     try:
-        build = f"{path}.compact-{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
+        if pointer:
+            build = begin_generation_build(user_path)
+        else:
+            build = f"{path}.compact-{os.getpid()}"
+            for_path(build)[0].rmtree(for_path(build)[1])
         # rows already carry the denormalized dl and sit at posting
         # grain — straight through, no distinct, no join; defrag
         # shuffles once on bucket so each bucket dir lands as ONE file
@@ -1785,7 +1853,6 @@ def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
             fresh=True,
             defrag=True,
         )
-        os.makedirs(f"{build}/stats")
         _write_bm25_stats(f"{build}/stats", n_buckets)
         from .segments import mint_generation
 
@@ -1807,7 +1874,10 @@ def bm25_index_compact(spark, path: str, verify: bool = False) -> int:
             assert_index_ok(
                 bm25_index_verify(spark, build), "bm25_index_compact"
             )
-        swap_publish(path, build)
+        if pointer:
+            publish_generation(user_path, build, vacuum=vacuum)
+        else:
+            swap_publish(path, build)
         return len(batches)
     finally:
         rows.unpersist()
@@ -1839,9 +1909,14 @@ def bm25_index_snapshot(path: str) -> dict:
     compaction/rebuild, which REUSES batch ids; a bare batch list is
     accepted but unchecked). Pinned probes RAISE after maintenance
     instead of serving a partial or aliased state."""
-    from .segments import read_generation, recover_retired
+    from .segments import (
+        read_generation,
+        recover_retired,
+        resolve_index_root,
+    )
 
     recover_retired(path)
+    path = resolve_index_root(path)  # pin the LIVE generation's state
     return {
         "generation": read_generation(path),
         "batches": sorted(_bm25_commits(path)),
@@ -1872,9 +1947,14 @@ def bm25_probe_topk(
     in-memory scorer runs, so results match bit-for-bit; doc length
     comes denormalized off the posting row — the probe does zero
     corpus-sized joins."""
-    from .segments import recover_retired, resolve_snapshot
+    from .segments import (
+        recover_retired,
+        resolve_index_root,
+        resolve_snapshot,
+    )
 
     recover_retired(path)  # heal a crashed compaction swap on open
+    path = resolve_index_root(path)  # pointer layout -> live generation
     qrows = _query_terms(queries)
     terms = sorted({t for _q, t in qrows})
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
@@ -1958,9 +2038,14 @@ def bm25_more_like_this_from_index(
     as the probe's do. Selection, df guard and scoring are the same
     expressions as the in-memory operator, so results match it
     bit-for-bit (pytest-asserted)."""
-    from .segments import recover_retired, resolve_snapshot
+    from .segments import (
+        recover_retired,
+        resolve_index_root,
+        resolve_snapshot,
+    )
 
     recover_retired(path)
+    path = resolve_index_root(path)  # pointer layout -> live generation
     from .segments import read_generation
 
     commits = resolve_snapshot(
