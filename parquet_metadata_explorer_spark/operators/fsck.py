@@ -500,8 +500,7 @@ def corpus_verify(
       ``source_count_mismatch`` reported alongside is that same
       in-flight state, not independent drift).
     - ``ok``: the at-rest document count."""
-    import glob
-    import os
+    from .lakefs import for_path
 
     if state_dir is not None and key != "source":
         raise ValueError(
@@ -517,10 +516,12 @@ def corpus_verify(
     # source_count_mismatch data defects (it can even flip the
     # inferred batch partition type to string). basePath keeps the
     # batch partition column parsed from the live dirs only.
+    lake, od = for_path(out_dir)
+    entries = lake.listdir(od)
     live = sorted(
-        p
-        for p in glob.glob(f"{out_dir}/batch=*")
-        if not p.endswith(".retired")
+        f"{out_dir}/{e}"
+        for e in entries
+        if e.startswith("batch=") and not e.endswith(".retired")
     )
     if live:
         corpus = (
@@ -539,11 +540,10 @@ def corpus_verify(
     )
     stranded = spark.createDataFrame(
         [
-            (os.path.basename(p),)
-            for p in sorted(
-                glob.glob(f"{out_dir}/batch=*.retired")
-                + glob.glob(f"{out_dir}/.forget-*")
-            )
+            (e,)
+            for e in entries
+            if (e.startswith("batch=") and e.endswith(".retired"))
+            or e.startswith(".forget-")
         ],
         "key string",
     ).select(F.lit("stranded_maintenance_dir").alias("defect"), "key")
@@ -554,9 +554,11 @@ def corpus_verify(
         _tag(corpus, F.col("doc_id"), "ok"),
     ]
     if state_dir is not None:
+        from .lakefs import for_path as _lake_for_path
         from .pipelines import forget_pending_path, load_prepare_state
 
-        if os.path.exists(forget_pending_path(state_dir)):
+        mlake, mpath = _lake_for_path(forget_pending_path(state_dir))
+        if mlake.exists(mpath):
             tagged.insert(
                 0,
                 spark.createDataFrame(
