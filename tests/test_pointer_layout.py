@@ -238,3 +238,56 @@ def test_retained_generation_serves_inflight_scans(spark, tmp_path):
     assert len(_gen_dirs(ptr)) == 1
     assert not os.path.exists(orphan)
     assert _rows(bm25_probe_topk(spark, ptr, qs, k=10)) == expected
+
+
+def test_hybrid_serving_and_takedown_on_pointer_indexes(spark, tmp_path):
+    """Composition: the fused serving path (hybrid_rrf_probe) and the
+    one-call takedown run unchanged over POINTER-layout indexes — the
+    object-store layout is a drop-in for every consumer because the
+    probes resolve through resolve_index_root, not the raw path."""
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+        ivfpq_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.pipelines import takedown
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_rrf_probe,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bp, ip = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    bf, if_ = str(tmp_path / "bm25f"), str(tmp_path / "annf")
+    kw = dict(k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2)
+    write_bm25_index(docs, bp, layout="pointer")
+    write_ivfpq_index(e, ip, layout="pointer", **kw)
+    write_bm25_index(docs, bf)
+    write_ivfpq_index(e, if_, **kw)
+
+    queries = (
+        docs.filter(F.col("doc_id").isin([0, 2]))
+        .join(e.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select("doc_id", "text", "embedding")
+    )
+    got = _rows(hybrid_rrf_probe(spark, bp, ip, queries, k=6, k_each=12))
+    want = _rows(hybrid_rrf_probe(spark, bf, if_, queries, k=6, k_each=12))
+    assert got == want and got
+
+    doomed = docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    res = takedown(
+        spark, doomed, bm25_path=bp, ivfpq_path=ip,
+        batch_id="td-p", compact=True,
+    )
+    assert res["bm25"] > 0 and res["ivfpq"] > 0
+    # compact=True resolved the tombstones physically INSIDE the new
+    # generation (pointer publish), and both indexes stay fsck-clean
+    bad = {r.doc_id for r in doomed.collect()}
+    after = _rows(hybrid_rrf_probe(spark, bp, ip, queries, k=6, k_each=12))
+    assert not bad & {r[1] for r in after}
+    for rep in (bm25_index_verify(spark, bp), ivfpq_index_verify(spark, ip)):
+        assert {r.defect for r in rep.collect()} == {"ok"}
+    assert len(_gen_dirs(bp)) == 1 and len(_gen_dirs(ip)) == 1
