@@ -36,6 +36,13 @@ Capability detection is by filesystem type: ``LocalFileSystem`` and
 ``GcsFileSystem`` and unknown handlers do not (conservative default —
 a flat-namespace store pretending to rename would break the swap's
 crash contract, which is worse than refusing).
+
+Reference parity note: the reference engine's remote-store concern is
+its read path (``RemoteInputStream.scala`` — buffered forward-only
+reads over high-RTT stores, ported in ``parquet/io.py``); it has no
+at-rest index lifecycle, so this module's write-side semantics are
+new surface, designed from the object-store constraints themselves
+(atomic PUT, no rename) rather than from any reference code.
 """
 
 from __future__ import annotations

@@ -302,14 +302,14 @@ def stream_corpus_manifest(
         folded.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(vdir, "manifest")
         )
-        with open(os.path.join(vdir, "BATCH"), "w") as f:
-            f.write(str(batch_id))
-        with open(os.path.join(vdir, "LINEAGE"), "w") as f:
-            f.write(token)
-        tmp = os.path.join(state_dir, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v + 1))
-        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+        from .lakefs import for_path
+
+        lake, sd = for_path(state_dir)
+        lake.write_text(f"{sd}/v={v + 1}/BATCH", str(batch_id))
+        lake.write_text(f"{sd}/v={v + 1}/LINEAGE", token)
+        # atomic publish through the shim (temp+move on POSIX, atomic
+        # PUT on object stores)
+        lake.write_text(f"{sd}/CURRENT", str(v + 1))
 
     return (
         stream.writeStream.foreachBatch(handle)

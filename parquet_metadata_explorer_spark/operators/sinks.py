@@ -372,13 +372,13 @@ def _write_tape_state(
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(vdir, "manifest")
     )
-    with open(os.path.join(vdir, "BATCH"), "w") as f:
-        f.write(str(batch_id))
-    sdir = os.path.join(export_path, "state")
-    tmp = os.path.join(sdir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(sdir, "CURRENT"))
+    from .lakefs import for_path
+
+    lake, sd = for_path(os.path.join(export_path, "state"))
+    lake.write_text(f"{sd}/v={version}/BATCH", str(batch_id))
+    # atomic publish through the shim (temp+move on POSIX, atomic PUT
+    # on object stores)
+    lake.write_text(f"{sd}/CURRENT", str(version))
 
 
 def _read_tape_state(spark, export_path: str):
