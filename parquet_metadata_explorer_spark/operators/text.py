@@ -2026,6 +2026,7 @@ def bm25_more_like_this_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     snapshot: dict = None,
+    query_ids=None,
 ) -> DataFrame:
     """``bm25_more_like_this`` served from a MATERIALIZED index — the
     corpus-job twin of ``bm25_probe_topk``: no tokenize, no corpus
@@ -2037,7 +2038,18 @@ def bm25_more_like_this_from_index(
     visible and df/n_docs/total_len fold over the commit log exactly
     as the probe's do. Selection, df guard and scoring are the same
     expressions as the in-memory operator, so results match it
-    bit-for-bit (pytest-asserted)."""
+    bit-for-bit (pytest-asserted).
+
+    ``query_ids`` (a doc_id DataFrame or iterable) restricts which
+    documents QUERY — the incremental related-items refresh: after a
+    CDC increment, pass the arrival ids and only their neighbor lists
+    are computed, priced at |arrivals|·m term probes against the full
+    committed index instead of a corpus-sized rerun (term selection
+    prunes to the restricted docs BEFORE its window, so the selection
+    shuffle is arrivals-sized too). Scoring semantics are unchanged —
+    df, idf and the df guard stay CORPUS-wide, so each restricted row
+    is bit-identical to the same query_id's row in the full run
+    (pytest-asserted)."""
     from .segments import (
         recover_retired,
         resolve_index_root,
@@ -2090,12 +2102,25 @@ def bm25_more_like_this_from_index(
     tomb = _bm25_tombstones(spark, path, batches)
     if tomb is not None:
         postings = postings.join(tomb, "doc_id", "left_anti")
+    qdocs = postings
+    if query_ids is not None:
+        if not isinstance(query_ids, DataFrame):
+            query_ids = spark.createDataFrame(
+                [(i,) for i in query_ids], ["doc_id"]
+            )
+        # semi-join BEFORE the selection window: the restricted run's
+        # selection shuffle is |query_ids|-sized, not corpus-sized
+        qdocs = postings.join(
+            F.broadcast(query_ids.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
     w = Window.partitionBy("doc_id").orderBy(
         F.round(F.col("idf") * F.col("tf").cast("double"), 12).desc(),
         F.col("term"),
     )
     qsel = (
-        postings.join(eligible, "term")
+        qdocs.join(eligible, "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= int(m_terms))
         .select(F.col("doc_id").alias("query_id"), "term", "idf")

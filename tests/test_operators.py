@@ -2948,6 +2948,22 @@ def test_bm25_more_like_this_from_index_matches_memory(spark, tmp_path):
     )
     assert disk_u == mem_u
 
+    # r12: the incremental related-items refresh — restricting the
+    # QUERYING set to the arrivals returns exactly the full run's rows
+    # for those query_ids (df/idf/guard stay corpus-wide), priced at
+    # |arrivals|·m term probes instead of a corpus rerun
+    arrival_ids = {r.doc_id for r in arrivals.select("doc_id").collect()}
+    restricted = sorted(
+        map(
+            tuple,
+            bm25_more_like_this_from_index(
+                spark, path, k=5, query_ids=arrivals.select("doc_id")
+            ).collect(),
+        )
+    )
+    assert restricted == [r for r in disk_u if r[0] in arrival_ids]
+    assert restricted  # the refresh actually produced neighbor lists
+
 
 def test_hybrid_knn_graph_is_exact_fusion_of_components(spark):
     """The corpus-sized hybrid graph must equal the RRF fusion computed
