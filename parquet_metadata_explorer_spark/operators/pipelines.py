@@ -324,11 +324,12 @@ def read_corpus_manifest(spark, state_dir: str, with_version: bool = False):
     replay check."""
     import os
 
-    cur = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(cur):
+    from .lakefs import for_path
+
+    lake, sd = for_path(state_dir)
+    if not lake.exists(f"{sd}/CURRENT"):
         return (None, 0) if with_version else None
-    with open(cur) as f:
-        v = int(f.read().strip())
+    v = int(lake.read_text(f"{sd}/CURRENT").strip())
     df = spark.read.parquet(os.path.join(state_dir, f"v={v}", "manifest"))
     return (df, v) if with_version else df
 
@@ -673,11 +674,12 @@ def load_prepare_state(spark, state_dir: str) -> tuple:
     previous catalogs). Returns (state dict, version)."""
     import os
 
-    ptr = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(ptr):
+    from .lakefs import for_path
+
+    lake, sd = for_path(state_dir)
+    if not lake.exists(f"{sd}/CURRENT"):
         return initial_prepare_state(spark), 0
-    with open(ptr) as f:
-        v = int(f.read().strip())
+    v = int(lake.read_text(f"{sd}/CURRENT").strip())
     state = {
         name: spark.read.schema(schema).parquet(
             os.path.join(state_dir, f"v={v}", name)

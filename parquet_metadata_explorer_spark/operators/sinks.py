@@ -386,15 +386,17 @@ def _read_tape_state(spark, export_path: str):
     pre-state export (rebuilt bases always write v=1)."""
     import os
 
-    cur = os.path.join(export_path, "state", "CURRENT")
-    if not os.path.exists(cur):
+    from .lakefs import for_path
+
+    lake, ep = for_path(export_path)
+    cur = f"{ep}/state/CURRENT"
+    if not lake.exists(cur):
         raise ValueError(
             "export_training_windows_increment: no tape state under "
             f"{export_path}/state — the base export predates the "
             "incremental protocol; re-run export_training_windows."
         )
-    with open(cur) as f:
-        v = int(f.read().strip())
+    v = int(lake.read_text(cur).strip())
     row = spark.read.parquet(
         os.path.join(export_path, "state", f"v={v}", "manifest")
     ).collect()[0]
@@ -404,14 +406,13 @@ def _read_tape_state(spark, export_path: str):
 def _tape_batch_committed(export_path: str, version: int, batch_id: str):
     """True if ``batch_id`` was committed by any state version ≤
     ``version`` (idempotent-replay check; n_increments file reads)."""
-    import os
+    from .lakefs import for_path
 
+    lake, ep = for_path(export_path)
     for i in range(1, version + 1):
-        p = os.path.join(export_path, "state", f"v={i}", "BATCH")
-        if os.path.exists(p):
-            with open(p) as f:
-                if f.read().strip() == str(batch_id):
-                    return True
+        p = f"{ep}/state/v={i}/BATCH"
+        if lake.exists(p) and lake.read_text(p).strip() == str(batch_id):
+            return True
     return False
 
 
