@@ -324,3 +324,30 @@ def test_hybrid_serving_and_takedown_on_pointer_indexes(spark, tmp_path):
     for rep in (bm25_index_verify(spark, bp), ivfpq_index_verify(spark, ip)):
         assert {r.defect for r in rep.collect()} == {"ok"}
     assert len(_gen_dirs(bp)) == 1 and len(_gen_dirs(ip)) == 1
+
+
+def test_pointer_edge_guards(spark, tmp_path):
+    """Edge contracts of the pointer machinery: a corrupted CURRENT
+    pointer fails loudly with the expected-shape message (never a
+    path traversal or a silent flat fallback), and vacuum_generations
+    on a FLAT index is a 0 no-op."""
+    from parquet_metadata_explorer_spark.operators.segments import (
+        vacuum_generations,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ptr = str(tmp_path / "ptr")
+    write_bm25_index(docs, ptr, layout="pointer")
+    with open(f"{ptr}/CURRENT", "w") as f:
+        f.write("../../etc")  # tampered pointer
+    with pytest.raises(ValueError, match="invalid generation"):
+        bm25_probe_topk(spark, ptr, [(1, "fast hash join")], k=5)
+
+    flat = str(tmp_path / "flat")
+    write_bm25_index(docs, flat)  # flat layout
+    assert vacuum_generations(flat) == 0
+    assert bm25_probe_topk(spark, flat, [(1, "fast hash join")], k=5).count() == 5
