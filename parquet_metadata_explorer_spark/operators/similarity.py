@@ -330,6 +330,98 @@ def hybrid_knn_graph(
     )
 
 
+def hybrid_knn_graph_from_index(
+    spark,
+    bm25_index_path: str,
+    ivfpq_index_path: str,
+    embeddings: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    n_probe: int = 4,
+    rerank: int = 0,
+    query_ids=None,
+    bm25_snapshot: dict = None,
+    ivfpq_snapshot: dict = None,
+) -> DataFrame:
+    """``hybrid_knn_graph`` served ENTIRELY from the materialized
+    indexes — the corpus-scale related-items job as a production
+    maintenance task: the lexical side is MoreLikeThis over the
+    committed BM25 postings (no tokenize, no corpus scan), the dense
+    side probes the IVF-PQ codes with the corpus's embeddings as the
+    query set (``table_mode=auto`` flips to the distributed ADC table
+    above the driver ceiling — the r9 scale path), both fused through
+    the shared ``_rrf_fuse``. ``query_ids`` restricts which documents
+    query on BOTH sides — the INCREMENTAL related-items refresh: after
+    a CDC increment to both indexes, pass the arrival ids (and their
+    embeddings in ``embeddings``) and only the arrivals' neighbor
+    lists are recomputed, priced arrivals-sized against the full
+    committed corpus; restricted rows equal the full run's rows for
+    those ids (pytest-asserted). ``*_snapshot`` pins make the whole
+    refresh snapshot-isolated, like ``hybrid_rrf_probe``.
+
+    Differs from the in-memory ``hybrid_knn_graph`` in the dense
+    retriever (IVF-PQ ADC vs LSH-bucketed exact cosine — the
+    documented recall trade; ``rerank`` buys recall back with exact
+    rescoring of the top-C candidates); the fusion itself is the same
+    code object, pinned by the recompute-from-components pytest.
+    Output (query_id, doc_id, rrf_score, lex_rank, dense_rank, rank),
+    self-matches dropped on both sides."""
+    from pyspark.sql import Window
+
+    from .text import bm25_more_like_this_from_index
+
+    lex = (
+        bm25_more_like_this_from_index(
+            spark,
+            bm25_index_path,
+            k=k_each,
+            m_terms=m_terms,
+            max_df_ratio=max_df_ratio,
+            snapshot=bm25_snapshot,
+            query_ids=query_ids,
+        )
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    qvecs = embeddings.select("vec_id", "embedding")
+    if query_ids is not None:
+        if not isinstance(query_ids, DataFrame):
+            query_ids = spark.createDataFrame(
+                [(i,) for i in query_ids], ["doc_id"]
+            )
+        qvecs = qvecs.join(
+            F.broadcast(
+                query_ids.select(F.col("doc_id").alias("vec_id")).distinct()
+            ),
+            "vec_id",
+            "left_semi",
+        )
+    dense_raw = ivfpq_probe_topk(
+        spark,
+        ivfpq_index_path,
+        qvecs,
+        k=k_each + 1,  # +1 headroom: the self row drops below
+        n_probe=n_probe,
+        rerank=rerank,
+        embeddings=embeddings,
+        snapshot=ivfpq_snapshot,
+    )
+    w_d = Window.partitionBy("query_id").orderBy("rank")
+    dense = (
+        dense_raw.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dense_rank", F.row_number().over(w_d).cast("long"))
+        .filter(F.col("dense_rank") <= int(k_each))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            "dense_rank",
+        )
+    )
+    return _rrf_fuse(lex, dense, k, rrf_k)
+
+
 def hybrid_rrf_topk(
     documents: DataFrame,
     embeddings: DataFrame,

@@ -3019,3 +3019,86 @@ def test_hybrid_knn_graph_is_exact_fusion_of_components(spark):
             expected[(q, d)] = (-neg_s, lex.get((q, d)),
                                 dense.get((q, d)), rank)
     assert got == expected
+
+
+def test_hybrid_knn_graph_from_index_fusion_and_refresh(spark, tmp_path):
+    """The index-served corpus-scale hybrid graph (r12): (a) it IS the
+    RRF fusion of its two index-served component rank tables (same
+    recompute contract as the in-memory twin), and (b) query_ids
+    restricts both sides — the arrivals-only refresh returns exactly
+    the full run's rows for those query ids."""
+    import collections
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_more_like_this_from_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bp, ip = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    write_bm25_index(docs, bp)
+    write_ivfpq_index(emb, ip, k_cells=8, m=8, n_centroids=16, iters=2,
+                      coarse_iters=2)
+
+    kw = dict(k_each=10, rrf_k=60, m_terms=6, max_df_ratio=0.25, n_probe=4)
+    full = hybrid_knn_graph_from_index(spark, bp, ip, emb, k=5, **kw)
+    got = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in full.collect()
+    }
+    assert got
+
+    # (a) recompute the fusion from the two index-served rank tables
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in bm25_more_like_this_from_index(
+            spark, bp, k=10, m_terms=6, max_df_ratio=0.25
+        ).collect()
+    }
+    from pyspark.sql import Window as W  # noqa: F401
+
+    draw = ivfpq_probe_topk(spark, ip, emb, k=11, n_probe=4).collect()
+    by_q = collections.defaultdict(list)
+    for r in draw:
+        if r.neighbor_id != r.query_id:
+            by_q[r.query_id].append((r.rank, r.neighbor_id))
+    dense = {}
+    for q, lst in by_q.items():
+        for i, (_rk, d) in enumerate(sorted(lst)[:10], start=1):
+            dense[(q, d)] = i
+    scores = collections.defaultdict(float)
+    for (q, d), rk in lex.items():
+        scores[(q, d)] += 1.0 / (60 + rk)
+    for (q, d), rk in dense.items():
+        scores[(q, d)] += 1.0 / (60 + rk)
+    per_q = collections.defaultdict(list)
+    for (q, d), sc in scores.items():
+        per_q[q].append((-sc, d))
+    expected = {}
+    for q, lst in per_q.items():
+        for rank, (neg_s, d) in enumerate(sorted(lst)[:5], start=1):
+            expected[(q, d)] = (-neg_s, lex.get((q, d)),
+                                dense.get((q, d)), rank)
+    assert got == expected
+
+    # (b) the arrivals-only refresh: restricted == full, filtered
+    some_ids = sorted({q for q, _d in got})[:7]
+    restricted = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in hybrid_knn_graph_from_index(
+            spark, bp, ip, emb, k=5, query_ids=some_ids, **kw
+        ).collect()
+    }
+    assert restricted == {
+        kd: v for kd, v in got.items() if kd[0] in set(some_ids)
+    }
