@@ -122,18 +122,46 @@ class Lake:
         self.fs.create_dir(path, recursive=True)
 
     def rmtree(self, path: str) -> None:
-        """Recursive delete, silent on a missing path (shutil.rmtree
-        ignore_errors=True, the maintenance-plane idiom)."""
+        """Recursive delete, silent ONLY on a missing path (the
+        shutil.rmtree ignore_errors idiom, narrowed: on an object
+        store a transient network failure must NOT be mistaken for
+        'already gone' — e.g. a vacuum that silently skips a retired
+        generation, or a forget_pending marker that silently
+        survives). Other errors propagate."""
         try:
             self.fs.delete_dir(path)
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             pass
+        except OSError:
+            if self._missing(path):
+                return
+            raise
 
     def rmfile(self, path: str) -> None:
+        """Delete one object, silent ONLY on a missing path — same
+        narrowed contract as ``rmtree``."""
         try:
             self.fs.delete_file(path)
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             pass
+        except OSError:
+            if self._missing(path):
+                return
+            raise
+
+    def _missing(self, path: str) -> bool:
+        """True iff the store positively reports the path absent —
+        used to distinguish not-found (ignorable) from a transient
+        failure (must propagate) when a delete raises a bare OSError
+        (some pyarrow filesystems do not subclass FileNotFoundError)."""
+        from pyarrow import fs as pafs
+
+        try:
+            return (
+                self.fs.get_file_info(path).type == pafs.FileType.NotFound
+            )
+        except OSError:
+            return False
 
     def move(self, src: str, dst: str) -> None:
         """Atomic rename. Refuses loudly on a filesystem without one —

@@ -315,11 +315,11 @@ def swap_publish(path: str, build: str) -> None:
     from .lakefs import for_path
 
     lake, p = for_path(path)
-    _, b = for_path(build)[1], build
+    build_p = for_path(build)[1]
     retired = f"{p}.retired"
     lake.rmtree(retired)
     lake.move(p, retired)
-    lake.move(for_path(build)[1], p)
+    lake.move(build_p, p)
     lake.rmtree(retired)
 
 

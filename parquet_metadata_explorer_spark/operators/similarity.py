@@ -373,6 +373,13 @@ def hybrid_knn_graph_from_index(
 
     from .text import bm25_more_like_this_from_index
 
+    if query_ids is not None and not isinstance(query_ids, DataFrame):
+        # materialize ONCE: both retrievers iterate query_ids, and a
+        # one-shot generator would leave the second pass empty —
+        # silently dropping the dense side of every arrival
+        query_ids = spark.createDataFrame(
+            [(int(i),) for i in query_ids], ["doc_id"]
+        )
     lex = (
         bm25_more_like_this_from_index(
             spark,
@@ -387,10 +394,6 @@ def hybrid_knn_graph_from_index(
     )
     qvecs = embeddings.select("vec_id", "embedding")
     if query_ids is not None:
-        if not isinstance(query_ids, DataFrame):
-            query_ids = spark.createDataFrame(
-                [(i,) for i in query_ids], ["doc_id"]
-            )
         qvecs = qvecs.join(
             F.broadcast(
                 query_ids.select(F.col("doc_id").alias("vec_id")).distinct()
@@ -1869,6 +1872,15 @@ def write_ivfpq_index(
         )
         publish_generation(path, build)
         return
+    if pointer_layout(path):
+        # a flat build here would land next to CURRENT and leave it
+        # aimed at the old generation — every subsequent open would
+        # silently serve stale data; fail loudly instead
+        raise ValueError(
+            f"layout='flat' requested on a pointer-layout index at "
+            f"{path!r}: rebuild with layout='pointer' (publishes a new "
+            "generation) or remove CURRENT and the gen-* dirs first"
+        )
     _write_ivfpq_into(
         embeddings, path, k_cells, m, n_centroids, iters, coarse_iters
     )

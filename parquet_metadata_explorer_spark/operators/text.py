@@ -1370,6 +1370,15 @@ def write_bm25_index(
         _write_bm25_into(documents, build, n_buckets)
         publish_generation(path, build)
         return
+    if pointer_layout(path):
+        # a flat build here would land next to CURRENT and leave it
+        # aimed at the old generation — every subsequent open would
+        # silently serve stale data; fail loudly instead
+        raise ValueError(
+            f"layout='flat' requested on a pointer-layout index at "
+            f"{path!r}: rebuild with layout='pointer' (publishes a new "
+            "generation) or remove CURRENT and the gen-* dirs first"
+        )
     _write_bm25_into(documents, path, n_buckets)
 
 
@@ -1906,9 +1915,11 @@ def bm25_index_snapshot(path: str) -> dict:
     internally consistent on a moving index). Pins are a tiny
     serializable dict ``{generation, batches}`` — store it WHOLE with
     the eval artifact (the generation token is what detects
-    compaction/rebuild, which REUSES batch ids; a bare batch list is
-    accepted but unchecked). Pinned probes RAISE after maintenance
-    instead of serving a partial or aliased state."""
+    compaction/rebuild, which REUSES batch ids; ``resolve_snapshot``
+    REJECTS a bare batch list — skipping the generation check takes
+    the explicit ``{'batches': ..., 'unchecked': True}`` opt-in).
+    Pinned probes RAISE after maintenance instead of serving a
+    partial or aliased state."""
     from .segments import (
         read_generation,
         recover_retired,
