@@ -14,6 +14,13 @@ load, sometimes inflating an entire best-of-2 pair). All raw runs are
 recorded in the "runs" key for inspection. Timings include full
 action execution (count) but not session startup; the cache is cleared
 between runs so persisted intermediates never carry over.
+
+A constant-work no-I/O calibration probe runs before and after the set
+and its timings are recorded under "calibration" (r12 verdict #4): the
+probe's cost moves only with ambient machine load, so a consumer can
+normalize one window's capture against another's, and if the probe
+drifts >1.3x across the set the harness runs one bounded retry pass
+(min-merged) so a mid-set throttle burst doesn't stand as the record.
 """
 
 from __future__ import annotations
@@ -75,6 +82,8 @@ def main() -> None:
         # biggest corpus-scale operators is recorded per-round
         "bm25_more_like_this",
         "bm25_index_fsck",
+        # r13: the second index's fsck seat (r12 verdict #3)
+        "ivfpq_index_verify",
         "text_heavyhitters",
         "text_chunks",
         "quality_classifier",
@@ -131,28 +140,53 @@ def main() -> None:
         .count()
     )
 
+    def _calibrate() -> float:
+        """Constant-work, no-I/O probe (whole-stage-codegen aggregate
+        over an in-memory range): its runtime moves only with ambient
+        machine load, never with this repo's code, so before/after
+        samples let any consumer normalize this window's numbers
+        against another window's (r12 verdict #4 — two rounds of
+        driver captures landed in throttled windows and the quiet
+        record then had to explain the gap). Median of 3 — robust to
+        a single scheduler hiccup."""
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            spark.range(0, 800_000_000, 1, int(cpus)).selectExpr(
+                "count(if(pmod(id, 9) = 0, id, null)) AS n"
+            ).collect()
+            samples.append(time.monotonic() - t0)
+        return round(sorted(samples)[1], 3)
+
+    calib_before = _calibrate()
+    print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in headline:
+
+    def _time_query(name: str) -> int:
         fn = queries[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        runs[name].append(round(time.monotonic() - t0, 3))
+        # operators persist reusable intermediates; drop them between
+        # runs/queries so measurements are independent
+        spark.catalog.clearCache()
+        return n
+
+    for name in headline:
         runs[name] = []
         if name == "ann_ivfpq_probe":
             # serve-latency row: pre-build the per-sf cached index once,
             # untimed, so all three timed runs probe from disk (the
             # separate ann_ivfpq_build row times the build)
-            fn(spark, sf_dir).count()
+            queries[name](spark, sf_dir).count()
             spark.catalog.clearCache()
         # best-of-3 since r5: the container's throttle bursts were observed
         # inflating BOTH runs of a best-of-2 pair (isolated re-runs settle
         # at the steady-state number on the 2nd-3rd attempt; BASELINE.md)
         for _ in range(3):
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs[name].append(round(time.monotonic() - t0, 3))
-            # operators persist reusable intermediates; drop them between
-            # runs/queries so measurements are independent
-            spark.catalog.clearCache()
+            n = _time_query(name)
         timings[name] = min(runs[name])
         print(f"# {name}: {timings[name]:.3f}s best of {runs[name]} ({n} rows)", file=sys.stderr)
 
@@ -189,9 +223,12 @@ def main() -> None:
     )
 
     # hybrid_knn_graph row (r12): the corpus-sized hybrid related-items
-    # fusion (MoreLikeThis + LSH kNN graph under RRF) — not a queries()
-    # entry (its fusion exactness is pytest-recomputed from the two
-    # component rank tables), so it gets its own timed block here.
+    # fusion (MoreLikeThis + LSH kNN graph under RRF) at the HEAVY
+    # operating point (k=10, k_each=20). Since r13 the operator is also
+    # an oracled queries() entry, but at board parameters (k_each=5,
+    # chosen so its oracle's dense CTE layer reproduces knn_graph's
+    # boarded chain verbatim); this block keeps the r12 row's operating
+    # point so the bench series stays comparable round-over-round.
     docs = entrymod._table(spark, sf_dir, "documents")
     runs["hybrid_knn_graph"] = []
     for _ in range(3):
@@ -206,6 +243,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    calib_after = _calibrate()
+    print(f"# calibration after: {calib_after:.3f}s", file=sys.stderr)
+    drift = round(
+        max(calib_before, calib_after)
+        / max(min(calib_before, calib_after), 1e-9),
+        3,
+    )
+    calibration = {
+        "probe": "range-800M-pmod-count (constant work, no I/O)",
+        "before_sec": calib_before,
+        "after_sec": calib_after,
+        "drift_ratio": drift,
+        "retried": False,
+    }
+    if drift > 1.3:
+        # the window's load shifted mid-set: one bounded retry pass
+        # (single run per headline query, min-merged) lets queries that
+        # landed in the loaded stretch recover their steady-state best;
+        # the custom build rows keep their best-of-3 (a retry would
+        # double the most expensive block for the least throttle-prone
+        # measurements — training is long enough to average bursts out)
+        calibration["retried"] = True
+        print(
+            f"# calibration drift {drift}x > 1.3 — one retry pass",
+            file=sys.stderr,
+        )
+        for name in headline:
+            _time_query(name)
+            timings[name] = min(runs[name])
+        calibration["final_sec"] = _calibrate()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
@@ -214,6 +282,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": calibration,
     }
     # full detail (raw runs) to a file the tail capture can't truncate
     try:

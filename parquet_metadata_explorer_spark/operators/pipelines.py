@@ -1124,6 +1124,217 @@ def stream_prepare_corpus(
     )
 
 
+def stream_related_items(
+    spark,
+    docs_path: str,
+    bm25_index_path: str,
+    ivfpq_index_path: str,
+    out_dir: str,
+    base_embeddings: DataFrame = None,
+    refresh: str = "arrivals",
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    n_probe: int = 4,
+    rerank: int = 0,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str = None,
+):
+    """The related-items refresh as an actual Structured Streaming job
+    (r12 verdict #8 — the streaming twin of the arrivals-only refresh):
+    hybrid-corpus arrivals land as files carrying (doc_id, text,
+    embedding); each micro-batch CDC-increments BOTH serving indexes,
+    snapshot-pins the just-committed state, and recomputes neighbor
+    lists through ``hybrid_knn_graph_from_index`` — for exactly the
+    arrivals (``refresh="arrivals"``, the arrivals-priced default whose
+    cost curve tools/refresh_curve_probe.py measured flat in corpus
+    size) or for every committed document (``refresh="all"``, the
+    corpus-priced mode whose accumulated output IS the batch graph on
+    the union). Results land in ``out_dir/graph/batch=<id>``; read the
+    CURRENT graph with ``read_related_items`` (latest batch per
+    query_id).
+
+    Semantics of ``"arrivals"`` stated honestly: each arrival's row is
+    the full graph AS OF its own micro-batch's committed corpus
+    (pytest-asserted bit-exact via the snapshot pins); EARLIER
+    documents' rows are not rewritten when later arrivals would enter
+    their top-k — the standard production trade (arrivals get fresh
+    lists immediately; the backlog refreshes on the compaction cadence
+    or with one ``refresh="all"`` pass). ``"all"`` closes that gap at
+    corpus-per-batch price.
+
+    Established twin discipline throughout: ``persist_scope`` releases
+    the per-batch intermediates (a 24/7 stream must not pin one per
+    micro-batch); replays are idempotent (index increments are
+    batch-id no-ops once committed, sidecar/graph writes overwrite
+    their own partition, the COMMITTED marker flips last); and the
+    LINEAGE token guards both the output state AND the indexes — batch
+    ids are only meaningful within one checkpoint, so a fresh
+    checkpoint pointed at already-streamed state raises instead of
+    silently no-op'ing increments whose file-to-batch grouping may
+    differ. ``base_embeddings`` supplies the pre-stream corpus's
+    vectors (needed by ``refresh="all"`` and by ``rerank>0``, whose
+    exact rescoring reads raw vectors); arrival vectors accumulate in
+    ``out_dir/embeddings/batch=<id>``."""
+    import os
+    import uuid
+
+    from .segments import resolve_index_root, segment_commits
+    from .similarity import (
+        hybrid_knn_graph_from_index,
+        ivfpq_index_increment,
+        ivfpq_index_snapshot,
+    )
+    from .text import (
+        bm25_index_increment,
+        bm25_index_snapshot,
+    )
+
+    if refresh not in ("arrivals", "all"):
+        raise ValueError(
+            f"Invalid refresh: {refresh!r} (one of arrivals, all)"
+        )
+    ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
+    token_path = os.path.join(ckpt, "LINEAGE")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = f.read().strip()
+    else:
+        os.makedirs(ckpt, exist_ok=True)
+        token = uuid.uuid4().hex
+        with open(token_path, "w") as f:
+            f.write(token)
+
+    from .lakefs import Lake
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(docs_path)
+    )
+
+    def handle(batch_df, batch_id):
+        lake, od = Lake.for_path(out_dir)
+        committed_f, lineage_f = f"{od}/_STATE/COMMITTED", f"{od}/_STATE/LINEAGE"
+        if lake.exists(committed_f):
+            lin = (
+                lake.read_text(lineage_f).strip()
+                if lake.exists(lineage_f)
+                else None
+            )
+            if lin is not None and lin != token:
+                raise ValueError(
+                    "stream_related_items: out_dir has batches committed "
+                    f"by a different checkpoint lineage ({lin!r} != "
+                    f"{token!r}). batch_id is only meaningful within one "
+                    "checkpoint — reset out_dir, both indexes' streamed "
+                    "batches, and checkpoint_dir together."
+                )
+            if batch_id <= int(lake.read_text(committed_f).strip()):
+                return  # replay of an already-committed micro-batch
+        else:
+            # first commit of THIS lineage: the indexes must not already
+            # hold another lineage's streamed batches — their s<N> ids
+            # would make this stream's increments silent no-ops over
+            # DIFFERENT documents (file-to-batch grouping is lineage-
+            # specific)
+            for p, what in (
+                (bm25_index_path, "BM25 index"),
+                (ivfpq_index_path, "IVF-PQ index"),
+            ):
+                stale = [
+                    b
+                    for b in segment_commits(resolve_index_root(p), what)
+                    if b.startswith("s") and b[1:].isdigit()
+                ]
+                if stale:
+                    raise ValueError(
+                        f"stream_related_items: {what} at {p!r} already "
+                        f"holds streamed batches {sorted(stale)} from "
+                        "another run — compact it (folds them into base) "
+                        "or rebuild before starting a fresh checkpoint."
+                    )
+        from ..cache import persist_scope
+
+        with persist_scope():
+            arrivals = batch_df.select("doc_id", "text")
+            arr_emb = batch_df.select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            )
+            bm25_index_increment(
+                arrivals, bm25_index_path, batch_id=f"s{batch_id}"
+            )
+            ivfpq_index_increment(
+                arr_emb, ivfpq_index_path, batch_id=f"s{batch_id}"
+            )
+            arr_emb.write.mode("overwrite").parquet(
+                f"{out_dir}/embeddings/batch={batch_id}"
+            )
+            qvecs = spark.read.parquet(f"{out_dir}/embeddings")
+            qvecs = qvecs.select("vec_id", "embedding")
+            if base_embeddings is not None:
+                qvecs = base_embeddings.select(
+                    "vec_id", "embedding"
+                ).unionByName(qvecs)
+            query_ids = None
+            if refresh == "arrivals":
+                query_ids = arr_emb.select(
+                    F.col("vec_id").alias("doc_id")
+                )
+            graph = hybrid_knn_graph_from_index(
+                spark,
+                bm25_index_path,
+                ivfpq_index_path,
+                qvecs,
+                k=k,
+                k_each=k_each,
+                rrf_k=rrf_k,
+                m_terms=m_terms,
+                max_df_ratio=max_df_ratio,
+                n_probe=n_probe,
+                rerank=rerank,
+                query_ids=query_ids,
+                # pin the refresh to the state THIS batch just committed:
+                # a racing maintenance publish cannot shift rows under it
+                bm25_snapshot=bm25_index_snapshot(bm25_index_path),
+                ivfpq_snapshot=ivfpq_index_snapshot(ivfpq_index_path),
+            )
+            graph.write.mode("overwrite").parquet(
+                f"{out_dir}/graph/batch={batch_id}"
+            )
+        lake.mkdirs(f"{od}/_STATE")
+        if not lake.exists(lineage_f):
+            lake.write_text(lineage_f, token)
+        lake.write_text(committed_f, str(batch_id))  # commit marker LAST
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def read_related_items(spark, out_dir: str) -> DataFrame:
+    """The CURRENT related-items graph from a ``stream_related_items``
+    output dir: latest batch's row set per query_id (under
+    ``refresh="arrivals"`` each query_id appears in exactly one batch —
+    CDC adds only — so this is a plain union; under ``refresh="all"``
+    every batch rewrites every id and the window keeps the newest)."""
+    from pyspark.sql import Window
+
+    g = spark.read.parquet(f"{out_dir}/graph")
+    w = Window.partitionBy("query_id")
+    return (
+        g.withColumn("_mb", F.max("batch").over(w))
+        .filter(F.col("batch") == F.col("_mb"))
+        .drop("_mb", "batch")
+    )
+
+
 RETRIEVAL_STAGE_ORDER = (
     "input",
     "after_quality",

@@ -3090,13 +3090,18 @@ def test_hybrid_knn_graph_from_index_fusion_and_refresh(spark, tmp_path):
                                 dense.get((q, d)), rank)
     assert got == expected
 
-    # (b) the arrivals-only refresh: restricted == full, filtered
+    # (b) the arrivals-only refresh: restricted == full, filtered.
+    # query_ids is passed as a ONE-SHOT iterator on purpose (r12
+    # ADVICE): both retrievers consume it, and without the up-front
+    # materialization the dense side would see it already exhausted
+    # and silently drop every arrival's dense ranks — the equality
+    # below (which includes dense_rank) is the regression.
     some_ids = sorted({q for q, _d in got})[:7]
     restricted = {
         (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
                                  r.rank)
         for r in hybrid_knn_graph_from_index(
-            spark, bp, ip, emb, k=5, query_ids=some_ids, **kw
+            spark, bp, ip, emb, k=5, query_ids=iter(some_ids), **kw
         ).collect()
     }
     assert restricted == {

@@ -128,19 +128,21 @@ def test_client_proof_gate_catches_the_r10_red():
 
 
 def test_all_queries_have_entries():
-    # every query has an oracle except TWO deliberate rows-only entries:
-    # the approx-percentile scale twin (Spark's Greenwald-Khanna sketch
-    # has no bit-identical DuckDB twin; rank-error bound asserted in
-    # tests/test_streaming.py) and the r12 index-fsck seat (its report
-    # derives from index artifacts written to scratch space, invisible
+    # every query has an oracle except THREE deliberate rows-only
+    # entries: the approx-percentile scale twin (Spark's
+    # Greenwald-Khanna sketch has no bit-identical DuckDB twin;
+    # rank-error bound asserted in tests/test_streaming.py) and the
+    # two index-fsck seats (r12 BM25, r13 IVF-PQ — their reports
+    # derive from index artifacts written to scratch space, invisible
     # to the oracle harness's pre-registered testdata views; exactness
-    # evidence is test_fsck.py's 15-class planted-corruption matrix).
+    # evidence is test_fsck.py's planted-corruption matrix).
     # The bloom row gained a relational twin in r8 (deterministic hash
     # + bit-set join) and the dhash row a hex-nibble byte replay — both
     # fully oracled now.
     assert set(QUERIES) - set(ORACLES) == {
         "events_percentiles_approx",
         "bm25_index_fsck",
+        "ivfpq_index_verify",
     }
 
 

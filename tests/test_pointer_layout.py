@@ -351,3 +351,43 @@ def test_pointer_edge_guards(spark, tmp_path):
     write_bm25_index(docs, flat)  # flat layout
     assert vacuum_generations(flat) == 0
     assert bm25_probe_topk(spark, flat, [(1, "fast hash join")], k=5).count() == 5
+
+
+def test_flat_rebuild_on_pointer_layout_refuses(spark, tmp_path):
+    """layout='flat' on a path that is already pointer-layout must
+    RAISE (r12 ADVICE): the flat build would land next to CURRENT and
+    leave it aimed at the old generation, so every subsequent open
+    would silently serve the stale generation. Both index writers
+    share the guard; the pre-existing index stays serveable after the
+    refused call, and layout='auto' still rebuilds correctly."""
+    from pyspark.sql import functions as F
+
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_probe_topk,
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    bp = str(tmp_path / "bm25")
+    write_bm25_index(docs, bp, layout="pointer")
+    with pytest.raises(ValueError, match="pointer-layout"):
+        write_bm25_index(docs, bp, layout="flat")
+    # the refused call must not have disturbed the live generation
+    assert bm25_probe_topk(spark, bp, [(1, "fast hash join")], k=5).count() == 5
+    write_bm25_index(docs, bp, layout="auto")  # rebuild = new generation
+    assert bm25_probe_topk(spark, bp, [(1, "fast hash join")], k=5).count() == 5
+
+    ip = str(tmp_path / "ann")
+    write_ivfpq_index(emb, ip, k_cells=8, m=8, n_centroids=16, iters=2,
+                      coarse_iters=2, layout="pointer")
+    with pytest.raises(ValueError, match="pointer-layout"):
+        write_ivfpq_index(emb, ip, k_cells=8, m=8, n_centroids=16, iters=2,
+                          coarse_iters=2, layout="flat")
+    q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    assert ivfpq_probe_topk(spark, ip, q, k=5, n_probe=4).count() == 15

@@ -1,0 +1,164 @@
+"""Streaming twin of the arrivals-only related-items refresh (r12
+verdict #8): a foreachBatch handler that CDC-increments BOTH serving
+indexes per micro-batch and recomputes neighbor lists through the
+snapshot-pinned index-served hybrid graph.
+
+Contracts pinned here:
+- refresh="all": after 3 micro-batches the accumulated graph IS the
+  batch graph on the union — ``read_related_items(out_dir)`` equals
+  ``hybrid_knn_graph_from_index`` over the same streamed indexes with
+  every committed document querying.
+- refresh="arrivals": each micro-batch's stored rows are BIT-equal to
+  the full operator run AS OF that batch's committed corpus, replayed
+  post-hoc through snapshot pins {generation, batches ≤ i} — the
+  as-of exactness the arrivals-priced mode actually promises (earlier
+  documents' rows are deliberately not rewritten; refresh="all" or
+  the compaction cadence closes that gap).
+- replay safety: a second processAllAvailable is a no-op, and a FRESH
+  checkpoint pointed at indexes that already hold streamed batches
+  raises instead of silently no-op'ing increments.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _arrivals_layout(spark, tmp_path):
+    """base (doc_id%5<=1) + three arrival FILES (%5 == 2,3,4), each
+    carrying (doc_id, text, embedding) — a hybrid-corpus CDC feed."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    base = joined.filter(F.col("doc_id") % 5 <= 1)
+    flat = str(tmp_path / "arrivals")
+    os.makedirs(flat)
+    for i, m in enumerate((2, 3, 4)):
+        d = str(tmp_path / f"stage{i}")
+        joined.filter(F.col("doc_id") % 5 == m).coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(f"{d}/part-*.parquet")[0], f"{flat}/{i:03d}.parquet"
+        )
+    return base, joined, flat
+
+
+def _build_indexes(base, tmp_path, tag):
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        write_ivfpq_index,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        write_bm25_index,
+    )
+
+    bp = str(tmp_path / f"bm25_{tag}")
+    ip = str(tmp_path / f"ann_{tag}")
+    write_bm25_index(base.select("doc_id", "text"), bp)
+    write_ivfpq_index(
+        base.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        ip, k_cells=8, m=8, n_centroids=16, iters=2, coarse_iters=2,
+    )
+    return bp, ip
+
+
+KW = dict(k=5, k_each=10, m_terms=6, max_df_ratio=0.25, n_probe=4)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_related_items_all_equals_union_batch_graph(
+    spark, tmp_path
+):
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        read_related_items,
+        stream_related_items,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+    )
+
+    base, joined, flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(base, tmp_path, "all")
+    out = str(tmp_path / "out_all")
+    base_emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    q = stream_related_items(
+        spark, flat, bp, ip, out,
+        base_embeddings=base_emb, refresh="all", **KW,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    union_emb = joined.select(F.col("doc_id").alias("vec_id"), "embedding")
+    expected = hybrid_knn_graph_from_index(spark, bp, ip, union_emb, **KW)
+    assert _rows(read_related_items(spark, out)) == _rows(expected)
+
+
+def test_stream_related_items_arrivals_asof_and_replay(spark, tmp_path):
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        stream_related_items,
+    )
+    from parquet_metadata_explorer_spark.operators.segments import (
+        read_generation,
+        resolve_index_root,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+    )
+
+    base, joined, flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(base, tmp_path, "arr")
+    out = str(tmp_path / "out_arr")
+    base_emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    q = stream_related_items(
+        spark, flat, bp, ip, out,
+        base_embeddings=base_emb, refresh="arrivals", **KW,
+    )
+    q.processAllAvailable()
+    # replay safety: nothing new arrives, nothing changes
+    before = _rows(spark.read.parquet(f"{out}/graph"))
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(spark.read.parquet(f"{out}/graph")) == before
+
+    # as-of exactness per micro-batch, replayed through snapshot pins
+    union_emb = joined.select(F.col("doc_id").alias("vec_id"), "embedding")
+    bm25_gen = read_generation(resolve_index_root(bp))
+    ivf_gen = read_generation(resolve_index_root(ip))
+    for i, m in enumerate((2, 3, 4)):
+        stored = spark.read.parquet(f"{out}/graph/batch={i}")
+        batches = ["base"] + [f"s{j}" for j in range(i + 1)]
+        ids = joined.filter(F.col("doc_id") % 5 == m).select("doc_id")
+        asof = hybrid_knn_graph_from_index(
+            spark, bp, ip, union_emb,
+            query_ids=ids,
+            bm25_snapshot={"generation": bm25_gen, "batches": batches},
+            ivfpq_snapshot={"generation": ivf_gen, "batches": batches},
+            **KW,
+        )
+        assert _rows(stored) == _rows(asof), f"batch {i} as-of mismatch"
+
+    # fresh checkpoint against already-streamed indexes must refuse
+    # (the guard raises inside foreachBatch, so it surfaces either from
+    # processAllAvailable or as the query's stored exception)
+    q2 = stream_related_items(
+        spark, flat, bp, ip, str(tmp_path / "out2"),
+        base_embeddings=base_emb, refresh="arrivals", **KW,
+    )
+    try:
+        with pytest.raises(Exception, match="already holds streamed batches"):
+            q2.processAllAvailable()
+            exc = q2.exception()
+            assert exc is not None, "fresh-lineage stream did not fail"
+            raise exc
+    finally:
+        q2.stop()
