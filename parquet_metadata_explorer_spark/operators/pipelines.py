@@ -1236,6 +1236,19 @@ def stream_related_items(
                 )
             if batch_id <= int(lake.read_text(committed_f).strip()):
                 return  # replay of an already-committed micro-batch
+        elif lake.exists(lineage_f):
+            # a crash landed between the first batch's increments and
+            # its COMMITTED marker: the lineage token (written BEFORE
+            # any increment, below) proves the indexes' s<N> batches
+            # are OURS — fall through and replay idempotently
+            lin = lake.read_text(lineage_f).strip()
+            if lin != token:
+                raise ValueError(
+                    "stream_related_items: out_dir was initialized by a "
+                    f"different checkpoint lineage ({lin!r} != {token!r})"
+                    " — reset out_dir, both indexes' streamed batches, "
+                    "and checkpoint_dir together."
+                )
         else:
             # first commit of THIS lineage: the indexes must not already
             # hold another lineage's streamed batches — their s<N> ids
@@ -1258,6 +1271,11 @@ def stream_related_items(
                         "another run — compact it (folds them into base) "
                         "or rebuild before starting a fresh checkpoint."
                     )
+            # claim the lineage BEFORE the first increment, so a crash
+            # anywhere before the COMMITTED marker replays as OUR
+            # lineage instead of refusing our own s<N> batches as stale
+            lake.mkdirs(f"{od}/_STATE")
+            lake.write_text(lineage_f, token)
         from ..cache import persist_scope
 
         with persist_scope():
@@ -1306,9 +1324,6 @@ def stream_related_items(
             graph.write.mode("overwrite").parquet(
                 f"{out_dir}/graph/batch={batch_id}"
             )
-        lake.mkdirs(f"{od}/_STATE")
-        if not lake.exists(lineage_f):
-            lake.write_text(lineage_f, token)
         lake.write_text(committed_f, str(batch_id))  # commit marker LAST
 
     return (

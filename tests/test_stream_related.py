@@ -147,6 +147,31 @@ def test_stream_related_items_arrivals_asof_and_replay(spark, tmp_path):
         )
         assert _rows(stored) == _rows(asof), f"batch {i} as-of mismatch"
 
+    # crash window: LINEAGE claimed + s<N> batches committed in the
+    # indexes but NO COMMITTED marker (a crash between a batch's
+    # increments and its marker). Simulated by erasing the marker AND
+    # the checkpoint's last commit entry so Spark redelivers batch 2 —
+    # the restart must replay idempotently through the lineage-claimed
+    # path, never refuse its own s<N> batches as another run's.
+    os.remove(f"{out}/_STATE/COMMITTED")
+    os.remove(f"{out}/_checkpoint/commits/2")
+    # Hadoop's checksum FS shadows every commit file with a .crc — the
+    # replayed commit's rename refuses if the stale one survives
+    crc = f"{out}/_checkpoint/commits/.2.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    q3 = stream_related_items(
+        spark, flat, bp, ip, out,
+        base_embeddings=base_emb, refresh="arrivals", **KW,
+    )
+    q3.processAllAvailable()
+    exc = q3.exception()
+    q3.stop()
+    assert exc is None, f"crash-replay refused its own lineage: {exc}"
+    assert _rows(spark.read.parquet(f"{out}/graph")) == before
+    with open(f"{out}/_STATE/COMMITTED") as f:
+        assert f.read().strip() == "2"  # the replayed marker re-landed
+
     # fresh checkpoint against already-streamed indexes must refuse
     # (the guard raises inside foreachBatch, so it surfaces either from
     # processAllAvailable or as the query's stored exception)
