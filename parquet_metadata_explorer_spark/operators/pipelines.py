@@ -1333,6 +1333,207 @@ def stream_related_items(
     )
 
 
+def related_items_takedown(
+    spark,
+    out_dir: str,
+    bm25_index_path: str,
+    ivfpq_index_path: str,
+    doc_ids,
+    embeddings: DataFrame,
+    batch_id: str = None,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    m_terms: int = 8,
+    max_df_ratio: float = 0.25,
+    n_probe: int = 4,
+    rerank: int = 0,
+) -> dict:
+    """Right-to-be-forgotten for the DERIVED serving artifact: a
+    takedown that tombstones both indexes is not finished while the
+    materialized related-items graph still stores the doomed documents
+    as neighbors (their ids — and, in the embeddings sidecar, their
+    vectors — are personal data at rest). This erases them at
+    affected-partition price, the ``forget_documents`` discipline
+    applied to ``stream_related_items``' output:
+
+    1. tombstone-delete the doomed ids from BOTH indexes (the standing
+       index-side takedown);
+    2. find the AFFECTED queries — those whose stored top-k references
+       a doomed doc (their lists have holes) — straight from the graph
+       artifact, one column-pruned scan;
+    3. re-retrieve exactly the affected queries against the
+       post-delete indexes and rewrite ONLY the partitions holding
+       doomed or affected rows: doomed queries' own rows drop, stale
+       rows are replaced IN PLACE in each query's latest partition (no
+       new partition, so ``read_related_items``' latest-batch
+       resolution and a later-resumed stream are undisturbed);
+    4. scrub the doomed vectors from the embeddings sidecar the same
+       per-partition way.
+
+    Erasure is EXACT: after the call no doomed id or vector exists
+    anywhere under ``out_dir`` (pytest scans every surviving row).
+    Freshness is exact for every refreshed query; untouched queries
+    keep their stored rows, which is exact on the dense side (ADC
+    distances are per-vector) and exact on the lexical side up to the
+    global BM25 statistics shift every delete causes (df/N/avgdl move
+    for EVERYONE, so only a full re-run could chase it; the documented
+    convergence point is the next refresh cadence or compaction —
+    the same bounded-staleness trade the arrivals-only stream makes).
+
+    Run from the maintenance owner with the stream QUIESCED (the
+    single-maintenance-owner discipline); the per-partition publish is
+    the rename swap, so the graph sink shares ``forget_documents``'
+    rename-capable requirement (on object stores, rewrite the artifact
+    generation behind a CURRENT pointer instead). Crash-safe the same
+    way: ``.retired`` partitions heal on the next call, stale builds
+    are cleared, and a retry finds only what is still present.
+    ``embeddings`` supplies the query vectors for the refresh (doomed
+    rows in it are never read). Returns per-surface erasure counts."""
+    import os
+
+    from .lakefs import for_path
+    from .similarity import (
+        hybrid_knn_graph_from_index,
+        ivfpq_index_delete,
+    )
+    from .text import bm25_index_delete
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id").distinct()
+    else:
+        rows = [(int(i),) for i in doc_ids]
+        if not rows:
+            return {"bm25": 0, "ivfpq": 0, "graph_rows_erased": 0,
+                    "queries_refreshed": 0, "sidecar_vectors_erased": 0}
+        ids = spark.createDataFrame(rows, ["doc_id"]).distinct()
+    ids = ids.persist()
+    lake, od = for_path(out_dir)
+    out = {}
+    try:
+        # heal crashed swaps / clear crashed builds BEFORE anything else
+        for sub in ("graph", "embeddings"):
+            base = f"{od}/{sub}"
+            if not lake.isdir(base):
+                continue
+            for name in lake.listdir(base):
+                if name.startswith("batch=") and name.endswith(".retired"):
+                    live = name[: -len(".retired")]
+                    if lake.exists(f"{base}/{live}"):
+                        lake.rmtree(f"{base}/{name}")
+                    else:
+                        lake.move(f"{base}/{name}", f"{base}/{live}")
+                elif name.startswith(".takedown-"):
+                    lake.rmtree(f"{base}/{name}")
+
+        out["bm25"] = bm25_index_delete(
+            spark, bm25_index_path, ids,
+            batch_id=batch_id and f"{batch_id}-bm25",
+        )
+        out["ivfpq"] = ivfpq_index_delete(
+            spark, ivfpq_index_path,
+            ids.select(F.col("doc_id").alias("vec_id")),
+            batch_id=batch_id and f"{batch_id}-ivfpq",
+        )
+
+        def _scrub(sub, df, doomed_rows, drop_keys, key, fresh=None):
+            """Rewrite only the partitions holding doomed rows: drop
+            rows keyed in ``drop_keys``, union ``fresh`` replacements,
+            publish with the per-partition rename swap."""
+            affected_batches = sorted(
+                r.batch
+                for r in doomed_rows.select("batch").distinct().collect()
+            )
+            if not affected_batches:
+                return 0
+            build = f"{out_dir}/{sub}/.takedown-{os.getpid()}"
+            rewritten = df.filter(
+                F.col("batch").isin(affected_batches)
+            ).join(drop_keys, key, "left_anti")
+            if fresh is not None:
+                rewritten = rewritten.unionByName(fresh)
+            rewritten.write.mode("overwrite").partitionBy("batch").parquet(
+                build
+            )
+            bd = for_path(build)[1]
+            base = f"{od}/{sub}"
+            for b in affected_batches:
+                live = f"{base}/batch={b}"
+                freshp = f"{bd}/batch={b}"
+                retired = f"{live}.retired"
+                lake.move(live, retired)
+                if lake.isdir(freshp):
+                    lake.move(freshp, live)
+                lake.rmtree(retired)
+            lake.rmtree(bd)
+            return len(affected_batches)
+
+        g = spark.read.parquet(f"{out_dir}/graph")
+        doomed_rows = g.join(
+            ids, (g.query_id == ids.doc_id) | (g.doc_id == ids.doc_id),
+            "left_semi",
+        ).persist()
+        out["graph_rows_erased"] = doomed_rows.count()
+        affected = (
+            doomed_rows.select("query_id")
+            .distinct()
+            .join(ids.select(F.col("doc_id").alias("query_id")),
+                  "query_id", "left_anti")
+            .persist()
+        )
+        out["queries_refreshed"] = affected.count()
+        fresh = None
+        if out["queries_refreshed"]:
+            # each refreshed query's rows land back in its LATEST
+            # partition, so latest-batch resolution stays untouched
+            latest = (
+                g.join(affected, "query_id", "left_semi")
+                .groupBy("query_id")
+                .agg(F.max("batch").alias("batch"))
+            )
+            fresh = hybrid_knn_graph_from_index(
+                spark,
+                bm25_index_path,
+                ivfpq_index_path,
+                embeddings.select("vec_id", "embedding"),
+                k=k,
+                k_each=k_each,
+                rrf_k=rrf_k,
+                m_terms=m_terms,
+                max_df_ratio=max_df_ratio,
+                n_probe=n_probe,
+                rerank=rerank,
+                query_ids=affected.select(
+                    F.col("query_id").alias("doc_id")
+                ),
+            ).join(latest, "query_id")
+        if out["graph_rows_erased"]:
+            drop = affected.unionByName(
+                ids.select(F.col("doc_id").alias("query_id"))
+            ).distinct()
+            _scrub("graph", g, doomed_rows, drop, "query_id", fresh)
+        doomed_rows.unpersist()
+        affected.unpersist()
+
+        out["sidecar_vectors_erased"] = 0
+        if lake.isdir(f"{od}/embeddings"):
+            e = spark.read.parquet(f"{out_dir}/embeddings")
+            doomed_e = e.join(
+                ids.select(F.col("doc_id").alias("vec_id")),
+                "vec_id", "left_semi",
+            ).persist()
+            out["sidecar_vectors_erased"] = doomed_e.count()
+            if out["sidecar_vectors_erased"]:
+                _scrub(
+                    "embeddings", e, doomed_e,
+                    ids.select(F.col("doc_id").alias("vec_id")), "vec_id",
+                )
+            doomed_e.unpersist()
+    finally:
+        ids.unpersist()
+    return out
+
+
 def read_related_items(spark, out_dir: str) -> DataFrame:
     """The CURRENT related-items graph from a ``stream_related_items``
     output dir: latest batch's row set per query_id (under

@@ -103,6 +103,112 @@ def test_stream_related_items_all_equals_union_batch_graph(
     assert _rows(read_related_items(spark, out)) == _rows(expected)
 
 
+def test_related_items_takedown_erases_and_refreshes(spark, tmp_path):
+    """Erasure propagated to the derived artifact: after
+    related_items_takedown no doomed id or vector survives anywhere
+    under out_dir; queries that referenced a doomed neighbor are
+    re-retrieved bit-exact against the post-delete indexes; untouched
+    queries keep their stored rows; a retry is a no-op."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        read_related_items,
+        related_items_takedown,
+        stream_related_items,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+    )
+
+    base, joined, flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(base, tmp_path, "td")
+    out = str(tmp_path / "out_td")
+    base_emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    q = stream_related_items(
+        spark, flat, bp, ip, out,
+        base_embeddings=base_emb, refresh="arrivals", **KW,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    before = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in spark.read.parquet(f"{out}/graph").drop("batch").collect()
+    }
+    # doom 3 ARRIVAL docs that other queries cite as neighbors — this
+    # exercises every path: doomed-query row drop, affected-query
+    # refresh, and the embeddings-sidecar scrub
+    import collections
+
+    cited = collections.Counter(
+        d for (qq, d) in before if qq != d
+    )
+    arrival_ids = {
+        r.doc_id for r in joined.filter(F.col("doc_id") % 5 >= 2)
+        .select("doc_id").collect()
+    }
+    doomed = sorted(
+        i for i, _n in cited.most_common() if i in arrival_ids
+    )[:3]
+    assert len(doomed) == 3
+    affected_exp = {
+        qq for (qq, d) in before if d in doomed and qq not in doomed
+    }
+
+    union_emb = joined.select(F.col("doc_id").alias("vec_id"), "embedding")
+    res = related_items_takedown(
+        spark, out, bp, ip, doomed, union_emb, batch_id="td1", **KW
+    )
+    assert res["queries_refreshed"] == len(affected_exp)
+    assert res["graph_rows_erased"] > 0
+    assert res["sidecar_vectors_erased"] == 3
+
+    # 1. EXACT erasure: no doomed id or vector anywhere at rest
+    g = spark.read.parquet(f"{out}/graph")
+    assert g.filter(
+        F.col("query_id").isin(doomed) | F.col("doc_id").isin(doomed)
+    ).count() == 0
+    e = spark.read.parquet(f"{out}/embeddings")
+    assert e.filter(F.col("vec_id").isin(doomed)).count() == 0
+
+    # 2. refreshed queries bit-equal a full post-delete recompute
+    cur = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in read_related_items(spark, out).collect()
+    }
+    survivors = union_emb.join(
+        spark.createDataFrame([(i,) for i in doomed], ["vec_id"]),
+        "vec_id", "left_anti",
+    )
+    full = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in hybrid_knn_graph_from_index(
+            spark, bp, ip, survivors, **KW
+        ).collect()
+    }
+    for qq in affected_exp:
+        assert {kd: v for kd, v in cur.items() if kd[0] == qq} == {
+            kd: v for kd, v in full.items() if kd[0] == qq
+        }, f"refreshed query {qq} != post-delete recompute"
+
+    # 3. untouched queries keep their stored rows verbatim
+    untouched = {
+        kd: v for kd, v in before.items()
+        if kd[0] not in affected_exp and kd[0] not in doomed
+    }
+    assert {kd: v for kd, v in cur.items() if kd[0] in
+            {k[0] for k in untouched}} == untouched
+
+    # 4. retry finds nothing left
+    res2 = related_items_takedown(
+        spark, out, bp, ip, doomed, union_emb, batch_id="td1", **KW
+    )
+    assert res2["graph_rows_erased"] == 0
+    assert res2["queries_refreshed"] == 0
+    assert res2["sidecar_vectors_erased"] == 0
+
+
 def test_stream_related_items_arrivals_asof_and_replay(spark, tmp_path):
     from parquet_metadata_explorer_spark.operators.pipelines import (
         stream_related_items,
