@@ -243,6 +243,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # hybrid_knn_graph_served row (r13): the SAME corpus-sized fusion
+    # served entirely from the materialized indexes (MoreLikeThis over
+    # committed postings + IVF-PQ ADC probe, RRF-fused) — the
+    # production maintenance path. Same operating point as the
+    # in-memory row (k=10, k_each=20) so the two are comparable; both
+    # per-sf index caches are ensured (untimed) first, so this times
+    # SERVE, not build.
+    queries["text_bm25_probe"](spark, sf_dir).count()
+    queries["ann_ivfpq_probe"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    bm25_p = entrymod._bm25_index_path(sf_dir)
+    ivfpq_p = entrymod._ivfpq_index_path(sf_dir)
+    runs["hybrid_knn_graph_served"] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = similarity.hybrid_knn_graph_from_index(
+            spark, bm25_p, ivfpq_p, emb,
+            k=10, k_each=20, n_probe=entrymod.IVFPQ_PROBE,
+        ).count()
+        runs["hybrid_knn_graph_served"].append(
+            round(time.monotonic() - t0, 3)
+        )
+        spark.catalog.clearCache()
+    timings["hybrid_knn_graph_served"] = min(runs["hybrid_knn_graph_served"])
+    print(
+        f"# hybrid_knn_graph_served: "
+        f"{timings['hybrid_knn_graph_served']:.3f}s best of "
+        f"{runs['hybrid_knn_graph_served']} ({n} rows)",
+        file=sys.stderr,
+    )
+
     calib_after = _calibrate()
     print(f"# calibration after: {calib_after:.3f}s", file=sys.stderr)
     drift = round(

@@ -410,6 +410,15 @@ def hybrid_knn_graph_from_index(
         rerank=rerank,
         embeddings=embeddings,
         snapshot=ivfpq_snapshot,
+        # unrestricted = corpus-as-queries, definitionally the batch
+        # shape: the distributed ADC table has no driver ceiling and
+        # wins even at a few hundred queries (measured 2x at |Q|=500
+        # locally — the driver table is a Python pass over every
+        # query), so don't let auto's serving-path threshold route a
+        # corpus job through the driver. The arrivals-restricted
+        # refresh keeps "auto": a 16-arrival set is serving-sized,
+        # where the driver table is right.
+        table_mode="auto" if query_ids is not None else "distributed",
     )
     w_d = Window.partitionBy("query_id").orderBy("rank")
     dense = (
