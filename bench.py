@@ -140,23 +140,30 @@ def main() -> None:
         .count()
     )
 
+    def _calib_once() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 800_000_000, 1, int(cpus)).selectExpr(
+            "count(if(pmod(id, 9) = 0, id, null)) AS n"
+        ).collect()
+        return time.monotonic() - t0
+
     def _calibrate() -> float:
         """Constant-work, no-I/O probe (whole-stage-codegen aggregate
-        over an in-memory range): its runtime moves only with ambient
-        machine load, never with this repo's code, so before/after
-        samples let any consumer normalize this window's numbers
-        against another window's (r12 verdict #4 — two rounds of
-        driver captures landed in throttled windows and the quiet
-        record then had to explain the gap). Median of 3 — robust to
-        a single scheduler hiccup."""
-        samples = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            spark.range(0, 800_000_000, 1, int(cpus)).selectExpr(
-                "count(if(pmod(id, 9) = 0, id, null)) AS n"
-            ).collect()
-            samples.append(time.monotonic() - t0)
-        return round(sorted(samples)[1], 3)
+        over an in-memory range): its STEADY-STATE FLOOR moves only
+        with ambient machine load, never with this repo's code, so
+        before/after samples let any consumer normalize this window's
+        numbers against another window's (r12 verdict #4 — two rounds
+        of driver captures landed in throttled windows and the quiet
+        record then had to explain the gap). MIN of 5 after one
+        untimed warm run: the first design (median of 3, no warm-up)
+        read the session's own JIT warm-up as 2.9x 'drift' — the
+        before sample ran against a cold JVM and the after sample
+        against one warmed by thousands of compiled stages; the floor
+        is insensitive to warm-up direction AND to single bursts,
+        so a ratio above the retry bar means sustained external load,
+        the only thing worth retrying for."""
+        _calib_once()  # warm this plan's codegen, untimed
+        return round(min(_calib_once() for _ in range(5)), 3)
 
     calib_before = _calibrate()
     print(f"# calibration before: {calib_before:.3f}s", file=sys.stderr)
@@ -276,11 +283,14 @@ def main() -> None:
 
     calib_after = _calibrate()
     print(f"# calibration after: {calib_after:.3f}s", file=sys.stderr)
-    drift = round(
-        max(calib_before, calib_after)
-        / max(min(calib_before, calib_after), 1e-9),
-        3,
-    )
+    # ONE-SIDED trigger: retry only when the window got WORSE
+    # (after >> before = load arrived mid-set and the later rows'
+    # best-of-3 likely never saw a quiet run). after << before is the
+    # session's own JVM warming globally across the set — measured
+    # 1.4-2.9x on a quiet machine — and needs no retry; consumers
+    # normalizing against another window should use after_sec, the
+    # warmed floor.
+    drift = round(calib_after / max(calib_before, 1e-9), 3)
     calibration = {
         "probe": "range-800M-pmod-count (constant work, no I/O)",
         "before_sec": calib_before,
