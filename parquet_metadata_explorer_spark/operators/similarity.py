@@ -1522,6 +1522,16 @@ def ivfpq_index(
     return cc, cells, pq_cb, pq_codes
 
 
+# table_mode="auto" crossover: the driver ADC table is a Python pass
+# over every query (~130 ms/query measured at sf0.1 operating points —
+# 65 s at |Q|=500, vs ~10 s flat for the distributed table), so auto
+# hands anything past serving-sized query sets to the distributed
+# build. 128 keeps genuine serving calls (a handful to a few dozen
+# queries) on the cheap driver path with wide margin; the old 1024
+# threshold was the driver-ceiling rationale, not a cost model, and
+# let auto spend minutes in the loop just below the flip.
+ADC_AUTO_DRIVER_MAX = 128
+
 _ADC_SCHEMA = (
     "query_id long, cell int, sub int, cluster int, dotq double, "
     "crossd double, cn2 double, qdotc double, cc2 double, qnorm double"
@@ -1774,7 +1784,8 @@ def ivfpq_ann_topk(
     The per-(query, cell, sub, cluster) constants table is built on the
     driver for serving-sized |Q| (broadcast) and IN SPARK via
     ``ivfpq_adc_table`` for corpus-sized query batches
-    (``table_mode="auto"`` switches at 1024 queries; values are
+    (``table_mode="auto"`` switches at ADC_AUTO_DRIVER_MAX = 128
+    queries — the measured driver/distributed crossover; values are
     bit-identical either way). Scoring is one code-table join +
     exact-decimal round-12 folds (the flat-PQ discipline), so scores
     are partition-invariant and engine-exact; ranking reuses the
@@ -1803,7 +1814,11 @@ def ivfpq_ann_topk(
 
     mode = table_mode
     if mode == "auto":
-        mode = "driver" if len(query_ids) <= 1024 else "distributed"
+        mode = (
+            "driver"
+            if len(query_ids) <= ADC_AUTO_DRIVER_MAX
+            else "distributed"
+        )
     if mode == "driver":
         table, _probed = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe
@@ -2400,8 +2415,10 @@ def ivfpq_probe_topk(
     for serving-sized |Q|); "distributed" builds them in Spark via
     ``ivfpq_adc_table`` (bit-identical, no driver ceiling — the
     corpus-vs-materialized-index batch shape, e.g. feeding semantic
-    decontamination from a disk index); "auto" switches at 1024
-    queries. The probed-cell set for partition pruning comes from the
+    decontamination from a disk index); "auto" switches at
+    ADC_AUTO_DRIVER_MAX = 128 queries, the measured crossover (the
+    driver loop is ~130 ms/query of Python decimal; the distributed
+    build is flat). The probed-cell set for partition pruning comes from the
     distributed table itself (a ≤k_cells collect), so the scan stays
     partition-pruned in every mode.
 
@@ -2432,7 +2449,12 @@ def ivfpq_probe_topk(
     queries = queries.select("vec_id", "embedding")
     mode = table_mode
     if mode == "auto":
-        mode = "driver" if queries.limit(1025).count() <= 1024 else "distributed"
+        mode = (
+            "driver"
+            if queries.limit(ADC_AUTO_DRIVER_MAX + 1).count()
+            <= ADC_AUTO_DRIVER_MAX
+            else "distributed"
+        )
     if mode == "driver":
         table, probed_cells = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe

@@ -151,6 +151,52 @@ def test_narrowed_delete_semantics(s3):
     assert not lake.exists(f"{b}/del/solo.bin")
 
 
+def test_transient_delete_failures_propagate():
+    """The r13 narrowing's OTHER half: rmtree/rmfile stay silent only
+    when the store POSITIVELY reports the path absent — a transient
+    failure (network blip surfacing as a bare OSError while the path
+    still exists) must propagate, never masquerade as 'already gone'
+    (a vacuum that silently skips a retired generation, a
+    forget_pending marker that silently survives)."""
+    from pyarrow import fs as pafs
+
+    from parquet_metadata_explorer_spark.operators.lakefs import Lake
+
+    class FlakyFS:
+        """delete_* always raises a bare OSError; get_file_info says
+        the path EXISTS — the transient-failure signature."""
+
+        def delete_dir(self, path):
+            raise OSError("connection reset by peer")
+
+        def delete_file(self, path):
+            raise OSError("connection reset by peer")
+
+        def get_file_info(self, path):
+            info = type("I", (), {})()
+            info.type = pafs.FileType.File
+            return info
+
+    lake = Lake(FlakyFS(), rename_capable=False)
+    with pytest.raises(OSError, match="connection reset"):
+        lake.rmtree("bucket/ix/gen-old")
+    with pytest.raises(OSError, match="connection reset"):
+        lake.rmfile("bucket/ix/forget_pending")
+
+    class GoneFS(FlakyFS):
+        """delete_* raises a bare OSError but the store reports the
+        path ABSENT — a benign race, stays silent."""
+
+        def get_file_info(self, path):
+            info = type("I", (), {})()
+            info.type = pafs.FileType.NotFound
+            return info
+
+    lake2 = Lake(GoneFS(), rename_capable=False)
+    lake2.rmtree("bucket/ix/gen-old")
+    lake2.rmfile("bucket/ix/forget_pending")
+
+
 def test_pointer_generation_lifecycle_on_s3(s3, monkeypatch):
     """The pointer-generation machinery end-to-end on the real S3
     namespace: build → CURRENT flip → resolve; second build with
