@@ -209,6 +209,93 @@ def test_related_items_takedown_erases_and_refreshes(spark, tmp_path):
     assert res2["sidecar_vectors_erased"] == 0
 
 
+def test_related_items_takedown_under_refresh_all(spark, tmp_path):
+    """Takedown against a refresh="all" graph — the scrub's other
+    shape: every query has rows in EVERY batch partition (each "all"
+    batch rewrites the whole graph), so doomed/affected rows span all
+    partitions and the fresh replacements must land only in each
+    query's LATEST partition to keep latest-wins resolution intact.
+    After the call the current graph equals the full post-delete
+    recompute for refreshed queries, doomed ids are gone everywhere,
+    and untouched queries resolve to their pre-takedown rows."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        read_related_items,
+        related_items_takedown,
+        stream_related_items,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+    )
+
+    base, joined, flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(base, tmp_path, "tda")
+    out = str(tmp_path / "out_tda")
+    base_emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    q = stream_related_items(
+        spark, flat, bp, ip, out,
+        base_embeddings=base_emb, refresh="all", **KW,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    before = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in read_related_items(spark, out).collect()
+    }
+    import collections
+
+    cited = collections.Counter(d for (qq, d) in before if qq != d)
+    arrival_ids = {
+        r.doc_id for r in joined.filter(F.col("doc_id") % 5 >= 2)
+        .select("doc_id").collect()
+    }
+    doomed = sorted(
+        i for i, _n in cited.most_common() if i in arrival_ids
+    )[:2]
+    affected_exp = {
+        qq for (qq, d) in before if d in doomed and qq not in doomed
+    }
+    union_emb = joined.select(F.col("doc_id").alias("vec_id"), "embedding")
+    res = related_items_takedown(
+        spark, out, bp, ip, doomed, union_emb, batch_id="tda1", **KW
+    )
+    assert res["sidecar_vectors_erased"] == 2
+
+    g = spark.read.parquet(f"{out}/graph")
+    assert g.filter(
+        F.col("query_id").isin(doomed) | F.col("doc_id").isin(doomed)
+    ).count() == 0
+
+    cur = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in read_related_items(spark, out).collect()
+    }
+    survivors = union_emb.join(
+        spark.createDataFrame([(i,) for i in doomed], ["vec_id"]),
+        "vec_id", "left_anti",
+    )
+    full = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in hybrid_knn_graph_from_index(
+            spark, bp, ip, survivors, **KW
+        ).collect()
+    }
+    for qq in affected_exp:
+        assert {kd: v for kd, v in cur.items() if kd[0] == qq} == {
+            kd: v for kd, v in full.items() if kd[0] == qq
+        }, f"refreshed query {qq} != post-delete recompute"
+    untouched_keys = {
+        kd for kd in before
+        if kd[0] not in affected_exp and kd[0] not in doomed
+    }
+    assert {kd: cur[kd] for kd in untouched_keys} == {
+        kd: before[kd] for kd in untouched_keys
+    }
+
+
 def test_stream_related_items_arrivals_asof_and_replay(spark, tmp_path):
     from parquet_metadata_explorer_spark.operators.pipelines import (
         stream_related_items,
