@@ -4902,7 +4902,11 @@ def q_bm25_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent: the report derives from index artifacts this package
     writes to scratch space, which the oracle harness's pre-registered
     testdata views cannot see — its exactness evidence is the planted-
-    corruption matrix in tests/test_fsck.py (15 classes, each named)."""
+    corruption matrix in tests/test_fsck.py (15 classes, each named).
+    The examples array is joined to a comma string here (r14, the r13
+    board's one red seat): the driver canonicalizes through pandas
+    sort_values, which crashes on list cells — boarded outputs must be
+    scalar-only (assert_client_proof now gates this class)."""
     import os
 
     from parquet_metadata_explorer_spark.operators.fsck import (
@@ -4923,7 +4927,9 @@ def q_bm25_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
             _table(spark, sf_dir, "documents"), build
         ),
     )
-    return bm25_index_verify(spark, path)
+    return bm25_index_verify(spark, path).withColumn(
+        "examples", F.array_join("examples", ",")
+    )
 
 
 def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5762,7 +5768,8 @@ def q_ivfpq_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from index artifacts written to scratch space, which the
     oracle harness's pre-registered testdata views cannot see; its
     exactness evidence is the planted-corruption matrix in
-    tests/test_fsck.py."""
+    tests/test_fsck.py. examples is array_join'd to a scalar string
+    (r14): the driver's pandas canonicalizer crashes on list cells."""
     from parquet_metadata_explorer_spark.operators.fsck import (
         ivfpq_index_verify,
     )
@@ -5782,7 +5789,9 @@ def q_ivfpq_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             coarse_iters=IVFPQ_CITERS,
         ),
     )
-    return ivfpq_index_verify(spark, path)
+    return ivfpq_index_verify(spark, path).withColumn(
+        "examples", F.array_join("examples", ",")
+    )
 
 
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5840,75 +5849,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in group B (new/changed this round), never append at the end."""
     return {
         # -- board slots 1-50: the driver records only the first 50 ---
-        # A) the committed r13 head, exactly as staged at the r12
-        #    close: text_fingerprint first (closing its documented
-        #    gap-4 deferral — the last open SLA exception), then the
-        #    r10-boarded entries at their 3-round deadline in registry
-        #    order — with ONE swap (SURVEY §2.4): hybrid_knn_graph
-        #    (the r12 flagship, r12 verdict #2) boards in knn_graph's
-        #    slot; its oracle's dense CTE layer reproduces knn_graph's
-        #    boarded chain verbatim at the same k, so that entry moves
-        #    off-rotation (group F) strictly subsumed — then the new
-        #    rows-only fsck entry in its FIRST seat;
-        #    1 + 39 + 1 + 9 contract = 50 exactly
-        "text_fingerprint": q_text_fingerprint,
-        "text_bm25": q_text_bm25,
-        "split_leakage_safe": q_split_leakage_safe,
-        "hybrid_rrf": q_hybrid_rrf,
-        "text_heavyhitters": q_text_heavyhitters,
-        "text_chunks": q_text_chunks,
-        "quality_classifier": q_quality_classifier,
-        "corpus_diff": q_corpus_diff,
-        "quality_distill": q_quality_distill,
-        "pack_batches": q_pack_batches,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "decontaminate_matrix": q_decontaminate_matrix,
-        "events_json": q_events_json,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "corpus_mix": q_corpus_mix,
-        "events_percentiles_approx": q_events_percentiles_approx,
-        "text_collocations": q_text_collocations,
-        "dedup_incremental": q_dedup_incremental,
-        "multimodal_dhash": q_multimodal_dhash,
-        "events_percentiles_hist": q_events_percentiles_hist,
-        "text_vocab_hll": q_text_vocab_hll,
-        "corpus_mix_temperature": q_corpus_mix_temperature,
-        "text_bpe_encode1k": q_text_bpe_encode1k,
-        "text_bpe": q_text_bpe,
-        "text_bpe_tokenize": q_text_bpe_tokenize,
-        "multimodal_decode": q_multimodal_decode,
-        "ann_int8": q_ann_int8,
-        "hybrid_knn_graph": q_hybrid_knn_graph,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "events_trending": q_events_trending,
-        "events_anomalies": q_events_anomalies,
-        "events_attribution": q_events_attribution,
-        "events_gapfill_by_type": q_events_gapfill_by_type,
-        "events_gapfill_interp": q_events_gapfill_interp,
-        "window_timeline": q_window_timeline,
-        "window_rolling": q_window_rolling,
-        "grouping_sets": q_grouping_sets,
-        "pivot_orders": q_pivot_orders,
-        "page_integrity": q_page_integrity,
-        "bm25_index_fsck": q_bm25_index_fsck,
-        # C) reference-parity contract (always boarded)
-        "meta_file_list": q_meta_file_list,
-        "meta_parquet_file": q_meta_parquet_file,
-        "meta_rowgroup": q_meta_rowgroup,
-        "meta_column": q_meta_column,
-        "meta_page": q_meta_page,
-        "meta_encoding_report": q_meta_encoding_report,
-        "page_plain_decode": q_page_plain_decode,
-        "page_reconstruct": q_page_reconstruct,
-        "page_reconstruct_delta": q_page_reconstruct_delta,
-        # -- tail: sf0.001 local-parity coverage this round ----------
-        # D) the staged r14 head: the second index's fsck first
-        #    (registered r13, the r12 verdict's #3 — rows-only, the
-        #    bm25_index_fsck precedent; it takes the r14 board's
-        #    first pull-forward slot, displacing one r11 entry to the
-        #    gap-4 deferral the SLA allows), then the r11-boarded
-        #    entries at their deadline
+        # A) the committed r14 head, exactly as staged at the r13
+        #    close (SURVEY §2.4): ivfpq_index_verify in the first
+        #    pull-forward slot — its FIRST driver seat (rows-only,
+        #    the bm25_index_fsck precedent; registered r13, the r12
+        #    verdict's #3) — then the r11-boarded entries at their
+        #    3-round deadline in registry order MINUS corpus_manifest,
+        #    which defers one round (gap 4) into the r15 board's first
+        #    slot under the established tpch_q6/text_fingerprint
+        #    precedent (its covering signal meanwhile is the
+        #    full-registry sf0.01 parity sweep at both partition
+        #    counts at round close);
+        #    1 + 40 + 9 contract = 50 exactly
         "ivfpq_index_verify": q_ivfpq_index_verify,
         "pruned_read": q_pruned_read,
         "source_overlap": q_source_overlap,
@@ -5950,8 +5902,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "prepare_corpus_audit": q_prepare_corpus_audit,
         "page_content_scan": q_page_content_scan,
+        # C) reference-parity contract (always boarded)
+        "meta_file_list": q_meta_file_list,
+        "meta_parquet_file": q_meta_parquet_file,
+        "meta_rowgroup": q_meta_rowgroup,
+        "meta_column": q_meta_column,
+        "meta_page": q_meta_page,
+        "meta_encoding_report": q_meta_encoding_report,
+        "page_plain_decode": q_page_plain_decode,
+        "page_reconstruct": q_page_reconstruct,
+        "page_reconstruct_delta": q_page_reconstruct_delta,
+        # -- tail: sf0.001 local-parity coverage this round ----------
+        # D) the staged r15 head: corpus_manifest first (closing its
+        #    gap-4 deferral from this board), then the r12-boarded
+        #    entries at their 3-round deadline in registry order
         "corpus_manifest": q_corpus_manifest,
-        # E) r12-boarded entries (due r15)
         "tpch_q6": q_tpch_q6,
         "dedup_substring": q_dedup_substring,
         "ann_pq": q_ann_pq,
@@ -5993,6 +5958,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": q_ngram_freq,
         "text_tokens": q_text_tokens,
         "bm25_more_like_this": q_bm25_more_like_this,
+        # E) r13-boarded entries (due r16)
+        "text_fingerprint": q_text_fingerprint,
+        "text_bm25": q_text_bm25,
+        "split_leakage_safe": q_split_leakage_safe,
+        "hybrid_rrf": q_hybrid_rrf,
+        "text_heavyhitters": q_text_heavyhitters,
+        "text_chunks": q_text_chunks,
+        "quality_classifier": q_quality_classifier,
+        "corpus_diff": q_corpus_diff,
+        "quality_distill": q_quality_distill,
+        "pack_batches": q_pack_batches,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "decontaminate_matrix": q_decontaminate_matrix,
+        "events_json": q_events_json,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "corpus_mix": q_corpus_mix,
+        "events_percentiles_approx": q_events_percentiles_approx,
+        "text_collocations": q_text_collocations,
+        "dedup_incremental": q_dedup_incremental,
+        "multimodal_dhash": q_multimodal_dhash,
+        "events_percentiles_hist": q_events_percentiles_hist,
+        "text_vocab_hll": q_text_vocab_hll,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "text_bpe_encode1k": q_text_bpe_encode1k,
+        "text_bpe": q_text_bpe,
+        "text_bpe_tokenize": q_text_bpe_tokenize,
+        "multimodal_decode": q_multimodal_decode,
+        "ann_int8": q_ann_int8,
+        "hybrid_knn_graph": q_hybrid_knn_graph,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "events_trending": q_events_trending,
+        "events_anomalies": q_events_anomalies,
+        "events_attribution": q_events_attribution,
+        "events_gapfill_by_type": q_events_gapfill_by_type,
+        "events_gapfill_interp": q_events_gapfill_interp,
+        "window_timeline": q_window_timeline,
+        "window_rolling": q_window_rolling,
+        "grouping_sets": q_grouping_sets,
+        "pivot_orders": q_pivot_orders,
+        "page_integrity": q_page_integrity,
+        "bm25_index_fsck": q_bm25_index_fsck,
         # F) OFF-ROTATION (swap-audit outcomes, SURVEY §2.4): these
         #    entries' driver evidence is strictly subsumed by boarded
         #    entries, so they no longer consume board slots — but they

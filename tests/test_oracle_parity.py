@@ -65,9 +65,20 @@ def assert_client_proof(name, cols, rows, duck_types=None):
     """Every output value must survive a pandas float64 round-trip
     bit-for-bit, or be a type pandas never coerces (int64, string,
     bytes, date). Decimals must be float64-exact; DuckDB HUGEINT
-    (sum(BIGINT) left uncast) must stay within 2^53."""
+    (sum(BIGINT) left uncast) must stay within 2^53. Non-scalar cells
+    (array/map/struct) are banned outright: the driver canonicalizes
+    through pandas ``sort_values``, whose hashtable factorize throws
+    ``unhashable type: 'list'`` on them — the exact crash that took
+    bm25_index_fsck red on the r13 board."""
     for r in rows:
         for i, v in enumerate(r):
+            if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "Row":
+                raise AssertionError(
+                    f"{name}.{cols[i]}: non-scalar value {type(v).__name__} — "
+                    "pandas sort_values crashes on array/map/struct cells in "
+                    "the driver's canonicalizer; array_join/to_json the "
+                    "column in the boarded query"
+                )
             if isinstance(v, decimal.Decimal):
                 assert decimal.Decimal(float(v)) == v, (
                     f"{name}.{cols[i]}: decimal value {v} exceeds float64 "
@@ -89,6 +100,22 @@ def assert_client_proof(name, cols, rows, duck_types=None):
                 )
 
 
+def assert_scalar_schema(name, sdf):
+    """Schema-level twin of the non-scalar gate: no array/map/struct
+    column may reach a boarded output (driver pandas canonicalizer
+    crash class, r13 bm25_index_fsck)."""
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}.{f.name}: {f.dataType.simpleString()} column in a "
+            "queries() output — the driver's pandas canonicalizer crashes "
+            "on non-scalar cells; array_join/to_json it in the query"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, duck, name):
     sql = ORACLES[name].replace("/root/testdata/sf0.01", SF)
@@ -97,6 +124,7 @@ def test_parity(spark, duck, name):
     o_rows, o_cols = oracle.fetchall(), [d[0] for d in oracle.description]
 
     sdf = QUERIES[name](spark, SF)
+    assert_scalar_schema(name, sdf)
     s_rows, s_cols = sdf.collect(), sdf.columns
 
     assert_client_proof(name, o_cols, o_rows, duck_types=o_types)
@@ -125,6 +153,27 @@ def test_client_proof_gate_catches_the_r10_red():
     with pytest.raises(AssertionError, match="HUGEINT"):
         assert_client_proof("x", ["v"], [(1 << 60,)], duck_types=["HUGEINT"])
     assert_client_proof("x", ["v"], [(1 << 60,)], duck_types=["BIGINT"])
+    # the r13 red class: a list cell crashes the driver's pandas
+    # sort_values; the gate must name it before the board does
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_client_proof("x", ["examples"], [(["a", "b"],)])
+    assert_client_proof("x", ["examples"], [("a,b",)])
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_percentiles_approx", "bm25_index_fsck", "ivfpq_index_verify"],
+)
+def test_rows_only_client_proof(spark, name):
+    """The rows-only seats never pass through test_parity, so the
+    non-scalar gate must reach them here: schema- and value-level
+    client-proof on each (this is exactly how the r13 array column
+    escaped every local sweep and went red on the driver board)."""
+    sdf = QUERIES[name](spark, SF)
+    assert_scalar_schema(name, sdf)
+    rows = sdf.collect()
+    assert rows, f"{name}: empty rows-only output"
+    assert_client_proof(name, sdf.columns, rows)
 
 
 def test_all_queries_have_entries():
