@@ -239,6 +239,27 @@ def corpus_manifest_increment(
     )
 
 
+def _checkpoint_lineage(ckpt: str) -> str:
+    """Mint (or re-read) the checkpoint's LINEAGE token through the
+    Lake shim, so a checkpoint_dir on an object-store URI resolves to
+    the SAME token on every machine (r13 ADVICE: the previous local
+    os.path version silently built a bogus local path for s3://...
+    checkpoints and minted a different token per host, turning the
+    lineage guard into spurious refusals)."""
+    import uuid
+
+    from .lakefs import Lake
+
+    lake, cp = Lake.for_path(ckpt)
+    token_path = f"{cp}/LINEAGE"
+    if lake.exists(token_path):
+        return lake.read_text(token_path).strip()
+    lake.mkdirs(cp)
+    token = uuid.uuid4().hex
+    lake.write_text(token_path, token)
+    return token
+
+
 def stream_corpus_manifest(
     spark,
     docs_path: str,
@@ -262,18 +283,9 @@ def stream_corpus_manifest(
     Returns the StreamingQuery; read the current stamp with
     ``read_corpus_manifest(spark, state_dir)``."""
     import os
-    import uuid
 
     ckpt = checkpoint_dir or f"{state_dir}/_checkpoint"
-    token_path = os.path.join(ckpt, "LINEAGE")
-    if os.path.exists(token_path):
-        with open(token_path) as f:
-            token = f.read().strip()
-    else:
-        os.makedirs(ckpt, exist_ok=True)
-        token = uuid.uuid4().hex
-        with open(token_path, "w") as f:
-            f.write(token)
+    token = _checkpoint_lineage(ckpt)
 
     schema = spark.read.parquet(docs_path).schema
     stream = (
@@ -1056,19 +1068,8 @@ def stream_prepare_corpus(
     (file-to-batch grouping) may differ — state_dir and checkpoint must
     be reset together.
     """
-    import os
-    import uuid
-
     ckpt = checkpoint_dir or f"{state_dir}/_checkpoint"
-    token_path = os.path.join(ckpt, "LINEAGE")
-    if os.path.exists(token_path):
-        with open(token_path) as f:
-            token = f.read().strip()
-    else:
-        os.makedirs(ckpt, exist_ok=True)
-        token = uuid.uuid4().hex
-        with open(token_path, "w") as f:
-            f.write(token)
+    token = _checkpoint_lineage(ckpt)
 
     schema = spark.read.parquet(docs_path).schema
     stream = (
@@ -1178,9 +1179,6 @@ def stream_related_items(
     vectors (needed by ``refresh="all"`` and by ``rerank>0``, whose
     exact rescoring reads raw vectors); arrival vectors accumulate in
     ``out_dir/embeddings/batch=<id>``."""
-    import os
-    import uuid
-
     from .segments import resolve_index_root, segment_commits
     from .similarity import (
         hybrid_knn_graph_from_index,
@@ -1196,16 +1194,20 @@ def stream_related_items(
         raise ValueError(
             f"Invalid refresh: {refresh!r} (one of arrivals, all)"
         )
+    if base_embeddings is None and (refresh == "all" or rerank > 0):
+        # as loud as the refresh-value check above: omitting the
+        # pre-stream vectors here silently produces a graph missing
+        # every base document's rows (refresh="all") or mis-reranked
+        # candidates (rerank reads raw vectors). A genuinely empty
+        # pre-stream corpus passes an empty (vec_id, embedding) frame.
+        raise ValueError(
+            f"stream_related_items: refresh={refresh!r}, rerank={rerank}"
+            " require base_embeddings (the pre-stream corpus's vectors);"
+            " pass an empty (vec_id, embedding) DataFrame if the stream"
+            " starts from an empty corpus."
+        )
     ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
-    token_path = os.path.join(ckpt, "LINEAGE")
-    if os.path.exists(token_path):
-        with open(token_path) as f:
-            token = f.read().strip()
-    else:
-        os.makedirs(ckpt, exist_ok=True)
-        token = uuid.uuid4().hex
-        with open(token_path, "w") as f:
-            f.write(token)
+    token = _checkpoint_lineage(ckpt)
 
     from .lakefs import Lake
 
@@ -1436,13 +1438,23 @@ def related_items_takedown(
             batch_id=batch_id and f"{batch_id}-ivfpq",
         )
 
-        def _scrub(sub, df, doomed_rows, drop_keys, key, fresh=None):
-            """Rewrite only the partitions holding doomed rows: drop
-            rows keyed in ``drop_keys``, union ``fresh`` replacements,
-            publish with the per-partition rename swap."""
+        def _scrub(sub, df, doomed_rows, drop_keys, key, fresh=None,
+                   extra_batches=()):
+            """Rewrite only the partitions holding doomed rows (plus
+            ``extra_batches`` — the partitions ``fresh`` replacement
+            rows land in): drop rows keyed in ``drop_keys``, union
+            ``fresh`` replacements, publish with the per-partition
+            rename swap. extra_batches exists because a refreshed
+            query's fresh rows target its LATEST partition, which
+            under refresh="all" histories need not hold any doomed row
+            — without swapping it too, the recomputed rows would be
+            built and then silently discarded (r13 ADVICE, medium)."""
             affected_batches = sorted(
-                r.batch
-                for r in doomed_rows.select("batch").distinct().collect()
+                {
+                    r.batch
+                    for r in doomed_rows.select("batch").distinct().collect()
+                }
+                | set(extra_batches)
             )
             if not affected_batches:
                 return 0
@@ -1469,10 +1481,18 @@ def related_items_takedown(
             return len(affected_batches)
 
         g = spark.read.parquet(f"{out_dir}/graph")
-        doomed_rows = g.join(
-            ids, (g.query_id == ids.doc_id) | (g.doc_id == ids.doc_id),
-            "left_semi",
-        ).persist()
+        # two hash semi-joins + distinct, NOT one OR-condition join:
+        # Spark can only run (q==id OR d==id) as a BroadcastNestedLoop
+        # over the full artifact — O(|graph|×|ids|) comparisons
+        # (r13 ADVICE). Graph rows are unique (query_id, doc_id,
+        # batch), so the union-distinct counts each row exactly once.
+        doomed_rows = (
+            g.join(ids.select(F.col("doc_id").alias("query_id")),
+                   "query_id", "left_semi")
+            .unionByName(g.join(ids, "doc_id", "left_semi"))
+            .distinct()
+            .persist()
+        )
         out["graph_rows_erased"] = doomed_rows.count()
         affected = (
             doomed_rows.select("query_id")
@@ -1483,6 +1503,7 @@ def related_items_takedown(
         )
         out["queries_refreshed"] = affected.count()
         fresh = None
+        fresh_batches = ()
         if out["queries_refreshed"]:
             # each refreshed query's rows land back in its LATEST
             # partition, so latest-batch resolution stays untouched
@@ -1490,6 +1511,16 @@ def related_items_takedown(
                 g.join(affected, "query_id", "left_semi")
                 .groupBy("query_id")
                 .agg(F.max("batch").alias("batch"))
+                .persist()
+            )
+            # the landing partitions must be in the swap set even when
+            # they hold no doomed row themselves (refresh="all"
+            # histories: the doomed doc may cite a query only in OLDER
+            # batches) — otherwise the fresh rows are built, never
+            # swapped in, and deleted with the build dir
+            fresh_batches = sorted(
+                r.batch
+                for r in latest.select("batch").distinct().collect()
             )
             fresh = hybrid_knn_graph_from_index(
                 spark,
@@ -1511,7 +1542,10 @@ def related_items_takedown(
             drop = affected.unionByName(
                 ids.select(F.col("doc_id").alias("query_id"))
             ).distinct()
-            _scrub("graph", g, doomed_rows, drop, "query_id", fresh)
+            _scrub("graph", g, doomed_rows, drop, "query_id", fresh,
+                   extra_batches=fresh_batches)
+        if fresh is not None:
+            latest.unpersist()
         doomed_rows.unpersist()
         affected.unpersist()
 

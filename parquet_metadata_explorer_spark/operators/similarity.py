@@ -551,6 +551,7 @@ def hybrid_rrf_probe(
     embeddings: DataFrame = None,
     bm25_snapshot: dict = None,
     ivfpq_snapshot: dict = None,
+    query_mode: str = "auto",
 ) -> DataFrame:
     """Hybrid retrieval served ENTIRELY from materialized indexes — the
     production query path: the lexical side probes the bucketed BM25
@@ -573,14 +574,26 @@ def hybrid_rrf_probe(
     the fusion is bit-identical, which is what the composition pytest
     pins. ``bm25_snapshot`` / ``ivfpq_snapshot`` pin each side's index
     state (see ``bm25_index_snapshot``) so the FUSED serving path is
-    snapshot-isolated end-to-end."""
+    snapshot-isolated end-to-end.
+
+    ``query_mode`` passes through to ``bm25_probe_topk`` (r13 verdict
+    #5): the lexical side no longer collects the query set
+    unconditionally — ``auto`` runs the driver shape up to
+    BM25_PROBE_DRIVER_MAX queries and the collect-free distributed
+    shape above it, so the probe API itself has no driver ceiling
+    (the dense side already took a DataFrame and routes through
+    ``table_mode=auto``)."""
     from .text import bm25_probe_topk
 
-    qrows = queries.select("doc_id", "text", "embedding").collect()
-    qtexts = [(int(r.doc_id), r.text or "") for r in qrows]
-    qtexts.sort()
     lex_raw = bm25_probe_topk(
-        spark, bm25_index_path, qtexts, k=k_each, snapshot=bm25_snapshot
+        spark,
+        bm25_index_path,
+        queries.select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=k_each,
+        snapshot=bm25_snapshot,
+        query_mode=query_mode,
     )
     w_lex = Window.partitionBy("query_id").orderBy("rank")
     lex = (

@@ -1934,6 +1934,9 @@ def bm25_index_snapshot(path: str) -> dict:
     }
 
 
+BM25_PROBE_DRIVER_MAX = 128
+
+
 def bm25_probe_topk(
     spark,
     path: str,
@@ -1942,32 +1945,53 @@ def bm25_probe_topk(
     k1: float = 1.2,
     b: float = 0.75,
     snapshot: dict = None,
+    query_mode: str = "auto",
 ) -> DataFrame:
     """BM25 top-k against a MATERIALIZED index (no corpus scan, no
-    tokenize): the query terms' hash buckets are computed driver-side
-    with the same md5 arithmetic the writer used — against the bucket
-    modulus stored IN the index's stats sidecar, never a caller
-    argument — so ``bucket IN (...)`` reaches both parquet sources as a
-    partition filter (unprobed buckets' files are never opened;
-    asserted in pytest via input_file_name) and the residual
-    ``term IN (...)`` pushes into the pruned scan. Only COMMITTED
-    batches are visible: the probe filters both scans to the commit
-    log's batch ids and sums n_docs/total_len over its rows, so a torn
-    increment contributes nothing anywhere (never a half-counted
-    batch). Scoring is ``_bm25_score_topk``, the SAME code object the
-    in-memory scorer runs, so results match bit-for-bit; doc length
-    comes denormalized off the posting row — the probe does zero
-    corpus-sized joins."""
+    tokenize): the query terms' hash buckets are computed with the
+    same md5 arithmetic the writer used — against the bucket modulus
+    stored IN the index's stats sidecar, never a caller argument — so
+    ``bucket IN (...)`` reaches both parquet sources as a partition
+    filter (unprobed buckets' files are never opened; asserted in
+    pytest via input_file_name) and the residual ``term IN (...)``
+    pushes into the pruned scan. Only COMMITTED batches are visible:
+    the probe filters both scans to the commit log's batch ids and
+    sums n_docs/total_len over its rows, so a torn increment
+    contributes nothing anywhere (never a half-counted batch). Scoring
+    is ``_bm25_score_topk``, the SAME code object the in-memory scorer
+    runs, so results match bit-for-bit; doc length comes denormalized
+    off the posting row — the probe does zero corpus-sized joins.
+
+    ``queries`` is a list of (id, text) pairs OR a DataFrame with
+    (query_id | doc_id, text). ``query_mode`` removes the serving
+    path's last driver ceiling (r13 verdict #5 — the ADC
+    ``table_mode=auto`` pattern applied to the lexical probe):
+
+    - ``"driver"`` (every list call): tokenize driver-side, push
+      ``bucket IN``/``term IN`` as STATIC pruning — the low-latency
+      serve shape.
+    - ``"distributed"``: tokenize with the Spark ``tokens()`` twin of
+      ``_query_terms`` and semi-join the scans on (bucket, term) —
+      never collects, so a corpus-sized query DataFrame probes at
+      index-job price (the MLT scan shape, plus term pruning the MLT
+      path can't use). Bit-identical to the driver path (pytest).
+    - ``"auto"`` (default): DataFrame inputs take() up to
+      BM25_PROBE_DRIVER_MAX+1 rows and run the driver shape when the
+      query set fits (the take IS the collect — no second job),
+      distributed above it."""
     from .segments import (
         recover_retired,
         resolve_index_root,
         resolve_snapshot,
     )
 
+    if query_mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"Invalid query_mode: {query_mode!r} "
+            "(one of auto, driver, distributed)"
+        )
     recover_retired(path)  # heal a crashed compaction swap on open
     path = resolve_index_root(path)  # pointer layout -> live generation
-    qrows = _query_terms(queries)
-    terms = sorted({t for _q, t in qrows})
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
     # snapshot pin: everything below — scans, df folds, corpus
     # constants, tombstones — flows from this one visibility set, so
@@ -1979,9 +2003,6 @@ def bm25_probe_topk(
         generation=read_generation(path),
     )
     batches = sorted(commits)
-    buckets = bm25_query_buckets(queries, n_buckets)
-    qterms = spark.createDataFrame(qrows, "query_id long, term string")
-
     stats = spark.createDataFrame(
         [
             (
@@ -1991,39 +2012,117 @@ def bm25_probe_topk(
         ],
         "n_docs long, total_len long",
     )
-    # df is summed per term: the incremental writer lands per-batch
-    # (term, df_delta) segments instead of rewriting the vocab relation
-    # (log-structured — see bm25_index_increment); on a freshly-built
-    # index the sum folds exactly one row per term
-    dfreq = (
-        spark.read.parquet(f"{path}/dfreq")
-        .filter(
+
+    qdf = None
+    if isinstance(queries, DataFrame):
+        idc = "query_id" if "query_id" in queries.columns else "doc_id"
+        qdf = queries.select(
+            F.col(idc).cast("long").alias("query_id"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+        if query_mode == "driver":
+            queries = sorted(
+                (int(r.query_id), r.text) for r in qdf.collect()
+            )
+            qdf = None
+        elif query_mode == "auto":
+            head = qdf.take(BM25_PROBE_DRIVER_MAX + 1)
+            if len(head) <= BM25_PROBE_DRIVER_MAX:
+                queries = sorted(
+                    (int(r.query_id), r.text) for r in head
+                )
+                qdf = None
+
+    if qdf is None:
+        # driver shape: terms + buckets computed driver-side, static
+        # partition/predicate pruning on both scans
+        qrows = _query_terms(queries)
+        terms = sorted({t for _q, t in qrows})
+        buckets = bm25_query_buckets(queries, n_buckets)
+        qterms = spark.createDataFrame(qrows, "query_id long, term string")
+        # df is summed per term: the incremental writer lands per-batch
+        # (term, df_delta) segments instead of rewriting the vocab
+        # relation (log-structured — see bm25_index_increment); on a
+        # freshly-built index the sum folds exactly one row per term
+        dfreq = (
+            spark.read.parquet(f"{path}/dfreq")
+            .filter(
+                F.col("bucket").isin(buckets)
+                & F.col("batch").isin(batches)
+                & F.col("term").isin(terms)
+            )
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        probe = (
+            qterms.join(dfreq, "term")
+            .crossJoin(F.broadcast(stats))
+            .select("query_id", "term", _bm25_idf().alias("idf"))
+        )
+        postings = spark.read.parquet(f"{path}/postings").filter(
             F.col("bucket").isin(buckets)
             & F.col("batch").isin(batches)
             & F.col("term").isin(terms)
         )
+        # deletes: tombstoned docs' postings are anti-joined away;
+        # their df and corpus constants are already exact via the
+        # negative-delta folds above, so the probe equals a
+        # filtered-corpus rebuild
+        tomb = _bm25_tombstones(spark, path, batches)
+        if tomb is not None:
+            postings = postings.join(tomb, "doc_id", "left_anti")
+        candidates = (
+            postings.join(F.broadcast(probe), "term")
+            .crossJoin(
+                F.broadcast(stats.select(_bm25_avgdl().alias("avgdl")))
+            )
+        )
+        return _bm25_score_topk(candidates, k, k1, b)
+
+    # distributed shape: NO collect anywhere. The Spark tokens() twin
+    # of _query_terms produces the identical (query_id, term) relation
+    # (query tf ignored via distinct); the writer's own
+    # pmod(hash60(term), n_buckets) recomputes each term's bucket so
+    # both scans prune by a (bucket, term) semi/equi join instead of
+    # static IN lists — AQE may still broadcast the query side and
+    # dynamically prune partitions at moderate |Q|; at corpus-sized
+    # |Q| this degrades gracefully to the MLT full-index scan shape.
+    from ..functions import hash60, tokens
+
+    qterms = (
+        qdf.select(
+            "query_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+        .withColumn(
+            "bucket", F.pmod(hash60(F.col("term")), F.lit(n_buckets))
+        )
+    )
+    tsel = qterms.select("bucket", "term").distinct()
+    dfreq = (
+        spark.read.parquet(f"{path}/dfreq")
+        .filter(F.col("batch").isin(batches))
+        .join(tsel, ["bucket", "term"], "left_semi")
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"))
     )
     probe = (
         qterms.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "term", _bm25_idf().alias("idf"))
+        .select("query_id", "bucket", "term", _bm25_idf().alias("idf"))
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets)
-        & F.col("batch").isin(batches)
-        & F.col("term").isin(terms)
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("batch").isin(batches))
     )
-    # deletes: tombstoned docs' postings are anti-joined away; their
-    # df and corpus constants are already exact via the negative-delta
-    # folds above, so the probe equals a filtered-corpus rebuild
     tomb = _bm25_tombstones(spark, path, batches)
     if tomb is not None:
         postings = postings.join(tomb, "doc_id", "left_anti")
     candidates = (
-        postings.join(F.broadcast(probe), "term")
-        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
+        postings.join(probe, ["bucket", "term"])
+        .crossJoin(
+            F.broadcast(stats.select(_bm25_avgdl().alias("avgdl")))
+        )
     )
     return _bm25_score_topk(candidates, k, k1, b)
 

@@ -3107,3 +3107,58 @@ def test_hybrid_knn_graph_from_index_fusion_and_refresh(spark, tmp_path):
     assert restricted == {
         kd: v for kd, v in got.items() if kd[0] in set(some_ids)
     }
+
+def test_bm25_probe_dataframe_modes_bit_identical(spark, tmp_path, monkeypatch):
+    """r13 verdict #5 — the serving probe's last driver ceiling: a
+    DataFrame query set routes through query_mode auto/driver/
+    distributed. All three shapes are bit-identical to the list path
+    (including a NULL text degrading to no lexical terms), and auto
+    above BM25_PROBE_DRIVER_MAX never tokenizes driver-side (the
+    distributed shape has no collect)."""
+    import parquet_metadata_explorer_spark.operators.text as text_mod
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "bm25_dfq")
+    write_bm25_index(docs, path)
+
+    qs = [(1, "fast hash join"), (2, "slow stream filter"), (3, "")]
+    qdf = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "slow stream filter"), (3, None)],
+        "query_id long, text string",
+    )
+    want = sorted(map(tuple, bm25_probe_topk(spark, path, qs, k=10).collect()))
+    got_auto = sorted(map(tuple, bm25_probe_topk(
+        spark, path, qdf, k=10).collect()))
+    got_dist = sorted(map(tuple, bm25_probe_topk(
+        spark, path, qdf, k=10, query_mode="distributed").collect()))
+    got_drv = sorted(map(tuple, bm25_probe_topk(
+        spark, path, qdf, k=10, query_mode="driver").collect()))
+    assert want == got_auto == got_dist == got_drv
+
+    # a doc_id-named column works too (the hybrid probe's shape)
+    qdf2 = qdf.withColumnRenamed("query_id", "doc_id")
+    assert want == sorted(map(tuple, bm25_probe_topk(
+        spark, path, qdf2, k=10).collect()))
+
+    # corpus-sized query set: auto must take the distributed shape —
+    # the driver tokenizer must never run
+    big = docs.select(F.col("doc_id").alias("query_id"), "text")
+    assert big.count() > text_mod.BM25_PROBE_DRIVER_MAX
+
+    def _boom(_qs):
+        raise AssertionError("driver tokenizer ran on a corpus-sized query set")
+
+    monkeypatch.setattr(text_mod, "_query_terms", _boom)
+    dist_big = bm25_probe_topk(spark, path, big, k=5)
+    monkeypatch.undo()
+    drv_big = bm25_probe_topk(spark, path, big, k=5, query_mode="driver")
+    assert sorted(map(tuple, dist_big.collect())) == sorted(
+        map(tuple, drv_big.collect())
+    )
+
+    with pytest.raises(ValueError, match="Invalid query_mode"):
+        bm25_probe_topk(spark, path, qs, k=5, query_mode="nope")

@@ -380,3 +380,131 @@ def test_stream_related_items_arrivals_asof_and_replay(spark, tmp_path):
             raise exc
     finally:
         q2.stop()
+
+def test_takedown_fresh_rows_land_in_unaffected_latest_batch(
+    spark, tmp_path
+):
+    """The r13 ADVICE medium: a refreshed query's fresh rows target its
+    LATEST partition, which need not hold any doomed row (the doomed
+    doc was its neighbor only in OLDER batches — the arrivals-cadence +
+    periodic-refresh history). The swap set must include those landing
+    partitions, or the recomputed rows are built and silently deleted
+    with the build dir while the stale latest rows keep serving.
+
+    Constructed directly on the artifact layout (a streamed refresh=
+    "all" history cannot isolate this: the doomed doc's own query rows
+    put every batch in the affected set): batch 0 = the full hybrid
+    graph (cites the doomed doc), batch 1 = one query's later refresh
+    that no longer cites it, score-perturbed so serving stale rows is
+    detectable."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        read_related_items,
+        related_items_takedown,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        hybrid_knn_graph_from_index,
+    )
+
+    base, joined, _flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(joined, tmp_path, "land")
+    out = str(tmp_path / "out_land")
+    union_emb = joined.select(F.col("doc_id").alias("vec_id"), "embedding")
+    g0 = hybrid_knn_graph_from_index(spark, bp, ip, union_emb, **KW)
+    g0.write.parquet(f"{out}/graph/batch=0")
+    union_emb.write.parquet(f"{out}/embeddings/batch=0")
+
+    rows0 = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in g0.collect()
+    }
+    # doomed: a cited neighbor; q: a query citing it (and not doomed)
+    doomed = next(d for (qq, d) in rows0 if qq != d)
+    q_id = next(
+        qq for (qq, d) in rows0 if d == doomed and qq != doomed
+    )
+    # batch 1: q_id's "later refresh" — its batch-0 rows minus the
+    # doomed citation, scores shifted +1000 so stale serving is visible
+    later = (
+        g0.filter((F.col("query_id") == q_id) & (F.col("doc_id") != doomed))
+        .withColumn("rrf_score", F.col("rrf_score") + F.lit(1000.0))
+    )
+    later.write.parquet(f"{out}/graph/batch=1")
+
+    res = related_items_takedown(
+        spark, out, bp, ip, [doomed], union_emb, batch_id="land1", **KW
+    )
+    assert q_id in {
+        r.query_id
+        for r in spark.read.parquet(f"{out}/graph")
+        .select("query_id").distinct().collect()
+    }
+    assert res["queries_refreshed"] >= 1
+
+    # exact erasure everywhere, including the swapped-in batch 1
+    g = spark.read.parquet(f"{out}/graph")
+    assert g.filter(
+        (F.col("query_id") == doomed) | (F.col("doc_id") == doomed)
+    ).count() == 0
+
+    # q_id's SERVED rows are the post-delete recompute — not the stale
+    # perturbed batch-1 rows (pre-fix: fresh rows were written to the
+    # build dir's batch=1, never swapped, deleted)
+    survivors = union_emb.filter(F.col("vec_id") != doomed)
+    full = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in hybrid_knn_graph_from_index(
+            spark, bp, ip, survivors, **KW
+        ).collect()
+        if r.query_id == q_id
+    }
+    cur = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.lex_rank, r.dense_rank,
+                                 r.rank)
+        for r in read_related_items(spark, out).collect()
+        if r.query_id == q_id
+    }
+    assert cur == full, "stale latest-batch rows survived the takedown"
+    assert all(v[0] < 999 for v in cur.values()), (
+        "the perturbed stale rows are still being served"
+    )
+
+def test_stream_related_items_validates_base_embeddings(spark, tmp_path):
+    """refresh="all" and rerank>0 require base_embeddings (r13 ADVICE):
+    omitting it silently produced a graph missing every base document's
+    rows — now as loud as the refresh-value check."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        stream_related_items,
+    )
+
+    base, joined, flat = _arrivals_layout(spark, tmp_path)
+    bp, ip = _build_indexes(base, tmp_path, "val")
+    with pytest.raises(ValueError, match="require base_embeddings"):
+        stream_related_items(
+            spark, flat, bp, ip, str(tmp_path / "o1"),
+            refresh="all", **KW,
+        )
+    with pytest.raises(ValueError, match="require base_embeddings"):
+        stream_related_items(
+            spark, flat, bp, ip, str(tmp_path / "o2"),
+            refresh="arrivals", rerank=3, **KW,
+        )
+
+
+def test_checkpoint_lineage_routes_through_lake(tmp_path):
+    """The LINEAGE token is minted/read through the Lake shim so a
+    checkpoint on an object-store URI resolves to ONE token everywhere
+    (r13 ADVICE: the local-os.path version built a bogus local path for
+    remote URIs and minted a different token per machine)."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        _checkpoint_lineage,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    t1 = _checkpoint_lineage(ckpt)
+    t2 = _checkpoint_lineage(ckpt)
+    assert t1 == t2 and len(t1) == 32
+    # the token lives where the Lake shim put it — readable back
+    with open(f"{ckpt}/LINEAGE") as f:
+        assert f.read().strip() == t1
