@@ -134,9 +134,14 @@ def bm25_index_verify(spark, path: str) -> DataFrame:
     Cites the writer/probe pair these invariants come from:
     write_bm25_index / bm25_index_increment / bm25_index_delete /
     bm25_probe_topk in operators/text.py."""
-    from .segments import recover_retired, resolve_index_root
+    from .segments import (
+        ensure_spark_data_plane,
+        recover_retired,
+        resolve_index_root,
+    )
     from .text import _bm25_commits, _bm25_tombstones, _read_bm25_stats
 
+    ensure_spark_data_plane(spark, path, "bm25_index_verify")
     recover_retired(path)
     path = resolve_index_root(path)  # pointer layout -> live generation
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
@@ -273,9 +278,15 @@ def ivfpq_index_verify(spark, path: str) -> DataFrame:
 
     The invariants come from write_ivfpq_index / ivfpq_index_increment
     / ivfpq_index_delete / ivfpq_probe_topk in operators/similarity.py."""
-    from .segments import recover_retired, resolve_index_root, segment_commits
+    from .segments import (
+        ensure_spark_data_plane,
+        recover_retired,
+        resolve_index_root,
+        segment_commits,
+    )
     from .similarity import _ivfpq_tombstones, _read_ivfpq_sidecars
 
+    ensure_spark_data_plane(spark, path, "ivfpq_index_verify")
     recover_retired(path)
     path = resolve_index_root(path)  # pointer layout -> live generation
     commits = segment_commits(path, "IVF-PQ index")

@@ -2448,6 +2448,9 @@ def ivfpq_probe_topk(
         segment_commits,
     )
 
+    from .segments import ensure_spark_data_plane
+
+    ensure_spark_data_plane(spark, path, "ivfpq_probe_topk")
     recover_retired(path)  # heal a crashed compaction swap on open
     path = resolve_index_root(path)  # pointer layout -> live generation
     # snapshot pin: the code scan and the tombstone set both flow from

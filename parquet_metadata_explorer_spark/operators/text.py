@@ -1990,6 +1990,9 @@ def bm25_probe_topk(
             f"Invalid query_mode: {query_mode!r} "
             "(one of auto, driver, distributed)"
         )
+    from .segments import ensure_spark_data_plane
+
+    ensure_spark_data_plane(spark, path, "bm25_probe_topk")
     recover_retired(path)  # heal a crashed compaction swap on open
     path = resolve_index_root(path)  # pointer layout -> live generation
     n_buckets = int(_read_bm25_stats(path)["n_buckets"])
@@ -2166,6 +2169,9 @@ def bm25_more_like_this_from_index(
         resolve_snapshot,
     )
 
+    from .segments import ensure_spark_data_plane
+
+    ensure_spark_data_plane(spark, path, "bm25_more_like_this_from_index")
     recover_retired(path)
     path = resolve_index_root(path)  # pointer layout -> live generation
     from .segments import read_generation

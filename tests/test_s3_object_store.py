@@ -244,3 +244,41 @@ def test_pointer_generation_lifecycle_on_s3(s3, monkeypatch):
     lake.write_bytes(f"{root}/CURRENT", b"../../etc")
     with pytest.raises(ValueError, match="invalid generation"):
         segments.resolve_index_root(root)
+
+def test_spark_data_plane_capability_error(spark):
+    """r13 verdict #6: a probe pointed at an s3:// index root must fail
+    with ONE capability error naming the maintenance-plane coverage and
+    the cluster recipe — not a raw Hadoop classpath stack (no hadoop-aws
+    jar ships in this sandbox). The check fires BEFORE any maintenance
+    I/O, so no credentials or server are needed here."""
+    import pytest as _pytest
+
+    from parquet_metadata_explorer_spark.operators.fsck import (
+        bm25_index_verify,
+    )
+    from parquet_metadata_explorer_spark.operators.segments import (
+        ensure_spark_data_plane,
+    )
+    from parquet_metadata_explorer_spark.operators.similarity import (
+        ivfpq_probe_topk,
+    )
+    from parquet_metadata_explorer_spark.operators.text import (
+        bm25_probe_topk,
+    )
+
+    with _pytest.raises(RuntimeError, match="ARCHITECTURE.md"):
+        ensure_spark_data_plane(spark, "s3://bucket/idx", "unit")
+    # local paths pass untouched
+    ensure_spark_data_plane(spark, "/tmp/anything", "unit")
+    ensure_spark_data_plane(spark, "file:///tmp/anything", "unit")
+
+    for fn in (
+        lambda: bm25_probe_topk(spark, "s3://b/i", [(1, "x")], k=1),
+        lambda: ivfpq_probe_topk(
+            spark, "s3://b/i",
+            spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>"),
+        ),
+        lambda: bm25_index_verify(spark, "s3://b/i"),
+    ):
+        with _pytest.raises(RuntimeError, match="no filesystem connector"):
+            fn()
