@@ -217,3 +217,27 @@ def test_bench_headline_names_resolve():
     assert headline, "bench.py headline list not found"
     missing = [n for n in headline if n not in QUERIES]
     assert not missing, missing
+
+def test_board_manifest_matches_registry():
+    """BOARD_MANIFEST.json (r13 verdict #8) is the machine-readable
+    slot arithmetic SURVEY 2.4's prose cites — it must equal the live
+    registry: the current board is its boards.<max round>, the contract
+    and off-rotation groups match, and every manifest name resolves."""
+    import json
+
+    with open("/root/repo/BOARD_MANIFEST.json") as f:
+        man = json.load(f)
+    names = list(QUERIES)
+    cur = max(man["boards"], key=lambda r: int(r[1:]))
+    assert man["boards"][cur] == names[:50]
+    assert man["contract_rows"] == names[41:50]
+    assert man["off_rotation"] == names[-3:]
+    assert set(man["rows_only"]) == set(QUERIES) - set(ORACLES)
+    for group in list(man["boards"].values()) + list(man["due"].values()):
+        missing = [n for n in group if n not in QUERIES]
+        assert not missing, missing
+    # capacity identity: board = rotating + contract, exactly full
+    p = man["policy"]
+    assert len(man["boards"][cur]) == p["board_size"] == (
+        p["rotating_slots"] + p["contract_slots"]
+    )
