@@ -1934,6 +1934,18 @@ def bm25_index_snapshot(path: str) -> dict:
     }
 
 
+# Measured (tools/bm25_probe_mode_probe.py, sf0.01, local[8]): the
+# driver shape is FASTER at every locally testable |Q| — 5.4 vs 4.9 s
+# at 32, 4.2 vs 4.8 s at 128, 4.9 vs 13.3 s at 500 (the whole corpus;
+# the distributed shape pays two extra shuffle joins that static
+# IN-pruning avoids). Unlike the ADC loop (~130 ms/query of driver
+# Python), driver-side tokenize is ~free — so this cutoff is a
+# BOUNDEDNESS guard, not a latency crossover: above it the collect's
+# bytes (|Q| x text size) and the bucket/term IN-list plans grow
+# without bound, and a corpus-sized query set must never ride the
+# driver. 128 aligns with ADC_AUTO_DRIVER_MAX (one serving-batch
+# ceiling across both probes); callers with a known-small-but-wide
+# batch can force query_mode="driver".
 BM25_PROBE_DRIVER_MAX = 128
 
 
