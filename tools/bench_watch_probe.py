@@ -115,7 +115,8 @@ def main():
             entry = _served_split()
         else:
             rs = []
-            for _ in range(3):
+            n_runs = int(os.environ.get("PQX_WATCH_RUNS", "3"))
+            for _ in range(n_runs):
                 t0 = time.monotonic()
                 queries[name](spark, sf_dir).count()
                 rs.append(round(time.monotonic() - t0, 3))
