@@ -1224,28 +1224,42 @@ def _pq_subvectors(e, m: int, sub_d: int):
 def _pq_assign(spark, subv, cb):
     """Frozen-codebook subvector assignment — THE determinism-critical
     argmin the Lloyd trainer runs every round and the frozen-model
-    encoder (``ivfpq_encode``) replays at serve time, shared verbatim:
-    broadcast codebook join, exact left-fold d², min(struct(d2,
-    cluster, sv)) tie-break — bit-identical on any engine and
-    partitioning."""
+    encoder (``ivfpq_encode``) replays at serve time, shared verbatim.
+
+    Map-side argmin (r14): the codebook is pre-grouped into ONE row per
+    subspace holding all k candidates, so the broadcast join never
+    multiplies rows and the argmin is ``array_min`` over a per-row
+    candidate transform — NO shuffle, where the original shape exploded
+    every subvector ×k through a ``groupBy(vec_id, sub).min`` shuffle
+    (8 such shuffle stages per IVF-PQ build). Values are bit-identical:
+    the per-candidate d² is the same exact left-fold expression, and
+    ``array_min`` over ``struct(d2, cluster)`` is the same lexicographic
+    ordering the old ``min(struct(d2, cluster, sv))`` used (cluster ids
+    are distinct per group, so the sv leg of the old tie-break was
+    unreachable)."""
+    by_sub = {}
+    for (s, c), v in sorted(cb.items()):
+        by_sub.setdefault(s, []).append((c, v))
     cents = spark.createDataFrame(
-        [(s, c, v) for (s, c), v in sorted(cb.items())],
-        "sub int, cluster int, c array<double>",
+        [(s, cands) for s, cands in sorted(by_sub.items())],
+        "sub int, cands array<struct<cluster:int, c:array<double>>>",
     )
-    dist2 = F.aggregate(
-        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    best = F.array_min(
+        F.transform(
+            "cands",
+            lambda cand: F.struct(
+                F.aggregate(
+                    F.zip_with("sv", cand["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                cand["cluster"].alias("cluster"),
+            ),
+        )
     )
     return (
         subv.join(F.broadcast(cents), "sub")
-        .withColumn("d2", dist2)
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "cluster", "sv")).alias("b"))
-        .select(
-            "vec_id", "sub", F.col("b.cluster").alias("cluster"),
-            F.col("b.sv").alias("sv"),
-        )
+        .select("vec_id", "sub", best["cluster"].alias("cluster"), "sv")
     )
 
 
