@@ -934,28 +934,33 @@ def _semantic_base(embeddings, n_centroids, iters, centroids):
             else list(enumerate(centroids))
         )
         cents = spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in items],
-            "cluster long, cc array<double>",
+            [([(int(c), [float(x) for x in v]) for c, v in items],)],
+            "cands array<struct<cluster:long, cc:array<double>>>",
         )
-        d2 = F.aggregate(
-            F.zip_with("emb", "cc", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # map-side arg-min (the r14 _pq_assign convention): one
+        # broadcast row holds every candidate, array_min over the
+        # per-row transform replaces the crossJoin×k fan-out +
+        # groupBy(vec_id) shuffle — zero shuffle, identical values
+        # ((d2, cluster) struct order is the probe tie-break and the
+        # per-candidate d2 is the same exact left fold)
+        best = F.array_min(
+            F.transform(
+                "cands",
+                lambda cand: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "emb", cand["cc"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    cand["cluster"].alias("cluster"),
+                ),
+            )
         )
-        # arg-min as a struct-min partial aggregation, not a window:
-        # the batch×k fan-out collapses map-side (crossJoin output is
-        # partition-local) so only one row per vector ever shuffles —
-        # the repo's arg-min convention; (d2, cluster) struct order is
-        # the probe tie-break
         assigned = (
             e.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cluster")).alias("m"),
-                F.first("emb").alias("emb"),
-            )
-            .select("vec_id", F.col("m.cluster").alias("cluster"), "emb")
+            .select("vec_id", best["cluster"].alias("cluster"), "emb")
         )
     return track_persist(
         assigned.select(
