@@ -623,10 +623,11 @@ def test_ccnet_buckets_plan_broadcast_cuts(spark, sf_dir):
 
 def test_semantic_dedup_plan_shapes(spark, sf_dir):
     """The semantic-dedup hot stages must be the scale-correct plans:
-    frozen-centroid assignment is a broadcast nested-loop + struct-min
-    partial aggregation (no Window over the batch×k fan-out, no Python
-    stage), and the within-cluster pair stage broadcasts the tiny
-    cluster-size table."""
+    frozen-centroid assignment is a broadcast nested-loop join against
+    the one-row candidate table with a MAP-SIDE array_min arg-min — no
+    Window over a batch×k fan-out, no Python stage, and since r14 no
+    aggregation/shuffle at all — and the within-cluster pair stage
+    broadcasts the tiny cluster-size table."""
     from parquet_metadata_explorer_spark.operators.dedup import (
         _semantic_base,
         _semantic_pairs,
@@ -642,7 +643,11 @@ def test_semantic_dedup_plan_shapes(spark, sf_dir):
     plan_assign = simple_plan(base)
     assert "EvalPython" not in plan_assign, plan_assign
     assert "Window" not in plan_assign, plan_assign
-    assert "partial_min" in plan_assign or "HashAggregate" in plan_assign
+    # the arg-min is map-side: broadcast join, no shuffle, no aggregate
+    assert "BroadcastNestedLoopJoin" in plan_assign, plan_assign
+    assert "Exchange hashpartitioning" not in plan_assign, plan_assign
+    assert "Exchange rangepartitioning" not in plan_assign, plan_assign
+    assert "HashAggregate" not in plan_assign, plan_assign
     pairs = _semantic_pairs(base, 0.45, 4096)
     plan_pairs = simple_plan(pairs)
     assert "EvalPython" not in plan_pairs, plan_pairs
