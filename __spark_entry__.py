@@ -201,6 +201,18 @@ def q_meta_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dict_encoding_report(spark, sf_dir).drop("overflow_examples")
 
 
+def q_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compaction advisor over the ROWGROUP metadata level: per-file
+    # layout stats + compact/rewrite/ok verdict; the oracle replays it
+    # from DuckDB's parquet_metadata() (same per-rowgroup semantics the
+    # meta_rowgroup oracle already pins)
+    from parquet_metadata_explorer_spark.operators.reports import (
+        layout_report,
+    )
+
+    return layout_report(spark, sf_dir)
+
+
 O_META_FILE_LIST = f"""
 SELECT regexp_extract(file, '[^/]+$') AS filename
 FROM glob('{SF01}/*.parquet')
@@ -296,6 +308,38 @@ SELECT regexp_extract(file_name, '[^/]+$') AS filename,
        any_value(row_group_bytes)::bigint AS total_uncompressed_size
 FROM parquet_metadata('{SF01}/*.parquet')
 GROUP BY 1, 2
+"""
+
+# the compaction advisor replayed on the meta_rowgroup oracle's own
+# per-rowgroup semantics (same column mapping pinned green above), then
+# folded per file; the mean uses the exact-decimal round-then-cast
+# idiom so both engines emit the identical double
+O_LAYOUT_REPORT = f"""
+WITH rg AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS filename,
+         row_group_id,
+         any_value(row_group_num_rows)::BIGINT AS num_rows,
+         sum(total_compressed_size)::BIGINT AS compressed,
+         any_value(row_group_bytes)::BIGINT AS uncompressed
+  FROM parquet_metadata('{SF01}/*.parquet')
+  GROUP BY 1, 2
+)
+SELECT filename,
+       count(*)::BIGINT AS n_rowgroups,
+       sum(num_rows)::BIGINT AS n_rows,
+       sum(compressed)::BIGINT AS compressed_bytes,
+       sum(uncompressed)::BIGINT AS uncompressed_bytes,
+       round(sum(num_rows)::DECIMAL(30,10) / count(*), 2)::DOUBLE
+         AS avg_rowgroup_rows,
+       CASE
+         WHEN sum(compressed) < 67108864 THEN 'compact'
+         WHEN round(sum(num_rows)::DECIMAL(30,10) / count(*), 2)::DOUBLE
+              < 10000 THEN 'rewrite'
+         ELSE 'ok'
+       END AS advice
+FROM rg
+GROUP BY filename
+ORDER BY filename
 """
 
 # file_offset: replicate the dictionary/data-page fallback the engine applies
@@ -6000,6 +6044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": q_pivot_orders,
         "page_integrity": q_page_integrity,
         "bm25_index_fsck": q_bm25_index_fsck,
+        # G) NEW r14 oracled entry — registry-only until a board slot
+        #    opens by swap (growth rule, SURVEY §2.4); validated every
+        #    round by the full-registry parity sweep meanwhile
+        "layout_report": q_layout_report,
         # F) OFF-ROTATION (swap-audit outcomes, SURVEY §2.4): these
         #    entries' driver evidence is strictly subsumed by boarded
         #    entries, so they no longer consume board slots — but they
@@ -6174,4 +6222,5 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": O_ANTI_JOIN,
         "set_ops": O_SET_OPS,
         "scalar_functions": O_SCALAR_FUNCTIONS,
+        "layout_report": O_LAYOUT_REPORT,
     }

@@ -133,6 +133,73 @@ def bloom_probe(
     )
 
 
+def layout_report(
+    spark: SparkSession,
+    data_path: str,
+    small_file_bytes: int = 64 * 1024 * 1024,
+    min_rowgroup_rows: int = 10_000,
+) -> DataFrame:
+    """Per-file physical-layout health — the compaction advisor that
+    turns the metadata plane into a maintenance TODO list.
+
+    One ROWGROUP-level footer scan (no data bytes) yields, per file:
+    row-group count, row count, compressed/uncompressed bytes, the mean
+    rows per row group, and an ``advice`` verdict:
+
+    - ``compact``  — the file's compressed payload is under
+      ``small_file_bytes``: it belongs merged with siblings
+      (``sinks.compact_files`` is the fix; at 10^5+ files the listing
+      and per-file open overhead dominate scan cost);
+    - ``rewrite``  — file is large enough but its row groups average
+      under ``min_rowgroup_rows`` rows, so scan parallelism and
+      page/rowgroup pruning granularity suffer;
+    - ``ok``       — neither pathology.
+
+    All emitted values are exact integer aggregates (plus one
+    round-2 mean), so the report is bit-reproducible on any engine —
+    the DuckDB oracle replays it from ``parquet_metadata()``.
+    """
+    rg = read_metadata(spark, data_path, source="parquet", level="rowgroup")
+    per_file = (
+        rg.groupBy(
+            F.element_at(F.split("filepath", "/"), -1).alias("filename")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rowgroups"),
+            F.sum("num_rows").cast("long").alias("n_rows"),
+            F.sum("total_compressed_size").cast("long").alias(
+                "compressed_bytes"
+            ),
+            F.sum("total_uncompressed_size").cast("long").alias(
+                "uncompressed_bytes"
+            ),
+        )
+        .withColumn(
+            # the repo's exact-decimal mean discipline: decimal
+            # quotient, round, THEN the double cast — bit-identical on
+            # any engine (the Lloyd-trainer idiom)
+            "avg_rowgroup_rows",
+            F.round(
+                F.col("n_rows").cast("decimal(30,10)")
+                / F.col("n_rowgroups"),
+                2,
+            ).cast("double"),
+        )
+    )
+    advice = (
+        F.when(
+            F.col("compressed_bytes") < F.lit(int(small_file_bytes)),
+            F.lit("compact"),
+        )
+        .when(
+            F.col("avg_rowgroup_rows") < F.lit(int(min_rowgroup_rows)),
+            F.lit("rewrite"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return per_file.withColumn("advice", advice).orderBy("filename")
+
+
 def schema_drift_report(spark: SparkSession, data_path: str) -> DataFrame:
     """Schema variants across a dataset's files — the fleet-health check
     for datasets written by many jobs over time. Groups files by their

@@ -317,3 +317,38 @@ def test_pruned_read_from_cached_metadata(spark, tmp_path):
         "f2.parquet",
         "f3.parquet",
     ]
+
+
+def test_layout_report_advice(spark, tmp_path):
+    """The compaction advisor flags small files and short row groups
+    from the rowgroup metadata alone, and its counts reconcile with the
+    data."""
+    from parquet_metadata_explorer_spark.operators.reports import layout_report
+
+    # tiny file, one row group -> 'compact' under any realistic threshold
+    pq.write_table(pa.table({"a": list(range(100))}),
+                   str(tmp_path / "small.parquet"))
+    # many short row groups -> 'rewrite' once the size bar is passed
+    pq.write_table(pa.table({"a": list(range(5000))}),
+                   str(tmp_path / "shortrg.parquet"), row_group_size=50)
+
+    rep = {r.filename: r for r in layout_report(
+        spark, str(tmp_path), small_file_bytes=64 * 1024 * 1024
+    ).collect()}
+    assert rep["small.parquet"].advice == "compact"
+    assert rep["small.parquet"].n_rows == 100
+    assert rep["small.parquet"].n_rowgroups == 1
+
+    # drop the size bar so the short-row-group verdict becomes reachable
+    rep2 = {r.filename: r for r in layout_report(
+        spark, str(tmp_path), small_file_bytes=1, min_rowgroup_rows=1000
+    ).collect()}
+    assert rep2["shortrg.parquet"].advice == "rewrite"
+    assert rep2["shortrg.parquet"].n_rowgroups == 100
+    assert rep2["shortrg.parquet"].avg_rowgroup_rows == 50.0
+    assert rep2["small.parquet"].advice == "rewrite"  # 100-row group
+
+    big = {r.filename: r for r in layout_report(
+        spark, str(tmp_path), small_file_bytes=1, min_rowgroup_rows=10
+    ).collect()}
+    assert big["small.parquet"].advice == "ok"
