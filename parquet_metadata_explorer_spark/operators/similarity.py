@@ -1263,6 +1263,176 @@ def _pq_assign(spark, subv, cb):
     )
 
 
+def _coarse_cands_row(spark, cc):
+    """ONE broadcast row holding every coarse centroid as (cluster, c)
+    candidates sorted by cell id — `_pq_assign`'s by_sub convention for
+    the m=1 whole-vector quantizer. Cell ids are dense 0..k-1 by
+    construction (the trainer labels seeds by enumerate), which is what
+    lets the fused encoder index the array with ``element_at(cell+1)``."""
+    return spark.createDataFrame(
+        [([(int(c), [float(x) for x in v]) for c, v in sorted(cc.items())],)],
+        "ccands array<struct<cluster:int, c:array<double>>>",
+    )
+
+
+def _pq_cands_row(spark, pq_cb, m):
+    """ONE broadcast row with the PQ codebook grouped per subspace:
+    allc[s] = subspace s's k (cluster, c) candidates, cluster-sorted
+    (dense 0..k-1 — same density argument as `_coarse_cands_row`)."""
+    by_sub = {}
+    for (s, c), v in sorted(pq_cb.items()):
+        by_sub.setdefault(s, []).append((int(c), [float(x) for x in v]))
+    return spark.createDataFrame(
+        [([by_sub.get(s, []) for s in range(m)],)],
+        "allc array<array<struct<cluster:int, c:array<double>>>>",
+    )
+
+
+def _d2(sv, cvec):
+    """The per-candidate squared distance — the exact left-fold
+    `_pq_assign` uses, shared so the fused encoder and the ADC probe
+    selection can never drift from the trainer."""
+    return F.aggregate(
+        F.zip_with(sv, cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cluster(cands, sv):
+    """Map-side argmin: array_min over struct(d2, cluster) — the same
+    lexicographic (d2, cluster) tie-break as `_pq_assign`'s ``best``."""
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda cand: F.struct(
+                _d2(sv, cand["c"]).alias("d2"),
+                cand["cluster"].alias("cluster"),
+            ),
+        )
+    )["cluster"]
+
+
+def _dim_guarded(embeddings, dim: int):
+    """Fail loudly on dimension-mismatched vectors: slice would clip a
+    wider vector and zip_with null-pads a narrower one — either would
+    encode garbage (and the increment would COMMIT it)."""
+    return embeddings.select(
+        "vec_id",
+        F.when(F.size("embedding") == dim, F.col("embedding"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"embedding dimension mismatch: index expects {dim}, got "
+                    ),
+                    F.size("embedding").cast("string"),
+                    F.lit(" for vec_id "),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        )
+        .alias("embedding"),
+    )
+
+
+def ivfpq_encode_packed(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
+    """Frozen-model IVF-PQ encode as ONE map-only pipeline (r14): per
+    vector, the coarse-cell argmin, the residual subtraction and all m
+    per-subspace PQ argmins run in a single pass against the two one-row
+    broadcast candidate tables — ZERO shuffles and ZERO corpus joins,
+    where the former encoder shuffled the corpus three times (embeddings
+    ⋈ cells by vec_id for the residuals, then groupBy(vec_id) + ⋈ cells
+    again to pack). Returns DataFrame[vec_id, codes array<int>, cell].
+
+    Values are BIT-identical to the exploded trainer relations: the
+    per-candidate d² is `_pq_assign`'s exact left fold, the argmin is the
+    same (d2, cluster) array_min, the residual the same zip_with
+    subtraction of the same centroid doubles, and the codes array is the
+    clusters in subspace order — exactly the sort key the former
+    collect_list/array_sort pack produced (oracle-parity and disk≡memory
+    pytest-pinned).
+
+    The ``explode(array(..))`` steps are Generate barriers, load-bearing:
+    CollapseProject inlines a non-cheap alias referenced once, and inside
+    a higher-order-function lambda that single textual reference
+    re-evaluates per element — without the barriers the coarse argmin and
+    the residual would recompute once per subspace × candidate."""
+    spark = embeddings.sparkSession
+    dim = len(next(iter(cc.values())))
+    m = max(s for s, _c in pq_cb) + 1
+    sub_d = dim // m
+    # project BEFORE the ensure_parallelism exchange (guide: never ship
+    # columns an opaque/heavy stage doesn't need)
+    e = _dim_guarded(
+        ensure_parallelism(embeddings.select("vec_id", "embedding")), dim
+    )
+    coarse = _coarse_cands_row(spark, cc)
+    pq = _pq_cands_row(spark, pq_cb, m)
+    emb = F.col("embedding").cast("array<double>")
+    g1 = (
+        e.crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(pq))
+        .select(
+            "vec_id",
+            "ccands",
+            "allc",
+            emb.alias("emb"),
+            F.explode(
+                F.array(_argmin_cluster(F.col("ccands"), emb))
+            ).alias("cell"),
+        )
+    )
+    resid = F.zip_with(
+        "emb",
+        F.element_at("ccands", F.col("cell") + 1)["c"],
+        lambda a, b: a - b,
+    )
+    g2 = g1.select(
+        "vec_id", "allc", "cell", F.explode(F.array(resid)).alias("resid")
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_cluster(
+            F.element_at("allc", s + 1),
+            F.slice("resid", s * sub_d + 1, sub_d),
+        ),
+    )
+    return g2.select("vec_id", codes.alias("codes"), "cell")
+
+
+def _coarse_residuals(embeddings: DataFrame, cc: dict) -> DataFrame:
+    """(vec_id, cell, embedding=residual) map-only against the FINAL
+    coarse codebook — the residual input of the PQ trainer. Replaces the
+    former embeddings ⋈ cells (vec_id) ⋈ broadcast(cents) chain: the
+    cell is re-derived by the same argmin the trainer's final assign
+    uses (bit-identical by the shared `_d2`/`_argmin_cluster`
+    expressions), so the corpus never shuffles for the residuals."""
+    spark = embeddings.sparkSession
+    coarse = _coarse_cands_row(spark, cc)
+    emb = F.col("embedding").cast("array<double>")
+    g1 = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "ccands",
+            emb.alias("emb"),
+            F.explode(
+                F.array(_argmin_cluster(F.col("ccands"), emb))
+            ).alias("cell"),
+        )
+    )
+    resid = F.zip_with(
+        "emb",
+        F.element_at("ccands", F.col("cell") + 1)["c"],
+        lambda a, b: a - b,
+    )
+    return g1.select(
+        "vec_id", "cell", F.explode(F.array(resid)).alias("embedding")
+    )
+
+
 def pq_index(
     embeddings: DataFrame,
     m: int = 8,
@@ -1503,28 +1673,22 @@ def ivfpq_index(
     seedlist = [(int(r.vec_id), [float(x) for x in r.embedding])
                 for r in seed_rows]
     dim = len(seedlist[0][1])
-    coarse_cb, coarse_codes = pq_index(
+    coarse_cb, _coarse_codes = pq_index(
         embeddings, m=1, n_centroids=k_cells, iters=coarse_iters,
         dim=dim, seeds=seedlist[:k_cells],
     )
     cc = {c: v for (_s, c), v in coarse_cb.items()}
-    cells = track_persist(
-        coarse_codes.select("vec_id", F.col("cluster").alias("cell"))
-    )
-    cents = spark.createDataFrame(
-        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
-    )
-    residuals = (
-        embeddings.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-        )
-        .join(cells, "vec_id")
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            F.zip_with("emb", "cc", lambda a, b: a - b).alias("embedding"),
-        )
-    )
+    # map-only residuals (r14): re-derive each vector's cell from the
+    # FINAL coarse codebook in the same projection that subtracts the
+    # centroid — bit-identical to the trainer's final assign (shared
+    # argmin expressions) and the vec_id-keyed corpus shuffle join the
+    # old embeddings ⋈ cells ⋈ broadcast(cents) chain paid is gone.
+    # ensure_parallelism runs BEFORE the heavy argmin map so a
+    # single-file local scan doesn't evaluate it on one core (no-op at
+    # scale, where inputs exceed defaultParallelism).
+    e_par = ensure_parallelism(embeddings.select("vec_id", "embedding"))
+    residuals = _coarse_residuals(e_par, cc)
+    cells = residuals.select("vec_id", "cell")
 
     def _cell_of(vec):
         # bit-exact driver twin of assign()'s m=1 argmin: left-fold d2
@@ -1559,22 +1723,32 @@ def ivfpq_index(
 # let auto spend minutes in the loop just below the flip.
 ADC_AUTO_DRIVER_MAX = 128
 
+# PAIR-PACKED (r14): one row per (query, probed cell), the m·k
+# per-(sub, cluster) constants packed as luts[sub][cluster] — the scorer
+# looks its m lookups up per candidate pair instead of joining a
+# per-(sub, cluster) row fan-out and re-grouping it (the old shape
+# shuffled |pairs|·m rows into a (query, neighbor) aggregation; the
+# packed shape needs NO aggregation at all).
 _ADC_SCHEMA = (
-    "query_id long, cell int, sub int, cluster int, dotq double, "
-    "crossd double, cn2 double, qdotc double, cc2 double, qnorm double"
+    "query_id long, cell int, "
+    "luts array<array<struct<dotq:double, crossd:double, cn2:double>>>, "
+    "qdotc double, cc2 double, qnorm double"
 )
 
 
 def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
-    """Per-(query, cell, sub, cluster) ADC constants built in a driver
-    loop — |Q|·n_probe·m·n_centroids rows, the right shape for
+    """Pair-packed ADC constants built in a driver loop — |Q|·n_probe
+    rows (each carrying the m·k lut entries), the right shape for
     serving-sized |Q| (no Spark jobs, one broadcast). Returns
     (rows, probed_cells). The distributed twin is ``ivfpq_adc_table``
-    (bit-identical values, pytest-asserted)."""
+    (bit-identical values, pytest-asserted). Requires the codebook keys
+    dense over (0..m-1, 0..k-1) — true by trainer construction — so the
+    scorer can index luts[sub][cluster]."""
     import math
 
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
+    k = max(c for _s, c in pq_cb) + 1
     sub_d = dim // m
     table = []
     probed_cells = set()
@@ -1587,110 +1761,162 @@ def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
             (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cell)
             for cell, cv in cc.items()
         )
-        for _d2, cell in d2s[:n_probe]:
+        for _d2v, cell in d2s[:n_probe]:
             probed_cells.add(cell)
             ccv = cc[cell]
             qdotc = sum(a * b for a, b in zip(qv, ccv))
             cc2 = sum(x * x for x in ccv)
-            for (s, cl), cent in pq_cb.items():
+            luts = []
+            for s in range(m):
                 qs = qv[s * sub_d : (s + 1) * sub_d]
                 cs = ccv[s * sub_d : (s + 1) * sub_d]
-                table.append(
-                    (
-                        int(qr.vec_id), cell, s, cl,
-                        sum(a * b for a, b in zip(qs, cent)),
-                        sum(a * b for a, b in zip(cs, cent)),
-                        sum(x * x for x in cent),
-                        qdotc, cc2, qnorm,
-                    )
+                luts.append(
+                    [
+                        (
+                            sum(a * b for a, b in zip(qs, pq_cb[(s, cl)])),
+                            sum(a * b for a, b in zip(cs, pq_cb[(s, cl)])),
+                            sum(x * x for x in pq_cb[(s, cl)]),
+                        )
+                        for cl in range(k)
+                    ]
                 )
+            table.append(
+                (int(qr.vec_id), cell, luts, qdotc, cc2, qnorm)
+            )
     return table, probed_cells
 
 
 def ivfpq_adc_table(
     queries: DataFrame, cc: dict, pq_cb: dict, n_probe: int
 ) -> DataFrame:
-    """The ADC constants table built IN SPARK — the corpus-vs-index
-    shape where |Q| is 10⁵⁺ and a driver loop over
-    |Q|·n_probe·m·n_centroids rows would make the driver the
-    bottleneck: queries cross-join the broadcast coarse-centroid table
-    (k_cells rows) for probe selection (row_number over (d2, cell) —
-    the driver's sorted() order), then cross-join the broadcast PQ
-    codebook (m·n_centroids rows) for the per-subspace constants. All
-    arithmetic is the fixed-order left-fold ``dot`` (JVM expression
-    trees, no Python stage), so every value is bit-identical to the
-    driver loop (pytest-asserted equality).
-    """
+    """The pair-packed ADC constants table built IN SPARK — the
+    corpus-vs-index shape where |Q| is 10⁵⁺ and a driver loop would make
+    the driver the bottleneck. MAP-ONLY since r14: probe selection is
+    ``slice(array_sort(struct(d2, cell)), 1, n_probe)`` against the
+    one-row broadcast centroid table — the same (d2 asc, cell asc) order
+    the old per-query row_number window produced, with the |Q|-keyed
+    window SHUFFLE removed — and the m·k lut entries pack into one
+    nested array column per (query, cell) row instead of fanning out
+    m·k rows. All arithmetic is the fixed-order left-fold ``dot`` (JVM
+    expression trees, no Python stage), so every value is bit-identical
+    to the driver loop (pytest-asserted equality). The explode steps are
+    Generate barriers (see ``ivfpq_encode_packed``): without them the
+    probe-selection argsort / the cell-centroid lookup would re-evaluate
+    inside the downstream lut lambdas once per (sub, cluster)."""
     spark = queries.sparkSession
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
     sub_d = dim // m
-    cents = spark.createDataFrame(
-        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
+    coarse = _coarse_cands_row(spark, cc)
+    pq = _pq_cands_row(spark, pq_cb, m)
+    q = ensure_parallelism(
+        queries.select(
+            F.col("vec_id").cast("long").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
     )
-    cb = spark.createDataFrame(
-        [(s, c, v) for (s, c), v in sorted(pq_cb.items())],
-        "sub int, cluster int, cent array<double>",
-    )
-    q = queries.select(
-        F.col("vec_id").cast("long").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cc", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    sel = F.slice(
+        F.array_sort(
+            F.transform(
+                "ccands",
+                lambda cand: F.struct(
+                    _d2(F.col("qv"), cand["c"]).alias("d2"),
+                    cand["cluster"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        int(n_probe),
     )
     probed = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("d2", "cell")
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select(
-            "query_id", "cell", "qv", "cc",
-            dot(F.col("qv"), F.col("cc")).alias("qdotc"),
-            dot(F.col("cc"), F.col("cc")).alias("cc2"),
-            F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
-        )
+        q.crossJoin(F.broadcast(coarse))
+        .select("query_id", "qv", "ccands", F.explode(sel).alias("pr"))
+        .select("query_id", "qv", "ccands", F.col("pr.cell").alias("cell"))
     )
-    qs = F.expr(f"slice(qv, sub * {sub_d} + 1, {sub_d})")
-    cs = F.expr(f"slice(cc, sub * {sub_d} + 1, {sub_d})")
-    return (
-        probed.crossJoin(F.broadcast(cb))
-        .select(
-            "query_id", "cell", "sub", "cluster",
-            dot(qs, F.col("cent")).alias("dotq"),
-            dot(cs, F.col("cent")).alias("crossd"),
-            dot(F.col("cent"), F.col("cent")).alias("cn2"),
-            "qdotc", "cc2", "qnorm",
-        )
+    withcc = probed.select(
+        "query_id",
+        "qv",
+        "cell",
+        F.explode(
+            F.array(F.element_at("ccands", F.col("cell") + 1)["c"])
+        ).alias("ccv"),
+    )
+
+    def qs(s):
+        return F.slice("qv", s * sub_d + 1, sub_d)
+
+    def cs(s):
+        return F.slice("ccv", s * sub_d + 1, sub_d)
+
+    luts = F.transform(
+        "allc",
+        lambda subcands, s: F.transform(
+            subcands,
+            lambda cand: F.struct(
+                dot(qs(s), cand["c"]).alias("dotq"),
+                dot(cs(s), cand["c"]).alias("crossd"),
+                dot(cand["c"], cand["c"]).alias("cn2"),
+            ),
+        ),
+    )
+    return withcc.crossJoin(F.broadcast(pq)).select(
+        "query_id",
+        "cell",
+        luts.alias("luts"),
+        dot(F.col("qv"), F.col("ccv")).alias("qdotc"),
+        dot(F.col("ccv"), F.col("ccv")).alias("cc2"),
+        F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
     )
 
 
 def _adc_score(codes: DataFrame, tdf: DataFrame, broadcast_table: bool = True):
-    """ADC scoring against a (vec_id, cell, sub, cluster) code relation:
-    one join on (cell, sub, cluster) — map-side when the constants
-    table broadcasts — then the round-12 exact-decimal folds and the
-    fixed-order cos expression shared by the in-memory and from-disk
-    paths."""
+    """ADC scoring against a PACKED (vec_id, codes array<int>, cell)
+    code relation (r14): one join on ``cell`` — map-side when the
+    constants table broadcasts — then each (query, vector) pair computes
+    its m lut lookups as per-row exact-decimal left folds over the
+    subspaces. No per-subspace row fan-out and NO (query, neighbor)
+    aggregation shuffle: the old shape exploded |pairs|·m rows through a
+    corpus-scale groupBy; this one emits each scored pair directly.
+
+    Values are bit-identical: the fold adds the same round-12
+    decimal(30,15) terms the old ``F.sum`` aggregated (decimal addition
+    is exact, so fold order ≡ sum), and the cos expression is unchanged.
+    """
     t = F.broadcast(tdf) if broadcast_table else tdf
     dec = "decimal(30,15)"
+
+    def fold(field):
+        # the (38,15) accumulator re-cast is exact: every term is a
+        # round-12 value (scale 12), so each partial sum is scale-12 and
+        # survives the add operator's (38,14) result type losslessly —
+        # the fold's value equals the old F.sum over the same decimals
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("codes")),
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, s: (
+                acc
+                + F.round(
+                    F.element_at(
+                        F.element_at("luts", s),
+                        F.element_at("codes", s) + 1,
+                    )[field],
+                    12,
+                ).cast(dec)
+            ).cast("decimal(38,15)"),
+        )
+
     return (
-        codes.join(t, ["cell", "sub", "cluster"])
+        codes.join(t, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
-            F.sum(F.round(F.col("crossd"), 12).cast(dec)).alias("scross"),
-            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
-            F.first("qdotc").alias("qdotc"),
-            F.first("cc2").alias("cc2"),
-            F.first("qnorm").alias("qnorm"),
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fold("dotq").alias("sdot"),
+            fold("crossd").alias("scross"),
+            fold("cn2").alias("sn2"),
+            "qdotc",
+            "cc2",
+            "qnorm",
         )
         .withColumn(
             "cos",
@@ -1825,7 +2051,7 @@ def ivfpq_ann_topk(
     """
     spark = embeddings.sparkSession
     query_ids = list(query_ids)  # materialize once: generators exhaust
-    cc, cells, pq_cb, pq_codes = ivfpq_index(
+    cc, _cells, pq_cb, _pq_codes = ivfpq_index(
         embeddings,
         k_cells=k_cells,
         m=m,
@@ -1833,8 +2059,10 @@ def ivfpq_ann_topk(
         iters=iters,
         coarse_iters=coarse_iters,
     )
-    pq_codes = track_persist(pq_codes)
-    codes = pq_codes.join(cells, "vec_id")
+    # one fused map-only encode replaces the trainer's exploded code
+    # relations + the vec_id-keyed cells join (r14): codes arrive packed
+    # (vec_id, codes, cell) for the pair-packed scorer, zero shuffles
+    codes = ivfpq_encode_packed(embeddings, cc, pq_cb)
     queries = embeddings.filter(
         F.col("vec_id").isin(query_ids)
     ).select("vec_id", "embedding")
@@ -1958,7 +2186,7 @@ def _write_ivfpq_into(
 
     mint_generation(path)  # rebuilds invalidate snapshot pins loudly
     spark = embeddings.sparkSession
-    cc, cells, pq_cb, pq_codes = ivfpq_index(
+    cc, _cells, pq_cb, _pq_codes = ivfpq_index(
         embeddings,
         k_cells=k_cells,
         m=m,
@@ -1966,7 +2194,14 @@ def _write_ivfpq_into(
         iters=iters,
         coarse_iters=coarse_iters,
     )
-    codes = _pack_codes(pq_codes, cells).withColumn("batch", F.lit("base"))
+    # r14: the base codes come from the fused map-only encoder against
+    # the FINAL frozen models — bit-identical to packing the trainer's
+    # exploded relations (that identity IS the increment contract,
+    # pytest-pinned) with the pack's groupBy(vec_id) shuffle and both
+    # vec_id joins removed: the write job is a pure map pass
+    codes = ivfpq_encode_packed(embeddings, cc, pq_cb).withColumn(
+        "batch", F.lit("base")
+    )
     # pin static overwrite per-write (never the session default): a
     # session-wide dynamic mode would turn this truncate into a partial
     # replace that leaves a retired corpus's untouched cells live under
@@ -2004,9 +2239,15 @@ def _write_ivfpq_into(
         "centroid": pa.array([v for _k, v in cbs],
                              pa.list_(pa.float64())),
     }))
-    # commit LAST: visibility follows data + sidecars (cells is
-    # persisted by the trainer, so the count is a cached-relation fold)
-    segment_commit(path, "base", {"n_vectors": cells.count()})
+    # commit LAST: visibility follows data + sidecars. The vector count
+    # folds from the just-written codes' parquet footers (a metadata-only
+    # count over exactly the base batch — same value as counting the
+    # encode relation, without re-running it)
+    segment_commit(
+        path,
+        "base",
+        {"n_vectors": spark.read.parquet(f"{path}/codes").count()},
+    )
 
 
 def _read_ivfpq_sidecars(spark, path: str):
@@ -2024,86 +2265,11 @@ def _read_ivfpq_sidecars(spark, path: str):
     return cc, pq_cb
 
 
-def _pack_codes(pq_codes, cells):
-    """One row per vector: (vec_id, codes array<int>, cell) — the
-    on-disk codes layout. Shared by the base builder and the
-    frozen-model encoder so the packing (sort key, element order) can
-    never drift between them; a drift would silently break the
-    'increment rows ≡ base-build rows' bit-identity contract."""
-    return (
-        pq_codes.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cluster"))),
-                lambda s: s["cluster"],
-            ).alias("codes")
-        )
-        .join(cells, "vec_id")
-    )
-
-
-def _ivfpq_encode_parts(embeddings, cc: dict, pq_cb: dict, persist):
-    """(packed, cells) against frozen models; ``persist`` is applied
-    to the cells relation right after the coarse argmin because packed
-    references it TWICE (residual join + final pack join) — without it
-    the coarse assignment subtree would evaluate twice per action.
-    Callers choose the lifecycle: the lazy public wrapper registers
-    the persist with the session cache, the eager increment holds the
-    handle and unpersists before returning."""
-    spark = embeddings.sparkSession
-    dim = len(next(iter(cc.values())))
-    # fail loudly on dimension-mismatched arrivals: slice would clip a
-    # wider vector and zip_with null-pads a narrower one — either would
-    # encode garbage and COMMIT it into the index
-    e = embeddings.select(
-        "vec_id",
-        F.when(F.size("embedding") == dim, F.col("embedding"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"embedding dimension mismatch: index expects {dim}, got "
-                    ),
-                    F.size("embedding").cast("string"),
-                    F.lit(" for vec_id "),
-                    F.col("vec_id").cast("string"),
-                )
-            )
-        )
-        .alias("embedding"),
-    )
-    cells = persist(
-        _pq_assign(
-            spark, _pq_subvectors(e, 1, dim), {(0, c): v for c, v in cc.items()}
-        ).select("vec_id", F.col("cluster").alias("cell"))
-    )
-    cents = spark.createDataFrame(
-        [(c, v) for c, v in sorted(cc.items())], "cell int, cc array<double>"
-    )
-    residuals = (
-        e.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-        )
-        .join(cells, "vec_id")
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            F.zip_with("emb", "cc", lambda a, b: a - b).alias("embedding"),
-        )
-    )
-    m = max(s for s, _c in pq_cb) + 1
-    pq_codes = _pq_assign(
-        spark, _pq_subvectors(residuals, m, dim // m), pq_cb
-    ).select("vec_id", "sub", "cluster")
-    return _pack_codes(pq_codes, cells), cells
-
-
 def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
     """Encode vectors against FROZEN models — the serve-time half of
-    the trainer, replaying its exact arithmetic (``_pq_assign`` /
-    ``_pq_subvectors`` / ``_pack_codes``, the same code objects the
-    Lloyd loop and the base builder run): coarse-assign each vector to
-    its cell (one whole-vector subspace), subtract the cell centroid,
+    the trainer, replaying its exact arithmetic (the shared
+    ``_d2``/``_argmin_cluster`` expressions): coarse-assign each vector
+    to its cell (one whole-vector subspace), subtract the cell centroid,
     PQ-encode the residual, pack to one row per vector. Returns
     DataFrame[vec_id, codes array<int>, cell]. For any input, the
     output is BIT-identical to the codes ``ivfpq_index`` would emit
@@ -2112,15 +2278,12 @@ def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
     from base-build rows. Dimension-mismatched vectors raise instead
     of encoding garbage.
 
-    Scale shape: two broadcast-codebook argmins + one broadcast
-    centroid join — map-side over the arrivals, zero corpus shuffles
-    beyond the (vec_id, sub) partial aggregations; the cell assignment
-    is persisted (session cache registry) because the pack references
-    it twice."""
-    from ..cache import track_persist
-
-    packed, _cells = _ivfpq_encode_parts(embeddings, cc, pq_cb, track_persist)
-    return packed
+    Scale shape (r14): ONE fused map-only pipeline against the two
+    one-row broadcast candidate tables — zero shuffles, zero joins, no
+    persist needed (nothing is referenced twice anymore; the old shape
+    joined the arrivals back to their own cell assignment by vec_id and
+    re-grouped the exploded codes)."""
+    return ivfpq_encode_packed(embeddings, cc, pq_cb)
 
 
 def ivfpq_index_increment(
@@ -2181,12 +2344,11 @@ def ivfpq_index_increment(
                 "deletes physically before re-adding a deleted vec_id"
             )
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
-    # eager path: hold both persist handles and release before return
-    # (a per-micro-batch CDC driver must not accumulate pinned caches)
-    packed, cells = _ivfpq_encode_parts(
-        new_embeddings, cc, pq_cb, lambda df: df.persist()
-    )
-    packed = packed.persist()
+    # eager path: hold the persist handle and release before return (a
+    # per-micro-batch CDC driver must not accumulate pinned caches); the
+    # persist spans the count action and the write so the arrivals are
+    # encoded once, not twice
+    packed = ivfpq_encode_packed(new_embeddings, cc, pq_cb).persist()
     try:
         n = packed.count()
         if not n:
@@ -2201,7 +2363,6 @@ def ivfpq_index_increment(
         segment_commit(path, batch_id, {"n_vectors": n})
     finally:
         packed.unpersist()
-        cells.unpersist()
 
 
 def _ivfpq_tombstones(spark, path: str, batches):
@@ -2500,18 +2661,20 @@ def ivfpq_probe_topk(
         F.col("cell").isin(sorted(probed_cells)) & F.col("batch").isin(batches)
     )
     # deletes: tombstoned vectors are anti-joined off the (one row per
-    # vector) code scan BEFORE the per-subspace explode — the frozen
-    # models carry no corpus constants, so exclusion alone makes the
-    # probe equal an index that never held the deleted vectors
+    # vector) code scan before scoring — the frozen models carry no
+    # corpus constants, so exclusion alone makes the probe equal an
+    # index that never held the deleted vectors
     tomb = _ivfpq_tombstones(spark, path, batches)
     if tomb is not None:
         codes = codes.join(tomb, "vec_id", "left_anti")
-    exploded = codes.select(
-        "vec_id",
-        "cell",
-        F.posexplode("codes").alias("sub", "cluster"),
+    # r14: the scan's packed rows (vec_id, codes, cell) feed the
+    # pair-packed scorer directly — the per-subspace posexplode (×m row
+    # fan-out) and the scorer's (query, neighbor) re-aggregation are gone
+    scored = _adc_score(
+        codes.select("vec_id", "codes", "cell"),
+        tdf,
+        broadcast_table=broadcast_table,
     )
-    scored = _adc_score(exploded, tdf, broadcast_table=broadcast_table)
     if rerank:
         if embeddings is None:
             raise ValueError("rerank requires the original embeddings table")
