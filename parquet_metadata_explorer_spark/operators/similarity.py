@@ -1083,13 +1083,28 @@ def knn_graph(
         planes_per_band=planes_per_band,
         bucket_cap=bucket_cap,
     )
+    # symmetrize with ONE explode instead of a self-union (r14): the
+    # union's two branches each re-evaluated the entire LSH + tiled-GEMM
+    # candidate pipeline (plan-verified: the corpus scan and both Arrow
+    # kernels appeared twice under Union) — exploding both orientations
+    # out of each undirected pair row keeps a single evaluation, no
+    # persist needed. Same rows, so the per-src window is unchanged.
     sym = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos"
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
         sym.withColumn("rank", F.row_number().over(w))
