@@ -37,8 +37,20 @@ def _dedup_edges(df: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    Symmetrization is ONE explode of both orientations per edge row
+    (r14) rather than a self-union: the union's two branches each
+    re-scanned the (checkpointed) edge set — same rows, half the cache
+    reads per round."""
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b")
     mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
     mins = mins.select("a", F.least("a", "mn").alias("m"))
     return (
@@ -52,15 +64,32 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient u=max, v=min; connect u and all its smaller neighbors to
-    the minimum of those neighbors."""
+    the minimum of those neighbors.
+
+    r14 round-cost trims, output identical by the trailing
+    ``_dedup_edges`` distinct: (1) no ``.distinct()`` on the oriented
+    input — ``_large_star`` output is already distinct with a > b, so
+    greatest/least is the identity and the old distinct was a pure
+    extra shuffle (duplicates, were any to appear, die in the final
+    distinct; min over duplicates is unchanged); (2) the (u, m) star
+    edges ride the SAME join output as the (v, m) edges via one explode
+    instead of a second reference to ``mins`` — the old union branch
+    recomputed the groupBy-min aggregation a second time per round."""
     o = e.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-    ).distinct()
+    )
     mins = o.groupBy("u").agg(F.min("v").alias("m"))
     return _dedup_edges(
         o.join(mins, "u")
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
     )
 
 
