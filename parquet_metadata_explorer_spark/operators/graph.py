@@ -108,7 +108,7 @@ def _fingerprint(e: DataFrame) -> tuple:
 SMALL_GRAPH_EDGES = 200_000
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
+def _driver_components(spark, rows, node_t) -> DataFrame:
     """Union-find with union-by-min on a collected edge set — the root
     of every tree is the MINIMUM element of its component (inductive:
     true initially; a merge's new root is the min of the two roots), so
@@ -125,7 +125,7 @@ def _driver_components(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in e.collect():
+    for r in rows:
         a, b = r.a, r.b
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -134,13 +134,10 @@ def _driver_components(e: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    node_t = e.schema["a"].dataType
     schema = StructType(
         [StructField("node", node_t), StructField("component", node_t)]
     )
-    return e.sparkSession.createDataFrame(
-        [(n, find(n)) for n in parent], schema
-    )
+    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
 
 
 def connected_components(
@@ -158,23 +155,31 @@ def connected_components(
     Isolated nodes never enter an edge list, so callers wanting them keep
     the convention ``component = node`` via a left join.
 
-    The convergence fingerprint already collects the distinct edge
-    COUNT before the first round, so graphs at or under
-    ``small_graph_edges`` take a driver union-find fast path (one
-    collect instead of ~2 jobs per star round) — bit-identical output,
-    pytest-asserted against the forced-distributed rounds; pass 0 to
-    force the distributed path. Billion-edge graphs take the star
-    rounds unconditionally.
+    Graphs at or under ``small_graph_edges`` take a driver union-find
+    fast path: ONE bounded ``limit(N+1).collect()`` probe (r14 — the
+    limit short-circuits partition-by-partition, so on a billion-edge
+    graph the probe reads a few partitions and falls through) replaces
+    the former checkpoint-materialize + fingerprint-count + collect
+    triple, i.e. one Spark job instead of three for every small graph.
+    Bit-identical output, pytest-asserted against the forced-distributed
+    rounds; pass 0 to force the distributed path. Billion-edge graphs
+    take the star rounds unconditionally.
     """
+    e = _dedup_edges(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    if small_graph_edges > 0:
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            # the limit returned everything: probe IS the full edge set
+            return _driver_components(
+                e.sparkSession, probe, e.schema["a"].dataType
+            )
     # localCheckpoint (not persist) each round: it truncates the logical
     # plan, without which Catalyst's DeduplicateRelations recursion blows
     # the stack on the self-referential lineage after a few iterations
-    e = _dedup_edges(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint()
+    e = e.localCheckpoint()
     fp = _fingerprint(e)
-    if fp[0] <= small_graph_edges:
-        return _driver_components(e)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e)).localCheckpoint()
         nfp = _fingerprint(nxt)
