@@ -1192,7 +1192,12 @@ def semantic_dedup_increment(
         .select(F.col("a").alias("vec_id"))
         .distinct()
     )
-    final = batch_surv.join(dropped, "vec_id", "left_anti")
+    # dropped is bounded by the batch survivor count (its ids come from
+    # the broadcast bs side) — the same small-batch premise that
+    # broadcasts bs makes the anti-join build side broadcastable, and
+    # without the hint the post-shuffle distinct has unknown size stats
+    # so Catalyst planned a SortMergeJoin of survivors against it
+    final = batch_surv.join(F.broadcast(dropped), "vec_id", "left_anti")
     new_catalog = kept_catalog.unionByName(
         final.select("vec_id", "cluster", "emb", "nrm")
     )

@@ -137,7 +137,16 @@ def _driver_components(spark, rows, node_t) -> DataFrame:
     schema = StructType(
         [StructField("node", node_t), StructField("component", node_t)]
     )
-    return spark.createDataFrame([(n, find(n)) for n in parent], schema)
+    # createDataFrame yields a LogicalRDD with UNKNOWN size stats, so
+    # Catalyst never auto-broadcasts it and every consumer join (e.g.
+    # semantic dedup's base-to-component attach) degraded to a
+    # SortMergeJoin of the corpus against this driver-sized relation.
+    # The fast path's output is bounded by construction (nodes of at
+    # most small_graph_edges edges), so hint it broadcast: consumers
+    # get a map-side BroadcastHashJoin with no corpus shuffle.
+    return F.broadcast(
+        spark.createDataFrame([(n, find(n)) for n in parent], schema)
+    )
 
 
 def connected_components(
