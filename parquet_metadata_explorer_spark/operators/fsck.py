@@ -47,7 +47,10 @@ def _index_report(tagged: DataFrame) -> DataFrame:
         .groupBy("defect")
         .agg(F.sort_array(F.collect_list("key")).alias("examples"))
     )
-    return counts.join(examples, "defect").orderBy("defect")
+    # one row per defect class on both sides (~15 rows max), but the
+    # post-aggregation stats are unknown so Catalyst planned this as a
+    # SortMergeJoin — broadcast the bounded side
+    return counts.join(F.broadcast(examples), "defect").orderBy("defect")
 
 
 def _tag(df: DataFrame, key_col, defect: str) -> DataFrame:

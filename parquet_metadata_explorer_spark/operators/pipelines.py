@@ -360,8 +360,13 @@ def dataset_card(documents: DataFrame) -> DataFrame:
     to the lexicographically LAST language via the struct ordering
     (replicated in the oracle's row_number ordering).
     """
-    feats = text_stats(documents).select("doc_id", "n_tokens", "quality_score")
-    base = documents.select("doc_id", "source", "lang").join(feats, "doc_id")
+    # source/lang ride the map-only stats projection (text_stats _carry)
+    # instead of re-joining the corpus to its own stats on doc_id — that
+    # join planned as a corpus-vs-corpus SortMergeJoin for columns the
+    # scan already had
+    base = text_stats(documents, _carry=("source", "lang")).select(
+        "doc_id", "source", "lang", "n_tokens", "quality_score"
+    )
     lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
     top_lang = lang_counts.groupBy("source").agg(
         F.max(F.struct("cnt", "lang")).getField("lang").alias("top_lang")
@@ -377,7 +382,9 @@ def dataset_card(documents: DataFrame) -> DataFrame:
     )
     total = per_source.agg(F.sum("n_docs").alias("total_docs"))
     return (
-        per_source.join(top_lang, "source")
+        # both sides are sources-sized post-aggregation but carry unknown
+        # stats — broadcast the arg-maxed language table explicitly
+        per_source.join(F.broadcast(top_lang), "source")
         .crossJoin(F.broadcast(total))
         .select(
             "source",

@@ -455,9 +455,16 @@ def dsir_resample(
             lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
         ),
     ).otherwise(F.array_except(t, t))
-    feats = tokdf.select(
-        "doc_id", F.explode(F.concat(t, bigrams)).alias("feat")
+    # explode_OUTER so a zero-token document keeps one (doc_id, null)
+    # row: the scoring pass can then cover every document without the
+    # former documents-vs-perdoc restore join — a corpus-vs-corpus
+    # SortMergeJoin whose only purpose was re-adding empty docs.
+    # hash60/pmod null-propagate, so the sentinel row carries a null
+    # bucket; the model build filters it out below.
+    feats_all = tokdf.select(
+        "doc_id", F.explode_outer(F.concat(t, bigrams)).alias("feat")
     ).select("doc_id", F.pmod(hash60(F.col("feat")), F.lit(B)).alias("bucket"))
+    feats = feats_all.filter(F.col("bucket").isNotNull())
 
     tgt_ids = target.select("doc_id").distinct().withColumn(
         "is_t", F.lit(1)
@@ -495,8 +502,13 @@ def dsir_resample(
             ).alias("w"),
         )
     )
+    # LEFT join over the outer-exploded relation: a real bucket always
+    # matches lr (lr covers every bucket the corpus produced), and the
+    # empty-doc sentinel's null bucket contributes a null w that the
+    # sum skips — logw comes out null and the coalesce below snaps it
+    # to 0.0, exactly the value the old restore join produced
     perdoc = (
-        feats.join(F.broadcast(lr), "bucket")
+        feats_all.join(F.broadcast(lr), "bucket", "left")
         .groupBy("doc_id")
         .agg(F.sum("w").alias("logw"))
     )
@@ -509,8 +521,7 @@ def dsir_resample(
     ) / F.lit(1000000008.0)
     g = F.round(-F.log(-F.log(u)), 12)
     scored = (
-        documents.select("doc_id")
-        .join(perdoc, "doc_id", "left")
+        perdoc
         .select(
             "doc_id",
             F.round(

@@ -30,12 +30,18 @@ LANG_STOPWORDS = {
 BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def text_stats(documents: DataFrame) -> DataFrame:
+def text_stats(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Per-document quality features: lengths, token counts, ratios, score.
 
     quality_score is a simple bounded combination of the classic heuristics
     (length band, punctuation density, stopword presence) — the shape of
     Gopher/C4-style rules, deterministic and oracle-checkable.
+
+    ``_carry`` names extra input columns to thread through the (map-only)
+    projection — compositions like dataset_card use it instead of
+    re-joining the corpus to its own stats on doc_id, which planned as a
+    corpus-vs-corpus SortMergeJoin for a value the scan already had.
+    The default output schema is unchanged.
     """
     text = F.col("text")
     # one tokenizer run per row — `tokens(text)` is referenced by both
@@ -50,7 +56,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
     ).cast("long")
     documents = documents.select(
-        "doc_id", "text", tokens(text).alias("t")
+        "doc_id", *_carry, "text", tokens(text).alias("t")
     )
 
     punct_ratio = _round_dec(n_punct / F.greatest(n_chars, F.lit(1)), 4)
@@ -66,6 +72,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     )
     return documents.select(
         "doc_id",
+        *_carry,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
