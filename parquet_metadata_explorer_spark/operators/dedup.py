@@ -357,7 +357,9 @@ def ngram_jaccard_pairs(
     max_doc_freq="auto",
     pair_budget: int = 25_000_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted-index self-join.
+    """Exact n-gram Jaccard similarity via an inverted index: one
+    shingle-keyed aggregation groups each shingle's (df-capped) postings
+    and expands the i<j candidate pairs map-side.
 
     ``max_doc_freq`` drops shingles appearing in more than that many docs —
     the skew guard: a stop-shingle shared by 1M docs would otherwise
@@ -403,23 +405,52 @@ def ngram_jaccard_pairs(
         ]
         max_doc_freq = auto_doc_freq_cap(hist, pair_budget)
     rare = freq.filter(F.col("df") <= F.lit(int(max_doc_freq)))
-    # persist the frequency-filtered postings too: both sides of the
-    # self-join reference inv_r, and Catalyst does not reuse the
-    # rare-join's exchanges across the two subtrees (measured: 0
-    # ReusedExchange, the join ran twice)
-    inv_r = track_persist(inv.join(rare.select("shingle"), "shingle"))
-    l, r = inv_r.alias("l"), inv_r.alias("r")
-    common = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    # ONE shingle-keyed aggregation instead of the postings self-join
+    # (r14): sort_array(collect_list(..)) materializes each shingle's
+    # posting group — bounded per group by the df cap, which
+    # auto_doc_freq_cap already bounds through pair_budget — and the
+    # i<j pair fan-out happens map-side AFTER the single shuffle.
+    # Shingles are distinct per document (dict.fromkeys in the kernel),
+    # so doc_ids within a group are unique and the sorted i<j expansion
+    # is exactly the former join's (l.doc_id < r.doc_id) pair set. The
+    # SortMergeJoin this replaces shuffled AND sorted the postings
+    # twice (plus a third persisted copy as inv_r); the rare join's
+    # shingle partitioning now feeds the groupBy with no new exchange.
+    grp = (
+        inv.join(rare.select("shingle"), "shingle")
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh"))
+            ).alias("ps")
         )
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .filter(F.size("ps") >= 2)
+    )
+    n = F.size("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.transform(
+                # slice clamps past the array end; element_at is an O(1)
+                # index into the materialized ps column, safe inside the
+                # per-element lambda
+                F.slice(F.col("ps"), i + F.lit(1), n),
+                lambda y: F.struct(
+                    F.element_at(F.col("ps"), i).alias("l"), y.alias("r")
+                ),
+            ),
+        )
+    )
+    common = (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.l.doc_id").alias("doc_a"),
+            F.col("p.r.doc_id").alias("doc_b"),
+        )
         .agg(
             F.count("*").cast("long").alias("n_common"),
-            F.first(F.col("l.n_sh")).alias("n_a"),
-            F.first(F.col("r.n_sh")).alias("n_b"),
+            F.first(F.col("p.l.n_sh")).alias("n_a"),
+            F.first(F.col("p.r.n_sh")).alias("n_b"),
         )
     )
     out = (

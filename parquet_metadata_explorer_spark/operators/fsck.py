@@ -199,14 +199,27 @@ def bm25_index_verify(spark, path: str) -> DataFrame:
     )
 
     live = post if tomb is None else post.join(tomb, "doc_id", "left_anti")
-    actual_df = live.groupBy("term").agg(
-        F.count("*").cast("long").alias("adf")
-    )
-    stored_df = dfreq.groupBy("term").agg(
-        F.sum("df").cast("long").alias("sdf")
-    )
+    # actual-vs-stored df reconciliation as ONE term-keyed aggregation
+    # over the tagged union (r14): the former groupBy-each-side +
+    # full-outer join shuffled the postings twice and sort-merged the
+    # results; summing side-tagged counts map-side-combines to one
+    # shuffle, and a term absent from a side contributes 0 exactly like
+    # the join's coalesce(NULL, 0)
     df_bad = (
-        actual_df.join(stored_df, "term", "full_outer")
+        live.select(
+            "term",
+            F.lit(1).cast("long").alias("adf"),
+            F.lit(0).cast("long").alias("sdf"),
+        )
+        .unionByName(
+            dfreq.select(
+                "term",
+                F.lit(0).cast("long").alias("adf"),
+                F.col("df").cast("long").alias("sdf"),
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("adf").alias("adf"), F.sum("sdf").alias("sdf"))
         .filter(
             F.coalesce(F.col("adf"), F.lit(0))
             != F.coalesce(F.col("sdf"), F.lit(0))
@@ -581,12 +594,24 @@ def corpus_verify(
                 ),
             )
         state, _v = load_prepare_state(spark, state_dir)
-        actual = corpus.groupBy(key).agg(
-            F.count("*").cast("long").alias("a")
-        )
+        # same one-shuffle union-aggregate as the BM25 df check (r14):
+        # the former per-side groupBy + full-outer join sort-merged two
+        # aggregates for a catalog-vs-corpus count reconciliation
         mismatch = (
-            state["source_counts"]
-            .join(actual, key, "full_outer")
+            corpus.select(
+                F.col(key),
+                F.lit(1).cast("long").alias("a"),
+                F.lit(0).cast("long").alias("n_docs"),
+            )
+            .unionByName(
+                state["source_counts"].select(
+                    F.col(key),
+                    F.lit(0).cast("long").alias("a"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                )
+            )
+            .groupBy(key)
+            .agg(F.sum("a").alias("a"), F.sum("n_docs").alias("n_docs"))
             .filter(
                 F.coalesce(F.col("n_docs"), F.lit(0))
                 != F.coalesce(F.col("a"), F.lit(0))

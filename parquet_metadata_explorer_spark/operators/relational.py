@@ -1086,39 +1086,48 @@ def waiting_suppliers(
     "late" means shipped more than ``lag_days`` after the order date).
     Counts, per supplier, the late lineitems of finalized multi-supplier
     orders where that supplier was the ONLY late one. The double
-    correlated EXISTS / NOT EXISTS decorrelates into two order-level
-    aggregates over the same joined fact — distinct-supplier count and
-    distinct-LATE-supplier count per order — joined back on orderkey:
-    EXISTS(other supplier) ⇔ nsupp ≥ 2, NOT EXISTS(other late supplier)
-    ⇔ nlate = 1 (the blamed supplier is itself late). Every shuffle is
-    on uniform orderkey; the blame tables are order-sized, never
-    lineitem-sized, and no per-row subquery survives. The DuckDB oracle
-    runs the textbook correlated EXISTS form, so the board row verifies
-    the rewrite itself."""
+    correlated EXISTS / NOT EXISTS decorrelates into ONE order-level
+    aggregate over the joined fact: EXISTS(other supplier) ⇔ ≥ 2
+    distinct suppliers in the order, NOT EXISTS(other late supplier) ⇔
+    exactly 1 distinct late supplier (the blamed supplier is itself
+    late), and the order's late rows ride the same aggregate as a
+    null-skipping collect_list, so no blame table is ever joined back.
+    The one data shuffle is on uniform orderkey with naturally bounded
+    groups, and no per-row subquery survives. The DuckDB oracle runs
+    the textbook correlated EXISTS form, so the board row verifies the
+    rewrite itself."""
     li = lineitem.join(
         orders.filter(F.col("o_orderstatus") == "F").select(
             "o_orderkey", "o_orderdate"
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-    late = li.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {lag_days} DAYS")
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {lag_days} DAYS"
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp")
-    )
-    late_per_order = late.groupBy(F.col("l_orderkey").alias("lo_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nlate")
+    # ONE orderkey-keyed aggregation over the joined fact (r14): the
+    # former three references to li re-ran the lineitem scan + orders
+    # join three times (no exchange reuse across the subtrees) and
+    # sort-merged late against the two per-order blame tables — 4
+    # SortMergeJoins and 3 corpus passes for per-order facts one
+    # groupBy can carry. collect_set(suppkey) reproduces
+    # countDistinct; the late suppkeys ride a null-skipping
+    # collect_list, so an order's late ROWS (what numwait counts) come
+    # back out of the same row via explode. Per-order groups are
+    # bounded by the order's lineitem count — the same uniform-orderkey
+    # skew story as before, with the blame joins gone.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("supps"),
+        F.collect_list(F.when(is_late, F.col("l_suppkey"))).alias(
+            "late_supps"
+        ),
     )
     blamed = (
-        late.join(
-            per_order.filter(F.col("nsupp") >= 2),
-            F.col("l_orderkey") == F.col("po_orderkey"),
+        per_order.filter(
+            (F.size("supps") >= 2)
+            & (F.size(F.array_distinct("late_supps")) == 1)
         )
-        .join(
-            late_per_order.filter(F.col("nlate") == 1),
-            F.col("l_orderkey") == F.col("lo_orderkey"),
-        )
+        .select(F.explode("late_supps").alias("l_suppkey"))
         .groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("numwait"))
     )

@@ -285,9 +285,10 @@ def hybrid_knn_graph(
     makes it safe to run blind over a whole corpus.
 
     Scale shape: both inputs are top-``k_each`` PER DOCUMENT (corpus ×
-    k_each rows, linear in the corpus), fused by one full-outer join on
-    (query_id, doc_id) and ranked by a per-query window whose groups
-    are ≤ 2·k_each rows — uniform by construction, no skew surface.
+    k_each rows, linear in the corpus), fused by a union + per-(query,
+    doc) max-merge sharing ONE query_id-keyed exchange with the ranking
+    window, whose per-query groups are ≤ 2·k_each rows — uniform by
+    construction, no skew surface.
     The heavy lifting lives in the two retrievers, each with its own
     documented scale story. RRF arithmetic is 1/(integer+integer) in
     doubles — engine-exact, no rounding discipline needed."""
@@ -306,7 +307,26 @@ def hybrid_knn_graph(
         F.col("dst").alias("doc_id"),
         F.col("rank").alias("dense_rank"),
     )
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    # union + groupBy instead of a full-outer join (r14): each side is
+    # unique on (query_id, doc_id), so max() over the padded columns
+    # reproduces the join's row exactly — and keying the one exchange by
+    # query_id alone lets the per-(q,d) aggregation AND the per-query
+    # ranking window below both reuse it (hashpartitioning(q) clusters
+    # (q,d) too). Plan: 2 Exchange + 2 Sort + SortMergeJoin + a window
+    # Exchange -> ONE Exchange total; per-query groups are <= 2*k_each
+    # rows by construction, so the coarser key adds no skew surface.
+    fused = (
+        lex.withColumn("dense_rank", F.lit(None).cast("long"))
+        .unionByName(
+            dense.withColumn("lex_rank", F.lit(None).cast("long"))
+        )
+        .repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("dense_rank").alias("dense_rank"),
+        )
+    )
     contrib = lambda c: F.when(  # noqa: E731
         F.col(c).isNotNull(), F.lit(1.0) / (F.lit(int(rrf_k)) + F.col(c))
     ).otherwise(F.lit(0.0))
@@ -510,7 +530,23 @@ def _rrf_fuse(lex: DataFrame, dense: DataFrame, k: int, rrf_k: int):
     verbatim by the in-memory and the all-from-disk hybrid paths, so
     the two can only differ if a retriever differs (and each retriever
     carries its own disk ≡ memory contract)."""
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+    # same union+groupBy fusion as hybrid_knn_graph (r14): one exchange
+    # keyed by query_id serves the (q,d) max-merge and the ranking
+    # window; the former full-outer SortMergeJoin cost 2 Exchange +
+    # 2 Sort + a third Exchange for the window
+    merged = (
+        lex.withColumn("dense_rank", F.lit(None).cast("long"))
+        .unionByName(
+            dense.withColumn("lex_rank", F.lit(None).cast("long"))
+        )
+        .repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("dense_rank").alias("dense_rank"),
+        )
+    )
+    fused = merged.select(
         "query_id",
         "doc_id",
         (

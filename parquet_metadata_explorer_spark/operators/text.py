@@ -1201,11 +1201,17 @@ def bm25_topk(
     as exact decimal(30,15), final score round-6 — partition-count and
     addition-order invariant, tie-broken on doc_id.
     """
+    from ..cache import track_persist
+
     spark = documents.sparkSession
     qterms = spark.createDataFrame(
         _query_terms(queries), "query_id long, term string"
     )
     postings, doclen = _corpus_postings(documents)
+    # persist the doc-sized lengths (r14): stats and the candidate join
+    # both consume doclen, and un-persisted each reference re-ran the
+    # postings-to-doc_id shuffle — a full postings pass apiece
+    doclen = track_persist(doclen)
     stats = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -1213,15 +1219,20 @@ def bm25_topk(
     dfreq = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
+    # avgdl rides the (tiny) probe rows instead of a second broadcast
+    # stats crossJoin — one stats aggregation job, not two (r14)
     probe = (
         qterms.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "term", _bm25_idf().alias("idf"))
+        .select(
+            "query_id",
+            "term",
+            _bm25_idf().alias("idf"),
+            _bm25_avgdl().alias("avgdl"),
+        )
     )
-    candidates = (
-        postings.join(F.broadcast(probe), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
+    candidates = postings.join(F.broadcast(probe), "term").join(
+        doclen, "doc_id"
     )
     return _bm25_score_topk(candidates, k, k1, b)
 
@@ -1235,10 +1246,16 @@ def _mlt_query_terms(
     FIRST term), over terms whose document frequency is at most
     ``max_df_ratio`` of the corpus — Lucene MoreLikeThis's "interesting
     terms" with its min/max-df guard rails. Returns
-    ((query_id, term, idf), postings, doclen, stats); the rank<=m
-    filter compiles to WindowGroupLimit, so selection prunes map-side
-    before any shuffle."""
+    ((query_id, term, idf, avgdl), postings, doclen, stats); the
+    rank<=m filter compiles to WindowGroupLimit, so selection prunes
+    map-side before any shuffle. doclen is persisted (r14): stats and
+    the caller's candidate join both consume it, and un-persisted each
+    reference re-ran the postings-to-doc_id shuffle; avgdl rides the
+    selected-term rows so callers skip a second stats crossJoin."""
+    from ..cache import track_persist
+
     postings, doclen = _corpus_postings(documents)
+    doclen = track_persist(doclen)
     stats = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
@@ -1255,7 +1272,9 @@ def _mlt_query_terms(
                 F.floor(F.col("n_docs") * F.lit(float(max_df_ratio))),
             )
         )
-        .select("term", _bm25_idf().alias("idf"))
+        .select(
+            "term", _bm25_idf().alias("idf"), _bm25_avgdl().alias("avgdl")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.round(F.col("idf") * F.col("tf").cast("double"), 12).desc(),
@@ -1265,7 +1284,7 @@ def _mlt_query_terms(
         postings.join(eligible, "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= int(m_terms))
-        .select(F.col("doc_id").alias("query_id"), "term", "idf")
+        .select(F.col("doc_id").alias("query_id"), "term", "idf", "avgdl")
     )
     return qsel, postings, doclen, stats
 
@@ -1311,11 +1330,11 @@ def bm25_more_like_this(
     qsel, postings, doclen, stats = _mlt_query_terms(
         documents, m_terms, max_df_ratio
     )
+    # avgdl arrives on the qsel rows (r14) — no second stats crossJoin
     candidates = (
         qsel.join(postings, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats.select(_bm25_avgdl().alias("avgdl"))))
     )
     return _bm25_score_topk(candidates, k, k1, b)
 
