@@ -426,31 +426,28 @@ def ngram_jaccard_pairs(
         )
         .filter(F.size("ps") >= 2)
     )
-    n = F.size("ps")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.transform(
-                # slice clamps past the array end; element_at is an O(1)
-                # index into the materialized ps column, safe inside the
-                # per-element lambda
-                F.slice(F.col("ps"), i + F.lit(1), n),
-                lambda y: F.struct(
-                    F.element_at(F.col("ps"), i).alias("l"), y.alias("r")
-                ),
-            ),
-        )
+    # two chained Generates, NOT one flattened pair array: a boundary
+    # shingle at the cap can own ~pair_budget pairs, and materializing
+    # them as one array value in one row would hold cap^2 structs in
+    # memory where the old join streamed them — posexplode the left
+    # element, then explode its strict suffix, so peak per-row state is
+    # one ps array (<= cap structs)
+    lefts = grp.select("ps", F.posexplode("ps").alias("i0", "l"))
+    pairs = lefts.select(
+        "l",
+        F.explode(
+            F.slice(F.col("ps"), F.col("i0") + F.lit(2), F.size("ps"))
+        ).alias("r"),
     )
     common = (
-        grp.select(F.explode(pair_arr).alias("p"))
-        .groupBy(
-            F.col("p.l.doc_id").alias("doc_a"),
-            F.col("p.r.doc_id").alias("doc_b"),
+        pairs.groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
         )
         .agg(
             F.count("*").cast("long").alias("n_common"),
-            F.first(F.col("p.l.n_sh")).alias("n_a"),
-            F.first(F.col("p.r.n_sh")).alias("n_b"),
+            F.first(F.col("l.n_sh")).alias("n_a"),
+            F.first(F.col("r.n_sh")).alias("n_b"),
         )
     )
     out = (
