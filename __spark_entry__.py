@@ -4490,14 +4490,16 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key = lang: the corpus's language distribution is skewed (en ~44%),
     # so alpha=0.5 genuinely downweights the head (rate < 1) while the
     # tail languages cap at rate = 1 — the XLM behavior, visible in rows
-    rates = temperature_rates(docs, alpha=TMIX_ALPHA, key="lang")
+    # rates is referenced twice (audit columns + the mix's keep filter);
+    # persisting the langs-sized table keeps its corpus scan single-run
+    rates = temperature_rates(docs, alpha=TMIX_ALPHA, key="lang").persist()
     kept = (
-        temperature_mix(docs, alpha=TMIX_ALPHA, key="lang")
+        temperature_mix(docs, alpha=TMIX_ALPHA, key="lang", rates=rates)
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_kept"))
     )
     return (
-        rates.join(kept, rates["source"] == kept["lang"], "left")
+        rates.join(F.broadcast(kept), rates["source"] == kept["lang"], "left")
         .select(
             F.col("source").alias("lang"),
             "n_docs",

@@ -144,27 +144,40 @@ def corpus_diff(
     ``include_unchanged`` (at 100 TB the interesting set is the delta;
     emitting the full corpus back defeats the point).
 
-    Scale shape: one md5 map pass per side, then a single full outer
-    join on the key — each side shuffles once on ``key``, or not at all
-    when both versions are stored bucketed by it (the layout a versioned
-    corpus should use; storage-partitioned joins make the diff
-    shuffle-free at rest). No window, no skew surface (keys are unique
-    per side)."""
-    fp = lambda df, name: df.select(  # noqa: E731
+    Scale shape: one md5 map pass per side, then ONE hash aggregation of
+    the side-tagged union on ``key`` — because keys are unique per side,
+    a full-outer join is exactly the per-key max-merge of null-padded
+    fingerprint columns, and the aggregation form drops the join's two
+    corpus-sized Sorts (each side still shuffles once on ``key``, or not
+    at all when both versions are stored bucketed by it — a groupBy on
+    the bucket key is as shuffle-free at rest as the join was). No
+    window, no skew surface."""
+    fp = lambda df, o_fp, n_fp: df.select(  # noqa: E731
         F.col(key),
-        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias(name),
-    )
-    o = fp(old, "old_fp")
-    n = fp(new, "new_fp")
-    joined = o.join(n, key, "full_outer").select(
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("fp"),
+    ).select(
         key,
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-        .alias("status"),
-        "old_fp",
-        "new_fp",
+        (F.col("fp") if o_fp else F.lit(None).cast("string")).alias("old_fp"),
+        (F.col("fp") if n_fp else F.lit(None).cast("string")).alias("new_fp"),
+    )
+    joined = (
+        fp(old, True, False)
+        .unionByName(fp(new, False, True))
+        .groupBy(key)
+        .agg(
+            F.max("old_fp").alias("old_fp"),
+            F.max("new_fp").alias("new_fp"),
+        )
+        .select(
+            key,
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("new_fp").isNull(), F.lit("removed"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
     )
     if include_unchanged:
         return joined

@@ -305,6 +305,14 @@ def temperature_rates(
     (source, n_docs) to derive rates from a PERSISTED count catalog
     instead of scanning ``documents`` — the incremental-pipeline path,
     where per-source counts are metadata-plane state updated per run.
+
+    The corpus-total and weight-sum folds run as whole-relation windows
+    over the sources-sized count table, not as scalar crossJoins back
+    onto it: each crossJoin re-evaluated the count subtree (and with it
+    the corpus scan) per reference, so a single rates derivation cost
+    4 corpus passes where 1 suffices. Sums of longs and of
+    decimal(30,15) are exact and order-independent, so the window forms
+    are bit-identical to the old aggregate+crossJoin forms.
     """
     if counts is None:
         counts = documents.groupBy(F.col(key).alias("source")).agg(
@@ -314,15 +322,18 @@ def temperature_rates(
         counts = counts.select(
             F.col("source"), F.col("n_docs").cast("long").alias("n_docs")
         )
-    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    whole = Window.partitionBy()
     w = F.round(
         F.pow(F.col("n_docs") / F.col("n_total"), F.lit(float(alpha))), 12
     )
-    weighted = counts.crossJoin(F.broadcast(total)).withColumn("w", w)
-    wsum = weighted.agg(F.sum(F.col("w").cast("decimal(30,15)")).alias("w_sum"))
+    weighted = counts.withColumn(
+        "n_total", F.sum("n_docs").over(whole)
+    ).withColumn("w", w)
     budget = F.lit(float(budget_docs)) if budget_docs else F.col("n_total")
     return (
-        weighted.crossJoin(F.broadcast(wsum))
+        weighted.withColumn(
+            "w_sum", F.sum(F.col("w").cast("decimal(30,15)")).over(whole)
+        )
         .withColumn("q", F.col("w") / F.col("w_sum").cast("double"))
         .withColumn(
             "rate",
@@ -339,6 +350,7 @@ def temperature_mix(
     key: str = "source",
     salt: str = "tmix",
     counts: DataFrame | None = None,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Apply ``temperature_rates`` deterministically: keep a document
     when its salted md5 u01 falls under its source's rate — the same
@@ -348,8 +360,14 @@ def temperature_mix(
     rate derivation to a persisted count catalog (incremental mode);
     because the keep rule is deterministic and stateless given rates,
     re-applying the mix after a catalog update is a cheap idempotent
-    filter — no document reprocessing."""
-    rates = temperature_rates(documents, alpha, budget_docs, key, counts=counts)
+    filter — no document reprocessing. Pass ``rates`` (a
+    ``temperature_rates`` output) when the caller already derived it —
+    referencing one shared plan instead of re-deriving keeps the rate
+    subtree (and its corpus scan) single-evaluation."""
+    if rates is None:
+        rates = temperature_rates(
+            documents, alpha, budget_docs, key, counts=counts
+        )
     u01 = hash60(
         F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
     ) / F.lit(float(2**60))
