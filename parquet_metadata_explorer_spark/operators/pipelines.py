@@ -14,7 +14,7 @@ driver-side, so the composition inherits each stage's 100 TB story.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalize_text
@@ -71,27 +71,44 @@ def corpus_stage_frames(
 ) -> tuple:
     """The pipeline's three intermediate corpora as lazy DataFrames:
     (kept_quality, kept_exact, kept_near_dup). Shared by the eager
-    ``clean_corpus`` runner and the ``clean_corpus_stats`` audit query."""
-    quality = (
-        text_stats(documents)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
-    )
-    kept_q = documents.join(quality, "doc_id", "left_semi")
+    ``clean_corpus`` runner and the ``clean_corpus_stats`` audit query.
 
-    # derive drops from the fingerprint itself, not exact_duplicates'
+    Scale shape (r14): the score gate filters the scan in place —
+    ``text_stats``' quality_score is a per-row expression, so gating
+    via a doc_id semi-join of the corpus against its own stats paid two
+    corpus scans and a shuffle for a map-side decision. Exact dedup is
+    ONE fingerprint-keyed min-struct aggregation (min on a struct whose
+    first field is the unique doc_id ≡ the old min(doc_id) + semi-join,
+    row for row) — partial aggregation combines map-side, so a 10^7-copy
+    cluster contributes one candidate row per task, and the old plan's
+    three exchanges + double evaluation of the gated corpus collapse to
+    a single exchange."""
+    from ..cache import track_persist
+    from ..functions import tokens
+    from .text import _stats_cols
+
+    doc_cols = documents.columns
+    base = documents.select(*doc_cols, tokens(F.col("text")).alias("t"))
+    score = _stats_cols(F.col("text"), F.col("t"))["quality_score"]
+    kept_q = base.filter(score >= min_quality).select(*doc_cols)
+
+    # derive keeps from the fingerprint itself, not exact_duplicates'
     # capped doc_ids audit column: a 10^7-copy cluster must drop all but
     # one member, not just the first doc_ids_cap of them
-    fp = kept_q.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    # doc_id leads the struct so the (unique-key) lexicographic min IS
+    # the min-doc_id row, whatever the input column order
+    arg_min = F.struct(
+        "doc_id", *[c for c in doc_cols if c != "doc_id"]
     )
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    exact_drops = (
-        fp.join(keep, "fp")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
+    kept_e = (
+        kept_q.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .agg(F.min(arg_min).alias("m"))
+        .select(*[F.col(f"m.{c}").alias(c) for c in doc_cols])
     )
-    kept_e = kept_q.join(exact_drops, "doc_id", "left_anti")
+    # kept_e feeds its own count, the minhash candidate pass AND the
+    # anti-join left side — persist the diamond so the gate + dedup
+    # chain evaluates once
+    kept_e = track_persist(kept_e)
 
     pairs = minhash_lsh_pairs(kept_e, threshold=near_dup_threshold)
     clusters = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -380,25 +397,30 @@ def dataset_card(documents: DataFrame) -> DataFrame:
     base = text_stats(documents, _carry=("source", "lang")).select(
         "doc_id", "source", "lang", "n_tokens", "quality_score"
     )
-    lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
-    top_lang = lang_counts.groupBy("source").agg(
-        F.max(F.struct("cnt", "lang")).getField("lang").alias("top_lang")
+    # ONE corpus aggregation at (source, lang) grain carries every
+    # partial the card needs (r14): the per-source stats and the corpus
+    # total fold from the sources×langs table instead of re-scanning the
+    # corpus per branch (the old per_source / top_lang / total triple
+    # evaluated the scan three times — the crossJoin-re-evaluation
+    # pattern). Sums of longs and exact decimals re-associate exactly,
+    # so every output value is bit-identical.
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.sum(F.col("quality_score").cast("decimal(30,10)")).alias("qsum"),
     )
-    per_source = base.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("quality_score").cast("decimal(30,10)")) / F.count("*"), 4
-        )
+    per_source = lang_counts.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.round(F.sum("qsum") / F.sum("cnt"), 4)
         .cast("double")
         .alias("mean_quality"),
+        F.max(F.struct("cnt", "lang")).getField("lang").alias("top_lang"),
     )
-    total = per_source.agg(F.sum("n_docs").alias("total_docs"))
     return (
-        # both sides are sources-sized post-aggregation but carry unknown
-        # stats — broadcast the arg-maxed language table explicitly
-        per_source.join(F.broadcast(top_lang), "source")
-        .crossJoin(F.broadcast(total))
+        per_source.withColumn(
+            "total_docs", F.sum("n_docs").over(Window.partitionBy())
+        )
         .select(
             "source",
             "n_docs",
@@ -495,21 +517,25 @@ def preparation_stages(
     alpha tunes the keep rate: smaller = heavier-tailed, more kept).
     The boarded audit row pins the default rule gate; the learned gate
     is the pipeline option (pytest e2e)."""
+    from ..cache import track_persist
     from .dedup import line_dedup
-    from .text import decontaminate, quality_filter, text_stats
+    from .text import decontaminate, quality_features, quality_reasons
 
-    rule_keep = quality_filter(documents).filter(F.col("keep")).select("doc_id")
-    score_keep = (
-        text_stats(documents)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
+    # the gate is ONE map-only scan (r14): quality_features fuses the
+    # rule-battery features with the score in a single projection and
+    # carries the document row through, so both keep decisions filter
+    # the scan in place — the old shape evaluated the corpus four times
+    # (rule features, score stats, and the two semi-join left sides)
+    doc_cols = documents.columns
+    carry = tuple(c for c in doc_cols if c != "doc_id")
+    gated = quality_features(documents, _carry=carry).filter(
+        (quality_reasons() == "")
+        & (F.col("quality_score") >= min_quality)
     )
     if learned_filter:
         from .classify import quality_classifier
 
-        labels = documents.join(rule_keep, "doc_id", "left_semi").join(
-            score_keep, "doc_id", "left_semi"
-        ).select("doc_id")
+        labels = gated.select("doc_id")
         scored = quality_classifier(
             documents, labels, **(classifier_opts or {})
         )
@@ -517,21 +543,25 @@ def preparation_stages(
             scored.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
         )
     else:
-        kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
-            score_keep, "doc_id", "left_semi"
-        )
+        kept_q = gated.select(*doc_cols)
     cleaned = (
         line_dedup(kept_q)
         .select("doc_id", F.col("cleaned_text").alias("text"))
         .filter(F.length(F.trim("text")) > 0)
     )
-    first_ids = (
-        cleaned.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact dedup as one fp-keyed min-struct aggregation (doc_id leads
+    # the struct, so the lexicographic min IS the first-occurrence row):
+    # same rows as the old min(doc_id)-then-semi-join, with one exchange
+    # instead of two and ONE evaluation of the line-dedup chain
+    unique = (
+        cleaned.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.text").alias("text"))
     )
-    unique = cleaned.join(first_ids, "doc_id", "left_semi")
+    # unique feeds BOTH the decontamination shingle kernel and the
+    # anti-join left side — persist the diamond so the whole upstream
+    # chain (gate + line dedup + exact dedup) evaluates once
+    unique = track_persist(unique)
     contaminated = (
         decontaminate(unique, benchmark, threshold=contamination_threshold)
         .filter(F.col("contaminated"))
@@ -558,12 +588,23 @@ def preparation_audit(
     declarative union of stage counts, so the flagship pipeline itself
     sits on the driver's oracle board (each stage's operator is also
     individually oracled)."""
+    from ..cache import track_persist
+
     stages = preparation_stages(
         documents,
         benchmark,
         min_quality=min_quality,
         contamination_threshold=contamination_threshold,
     )
+    # each derived stage is counted AND is the next stage's input — the
+    # DuckDB oracle MATERIALIZEs every CTE of this linear chain for the
+    # same reason; without the persists stage N's count re-evaluates
+    # stages 1..N-1 (O(S²) corpus passes, 34 SortMergeJoins in the r14
+    # audit capture of the unpersisted plan)
+    stages = {
+        name: (df if name == "input" else track_persist(df))
+        for name, df in stages.items()
+    }
     parts = []
     for i, name in enumerate(PREPARATION_STAGE_ORDER):
         parts.append(
@@ -637,7 +678,7 @@ def prepare_corpus_increment(
     source-count-sized frames).
     """
     from .dedup import incremental_exact_dedup, line_dedup_incremental
-    from .text import decontaminate, quality_filter
+    from .text import decontaminate
 
     if classifier_model is not None:
         from .classify import classifier_scores
@@ -649,16 +690,20 @@ def prepare_corpus_increment(
         )
         kept_q = new_docs.join(keep_ids, "doc_id", "left_semi")
     else:
-        rule_keep = (
-            quality_filter(new_docs).filter(F.col("keep")).select("doc_id")
-        )
-        score_keep = (
-            text_stats(new_docs)
-            .filter(F.col("quality_score") >= min_quality)
-            .select("doc_id")
-        )
-        kept_q = new_docs.join(rule_keep, "doc_id", "left_semi").join(
-            score_keep, "doc_id", "left_semi"
+        from .text import quality_features, quality_reasons
+
+        # fused map-only gate (r14) — same shape as preparation_stages
+        doc_cols = new_docs.columns
+        kept_q = (
+            quality_features(
+                new_docs,
+                _carry=tuple(c for c in doc_cols if c != "doc_id"),
+            )
+            .filter(
+                (quality_reasons() == "")
+                & (F.col("quality_score") >= min_quality)
+            )
+            .select(*doc_cols)
         )
     cleaned_full, new_line_fps = line_dedup_incremental(
         kept_q, state["line_fps"]
@@ -1629,32 +1674,44 @@ def retrieval_stages(
     cannot see). Every stage is an already-verified operator; the
     chunk-level fp arg-min is the same partial-agg shape as the
     doc-level one, keyed by normalized chunk text."""
-    from .text import chunk_documents, quality_filter, text_stats
+    from .text import chunk_documents, quality_features, quality_reasons
 
-    rule_keep = quality_filter(documents).filter(F.col("keep")).select("doc_id")
-    score_keep = (
-        text_stats(documents)
-        .filter(F.col("quality_score") >= min_quality)
-        .select("doc_id")
+    # same r14 shapes as preparation_stages: one fused map-only gate
+    # (no corpus self-joins), and each exact dedup as a single
+    # fp-keyed min-struct aggregation (unique id leads the struct, so
+    # the lexicographic min IS the old min(id) + semi-join, row for row)
+    doc_cols = documents.columns
+    carry = tuple(c for c in doc_cols if c != "doc_id")
+    kept_q = (
+        quality_features(documents, _carry=carry)
+        .filter(
+            (quality_reasons() == "")
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select(*doc_cols)
     )
-    kept_q = documents.join(rule_keep, "doc_id", "left_semi").join(
-        score_keep, "doc_id", "left_semi"
+    unique = (
+        kept_q.groupBy(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .agg(
+            F.min(
+                F.struct("doc_id", *[c for c in doc_cols if c != "doc_id"])
+            ).alias("m")
+        )
+        .select(*[F.col(f"m.{c}").alias(c) for c in doc_cols])
     )
-    first_ids = (
-        kept_q.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    unique = kept_q.join(first_ids, "doc_id", "left_semi")
     chunks = chunk_documents(unique, chunk_size=chunk_size, overlap=overlap)
-    first_chunks = (
-        chunks.select("chunk_id", F.md5(F.col("chunk_text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("chunk_id").alias("chunk_id"))
-        .select("chunk_id")
+    chunk_cols = chunks.columns
+    deduped = (
+        chunks.groupBy(F.md5(F.col("chunk_text")).alias("fp"))
+        .agg(
+            F.min(
+                F.struct(
+                    "chunk_id", *[c for c in chunk_cols if c != "chunk_id"]
+                )
+            ).alias("m")
+        )
+        .select(*[F.col(f"m.{c}").alias(c) for c in chunk_cols])
     )
-    deduped = chunks.join(first_chunks, "chunk_id", "left_semi")
     return {
         "input": documents,
         "after_quality": kept_q,

@@ -1039,9 +1039,15 @@ def dominant_share_suppliers(
     part's total quantity in the target year. The nested correlated
     chain decorrelates into two aggregation levels over the SAME
     (part,supplier) partials — per-pair quantities stay exact decimals,
-    the per-part total folds from the pairs (no second fact scan), and
-    the survivor keys left-semi join supplier. Part filter broadcasts;
-    shuffles are on uniform (part,supp) then part keys."""
+    and the per-part total rides a window over the pair partials
+    instead of a second aggregation joined back (r14: the join form
+    evaluated the whole fact subtree twice and sort-merged pair against
+    its own rollup). Pre-partitioning the pair aggregation by
+    ``l_partkey`` alone (which clusters (partkey, suppkey) too) lets
+    the aggregation AND the per-part window share ONE exchange — the
+    RRF-fusion trick; per-part groups are bounded by the suppliers of
+    one part, so the coarser key adds no skew. Part filter broadcasts;
+    survivor keys left-semi join supplier."""
     parts_f = part.filter(F.col("p_name").startswith(prefix)).select("p_partkey")
     pair = (
         lineitem.filter(
@@ -1049,14 +1055,13 @@ def dominant_share_suppliers(
             & (F.col("l_shipdate") < F.lit(f"{int(year) + 1}-01-01"))
         )
         .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
     )
-    totals = pair.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("qty_dec").alias("total_dec")
-    )
+    total_dec = F.sum("qty_dec").over(Window.partitionBy("l_partkey"))
     winners = (
-        pair.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        pair.withColumn("total_dec", total_dec)
         .filter(
             F.col("qty_dec").cast("double")
             > F.lit(share) * F.col("total_dec").cast("double")

@@ -10,7 +10,7 @@ which is the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import _round_dec
@@ -30,6 +30,42 @@ LANG_STOPWORDS = {
 BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _stats_cols(text, toks) -> dict:
+    """The seven text_stats feature columns over a (text, token-array)
+    pair — ONE definition shared by ``text_stats``, ``quality_features``
+    and the fused pipeline gates, so every consumer computes bit-identical
+    values from the same expressions."""
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("long")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("long")
+
+    punct_ratio = _round_dec(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    upper_ratio = _round_dec(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
+    stop_ratio = _round_dec(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    mean_word_len = _round_dec(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
+
+    quality = _round_dec(
+        F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0)),
+        4,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": quality,
+    }
+
+
 def text_stats(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Per-document quality features: lengths, token counts, ratios, score.
 
@@ -43,43 +79,16 @@ def text_stats(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     corpus-vs-corpus SortMergeJoin for a value the scan already had.
     The default output schema is unchanged.
     """
-    text = F.col("text")
     # one tokenizer run per row — `tokens(text)` is referenced by both
     # the token count and the stopword filter, so it projects first
-    toks = F.col("t")
-    n_chars = F.length(text).cast("long")
-    n_tokens = F.size(toks).cast("long")
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
-    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("long")
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
-    ).cast("long")
     documents = documents.select(
-        "doc_id", *_carry, "text", tokens(text).alias("t")
+        "doc_id", *_carry, "text", tokens(F.col("text")).alias("t")
     )
-
-    punct_ratio = _round_dec(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    upper_ratio = _round_dec(n_upper / F.greatest(n_alpha, F.lit(1)), 4)
-    stop_ratio = _round_dec(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
-    mean_word_len = _round_dec(n_alpha / F.greatest(n_tokens, F.lit(1)), 4)
-
-    quality = _round_dec(
-        F.when((n_tokens >= 10) & (n_tokens <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio >= 0.05, F.lit(0.4)).otherwise(F.lit(0.0)),
-        4,
-    )
+    stats = _stats_cols(F.col("text"), F.col("t"))
     return documents.select(
         "doc_id",
         *_carry,
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        upper_ratio.alias("upper_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        quality.alias("quality_score"),
+        *[stats[name].alias(name) for name in stats],
     )
 
 
@@ -530,6 +539,103 @@ def chunk_documents(
     )
 
 
+def _grams_arr(t, k: int):
+    """All k-gram strings of a token array, as an array column (empty
+    when the document has fewer than k tokens)."""
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    empty = F.array_except(grams, grams)
+    return F.when(n >= k, grams).otherwise(empty)
+
+
+def _gram_run_fold(t, k: int, want_top: bool):
+    """Max multiplicity (``want_top``) or duplicated-instance count of
+    the document's k-gram MULTISET, computed map-side as one linear
+    run-length fold over the sorted gram array: equal grams are adjacent
+    after the sort, so run lengths ARE multiplicities — top = max run
+    (≡ max(count) of the old (doc_id, gram) aggregation), dup = total
+    length of runs longer than 1 (≡ sum(count) where count > 1). Grams
+    are per-document-scoped, so the whole computation fits the row — no
+    explode, no shuffle. State is the minimal (prev, run, acc) triple:
+    higher-order folds evaluate interpreted, so per-element state width
+    is the constant that matters locally."""
+    s = F.array_sort(_grams_arr(t, k))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("acc"),
+    )
+
+    def closed(a):
+        # fold the just-finished run into the accumulator (run=0 before
+        # the first element, so the initial "close" is a no-op)
+        if want_top:
+            return F.greatest(a["acc"], a["run"])
+        return a["acc"] + F.when(a["run"] > 1, a["run"]).otherwise(zero)
+
+    def step(a, x):
+        same = a["prev"] == x  # null-prev (first element) -> false branch
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, a["acc"]).otherwise(closed(a)).alias("acc"),
+        )
+
+    return F.aggregate(s, init, step, closed)
+
+
+def _gram_count(t, k: int):
+    """Total k-gram instances — ``size(_grams_arr(t, k))`` in closed
+    form (n-k+1 when the doc has n ≥ k tokens, else 0), so the
+    denominator never touches the gram array: pure codegen, and exactly
+    the old aggregation's sum(count) (absent rows coalesced to 0)."""
+    n = F.size(t)
+    return (
+        F.when(n >= k, (n - (k - 1)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
+def _rep_frac_cols(rep, t) -> dict:
+    """The three repetition_stats output columns from a
+    struct(top2, dup3) column plus the token array — shared by
+    ``repetition_stats`` and ``quality_features`` so both emit
+    bit-identical values. 0/0 divisions null out and coalesce to 0.0
+    exactly like the old left-join's absent rows did."""
+    n2, n3 = _gram_count(t, 2), _gram_count(t, 3)
+
+    def frac(num, den):
+        # explicit zero-denominator guard (ANSI mode): a gramless doc
+        # takes the 0.0 the old left-join's absent row coalesced to
+        return _round_dec(
+            F.coalesce(
+                F.when(den > 0, num / den), F.lit(0.0)
+            ),
+            4,
+        )
+
+    return {
+        "n_2grams": n2.alias("n_2grams"),
+        "top_2gram_frac": frac(rep["top2"], n2).alias("top_2gram_frac"),
+        "dup_3gram_frac": frac(rep["dup3"], n3).alias("dup_3gram_frac"),
+    }
+
+
+def _rep_struct(t):
+    """Both gram folds as one struct expression (wrap in a Generate
+    barrier before field-extracting — see ``quality_features``)."""
+    return F.struct(
+        _gram_run_fold(t, 2, True).alias("top2"),
+        _gram_run_fold(t, 3, False).alias("dup3"),
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Per-document repetition metrics (Gopher-rule shapes): the share of
     the document's 2-gram instances taken by its single most frequent
@@ -537,58 +643,24 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     once within the document. High values flag boilerplate/spam for
     quality filtering.
 
-    Scale shape: n-grams stay inside codegen (``transform`` over the
-    token array), then one explode + two partial-aggregating shuffles
-    keyed by (doc_id, gram) and doc_id — both near-uniform keys (grams
-    are scoped per document, so a corpus-hot gram never concentrates).
-    """
+    Scale shape (r14): grams are per-DOCUMENT-scoped, so the multiplicity
+    stats the rules need never required the (doc_id, gram) explode +
+    two keyed shuffles + corpus re-join of the old plan — a sorted-array
+    run-length fold (``_gram_run_stats``) computes the same exact counts
+    inside the row. The operator is now map-only: ONE corpus scan, zero
+    shuffles, zero joins. The ``explode(array(..))`` step is a Generate
+    barrier (the ivfpq_encode_packed idiom): without it each field
+    reference would re-run the whole fold, since higher-order-function
+    expressions sit outside codegen's common-subexpression elimination."""
     # project the token array first — slicing a captured tokens(text)
     # inside the transform lambda re-runs the regexp per gram (the r9
     # lambda-capture fix)
     t = F.col("t")
-
-    def all_grams(k: int):
-        n = F.size(t)
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-        )
-        empty = F.array_except(grams, grams)
-        return F.when(n >= k, grams).otherwise(empty)
-
-    def per_doc(k: int, out_total: str, out_top: str, out_dup: str):
-        return (
-            documents.select("doc_id", tokens(F.col("text")).alias("t"))
-            .select("doc_id", F.explode(all_grams(k)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("c").cast("long").alias(out_total),
-                F.max("c").cast("long").alias(out_top),
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-                .cast("long")
-                .alias(out_dup),
-            )
-        )
-
-    two = per_doc(2, "n_2grams", "top2_c", "dup2_c")
-    three = per_doc(3, "n_3grams", "top3_c", "dup3_c")
-    return (
-        documents.select("doc_id")
-        .join(two, "doc_id", "left")
-        .join(three, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
-            _round_dec(
-                F.coalesce(F.col("top2_c") / F.col("n_2grams"), F.lit(0.0)), 4
-            ).alias("top_2gram_frac"),
-            _round_dec(
-                F.coalesce(F.col("dup3_c") / F.col("n_3grams"), F.lit(0.0)), 4
-            ).alias("dup_3gram_frac"),
-        )
-    )
+    rep = documents.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select("doc_id", "t", F.explode(F.array(_rep_struct(t))).alias("r"))
+    fracs = _rep_frac_cols(F.col("r"), t)
+    return rep.select("doc_id", *[fracs[name] for name in fracs])
 
 
 # (rule name, failure predicate over text_stats ⋈ repetition_stats columns)
@@ -603,7 +675,71 @@ QUALITY_RULES = (
 )
 
 
-def quality_filter(documents: DataFrame) -> DataFrame:
+def quality_features(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
+    """Every feature the rule battery and the pipeline gates consume —
+    the text_stats columns plus the repetition metrics — in ONE map-only
+    corpus scan (r14; the former text_stats ⋈ repetition_stats doc_id
+    join shuffled the corpus twice for per-row-computable values).
+    ``_carry`` threads input columns through, so a pipeline gate can
+    filter and keep the original document row without re-joining the
+    corpus to its own features.
+
+    Output: doc_id, *_carry, n_chars, n_tokens, punct_ratio,
+    upper_ratio, stop_ratio, mean_word_len, quality_score, n_2grams,
+    top_2gram_frac, dup_3gram_frac.
+    """
+    # the features the rule battery / score gates reference by name may
+    # never be shadowed; informational ones (n_chars, upper_ratio,
+    # n_2grams) yield to a like-named carried input column (e.g. the
+    # documents table's own n_chars)
+    rule_features = (
+        "n_tokens", "punct_ratio", "stop_ratio", "mean_word_len",
+        "quality_score", "top_2gram_frac", "dup_3gram_frac",
+    )
+    clash = set(_carry) & set(rule_features)
+    if clash:
+        raise ValueError(
+            f"quality_features: carried columns collide with rule-battery "
+            f"feature names: {sorted(clash)}"
+        )
+    skip = set(_carry)
+    t = F.col("t")
+    text_cols = ("text",) if "text" not in _carry else ()
+    base = documents.select(
+        "doc_id", *_carry, *text_cols, tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        *_carry,
+        *text_cols,
+        "t",
+        # Generate barrier: the two run-length folds evaluate ONCE per
+        # row; the frac columns then extract fields cheaply
+        F.explode(F.array(_rep_struct(t))).alias("_qf_rep"),
+    )
+    stats = _stats_cols(F.col("text"), t)
+    fracs = _rep_frac_cols(F.col("_qf_rep"), t)
+    return base.select(
+        "doc_id",
+        *_carry,
+        *[stats[name].alias(name) for name in stats if name not in skip],
+        *[fracs[name] for name in fracs if name not in skip],
+    )
+
+
+def quality_reasons() -> Column:
+    """The rule battery's comma-joined failure list as a Column over
+    ``quality_features`` output — shared by ``quality_filter`` and the
+    fused pipeline gates (keep ≡ reasons == '')."""
+    return F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[F.when(pred(), F.lit(name)) for name, pred in QUALITY_RULES]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+
+
+def quality_filter(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Gopher-style composite keep/drop decision: every document is
     scored against the rule battery (length band, word-length band,
     punctuation density, stopword floor, 2-gram/3-gram repetition caps)
@@ -611,21 +747,17 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     comma-joined names of the rules it failed — the audit-friendly form
     a training-data pipeline filters and *reports* on.
 
-    Scale shape: the feature inputs are ``text_stats`` (pure codegen,
-    map-only) joined to ``repetition_stats`` (per-doc-scoped gram aggs,
-    near-uniform keys) on doc_id; the rule battery itself is a codegen
-    CASE array — no extra shuffle beyond the feature join.
+    Scale shape (r14): ``quality_features`` computes the whole feature
+    row map-side in one scan (the former text_stats ⋈ repetition_stats
+    join is gone), and the rule battery itself is a codegen CASE array —
+    the operator is map-only, zero shuffles. ``_carry`` threads input
+    columns through for gate compositions (default schema unchanged).
     """
-    feats = text_stats(documents).join(repetition_stats(documents), "doc_id")
-    reasons = F.concat_ws(
-        ",",
-        F.filter(
-            F.array(*[F.when(pred(), F.lit(name)) for name, pred in QUALITY_RULES]),
-            lambda x: x.isNotNull(),
-        ),
-    )
+    feats = quality_features(documents, _carry=_carry)
+    reasons = quality_reasons()
     return feats.select(
         "doc_id",
+        *_carry,
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
@@ -2747,11 +2879,19 @@ def ccnet_buckets(
     cut-table join, map-side, either way. Output per (lang, bucket):
     n_docs, avg_ppl (exact decimal mean).
     """
+    from ..cache import track_persist
     from .sketches import histogram_group_quantiles
 
     scores = bigram_logprob_score(documents)
-    joined = scores.join(
-        documents.select("doc_id", F.col(key).alias("lang")), "doc_id"
+    # the scored relation feeds the histogram cut twice (value-range
+    # agg + bucketed counts) AND the labeling pass — persist the narrow
+    # doc-sized (doc_id, ppl, lang) rows so the whole LM scoring chain
+    # (token stream + two count-table joins) evaluates once, not three
+    # times (the dsir_resample keep_fraction precedent)
+    joined = track_persist(
+        scores.join(
+            documents.select("doc_id", F.col(key).alias("lang")), "doc_id"
+        )
     )
     if exact_cuts:
         cuts = joined.groupBy("lang").agg(
