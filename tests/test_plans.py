@@ -732,3 +732,41 @@ def test_embedding_health_examples_are_group_limited(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     plan = simple_plan(embedding_health(emb))
     assert "WindowGroupLimit" in plan
+
+
+def test_quality_gate_is_map_only(spark, sf_dir):
+    """r14: the rule battery + repetition metrics compute per-row (the
+    sorted-gram run-length fold), so quality_filter and repetition_stats
+    must plan as pure map pipelines — zero Exchanges, zero joins, one
+    scan. Pinned so a future edit that reintroduces the (doc_id, gram)
+    explode-shuffle or the stats doc_id self-join is caught here."""
+    from parquet_metadata_explorer_spark.operators.text import (
+        quality_filter,
+        repetition_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    for df in (quality_filter(docs), repetition_stats(docs)):
+        plan = simple_plan(df)
+        assert count_exchanges(df) == 0, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Scan parquet") == 1, plan
+
+
+def test_preparation_chain_has_no_smj_and_single_gate_scan(spark, sf_dir):
+    """r14: the preparation audit's stage chain must keep the fused gate
+    (no corpus semi-joins) and the min-struct exact dedup — no
+    SortMergeJoin anywhere in the 5-stage count union."""
+    from parquet_metadata_explorer_spark.operators.pipelines import (
+        preparation_audit,
+    )
+    from parquet_metadata_explorer_spark.cache import persist_scope
+
+    docs = load(spark, sf_dir, "documents")
+    with persist_scope():
+        audit = preparation_audit(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+        )
+        plan = simple_plan(audit)
+        assert "SortMergeJoin" not in plan, plan
