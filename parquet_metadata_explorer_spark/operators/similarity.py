@@ -1774,27 +1774,80 @@ def ivfpq_index(
 # let auto spend minutes in the loop just below the flip.
 ADC_AUTO_DRIVER_MAX = 128
 
-# PAIR-PACKED (r14): one row per (query, probed cell), the m·k
-# per-(sub, cluster) constants packed as luts[sub][cluster] — the scorer
-# looks its m lookups up per candidate pair instead of joining a
-# per-(sub, cluster) row fan-out and re-grouping it (the old shape
-# shuffled |pairs|·m rows into a (query, neighbor) aggregation; the
-# packed shape needs NO aggregation at all).
+# LUT-SPLIT pair-packed shape (r14, second pass): one row per (query,
+# probed cell), but the row carries ONLY the query-dependent lut part —
+# dq[sub][cluster] = dot(q_sub, cent), computed ONCE per query and shared
+# by its n_probe cells. Everything else the old luts carried is
+# query-INDEPENDENT (crossd depends on (cell, sub, cluster), cn2 on
+# (sub, cluster), cc2 on cell) and lives in the one-row ``_adc_consts``
+# table instead — the old shape recomputed those |Q| times in the table
+# build and then re-folded them once per (query, neighbor) PAIR in the
+# scorer; the split computes them once per INDEX and folds them once per
+# code row. Values are bit-identical (same left-fold float dots, same
+# round-12 decimal sums — the driver ≡ distributed pytest pins it).
 _ADC_SCHEMA = (
     "query_id long, cell int, "
-    "luts array<array<struct<dotq:double, crossd:double, cn2:double>>>, "
-    "qdotc double, cc2 double, qnorm double"
+    "dq array<array<double>>, qdotc double, qnorm double"
+)
+
+_ADC_CONSTS_SCHEMA = (
+    "crossd_all array<array<array<double>>>, "
+    "cn2_all array<array<double>>, cc2_all array<double>"
 )
 
 
+def _adc_consts(spark, cc, pq_cb):
+    """The query-independent ADC constants as ONE broadcastable row:
+    crossd_all[cell][sub][cluster] = dot(cell_sub, cent),
+    cn2_all[sub][cluster] = |cent|², cc2_all[cell] = |cc|². Computed on
+    the driver from the (driver-sized, k_cells·dim + m·k·sub_d floats)
+    centroid dicts with the same left-fold float arithmetic as the
+    ``dot`` expression — Python ``sum`` is the identical IEEE left fold,
+    the equivalence the driver-rows twin has always relied on. Bounded:
+    k_cells·m·k doubles (4096 at the board operating point). Requires
+    cell ids dense over 0..k_cells-1 and codebook keys dense over
+    (0..m-1, 0..k-1) — true by trainer construction (the same density
+    ``_coarse_cands_row``'s element_at indexing already assumes)."""
+    dim = len(next(iter(cc.values())))
+    m = max(s for s, _c in pq_cb) + 1
+    k = max(c for _s, c in pq_cb) + 1
+    sub_d = dim // m
+    cells = sorted(cc)
+    crossd_all = [
+        [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(
+                        cc[cell][s * sub_d : (s + 1) * sub_d],
+                        pq_cb[(s, cl)],
+                    )
+                )
+                for cl in range(k)
+            ]
+            for s in range(m)
+        ]
+        for cell in cells
+    ]
+    cn2_all = [
+        [sum(x * x for x in pq_cb[(s, cl)]) for cl in range(k)]
+        for s in range(m)
+    ]
+    cc2_all = [sum(x * x for x in cc[cell]) for cell in cells]
+    return spark.createDataFrame(
+        [(crossd_all, cn2_all, cc2_all)], _ADC_CONSTS_SCHEMA
+    )
+
+
 def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
-    """Pair-packed ADC constants built in a driver loop — |Q|·n_probe
-    rows (each carrying the m·k lut entries), the right shape for
-    serving-sized |Q| (no Spark jobs, one broadcast). Returns
-    (rows, probed_cells). The distributed twin is ``ivfpq_adc_table``
-    (bit-identical values, pytest-asserted). Requires the codebook keys
-    dense over (0..m-1, 0..k-1) — true by trainer construction — so the
-    scorer can index luts[sub][cluster]."""
+    """Query-side ADC rows built in a driver loop — |Q|·n_probe rows,
+    each carrying the m·k ``dq`` entries (computed once per query,
+    shared across its cells), the right shape for serving-sized |Q|
+    (no Spark jobs, one broadcast). Returns (rows, probed_cells). The
+    distributed twin is ``ivfpq_adc_table`` (bit-identical values,
+    pytest-asserted). Requires the codebook keys dense over
+    (0..m-1, 0..k-1) — true by trainer construction — so the scorer
+    can index dq[sub][cluster]."""
     import math
 
     dim = len(next(iter(cc.values())))
@@ -1806,6 +1859,18 @@ def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
     for qr in qrows:
         qv = [float(x) for x in qr.embedding]
         qnorm = math.sqrt(sum(x * x for x in qv))
+        dq = [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(
+                        qv[s * sub_d : (s + 1) * sub_d], pq_cb[(s, cl)]
+                    )
+                )
+                for cl in range(k)
+            ]
+            for s in range(m)
+        ]
         # probe the n_probe nearest cells (exact L2 to coarse centroids;
         # (d2, cell) tie-break — the oracle's ORDER BY d2, cell)
         d2s = sorted(
@@ -1814,46 +1879,31 @@ def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
         )
         for _d2v, cell in d2s[:n_probe]:
             probed_cells.add(cell)
-            ccv = cc[cell]
-            qdotc = sum(a * b for a, b in zip(qv, ccv))
-            cc2 = sum(x * x for x in ccv)
-            luts = []
-            for s in range(m):
-                qs = qv[s * sub_d : (s + 1) * sub_d]
-                cs = ccv[s * sub_d : (s + 1) * sub_d]
-                luts.append(
-                    [
-                        (
-                            sum(a * b for a, b in zip(qs, pq_cb[(s, cl)])),
-                            sum(a * b for a, b in zip(cs, pq_cb[(s, cl)])),
-                            sum(x * x for x in pq_cb[(s, cl)]),
-                        )
-                        for cl in range(k)
-                    ]
-                )
-            table.append(
-                (int(qr.vec_id), cell, luts, qdotc, cc2, qnorm)
-            )
+            qdotc = sum(a * b for a, b in zip(qv, cc[cell]))
+            table.append((int(qr.vec_id), cell, dq, qdotc, qnorm))
     return table, probed_cells
 
 
 def ivfpq_adc_table(
     queries: DataFrame, cc: dict, pq_cb: dict, n_probe: int
 ) -> DataFrame:
-    """The pair-packed ADC constants table built IN SPARK — the
-    corpus-vs-index shape where |Q| is 10⁵⁺ and a driver loop would make
-    the driver the bottleneck. MAP-ONLY since r14: probe selection is
+    """The query-side ADC rows built IN SPARK — the corpus-vs-index
+    shape where |Q| is 10⁵⁺ and a driver loop would make the driver the
+    bottleneck. MAP-ONLY since r14: probe selection is
     ``slice(array_sort(struct(d2, cell)), 1, n_probe)`` against the
     one-row broadcast centroid table — the same (d2 asc, cell asc) order
     the old per-query row_number window produced, with the |Q|-keyed
-    window SHUFFLE removed — and the m·k lut entries pack into one
-    nested array column per (query, cell) row instead of fanning out
-    m·k rows. All arithmetic is the fixed-order left-fold ``dot`` (JVM
-    expression trees, no Python stage), so every value is bit-identical
-    to the driver loop (pytest-asserted equality). The explode steps are
-    Generate barriers (see ``ivfpq_encode_packed``): without them the
-    probe-selection argsort / the cell-centroid lookup would re-evaluate
-    inside the downstream lut lambdas once per (sub, cluster)."""
+    window SHUFFLE removed. Since the r14 LUT split the row carries only
+    ``dq[sub][cluster] = dot(q_sub, cent)`` — evaluated ONCE per query
+    behind its own Generate barrier BEFORE the probed-cell explode, so
+    the n_probe cell rows share it — while the query-independent
+    crossd/cn2/cc2 live in ``_adc_consts``. All arithmetic is the
+    fixed-order left-fold ``dot`` (JVM expression trees, no Python
+    stage), so every value is bit-identical to the driver loop
+    (pytest-asserted equality). The explode steps are Generate barriers
+    (see ``ivfpq_encode_packed``): without them CollapseProject would
+    re-evaluate dq per cell row and the cell-centroid lookup per
+    downstream reference."""
     spark = queries.sparkSession
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
@@ -1865,6 +1915,19 @@ def ivfpq_adc_table(
             F.col("vec_id").cast("long").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
+    )
+
+    def qs(s):
+        return F.slice("qv", s * sub_d + 1, sub_d)
+
+    dq = F.transform(
+        "allc",
+        lambda subcands, s: F.transform(
+            subcands, lambda cand: dot(qs(s), cand["c"])
+        ),
+    )
+    withdq = q.crossJoin(F.broadcast(pq)).select(
+        "query_id", "qv", F.explode(F.array(dq)).alias("dq")
     )
     sel = F.slice(
         F.array_sort(
@@ -1880,63 +1943,63 @@ def ivfpq_adc_table(
         int(n_probe),
     )
     probed = (
-        q.crossJoin(F.broadcast(coarse))
-        .select("query_id", "qv", "ccands", F.explode(sel).alias("pr"))
-        .select("query_id", "qv", "ccands", F.col("pr.cell").alias("cell"))
+        withdq.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id", "qv", "dq", "ccands", F.explode(sel).alias("pr")
+        )
+        .select(
+            "query_id", "qv", "dq", "ccands",
+            F.col("pr.cell").alias("cell"),
+        )
     )
     withcc = probed.select(
         "query_id",
         "qv",
+        "dq",
         "cell",
         F.explode(
             F.array(F.element_at("ccands", F.col("cell") + 1)["c"])
         ).alias("ccv"),
     )
-
-    def qs(s):
-        return F.slice("qv", s * sub_d + 1, sub_d)
-
-    def cs(s):
-        return F.slice("ccv", s * sub_d + 1, sub_d)
-
-    luts = F.transform(
-        "allc",
-        lambda subcands, s: F.transform(
-            subcands,
-            lambda cand: F.struct(
-                dot(qs(s), cand["c"]).alias("dotq"),
-                dot(cs(s), cand["c"]).alias("crossd"),
-                dot(cand["c"], cand["c"]).alias("cn2"),
-            ),
-        ),
-    )
-    return withcc.crossJoin(F.broadcast(pq)).select(
+    return withcc.select(
         "query_id",
         "cell",
-        luts.alias("luts"),
+        "dq",
         dot(F.col("qv"), F.col("ccv")).alias("qdotc"),
-        dot(F.col("ccv"), F.col("ccv")).alias("cc2"),
         F.sqrt(dot(F.col("qv"), F.col("qv"))).alias("qnorm"),
     )
 
 
-def _adc_score(codes: DataFrame, tdf: DataFrame, broadcast_table: bool = True):
+def _adc_score(
+    codes: DataFrame,
+    tdf: DataFrame,
+    consts: DataFrame,
+    broadcast_table: bool = True,
+):
     """ADC scoring against a PACKED (vec_id, codes array<int>, cell)
     code relation (r14): one join on ``cell`` — map-side when the
-    constants table broadcasts — then each (query, vector) pair computes
+    query table broadcasts — then each (query, vector) pair computes
     its m lut lookups as per-row exact-decimal left folds over the
     subspaces. No per-subspace row fan-out and NO (query, neighbor)
     aggregation shuffle: the old shape exploded |pairs|·m rows through a
     corpus-scale groupBy; this one emits each scored pair directly.
 
-    Values are bit-identical: the fold adds the same round-12
-    decimal(30,15) terms the old ``F.sum`` aggregated (decimal addition
-    is exact, so fold order ≡ sum), and the cos expression is unchanged.
+    LUT split (r14 second pass): only ``sdot`` (the fold over the query
+    row's ``dq``) depends on the query. ``scross``/``sn2``/``cc2``
+    depend on (vector, its cell) alone, so they fold ONCE PER CODE ROW
+    against the one-row broadcast ``_adc_consts`` BEFORE the cell join —
+    the old shape re-folded them once per (query, neighbor) pair, i.e.
+    |Q|·n_probe/k_cells times per vector.
+
+    Values are bit-identical: the folds add the same round-12
+    decimal(30,15) terms the old shape did (same values, same order —
+    they never depended on the query), and the cos expression is
+    unchanged.
     """
     t = F.broadcast(tdf) if broadcast_table else tdf
     dec = "decimal(30,15)"
 
-    def fold(field):
+    def fold(src):
         # the (38,15) accumulator re-cast is exact: every term is a
         # round-12 value (scale 12), so each partial sum is scale-12 and
         # survives the add operator's (38,14) result type losslessly —
@@ -1948,23 +2011,33 @@ def _adc_score(codes: DataFrame, tdf: DataFrame, broadcast_table: bool = True):
                 acc
                 + F.round(
                     F.element_at(
-                        F.element_at("luts", s),
+                        F.element_at(src, s),
                         F.element_at("codes", s) + 1,
-                    )[field],
+                    ),
                     12,
                 ).cast(dec)
             ).cast("decimal(38,15)"),
         )
 
+    prescored = codes.crossJoin(F.broadcast(consts)).select(
+        "vec_id",
+        "cell",
+        "codes",
+        fold(F.element_at(F.col("crossd_all"), F.col("cell") + 1)).alias(
+            "scross"
+        ),
+        fold(F.col("cn2_all")).alias("sn2"),
+        F.element_at(F.col("cc2_all"), F.col("cell") + 1).alias("cc2"),
+    )
     return (
-        codes.join(t, "cell")
+        prescored.join(t, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            fold("dotq").alias("sdot"),
-            fold("crossd").alias("scross"),
-            fold("cn2").alias("sn2"),
+            fold(F.col("dq")).alias("sdot"),
+            "scross",
+            "sn2",
             "qdotc",
             "cc2",
             "qnorm",
@@ -2125,17 +2198,18 @@ def ivfpq_ann_topk(
             if len(query_ids) <= ADC_AUTO_DRIVER_MAX
             else "distributed"
         )
+    consts = _adc_consts(spark, cc, pq_cb)
     if mode == "driver":
         table, _probed = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe
         )
         scored = _adc_score(
-            codes, spark.createDataFrame(table, _ADC_SCHEMA),
+            codes, spark.createDataFrame(table, _ADC_SCHEMA), consts,
             broadcast_table=True,
         )
     else:
         scored = _adc_score(
-            codes, ivfpq_adc_table(queries, cc, pq_cb, n_probe),
+            codes, ivfpq_adc_table(queries, cc, pq_cb, n_probe), consts,
             broadcast_table=False,
         )
     if rerank:
@@ -2650,8 +2724,8 @@ def ivfpq_probe_topk(
     where the lake keeps both the code partitions and the raw vectors.
 
     ``table_mode`` mirrors ``ivfpq_ann_topk``: "driver" collects the
-    query batch and builds the ADC constants in a loop (the right call
-    for serving-sized |Q|); "distributed" builds them in Spark via
+    query batch and builds the query-side ADC rows in a loop (the right
+    call for serving-sized |Q|); "distributed" builds them in Spark via
     ``ivfpq_adc_table`` (bit-identical, no driver ceiling — the
     corpus-vs-materialized-index batch shape, e.g. feeding semantic
     decontamination from a disk index); "auto" switches at
@@ -2697,6 +2771,7 @@ def ivfpq_probe_topk(
             <= ADC_AUTO_DRIVER_MAX
             else "distributed"
         )
+    consts = _adc_consts(spark, cc, pq_cb)
     if mode == "driver":
         table, probed_cells = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe
@@ -2724,6 +2799,7 @@ def ivfpq_probe_topk(
     scored = _adc_score(
         codes.select("vec_id", "codes", "cell"),
         tdf,
+        consts,
         broadcast_table=broadcast_table,
     )
     if rerank:
