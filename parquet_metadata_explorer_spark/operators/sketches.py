@@ -246,10 +246,11 @@ def cm_frequent_items(
        shuffle whose key space is depth x width REGARDLESS of
        vocabulary size (a counter row per task, like every partial agg
        in this repo).
-    2. Gate: the tiny sketch broadcasts back (``depth`` map-side
-       broadcast hash joins, no shuffle); est(item) = min over the
-       depth counters. CM never under-counts, so est >= freq and no
-       frequent item can be lost.
+    2. Gate: the tiny sketch collects (depth x width counters — bounded
+       by constants, never by data) and broadcasts back as ONE dense
+       array row; est(item) = min over the depth counters, a map-side
+       array lookup with no join at all. CM never under-counts, so
+       est >= freq and no frequent item can be lost.
     3. Exact count: only gated survivors (true positives + the sketch's
        bounded false positives, E[over-count] <= instances/width per
        row) enter the final ``groupBy(item)`` — a shuffle sized by the
@@ -267,19 +268,29 @@ def cm_frequent_items(
     if d < 1 or w < 2:
         raise ValueError("cm_frequent_items: depth >= 1, width >= 2")
     keyed = _cm_keyed(items, col, d, w)
-    from ..cache import track_persist
-
-    # persisted: the tiny (<= depth x width rows) sketch feeds `depth`
-    # broadcast relations below — without the persist each broadcast
-    # exchange would re-run the corpus build pass
-    sketch = track_persist(cm_sketch(items, col, d, w))
-    gated = keyed
-    for j in range(d):
-        row_j = sketch.filter(F.col("j") == j).select(
-            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+    # dense-array gate (r14): the sketch is bounded at depth x width
+    # counter rows BY CONSTRUCTION (never by the data), so collect it
+    # once and ship ONE dense array row back through a broadcast
+    # crossJoin — est becomes a map-side element_at lookup instead of
+    # `depth` broadcast hash joins over a persisted sketch (which cost a
+    # persist plus depth broadcast builds per run). Same values: absent
+    # buckets hold 0, and every gated item's own buckets exist in the
+    # sketch, so the inner joins never dropped rows the lookup keeps.
+    dense = [[0] * w for _ in range(d)]
+    for r in cm_sketch(items, col, d, w).collect():
+        dense[r.j][r.bucket] = r.cnt
+    cmdf = items.sparkSession.createDataFrame(
+        [(dense,)], "cm array<array<long>>"
+    )
+    gated = keyed.crossJoin(F.broadcast(cmdf))
+    lookups = [
+        F.element_at(
+            F.element_at("cm", j + 1),
+            F.col(f"b{j}").cast("int") + 1,
         )
-        gated = gated.join(F.broadcast(row_j), f"b{j}")
-    est = F.least(*[F.col(f"c{j}") for j in range(d)])
+        for j in range(d)
+    ]
+    est = F.least(*lookups) if d > 1 else lookups[0]
     return (
         gated.select("item", est.alias("est"))
         .filter(F.col("est") >= theta)
