@@ -2764,17 +2764,23 @@ def ivfpq_probe_topk(
     cc, pq_cb = _read_ivfpq_sidecars(spark, path)
     queries = queries.select("vec_id", "embedding")
     mode = table_mode
+    head = None
     if mode == "auto":
+        # ONE take() both decides the mode and IS the driver-mode query
+        # set (at <= MAX queries it returns every row) — the
+        # bm25_probe_topk idiom; the old limit().count() + collect()
+        # paid two jobs for the same rows. Row order is immaterial: the
+        # ADC table joins on cell and ranking is (cos, neighbor_id)-
+        # deterministic.
+        head = queries.take(ADC_AUTO_DRIVER_MAX + 1)
         mode = (
-            "driver"
-            if queries.limit(ADC_AUTO_DRIVER_MAX + 1).count()
-            <= ADC_AUTO_DRIVER_MAX
-            else "distributed"
+            "driver" if len(head) <= ADC_AUTO_DRIVER_MAX else "distributed"
         )
     consts = _adc_consts(spark, cc, pq_cb)
     if mode == "driver":
         table, probed_cells = _adc_driver_rows(
-            queries.collect(), cc, pq_cb, n_probe
+            head if head is not None else queries.collect(),
+            cc, pq_cb, n_probe,
         )
         tdf = spark.createDataFrame(table, _ADC_SCHEMA)
         broadcast_table = True
