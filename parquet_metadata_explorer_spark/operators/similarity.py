@@ -1608,8 +1608,9 @@ def pq_ann_topk(
     hierarchical top-k (bucketed pre-pass caps the final window at 32·k
     rows per query).
     """
-    codebook, codes = pq_index(embeddings, m=m, n_centroids=n_centroids, iters=iters)
-    codes = track_persist(codes)
+    codebook, _codes = pq_index(
+        embeddings, m=m, n_centroids=n_centroids, iters=iters
+    )
     spark = embeddings.sparkSession
 
     qrows = (
@@ -1619,30 +1620,76 @@ def pq_ann_topk(
     )
     import math
 
-    sub_d = None
-    table = []
+    # pair-packed scorer (r14, the _adc_score shape applied to flat PQ):
+    # the old path exploded the corpus to m code rows, joined the
+    # (query, sub, cluster) lut fan-out and re-grouped |pairs|·m rows in
+    # a corpus-scale (query, neighbor) aggregation. Now the corpus
+    # encodes packed MAP-ONLY (one codes array per vector — the same
+    # _argmin_cluster/_d2/slice expressions as _pq_assign, bit-identical
+    # codes), sn2 folds once per VECTOR (it never depended on the
+    # query), and each (query, vector) pair pays only the sdot fold —
+    # zero joins, zero aggregation shuffle, values exactly the old sums
+    # (decimal addition is exact, so fold ≡ sum over the same round-12
+    # terms).
+    sub_d = len(next(iter(codebook.values())))
+    k_cb = max(c for _s, c in codebook) + 1
+    qtable = []
     for qr in qrows:
         qv = [float(x) for x in qr.embedding]
         qnorm = math.sqrt(sum(x * x for x in qv))
-        sub_d = len(qv) // m
-        for (s, c), cent in codebook.items():
-            qs = qv[s * sub_d : (s + 1) * sub_d]
-            dotq = sum(a * b for a, b in zip(qs, cent))
-            cn2 = sum(x * x for x in cent)
-            table.append((int(qr.vec_id), s, c, dotq, cn2, qnorm))
-    tdf = spark.createDataFrame(
-        table,
-        "query_id long, sub int, cluster int, dotq double, cn2 double, qnorm double",
+        dq = [
+            [
+                sum(
+                    a * b
+                    for a, b in zip(
+                        qv[s * sub_d : (s + 1) * sub_d], codebook[(s, cl)]
+                    )
+                )
+                for cl in range(k_cb)
+            ]
+            for s in range(m)
+        ]
+        qtable.append((int(qr.vec_id), dq, qnorm))
+    qdf = spark.createDataFrame(
+        qtable, "query_id long, dq array<array<double>>, qnorm double"
     )
-    dec = "decimal(30,15)"
+    cn2_all = [
+        [sum(x * x for x in codebook[(s, cl)]) for cl in range(k_cb)]
+        for s in range(m)
+    ]
+    cn2df = spark.createDataFrame(
+        [(cn2_all,)], "cn2_all array<array<double>>"
+    )
+
+    pq = _pq_cands_row(spark, codebook, m)
+    emb = F.col("embedding").cast("array<double>")
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _argmin_cluster(
+            F.element_at("allc", s + 1),
+            F.slice(emb, s * sub_d + 1, sub_d),
+        ),
+    )
+    packed = (
+        ensure_parallelism(embeddings.select("vec_id", "embedding"))
+        .crossJoin(F.broadcast(pq))
+        # explode(array(..)) Generate barrier (the ivfpq_encode_packed
+        # idiom): the codes array feeds two downstream folds and must
+        # not re-evaluate inside their lambdas
+        .select("vec_id", F.explode(F.array(codes_expr)).alias("codes"))
+    )
+    prescored = packed.crossJoin(F.broadcast(cn2df)).select(
+        "vec_id", "codes", _code_fold(F.col("cn2_all")).alias("sn2")
+    )
     scored = (
-        codes.join(F.broadcast(tdf), ["sub", "cluster"])
+        prescored.crossJoin(F.broadcast(qdf))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(F.round(F.col("dotq"), 12).cast(dec)).alias("sdot"),
-            F.sum(F.round(F.col("cn2"), 12).cast(dec)).alias("sn2"),
-            F.first("qnorm").alias("qnorm"),
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _code_fold(F.col("dq")).alias("sdot"),
+            "sn2",
+            "qnorm",
         )
         .withColumn(
             "cos",
@@ -1655,21 +1702,7 @@ def pq_ann_topk(
             ).cast("double"),
         )
     )
-    from pyspark.sql import Window
-
-    w_local = Window.partitionBy(
-        "query_id", F.pmod(F.col("neighbor_id"), F.lit(32))
-    ).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    w_global = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= k)
-        .withColumn("rank", F.row_number().over(w_global))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    return _hier_topk(scored, k)
 
 
 def ivfpq_index(
@@ -1794,6 +1827,32 @@ _ADC_CONSTS_SCHEMA = (
     "crossd_all array<array<array<double>>>, "
     "cn2_all array<array<double>>, cc2_all array<double>"
 )
+
+
+def _code_fold(src):
+    """Per-row exact-decimal lut fold over a packed ``codes`` column:
+    Σ_s round12(src[s][codes[s]+1]) as decimal sums. The (38,15)
+    accumulator re-cast is exact: every term is a round-12 value
+    (scale 12), so each partial sum is scale-12 and survives the add
+    operator's (38,14) result type losslessly — the fold's value equals
+    an ``F.sum`` over the same decimals (decimal addition is exact, so
+    fold order ≡ sum). Shared by the IVF-PQ scorer and the flat-PQ
+    scorer so the discipline can never drift."""
+    dec = "decimal(30,15)"
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size("codes")),
+        F.lit(0).cast("decimal(38,15)"),
+        lambda acc, s: (
+            acc
+            + F.round(
+                F.element_at(
+                    F.element_at(src, s),
+                    F.element_at("codes", s) + 1,
+                ),
+                12,
+            ).cast(dec)
+        ).cast("decimal(38,15)"),
+    )
 
 
 def _adc_consts(spark, cc, pq_cb):
@@ -1997,28 +2056,7 @@ def _adc_score(
     unchanged.
     """
     t = F.broadcast(tdf) if broadcast_table else tdf
-    dec = "decimal(30,15)"
-
-    def fold(src):
-        # the (38,15) accumulator re-cast is exact: every term is a
-        # round-12 value (scale 12), so each partial sum is scale-12 and
-        # survives the add operator's (38,14) result type losslessly —
-        # the fold's value equals the old F.sum over the same decimals
-        return F.aggregate(
-            F.sequence(F.lit(1), F.size("codes")),
-            F.lit(0).cast("decimal(38,15)"),
-            lambda acc, s: (
-                acc
-                + F.round(
-                    F.element_at(
-                        F.element_at(src, s),
-                        F.element_at("codes", s) + 1,
-                    ),
-                    12,
-                ).cast(dec)
-            ).cast("decimal(38,15)"),
-        )
-
+    fold = _code_fold
     prescored = codes.crossJoin(F.broadcast(consts)).select(
         "vec_id",
         "cell",

@@ -567,9 +567,12 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
 
 
 def test_pq_scoring_is_jvm_only(spark, sf_dir):
-    """ADC scoring (codes ⋈ broadcast tables → decimal fold → ranked
-    top-k) must contain no Python stage; only the trainer's bounded
-    collects run in Python on the driver."""
+    """ADC scoring must contain no Python stage and (since the r14
+    pair-packed rewrite) no hash/shuffle join at all: the packed encode
+    and both decimal folds are map-side against one-row broadcast
+    crosses, so the only plan joins are BroadcastNestedLoopJoin crosses
+    and the ranking windows; only the trainer's bounded collects run in
+    Python on the driver."""
     from parquet_metadata_explorer_spark.operators.similarity import pq_ann_topk
 
     df = pq_ann_topk(
@@ -577,7 +580,9 @@ def test_pq_scoring_is_jvm_only(spark, sf_dir):
     )
     plan = simple_plan(df)
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
 
 
 def test_ivfpq_scoring_is_jvm_only(spark, sf_dir):
