@@ -11,6 +11,54 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def dlit(v) -> Column:
+    """(Nested) double-array literal built through ONE parsed SQL
+    expression string — the cheap constructor for driver-held model
+    constants (codebooks, centroids, ADC LUTs) that ride query plans as
+    literals.
+
+    Why not ``F.lit(list)``: pyspark implements it as ``array(*[lit(x)
+    for x in xs])`` — one py4j round trip per element, ~2 s for a
+    2048-double codebook, paid per construction (a Lloyd trainer
+    constructs per iteration). The SQL parser builds the identical
+    CreateArray tree in-JVM in milliseconds and constant folding
+    collapses it to a single array literal before execution.
+
+    Exactness: ``repr(float)`` is the shortest round-trip decimal form,
+    so text→parse reproduces every double bit-for-bit; NaN/±Inf render
+    as explicit string casts (the SQL lexer has no literal for them).
+    Empty arrays carry an explicit cast so the nesting level keeps the
+    array<double…> element type."""
+
+    def render(x, depth):
+        if isinstance(x, (list, tuple)):
+            if not x:
+                t = "double"
+                for _ in range(depth - 1):
+                    t = f"array<{t}>"
+                return f"cast(array() as array<{t}>)"
+            return (
+                "array(" + ",".join(render(e, depth - 1) for e in x) + ")"
+            )
+        x = float(x)
+        if x != x:
+            return "cast('NaN' as double)"
+        if x == float("inf"):
+            return "cast('Infinity' as double)"
+        if x == float("-inf"):
+            return "cast('-Infinity' as double)"
+        return repr(x) + "D"
+
+    def depth_of(x):
+        d = 0
+        while isinstance(x, (list, tuple)):
+            d += 1
+            x = x[0] if len(x) else None
+        return d
+
+    return F.expr(render(v, depth_of(v)))
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column.
 

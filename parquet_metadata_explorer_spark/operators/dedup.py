@@ -955,40 +955,40 @@ def _semantic_base(embeddings, n_centroids, iters, centroids):
             "vec_id", F.col("cluster").cast("long").alias("cluster"), "emb"
         )
     else:
-        spark = embeddings.sparkSession
+        from ..functions import dlit
+        from .similarity import _dense_vecs
+
         items = (
             sorted(centroids.items())
             if isinstance(centroids, dict)
             else list(enumerate(centroids))
         )
-        cents = spark.createDataFrame(
-            [([(int(c), [float(x) for x in v]) for c, v in items],)],
-            "cands array<struct<cluster:long, cc:array<double>>>",
-        )
-        # map-side arg-min (the r14 _pq_assign convention): one
-        # broadcast row holds every candidate, array_min over the
-        # per-row transform replaces the crossJoin×k fan-out +
-        # groupBy(vec_id) shuffle — zero shuffle, identical values
-        # ((d2, cluster) struct order is the probe tie-break and the
-        # per-candidate d2 is the same exact left fold)
+        # map-side arg-min against a LITERAL candidate table (r15): the
+        # frozen centroids are driver-held constants, so they ride the
+        # plan as one nested array literal — the r14 one-row broadcast
+        # cross (a BroadcastNestedLoopJoin + its broadcast job) is gone
+        # and the assignment is a pure projection. Identical values:
+        # (d2, index) struct order is the probe (d2, cluster) tie-break
+        # because cluster ids are dense 0..k-1 in list order (asserted),
+        # and the per-candidate d2 is the same exact left fold.
+        cands = dlit(_dense_vecs(items, "semantic centroids"))
         best = F.array_min(
             F.transform(
-                "cands",
-                lambda cand: F.struct(
+                cands,
+                lambda cv, i: F.struct(
                     F.aggregate(
                         F.zip_with(
-                            "emb", cand["cc"], lambda a, b: (a - b) * (a - b)
+                            "emb", cv, lambda a, b: (a - b) * (a - b)
                         ),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     ).alias("d2"),
-                    cand["cluster"].alias("cluster"),
+                    i.cast("long").alias("cluster"),
                 ),
             )
         )
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .select("vec_id", best["cluster"].alias("cluster"), "emb")
+        assigned = e.select(
+            "vec_id", best["cluster"].alias("cluster"), "emb"
         )
     return track_persist(
         assigned.select(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import track_persist
-from ..functions import cosine, dot, ensure_parallelism
+from ..functions import cosine, dlit, dot, ensure_parallelism
 
 LSH_PLANES = 8
 
@@ -1277,65 +1277,57 @@ def _pq_assign(spark, subv, cb):
     argmin the Lloyd trainer runs every round and the frozen-model
     encoder (``ivfpq_encode``) replays at serve time, shared verbatim.
 
-    Map-side argmin (r14): the codebook is pre-grouped into ONE row per
-    subspace holding all k candidates, so the broadcast join never
-    multiplies rows and the argmin is ``array_min`` over a per-row
-    candidate transform — NO shuffle, where the original shape exploded
-    every subvector ×k through a ``groupBy(vec_id, sub).min`` shuffle
-    (8 such shuffle stages per IVF-PQ build). Values are bit-identical:
-    the per-candidate d² is the same exact left-fold expression, and
-    ``array_min`` over ``struct(d2, cluster)`` is the same lexicographic
-    ordering the old ``min(struct(d2, cluster, sv))`` used (cluster ids
-    are distinct per group, so the sv leg of the old tie-break was
-    unreachable)."""
+    Map-side argmin against a LITERAL candidate table (r15): the
+    codebook is a driver-held constant, so it rides the plan as one
+    nested array literal — no broadcast exchange, no join node at all
+    (r14 still paid a one-row BroadcastNestedLoopJoin per reference,
+    which cost a broadcast-materialization job per iteration AND
+    ballooned Catalyst's size estimate for every downstream join).
+    Values are bit-identical: the per-candidate d² is the same exact
+    left-fold expression, and ``array_min`` over ``struct(d2, index)``
+    is the same lexicographic (d2, cluster) ordering because cluster
+    ids are dense 0..k-1 in list order (asserted by ``_dense_vecs``)."""
     by_sub = {}
     for (s, c), v in sorted(cb.items()):
         by_sub.setdefault(s, []).append((c, v))
-    cents = spark.createDataFrame(
-        [(s, cands) for s, cands in sorted(by_sub.items())],
-        "sub int, cands array<struct<cluster:int, c:array<double>>>",
+    m = max(by_sub) + 1
+    allc = dlit(
+        [_dense_vecs(by_sub.get(s, []), f"sub {s}") for s in range(m)]
     )
-    best = F.array_min(
-        F.transform(
-            "cands",
-            lambda cand: F.struct(
-                F.aggregate(
-                    F.zip_with("sv", cand["c"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                cand["cluster"].alias("cluster"),
-            ),
-        )
+    best = _argmin_idx(
+        F.element_at(allc, F.col("sub") + 1), F.col("sv"), "int"
     )
-    return (
-        subv.join(F.broadcast(cents), "sub")
-        .select("vec_id", "sub", best["cluster"].alias("cluster"), "sv")
-    )
+    return subv.select("vec_id", "sub", best.alias("cluster"), "sv")
 
 
-def _coarse_cands_row(spark, cc):
-    """ONE broadcast row holding every coarse centroid as (cluster, c)
-    candidates sorted by cell id — `_pq_assign`'s by_sub convention for
-    the m=1 whole-vector quantizer. Cell ids are dense 0..k-1 by
-    construction (the trainer labels seeds by enumerate), which is what
-    lets the fused encoder index the array with ``element_at(cell+1)``."""
-    return spark.createDataFrame(
-        [([(int(c), [float(x) for x in v]) for c, v in sorted(cc.items())],)],
-        "ccands array<struct<cluster:int, c:array<double>>>",
-    )
+def _dense_vecs(pairs, who: str):
+    """[(id, vec)] sorted by id -> [vec] with the density assertion the
+    literal candidate tables rely on: ids must be exactly 0..k-1, so a
+    vector's LIST INDEX is its cluster/cell id (the trainer labels
+    seeds by enumerate, which guarantees it; assert rather than assume
+    for any future caller)."""
+    ids = [int(i) for i, _v in pairs]
+    assert ids == list(range(len(pairs))), (who, ids)
+    return [[float(x) for x in v] for _i, v in pairs]
 
 
-def _pq_cands_row(spark, pq_cb, m):
-    """ONE broadcast row with the PQ codebook grouped per subspace:
-    allc[s] = subspace s's k (cluster, c) candidates, cluster-sorted
-    (dense 0..k-1 — same density argument as `_coarse_cands_row`)."""
+def _coarse_vecs_lit(cc):
+    """Every coarse centroid as ONE literal array<array<double>> column,
+    cell ids dense 0..k-1 in list order — the plan-resident constant
+    that replaced the r14 one-row broadcast candidate table (no join,
+    no broadcast job, no size-estimate distortion)."""
+    return dlit(_dense_vecs(sorted(cc.items()), "coarse cells"))
+
+
+def _pq_vecs_lit(pq_cb, m):
+    """The PQ codebook grouped per subspace as ONE literal
+    array<array<array<double>>> column: allc[s][cluster] = centroid
+    (dense 0..k-1 — same density contract as `_coarse_vecs_lit`)."""
     by_sub = {}
     for (s, c), v in sorted(pq_cb.items()):
-        by_sub.setdefault(s, []).append((int(c), [float(x) for x in v]))
-    return spark.createDataFrame(
-        [([by_sub.get(s, []) for s in range(m)],)],
-        "allc array<array<struct<cluster:int, c:array<double>>>>",
+        by_sub.setdefault(s, []).append((int(c), v))
+    return dlit(
+        [_dense_vecs(by_sub.get(s, []), f"sub {s}") for s in range(m)]
     )
 
 
@@ -1350,15 +1342,17 @@ def _d2(sv, cvec):
     )
 
 
-def _argmin_cluster(cands, sv):
-    """Map-side argmin: array_min over struct(d2, cluster) — the same
-    lexicographic (d2, cluster) tie-break as `_pq_assign`'s ``best``."""
+def _argmin_idx(cands, sv, id_type: str = "int"):
+    """Map-side argmin over a literal candidate array: array_min over
+    struct(d2, index) — the index IS the dense cluster/cell id (the
+    `_dense_vecs` contract), so this is the same lexicographic
+    (d2, cluster) tie-break the struct-carrying r14 form used."""
     return F.array_min(
         F.transform(
             cands,
-            lambda cand: F.struct(
-                _d2(sv, cand["c"]).alias("d2"),
-                cand["cluster"].alias("cluster"),
+            lambda cv, i: F.struct(
+                _d2(sv, cv).alias("d2"),
+                i.cast(id_type).alias("cluster"),
             ),
         )
     )["cluster"]
@@ -1409,7 +1403,6 @@ def ivfpq_encode_packed(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFra
     a higher-order-function lambda that single textual reference
     re-evaluates per element — without the barriers the coarse argmin and
     the residual would recompute once per subspace × candidate."""
-    spark = embeddings.sparkSession
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
     sub_d = dim // m
@@ -1418,35 +1411,30 @@ def ivfpq_encode_packed(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFra
     e = _dim_guarded(
         ensure_parallelism(embeddings.select("vec_id", "embedding")), dim
     )
-    coarse = _coarse_cands_row(spark, cc)
-    pq = _pq_cands_row(spark, pq_cb, m)
+    # literal candidate tables (r15): the frozen models ride the plan as
+    # constants — the two one-row broadcast crossJoins are gone
+    ccv = _coarse_vecs_lit(cc)
+    allc = _pq_vecs_lit(pq_cb, m)
     emb = F.col("embedding").cast("array<double>")
-    g1 = (
-        e.crossJoin(F.broadcast(coarse))
-        .crossJoin(F.broadcast(pq))
-        .select(
-            "vec_id",
-            "ccands",
-            "allc",
-            emb.alias("emb"),
-            F.explode(
-                F.array(_argmin_cluster(F.col("ccands"), emb))
-            ).alias("cell"),
-        )
+    g1 = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.explode(F.array(_argmin_idx(ccv, emb, "int"))).alias("cell"),
     )
     resid = F.zip_with(
         "emb",
-        F.element_at("ccands", F.col("cell") + 1)["c"],
+        F.element_at(ccv, F.col("cell") + 1),
         lambda a, b: a - b,
     )
     g2 = g1.select(
-        "vec_id", "allc", "cell", F.explode(F.array(resid)).alias("resid")
+        "vec_id", "cell", F.explode(F.array(resid)).alias("resid")
     )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: _argmin_cluster(
-            F.element_at("allc", s + 1),
+        lambda s: _argmin_idx(
+            F.element_at(allc, s + 1),
             F.slice("resid", s * sub_d + 1, sub_d),
+            "int",
         ),
     )
     return g2.select("vec_id", codes.alias("codes"), "cell")
@@ -1457,26 +1445,18 @@ def _coarse_residuals(embeddings: DataFrame, cc: dict) -> DataFrame:
     coarse codebook — the residual input of the PQ trainer. Replaces the
     former embeddings ⋈ cells (vec_id) ⋈ broadcast(cents) chain: the
     cell is re-derived by the same argmin the trainer's final assign
-    uses (bit-identical by the shared `_d2`/`_argmin_cluster`
+    uses (bit-identical by the shared `_d2`/`_argmin_idx`
     expressions), so the corpus never shuffles for the residuals."""
-    spark = embeddings.sparkSession
-    coarse = _coarse_cands_row(spark, cc)
+    ccv = _coarse_vecs_lit(cc)
     emb = F.col("embedding").cast("array<double>")
-    g1 = (
-        embeddings.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(coarse))
-        .select(
-            "vec_id",
-            "ccands",
-            emb.alias("emb"),
-            F.explode(
-                F.array(_argmin_cluster(F.col("ccands"), emb))
-            ).alias("cell"),
-        )
+    g1 = embeddings.select("vec_id", "embedding").select(
+        "vec_id",
+        emb.alias("emb"),
+        F.explode(F.array(_argmin_idx(ccv, emb, "int"))).alias("cell"),
     )
     resid = F.zip_with(
         "emb",
-        F.element_at("ccands", F.col("cell") + 1)["c"],
+        F.element_at(ccv, F.col("cell") + 1),
         lambda a, b: a - b,
     )
     return g1.select(
@@ -1657,29 +1637,27 @@ def pq_ann_topk(
         [sum(x * x for x in codebook[(s, cl)]) for cl in range(k_cb)]
         for s in range(m)
     ]
-    cn2df = spark.createDataFrame(
-        [(cn2_all,)], "cn2_all array<array<double>>"
-    )
+    cn2_lit = dlit(cn2_all)
 
-    pq = _pq_cands_row(spark, codebook, m)
+    allc = _pq_vecs_lit(codebook, m)
     emb = F.col("embedding").cast("array<double>")
     codes_expr = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: _argmin_cluster(
-            F.element_at("allc", s + 1),
+        lambda s: _argmin_idx(
+            F.element_at(allc, s + 1),
             F.slice(emb, s * sub_d + 1, sub_d),
+            "int",
         ),
     )
     packed = (
         ensure_parallelism(embeddings.select("vec_id", "embedding"))
-        .crossJoin(F.broadcast(pq))
         # explode(array(..)) Generate barrier (the ivfpq_encode_packed
         # idiom): the codes array feeds two downstream folds and must
         # not re-evaluate inside their lambdas
         .select("vec_id", F.explode(F.array(codes_expr)).alias("codes"))
     )
-    prescored = packed.crossJoin(F.broadcast(cn2df)).select(
-        "vec_id", "codes", _code_fold(F.col("cn2_all")).alias("sn2")
+    prescored = packed.select(
+        "vec_id", "codes", _code_fold(cn2_lit).alias("sn2")
     )
     scored = (
         prescored.crossJoin(F.broadcast(qdf))
@@ -1823,12 +1801,6 @@ _ADC_SCHEMA = (
     "dq array<array<double>>, qdotc double, qnorm double"
 )
 
-_ADC_CONSTS_SCHEMA = (
-    "crossd_all array<array<array<double>>>, "
-    "cn2_all array<array<double>>, cc2_all array<double>"
-)
-
-
 def _code_fold(src):
     """Per-row exact-decimal lut fold over a packed ``codes`` column:
     Σ_s round12(src[s][codes[s]+1]) as decimal sums. The (38,15)
@@ -1855,18 +1827,23 @@ def _code_fold(src):
     )
 
 
-def _adc_consts(spark, cc, pq_cb):
-    """The query-independent ADC constants as ONE broadcastable row:
-    crossd_all[cell][sub][cluster] = dot(cell_sub, cent),
-    cn2_all[sub][cluster] = |cent|², cc2_all[cell] = |cc|². Computed on
-    the driver from the (driver-sized, k_cells·dim + m·k·sub_d floats)
-    centroid dicts with the same left-fold float arithmetic as the
-    ``dot`` expression — Python ``sum`` is the identical IEEE left fold,
-    the equivalence the driver-rows twin has always relied on. Bounded:
-    k_cells·m·k doubles (4096 at the board operating point). Requires
-    cell ids dense over 0..k_cells-1 and codebook keys dense over
-    (0..m-1, 0..k-1) — true by trainer construction (the same density
-    ``_coarse_cands_row``'s element_at indexing already assumes)."""
+def _adc_consts(cc, pq_cb):
+    """The query-independent ADC constants as three LITERAL columns
+    (r15 — formerly a one-row broadcastable table whose
+    BroadcastNestedLoopJoin cross both cost a broadcast job and
+    ballooned Catalyst's size estimate of the code scan, which pushed
+    the distributed-mode cell join to a SortMergeJoin; as plan literals
+    they distort nothing): crossd_all[cell][sub][cluster] =
+    dot(cell_sub, cent), cn2_all[sub][cluster] = |cent|²,
+    cc2_all[cell] = |cc|². Computed on the driver from the
+    (driver-sized, k_cells·dim + m·k·sub_d floats) centroid dicts with
+    the same left-fold float arithmetic as the ``dot`` expression —
+    Python ``sum`` is the identical IEEE left fold, the equivalence the
+    driver-rows twin has always relied on. Bounded: k_cells·m·k doubles
+    (4096 at the board operating point). Requires cell ids dense over
+    0..k_cells-1 and codebook keys dense over (0..m-1, 0..k-1) — true
+    by trainer construction (the same density `_coarse_vecs_lit`'s
+    element_at indexing already assumes)."""
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
     k = max(c for _s, c in pq_cb) + 1
@@ -1893,9 +1870,11 @@ def _adc_consts(spark, cc, pq_cb):
         for s in range(m)
     ]
     cc2_all = [sum(x * x for x in cc[cell]) for cell in cells]
-    return spark.createDataFrame(
-        [(crossd_all, cn2_all, cc2_all)], _ADC_CONSTS_SCHEMA
-    )
+    return {
+        "crossd_all": dlit(crossd_all),
+        "cn2_all": dlit(cn2_all),
+        "cc2_all": dlit(cc2_all),
+    }
 
 
 def _adc_driver_rows(qrows, cc, pq_cb, n_probe):
@@ -1963,12 +1942,11 @@ def ivfpq_adc_table(
     (see ``ivfpq_encode_packed``): without them CollapseProject would
     re-evaluate dq per cell row and the cell-centroid lookup per
     downstream reference."""
-    spark = queries.sparkSession
     dim = len(next(iter(cc.values())))
     m = max(s for s, _c in pq_cb) + 1
     sub_d = dim // m
-    coarse = _coarse_cands_row(spark, cc)
-    pq = _pq_cands_row(spark, pq_cb, m)
+    ccv_lit = _coarse_vecs_lit(cc)
+    allc = _pq_vecs_lit(pq_cb, m)
     q = ensure_parallelism(
         queries.select(
             F.col("vec_id").cast("long").alias("query_id"),
@@ -1980,21 +1958,21 @@ def ivfpq_adc_table(
         return F.slice("qv", s * sub_d + 1, sub_d)
 
     dq = F.transform(
-        "allc",
+        allc,
         lambda subcands, s: F.transform(
-            subcands, lambda cand: dot(qs(s), cand["c"])
+            subcands, lambda cv: dot(qs(s), cv)
         ),
     )
-    withdq = q.crossJoin(F.broadcast(pq)).select(
+    withdq = q.select(
         "query_id", "qv", F.explode(F.array(dq)).alias("dq")
     )
     sel = F.slice(
         F.array_sort(
             F.transform(
-                "ccands",
-                lambda cand: F.struct(
-                    _d2(F.col("qv"), cand["c"]).alias("d2"),
-                    cand["cluster"].alias("cell"),
+                ccv_lit,
+                lambda cv, i: F.struct(
+                    _d2(F.col("qv"), cv).alias("d2"),
+                    i.alias("cell"),
                 ),
             )
         ),
@@ -2002,12 +1980,11 @@ def ivfpq_adc_table(
         int(n_probe),
     )
     probed = (
-        withdq.crossJoin(F.broadcast(coarse))
-        .select(
-            "query_id", "qv", "dq", "ccands", F.explode(sel).alias("pr")
+        withdq.select(
+            "query_id", "qv", "dq", F.explode(sel).alias("pr")
         )
         .select(
-            "query_id", "qv", "dq", "ccands",
+            "query_id", "qv", "dq",
             F.col("pr.cell").alias("cell"),
         )
     )
@@ -2017,7 +1994,7 @@ def ivfpq_adc_table(
         "dq",
         "cell",
         F.explode(
-            F.array(F.element_at("ccands", F.col("cell") + 1)["c"])
+            F.array(F.element_at(ccv_lit, F.col("cell") + 1))
         ).alias("ccv"),
     )
     return withcc.select(
@@ -2032,7 +2009,7 @@ def ivfpq_adc_table(
 def _adc_score(
     codes: DataFrame,
     tdf: DataFrame,
-    consts: DataFrame,
+    consts: dict,
     broadcast_table: bool = True,
 ):
     """ADC scoring against a PACKED (vec_id, codes array<int>, cell)
@@ -2046,9 +2023,14 @@ def _adc_score(
     LUT split (r14 second pass): only ``sdot`` (the fold over the query
     row's ``dq``) depends on the query. ``scross``/``sn2``/``cc2``
     depend on (vector, its cell) alone, so they fold ONCE PER CODE ROW
-    against the one-row broadcast ``_adc_consts`` BEFORE the cell join —
+    from the LITERAL ``_adc_consts`` columns BEFORE the cell join —
     the old shape re-folded them once per (query, neighbor) pair, i.e.
-    |Q|·n_probe/k_cells times per vector.
+    |Q|·n_probe/k_cells times per vector. Since r15 the consts ride the
+    plan as literals instead of a one-row BroadcastNestedLoopJoin
+    cross, so the code side's size estimate stays the scan's own and
+    the cell join's strategy is chosen from honest statistics (the r14
+    trade where the ballooned estimate forced a SortMergeJoin in
+    distributed mode is structurally gone).
 
     Values are bit-identical: the folds add the same round-12
     decimal(30,15) terms the old shape did (same values, same order —
@@ -2057,15 +2039,15 @@ def _adc_score(
     """
     t = F.broadcast(tdf) if broadcast_table else tdf
     fold = _code_fold
-    prescored = codes.crossJoin(F.broadcast(consts)).select(
+    prescored = codes.select(
         "vec_id",
         "cell",
         "codes",
-        fold(F.element_at(F.col("crossd_all"), F.col("cell") + 1)).alias(
+        fold(F.element_at(consts["crossd_all"], F.col("cell") + 1)).alias(
             "scross"
         ),
-        fold(F.col("cn2_all")).alias("sn2"),
-        F.element_at(F.col("cc2_all"), F.col("cell") + 1).alias("cc2"),
+        fold(consts["cn2_all"]).alias("sn2"),
+        F.element_at(consts["cc2_all"], F.col("cell") + 1).alias("cc2"),
     )
     return (
         prescored.join(t, "cell")
@@ -2236,7 +2218,7 @@ def ivfpq_ann_topk(
             if len(query_ids) <= ADC_AUTO_DRIVER_MAX
             else "distributed"
         )
-    consts = _adc_consts(spark, cc, pq_cb)
+    consts = _adc_consts(cc, pq_cb)
     if mode == "driver":
         table, _probed = _adc_driver_rows(
             queries.collect(), cc, pq_cb, n_probe
@@ -2431,7 +2413,7 @@ def _read_ivfpq_sidecars(spark, path: str):
 def ivfpq_encode(embeddings: DataFrame, cc: dict, pq_cb: dict) -> DataFrame:
     """Encode vectors against FROZEN models — the serve-time half of
     the trainer, replaying its exact arithmetic (the shared
-    ``_d2``/``_argmin_cluster`` expressions): coarse-assign each vector
+    ``_d2``/``_argmin_idx`` expressions): coarse-assign each vector
     to its cell (one whole-vector subspace), subtract the cell centroid,
     PQ-encode the residual, pack to one row per vector. Returns
     DataFrame[vec_id, codes array<int>, cell]. For any input, the
@@ -2814,7 +2796,7 @@ def ivfpq_probe_topk(
         mode = (
             "driver" if len(head) <= ADC_AUTO_DRIVER_MAX else "distributed"
         )
-    consts = _adc_consts(spark, cc, pq_cb)
+    consts = _adc_consts(cc, pq_cb)
     if mode == "driver":
         table, probed_cells = _adc_driver_rows(
             head if head is not None else queries.collect(),

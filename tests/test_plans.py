@@ -569,10 +569,11 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
 def test_pq_scoring_is_jvm_only(spark, sf_dir):
     """ADC scoring must contain no Python stage and (since the r14
     pair-packed rewrite) no hash/shuffle join at all: the packed encode
-    and both decimal folds are map-side against one-row broadcast
-    crosses, so the only plan joins are BroadcastNestedLoopJoin crosses
-    and the ranking windows; only the trainer's bounded collects run in
-    Python on the driver."""
+    and both decimal folds are map-side against LITERAL candidate
+    tables (r15 — the former one-row broadcast crosses are gone too),
+    so the ONLY join left is the |Q|-row query-table cross (the scoring
+    fan-out itself) and the ranking windows; only the trainer's bounded
+    collects run in Python on the driver."""
     from parquet_metadata_explorer_spark.operators.similarity import pq_ann_topk
 
     df = pq_ann_topk(
@@ -582,7 +583,9 @@ def test_pq_scoring_is_jvm_only(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 0, plan
-    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    # exactly one cross: the query table; the codebook/cn2 crosses are
+    # plan literals now
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_ivfpq_scoring_is_jvm_only(spark, sf_dir):
@@ -648,8 +651,9 @@ def test_semantic_dedup_plan_shapes(spark, sf_dir):
     plan_assign = simple_plan(base)
     assert "EvalPython" not in plan_assign, plan_assign
     assert "Window" not in plan_assign, plan_assign
-    # the arg-min is map-side: broadcast join, no shuffle, no aggregate
-    assert "BroadcastNestedLoopJoin" in plan_assign, plan_assign
+    # the arg-min is a pure projection against the literal centroid
+    # table (r15): no join of ANY kind, no shuffle, no aggregate
+    assert "Join" not in plan_assign, plan_assign
     assert "Exchange hashpartitioning" not in plan_assign, plan_assign
     assert "Exchange rangepartitioning" not in plan_assign, plan_assign
     assert "HashAggregate" not in plan_assign, plan_assign

@@ -77,7 +77,9 @@ def main() -> None:
         .count()
     )
 
-    plans_dir = os.path.join(HERE, "plans", "r14")
+    plans_dir = os.path.join(
+        HERE, "plans", os.environ.get("PQX_PLANS_ROUND", "r15")
+    )
     os.makedirs(plans_dir, exist_ok=True)
     tracker = spark.sparkContext.statusTracker()
 
