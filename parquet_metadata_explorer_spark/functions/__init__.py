@@ -59,6 +59,15 @@ def dlit(v) -> Column:
     return F.expr(render(v, depth_of(v)))
 
 
+def llit(v) -> Column:
+    """Bigint-array literal through one parsed SQL string — ``dlit``'s
+    integer sibling (exactness is trivial: longs print and parse
+    exactly)."""
+    if not v:
+        return F.expr("cast(array() as array<bigint>)")
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in v) + ")")
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column.
 

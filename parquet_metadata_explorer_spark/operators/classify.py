@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track_persist
-from ..functions import ensure_parallelism, hash60, tokens
+from ..functions import ensure_parallelism, hash60, llit, tokens
 
 SCALE = 10**12  # the fixed-point: w12 = round(w * 1e12)
 
@@ -110,20 +110,14 @@ def classifier_features(
     )
 
 
-def _wrow(spark: SparkSession, w12: list, bias12: int) -> DataFrame:
-    """The per-round weight carrier: ONE 1-row driver structure that
-    both the margin broadcast and the in-engine update join derive
-    from."""
-    return spark.createDataFrame(
-        [(list(w12), int(bias12))], "w array<long>, b12 long"
-    )
-
-
-def _scored(X: DataFrame, w12: list, bias12: int, wrow: DataFrame = None):
+def _scored(X: DataFrame, w12: list, bias12: int):
     """One map pass: margin (exact decimal(38,0) sum of w12 over the
-    doc's occurrence buckets via the broadcast weight array), sigmoid
-    snapped to integer p12, residual r12 and length-normalized gradient
-    g12 — all codegen, zero Python.
+    doc's occurrence buckets via the LITERAL weight array — r15: the
+    weights are driver-held state, so they ride the plan as one bigint
+    array literal; the former one-row broadcast crossJoin cost a
+    broadcast-materialization job per GD round), sigmoid snapped to
+    integer p12, residual r12 and length-normalized gradient g12 — all
+    in-engine, zero Python.
 
     The margin accumulator is decimal(38,0), NOT long, for the same
     reason the gradient folds are: |w12| reaches ~1.6e13 at the distill
@@ -133,16 +127,15 @@ def _scored(X: DataFrame, w12: list, bias12: int, wrow: DataFrame = None):
     normalized z is O(max |w|) only AFTER the /n — the raw sum is not.
     decimal(38,0) gives 10^38 of headroom (10^25 occurrences of the
     largest weight) at identical double output for in-range values."""
-    spark = X.sparkSession
-    if wrow is None:
-        wrow = _wrow(spark, w12, bias12)
+    w_lit = llit(w12)
+    b12 = F.lit(int(bias12)).cast("long")
     ms = F.aggregate(
         "fb",
         F.lit(0).cast("decimal(38,0)"),
-        lambda acc, bk: acc + F.get(F.col("w"), bk),
+        lambda acc, bk: acc + F.get(w_lit, bk),
     )
-    sc = X.crossJoin(F.broadcast(wrow)).select(
-        "doc_id", "fb", "n", "y", ms.alias("ms"), "b12"
+    sc = X.select(
+        "doc_id", "fb", "n", "y", ms.alias("ms"), b12.alias("b12")
     )
     z = (F.col("ms").cast("double") / F.lit(1e12)) / F.col("n") + F.col(
         "b12"
@@ -213,8 +206,7 @@ def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
     w12 = [0] * B
     bias12 = 0
     for _ in range(int(iters)):
-        wrow = _wrow(spark, w12, bias12)
-        sc = _scored(X, w12, bias12, wrow=wrow)
+        sc = _scored(X, w12, bias12)
         pairs = F.concat(
             F.transform(
                 "fb",
@@ -245,31 +237,28 @@ def _train_on(X: DataFrame, B: int, iters: int, lr: float) -> dict:
                 F.sum(F.col("m").cast("decimal(38,0)")).alias("mass"),
             )
         )
-        # the update-join weight table derives in-engine from the SAME
-        # 1-row weight carrier the margins broadcast (pos 0 via b12 =
-        # bias at bucket -1) — one driver structure per round, not two;
-        # values are byte-identical to the former createDataFrame(B+1)
-        wdf = wrow.select(
-            F.posexplode(
-                F.concat(F.array(F.col("b12")), F.col("w"))
-            ).alias("pos", "w12")
-        ).select((F.col("pos") - 1).cast("int").alias("bucket"), "w12")
+        # ONE cluster action per round (r15): the step expression rides
+        # the gradient aggregation itself, so the round collects <=B+1
+        # (bucket, step) rows directly — the former in-engine update
+        # joined a B+1-row weight table back onto grads, a whole
+        # join + exchange + broadcast chain of jobs per round, to
+        # compute w12 - step when the integer subtraction is exact in
+        # Python anyway. The step arithmetic is unchanged Spark SQL
+        # (same Round/cast on the same doubles; the old coalesce
+        # branches only fired for buckets absent from grads, which
+        # produce no row — and an absent bucket's weight was unchanged
+        # before and stays untouched now).
         step = F.round(
             F.lit(float(lr))
-            * F.coalesce(F.col("gs").cast("double"), F.lit(0.0))
-            / F.coalesce(F.col("mass").cast("double"), F.lit(1.0))
+            * F.col("gs").cast("double")
+            / F.col("mass").cast("double")
             * F.lit(1e12)
         ).cast("long")
-        rows = (
-            wdf.join(grads, "bucket", "left")
-            .select("bucket", (F.col("w12") - step).alias("w12"))
-            .collect()
-        )
-        for r in rows:
+        for r in grads.select("bucket", step.alias("step")).collect():
             if r.bucket == -1:
-                bias12 = int(r.w12)
+                bias12 = int(bias12 - r.step)
             else:
-                w12[r.bucket] = int(r.w12)
+                w12[r.bucket] = int(w12[r.bucket] - r.step)
     return {
         "w12": w12,
         "bias12": bias12,

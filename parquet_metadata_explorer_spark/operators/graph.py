@@ -25,15 +25,18 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components"]
 
 
+def _oriented_edges(df: DataFrame) -> DataFrame:
+    """(a, b) with a < b, self-loops dropped — map-only (no distinct):
+    the probe and the driver fast path tolerate duplicate rows (union
+    is idempotent), so they skip the dedup exchange entirely."""
+    return df.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+
+
 def _dedup_edges(df: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a < b, distinct."""
-    return (
-        df.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    return _oriented_edges(df).distinct()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -170,24 +173,31 @@ def connected_components(
     graph the probe reads a few partitions and falls through) replaces
     the former checkpoint-materialize + fingerprint-count + collect
     triple, i.e. one Spark job instead of three for every small graph.
-    Bit-identical output, pytest-asserted against the forced-distributed
-    rounds; pass 0 to force the distributed path. Billion-edge graphs
-    take the star rounds unconditionally.
+    Since r15 the probe runs on the MAP-ONLY oriented edges (no
+    ``distinct``): union-find is idempotent on duplicate rows, so the
+    dedup exchange — one full shuffle of the edge set — only runs when
+    the graph is big enough to take the distributed rounds. (A
+    duplicate-heavy producer can therefore overflow the probe a little
+    earlier and take the distributed path — the two paths are
+    bit-identical, pytest-asserted, so only the route changes.)
+    Pass 0 to force the distributed path. Billion-edge graphs take the
+    star rounds unconditionally.
     """
-    e = _dedup_edges(
+    raw = _oriented_edges(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
     if small_graph_edges > 0:
-        probe = e.limit(small_graph_edges + 1).collect()
+        probe = raw.limit(small_graph_edges + 1).collect()
         if len(probe) <= small_graph_edges:
             # the limit returned everything: probe IS the full edge set
+            # (possibly with duplicates — union-by-min is idempotent)
             return _driver_components(
-                e.sparkSession, probe, e.schema["a"].dataType
+                raw.sparkSession, probe, raw.schema["a"].dataType
             )
     # localCheckpoint (not persist) each round: it truncates the logical
     # plan, without which Catalyst's DeduplicateRelations recursion blows
     # the stack on the self-referential lineage after a few iterations
-    e = e.localCheckpoint()
+    e = raw.distinct().localCheckpoint()
     fp = _fingerprint(e)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e)).localCheckpoint()

@@ -400,8 +400,9 @@ def hybrid_knn_graph_from_index(
         query_ids = spark.createDataFrame(
             [(int(i),) for i in query_ids], ["doc_id"]
         )
-    lex = (
-        bm25_more_like_this_from_index(
+
+    def _lex():
+        return bm25_more_like_this_from_index(
             spark,
             bm25_index_path,
             k=k_each,
@@ -409,37 +410,55 @@ def hybrid_knn_graph_from_index(
             max_df_ratio=max_df_ratio,
             snapshot=bm25_snapshot,
             query_ids=query_ids,
+        ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+
+    def _dense_raw():
+        qvecs = embeddings.select("vec_id", "embedding")
+        if query_ids is not None:
+            qvecs = qvecs.join(
+                F.broadcast(
+                    query_ids.select(
+                        F.col("doc_id").alias("vec_id")
+                    ).distinct()
+                ),
+                "vec_id",
+                "left_semi",
+            )
+        return ivfpq_probe_topk(
+            spark,
+            ivfpq_index_path,
+            qvecs,
+            k=k_each + 1,  # +1 headroom: the self row drops below
+            n_probe=n_probe,
+            rerank=rerank,
+            embeddings=embeddings,
+            snapshot=ivfpq_snapshot,
+            # unrestricted = corpus-as-queries, definitionally the batch
+            # shape: the distributed ADC table has no driver ceiling and
+            # wins even at a few hundred queries (measured 2x at |Q|=500
+            # locally — the driver table is a Python pass over every
+            # query), so don't let auto's serving-path threshold route a
+            # corpus job through the driver. The arrivals-restricted
+            # refresh keeps "auto": a 16-arrival set is serving-sized,
+            # where the driver table is right.
+            table_mode="auto" if query_ids is not None else "distributed",
         )
-        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    )
-    qvecs = embeddings.select("vec_id", "embedding")
-    if query_ids is not None:
-        qvecs = qvecs.join(
-            F.broadcast(
-                query_ids.select(F.col("doc_id").alias("vec_id")).distinct()
-            ),
-            "vec_id",
-            "left_semi",
-        )
-    dense_raw = ivfpq_probe_topk(
-        spark,
-        ivfpq_index_path,
-        qvecs,
-        k=k_each + 1,  # +1 headroom: the self row drops below
-        n_probe=n_probe,
-        rerank=rerank,
-        embeddings=embeddings,
-        snapshot=ivfpq_snapshot,
-        # unrestricted = corpus-as-queries, definitionally the batch
-        # shape: the distributed ADC table has no driver ceiling and
-        # wins even at a few hundred queries (measured 2x at |Q|=500
-        # locally — the driver table is a Python pass over every
-        # query), so don't let auto's serving-path threshold route a
-        # corpus job through the driver. The arrivals-restricted
-        # refresh keeps "auto": a 16-arrival set is serving-sized,
-        # where the driver table is right.
-        table_mode="auto" if query_ids is not None else "distributed",
-    )
+
+    # overlap the two retrievers' EAGER prep (guide §2.6 — concurrent
+    # driver actions back-fill each other's idle executors): each side
+    # pays sequential index opens, sidecar collects and — on the dense
+    # side — the distributed-table persist + probed-cell collect before
+    # any fused job can run; submitting both from a 2-thread pool runs
+    # those waves concurrently. Pure orchestration: the DataFrames
+    # produced are the same objects the sequential code built, fused by
+    # the same _rrf_fuse.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(_lex)
+        dense_f = pool.submit(_dense_raw)
+        lex = lex_f.result()
+        dense_raw = dense_f.result()
     w_d = Window.partitionBy("query_id").orderBy("rank")
     dense = (
         dense_raw.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -540,12 +540,21 @@ def chunk_documents(
 
 
 def _grams_arr(t, k: int):
-    """All k-gram strings of a token array, as an array column (empty
-    when the document has fewer than k tokens)."""
+    """All k-grams of a token array as an array of k-field STRUCTS
+    (empty when the document has fewer than k tokens). Structs, not
+    joined strings (r15): building ``concat_ws(" ", slice(t, i, k))``
+    allocated a fresh string per gram instance; a struct of the k token
+    references allocates nothing per gram. Struct equality is
+    field-wise token equality — exactly the joined string's equality
+    (tokens contain no spaces, so the join was injective) — and the
+    run-length stats below are grouping-only, so the different (but
+    still total) sort order changes no value."""
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        lambda i: F.struct(
+            *[F.element_at(t, i + j).alias(f"w{j}") for j in range(k)]
+        ),
     )
     empty = F.array_except(grams, grams)
     return F.when(n >= k, grams).otherwise(empty)
@@ -564,8 +573,9 @@ def _gram_run_fold(t, k: int, want_top: bool):
     is the constant that matters locally."""
     s = F.array_sort(_grams_arr(t, k))
     zero = F.lit(0).cast("long")
+    prev_t = "struct<" + ",".join(f"w{j}:string" for j in range(k)) + ">"
     init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast(prev_t).alias("prev"),
         zero.alias("run"),
         zero.alias("acc"),
     )
