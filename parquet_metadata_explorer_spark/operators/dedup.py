@@ -1195,7 +1195,12 @@ def semantic_dedup_increment(
     base = _semantic_base(new_vectors, 0, 0, centroids)
     pairs = _semantic_pairs(base, threshold, cluster_cap)
     comp = connected_components(pairs, src="a", dst="b")
-    batch_surv = (
+    # persisted diamond (r15): the survivor set feeds the catalog screen
+    # (via bs), the anti-join left side AND — through the returned
+    # catalog — the NEXT increment's screen; without the persist each
+    # consumer re-ran the base⋈components attach. Batch-bounded by the
+    # same small-batch premise that broadcasts bs below.
+    batch_surv = track_persist(
         base.join(
             comp.select(F.col("node").alias("vec_id"), "component"),
             "vec_id",

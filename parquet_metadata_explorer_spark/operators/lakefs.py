@@ -239,6 +239,15 @@ class Lake:
 
         return pq.read_table(self.read_bytes_file(path))
 
+    def parquet_num_rows(self, path: str) -> int:
+        """Row count from one parquet file's FOOTER — a driver-side
+        metadata read (no Spark job, no data pages touched); the same
+        number a Spark metadata-only count() folds from the footers."""
+        import pyarrow.parquet as pq
+
+        with self.fs.open_input_file(path) as f:
+            return pq.ParquetFile(f).metadata.num_rows
+
     def read_bytes_file(self, path: str):
         return io.BytesIO(self.read_bytes(path))
 

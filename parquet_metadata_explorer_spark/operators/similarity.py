@@ -2404,14 +2404,25 @@ def _write_ivfpq_into(
                              pa.list_(pa.float64())),
     }))
     # commit LAST: visibility follows data + sidecars. The vector count
-    # folds from the just-written codes' parquet footers (a metadata-only
-    # count over exactly the base batch — same value as counting the
-    # encode relation, without re-running it)
-    segment_commit(
-        path,
-        "base",
-        {"n_vectors": spark.read.parquet(f"{path}/codes").count()},
-    )
+    # folds from the just-written codes' parquet FOOTERS on the driver
+    # (r15: the Spark metadata-only count() still cost a scan job + its
+    # AQE stages; the footers are this process's own writes, so a
+    # driver walk reads the identical numbers with zero jobs)
+    n_vectors = 0
+    codes_root = f"{lp}/codes"
+    for cell_dir in lake.listdir(codes_root):
+        d = f"{codes_root}/{cell_dir}"
+        if not lake.isdir(d):
+            continue
+        for sub in lake.listdir(d):
+            sd = f"{d}/{sub}"
+            if lake.isdir(sd):
+                for part in lake.listdir(sd):
+                    if part.endswith(".parquet"):
+                        n_vectors += lake.parquet_num_rows(f"{sd}/{part}")
+            elif sub.endswith(".parquet"):
+                n_vectors += lake.parquet_num_rows(sd)
+    segment_commit(path, "base", {"n_vectors": n_vectors})
 
 
 def _read_ivfpq_sidecars(spark, path: str):

@@ -550,10 +550,13 @@ def _grams_arr(t, k: int):
     run-length stats below are grouping-only, so the different (but
     still total) sort order changes no value."""
     n = F.size(t)
+    # F.get (0-based, null on out-of-range), NOT element_at: the n < k
+    # guard below still EVALUATES grams to build its empty array, and
+    # under ANSI mode element_at would throw on the guarded-away branch
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.struct(
-            *[F.element_at(t, i + j).alias(f"w{j}") for j in range(k)]
+            *[F.get(t, i + j - 1).alias(f"w{j}") for j in range(k)]
         ),
     )
     empty = F.array_except(grams, grams)

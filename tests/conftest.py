@@ -17,7 +17,18 @@ def spark():
     spark = (
         SparkSession.builder.master(f"local[{_CORES}]")
         .config("spark.sql.shuffle.partitions", _SHUFFLE)
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default OFF for the test session (r15): at the suite's
+        # tiny scale AQE only adds a stage-materialization job per
+        # exchange — measured 24% of the whole suite's wall time — and
+        # the driver's pytest capture was truncating on the 32-minute
+        # runs. Results are identical either way (the determinism
+        # contract); tests that exercise AQE behavior itself (skew
+        # split, bucketing) set it explicitly. PQX_TEST_AQE=true
+        # restores the production default for a sweep.
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("PQX_TEST_AQE", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")

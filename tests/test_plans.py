@@ -243,6 +243,7 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     import pyspark.sql.functions as F
 
     cfg = {
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
