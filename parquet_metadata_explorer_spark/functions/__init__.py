@@ -60,12 +60,30 @@ def dlit(v) -> Column:
 
 
 def llit(v) -> Column:
-    """Bigint-array literal through one parsed SQL string — ``dlit``'s
-    integer sibling (exactness is trivial: longs print and parse
-    exactly)."""
-    if not v:
-        return F.expr("cast(array() as array<bigint>)")
-    return F.expr("array(" + ",".join(f"{int(x)}L" for x in v) + ")")
+    """(Nested) bigint-array literal through one parsed SQL string —
+    ``dlit``'s integer sibling (exactness is trivial: longs print and
+    parse exactly)."""
+
+    def render(x, depth):
+        if isinstance(x, (list, tuple)):
+            if not x:
+                t = "bigint"
+                for _ in range(depth - 1):
+                    t = f"array<{t}>"
+                return f"cast(array() as array<{t}>)"
+            return (
+                "array(" + ",".join(render(e, depth - 1) for e in x) + ")"
+            )
+        return f"{int(x)}L"
+
+    def depth_of(x):
+        d = 0
+        while isinstance(x, (list, tuple)):
+            d += 1
+            x = x[0] if len(x) else None
+        return d
+
+    return F.expr(render(v, depth_of(v)))
 
 
 def hash60(col: Column) -> Column:

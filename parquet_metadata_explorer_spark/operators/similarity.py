@@ -1820,25 +1820,28 @@ _ADC_SCHEMA = (
     "dq array<array<double>>, qdotc double, qnorm double"
 )
 
-def _code_fold(src):
-    """Per-row exact-decimal lut fold over a packed ``codes`` column:
-    Σ_s round12(src[s][codes[s]+1]) as decimal sums. The (38,15)
-    accumulator re-cast is exact: every term is a round-12 value
-    (scale 12), so each partial sum is scale-12 and survives the add
-    operator's (38,14) result type losslessly — the fold's value equals
-    an ``F.sum`` over the same decimals (decimal addition is exact, so
-    fold order ≡ sum). Shared by the IVF-PQ scorer and the flat-PQ
-    scorer so the discipline can never drift."""
+def _code_fold(src, codes=None):
+    """Per-row exact-decimal lut fold over a packed code column
+    (``codes`` by default — pass the column explicitly when the caller
+    names it differently; the r14 ADVICE flagged the implicit name as a
+    hidden contract): Σ_s round12(src[s][codes[s]+1]) as decimal sums.
+    The (38,15) accumulator re-cast is exact: every term is a round-12
+    value (scale 12), so each partial sum is scale-12 and survives the
+    add operator's (38,14) result type losslessly — the fold's value
+    equals an ``F.sum`` over the same decimals (decimal addition is
+    exact, so fold order ≡ sum). Shared by the IVF-PQ scorer and the
+    flat-PQ scorer so the discipline can never drift."""
+    codes = F.col("codes") if codes is None else codes
     dec = "decimal(30,15)"
     return F.aggregate(
-        F.sequence(F.lit(1), F.size("codes")),
+        F.sequence(F.lit(1), F.size(codes)),
         F.lit(0).cast("decimal(38,15)"),
         lambda acc, s: (
             acc
             + F.round(
                 F.element_at(
                     F.element_at(src, s),
-                    F.element_at("codes", s) + 1,
+                    F.element_at(codes, s) + 1,
                 ),
                 12,
             ).cast(dec)
@@ -2428,14 +2431,33 @@ def _write_ivfpq_into(
 def _read_ivfpq_sidecars(spark, path: str):
     """(coarse centroids dict, PQ codebook dict) off the index's
     sidecar tables — driver-sized; shared by the probe and the CDC
-    increment so the frozen models are always read one way."""
+    increment so the frozen models are always read one way.
+
+    Read DRIVER-SIDE through the lake filesystem (r15): the sidecars
+    are k_cells- and m·k-row single-part tables the writer emits with
+    pyarrow, and every serve/verify/increment call was paying two Spark
+    read+collect jobs (plus their schema probes) to fetch a few KB.
+    pyarrow reads the identical doubles (parquet is the byte contract);
+    multi-part sidecars (none are written today) still concatenate."""
+    from .lakefs import for_path
+
+    lake, lp = for_path(path)
+
+    def _rows(subdir):
+        d = f"{lp}/{subdir}"
+        out = []
+        for part in sorted(lake.listdir(d)):
+            if part.endswith(".parquet"):
+                out.extend(lake.read_table(f"{d}/{part}").to_pylist())
+        return out
+
     cc = {
-        r.cell: [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{path}/coarse").collect()
+        r["cell"]: [float(x) for x in r["centroid"]]
+        for r in _rows("coarse")
     }
     pq_cb = {
-        (r.sub, r.cluster): [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{path}/codebook").collect()
+        (r["sub"], r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in _rows("codebook")
     }
     return cc, pq_cb
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .relational import _round_dec
-from ..functions import hash60
+from ..functions import hash60, llit
 
 
 def hll_distinct(df: DataFrame, col, b: int = 12) -> DataFrame:
@@ -276,16 +276,30 @@ def cm_frequent_items(
     # persist plus depth broadcast builds per run). Same values: absent
     # buckets hold 0, and every gated item's own buckets exist in the
     # sketch, so the inner joins never dropped rows the lookup keeps.
+    # practical ceiling (r15, the r14 ADVICE note): the dense gate ships
+    # d*w counters to every task — as a plan literal here, exactly like
+    # the broadcast row before it. At the 8-byte-counter default that is
+    # ~32 KB; at w = 2^26 it would be gigabytes of plan. Counter tables
+    # past ~4M cells are the wrong shape for a dense driver round-trip
+    # regardless of transport — fail loudly instead of OOMing the driver.
+    if d * w > 4_000_000:
+        raise ValueError(
+            f"cm_frequent_items: depth*width = {d * w} exceeds the dense "
+            "gate ceiling (4M counters); use a smaller sketch — the CM "
+            "error bound is instances/width, so width rarely needs to "
+            "exceed a few hundred thousand"
+        )
     dense = [[0] * w for _ in range(d)]
     for r in cm_sketch(items, col, d, w).collect():
         dense[r.j][r.bucket] = r.cnt
-    cmdf = items.sparkSession.createDataFrame(
-        [(dense,)], "cm array<array<long>>"
-    )
-    gated = keyed.crossJoin(F.broadcast(cmdf))
+    # literal, not a one-row broadcast cross (r15): same dense values,
+    # no BroadcastNestedLoopJoin node, no broadcast-materialization job,
+    # no size-estimate distortion of the gated scan
+    cm_lit = llit(dense)
+    gated = keyed
     lookups = [
         F.element_at(
-            F.element_at("cm", j + 1),
+            F.element_at(cm_lit, j + 1),
             F.col(f"b{j}").cast("int") + 1,
         )
         for j in range(d)

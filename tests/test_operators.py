@@ -2424,18 +2424,16 @@ def test_frequent_ngrams_matches_exact_filter(spark, sf_dir):
         .collect()
     }
     assert got == exact and len(got) > 0
-    # the gate must stay map-side: since r14 the collected sketch rides
-    # ONE one-row broadcast cross (dense array lookups) — no hash joins
-    # at all, and never a shuffled join
+    # the gate must stay map-side: since r15 the collected sketch rides
+    # the plan as a dense array LITERAL (element_at lookups) — no join
+    # of any kind
     plan = (
         text.frequent_ngrams(docs, n=2, threshold=40, depth=3, width=1024)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == 0, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan, plan
 
 
 def test_chunk_documents_contract(spark, sf_dir):
