@@ -520,27 +520,43 @@ def hybrid_rrf_topk(
     # NULL text is a real corpus state (failed extraction): that query
     # keeps its dense side and contributes no lexical terms
     queries = [(q, qtexts[q] or "") for q in sorted(qtexts)]
-    if bm25_index_path is not None:
-        # serving composition: the lexical side probes the materialized
-        # bucketed index (partition-pruned, join-free) instead of
-        # re-scanning the corpus — bit-identical by the disk ≡ memory
-        # contract, so the fused output is unchanged
-        lex_raw = bm25_probe_topk(
-            documents.sparkSession, bm25_index_path, queries, k=k_each
+
+    def _lex():
+        if bm25_index_path is not None:
+            # serving composition: the lexical side probes the
+            # materialized bucketed index (partition-pruned, join-free)
+            # instead of re-scanning the corpus — bit-identical by the
+            # disk ≡ memory contract, so the fused output is unchanged
+            lex_raw = bm25_probe_topk(
+                documents.sparkSession, bm25_index_path, queries, k=k_each
+            )
+        else:
+            lex_raw = bm25_topk(documents, queries, k=k_each)
+        w_lex = Window.partitionBy("query_id").orderBy("rank")
+        return (
+            lex_raw.filter(F.col("doc_id") != F.col("query_id"))
+            .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+            .select("query_id", "doc_id", "lex_rank")
         )
-    else:
-        lex_raw = bm25_topk(documents, queries, k=k_each)
-    w_lex = Window.partitionBy("query_id").orderBy("rank")
-    lex = (
-        lex_raw.filter(F.col("doc_id") != F.col("query_id"))
-        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
-        .select("query_id", "doc_id", "lex_rank")
-    )
-    dense = cosine_topk(embeddings, query_ids, k=k_each).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("dense_rank"),
-    )
+
+    def _dense():
+        return cosine_topk(embeddings, query_ids, k=k_each).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+
+    # overlap the retrievers' eager prep (guide §2.6, the
+    # hybrid_knn_graph_from_index discipline): the dense side's query
+    # matrix collect and the lexical side's index/postings setup are
+    # independent driver waves
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(_lex)
+        dense_f = pool.submit(_dense)
+        lex = lex_f.result()
+        dense = dense_f.result()
     return _rrf_fuse(lex, dense, k, rrf_k)
 
 
